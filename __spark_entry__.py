@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query on sf0.001 (smoke check, rows > 0)
+queries()     -> one callable per implemented operator (SURVEY.md §2)
+oracle_sql()  -> DuckDB-equivalent SQL per query (correctness gate)
+
+The catalog itself lives in
+unified_log_aggregation_and_analytics_spark/catalog*.py — importing
+those modules populates the registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the catalog modules registers every query.
+import unified_log_aggregation_and_analytics_spark.catalog as _catalog
+import unified_log_aggregation_and_analytics_spark.catalog_logs  # noqa: F401
+import unified_log_aggregation_and_analytics_spark.catalog_llm  # noqa: F401
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hourly error-event histogram over the unified event
+    stream — the Discover date-histogram path (Q3+Q6+Q8+Q9) the
+    reference delegates to OpenSearch Dashboards (README.md:295-314).
+    """
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", _SMOKE_SF_DIR)
+    errors = ev.filter(F.col("event_type") == "error")
+    return R.date_histogram(errors, "hour").orderBy(F.col("bucket"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark_fn for name, spec in _catalog.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in _catalog.QUERIES.items()
+        if spec.oracle is not None
+    }

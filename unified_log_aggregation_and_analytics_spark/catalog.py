@@ -1,0 +1,694 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (spark_fn,
+oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame`` plus an ANSI
+SQL string DuckDB runs over the same parquet views. Determinism rules
+(both engines must produce bit-identical values):
+
+- Raw parquet columns are safe to output as-is.
+- Computed numeric aggregates go through exact DECIMAL arithmetic and
+  are cast to DOUBLE at the end — the monetary/value columns are
+  2-decimal quantized (verified), so the casts are lossless and both
+  engines produce the identical double.
+- ``events.ts`` is nanosecond-precision parquet; Spark truncates to
+  micros, DuckDB keeps ns. Never output raw events.ts — always
+  date_trunc('second') or coarser; filter only on whole-second
+  literals. (orders/lineitem timestamps are ms — safe raw.)
+- Every ORDER BY ... LIMIT carries a unique tie-break column.
+- Float similarity scores are rounded to 6 decimals with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators import relational as R
+from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark_fn: SparkQuery
+    oracle: str | None  # None => rows-only check (non-SQL-expressible)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col: str | F.Column, scale: int = 2) -> F.Column:
+    """Exact decimal sum, surfaced as double (identical in DuckDB)."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# =======================================================================
+# Q1-Q5: filter / search / time range / projection / union
+# =======================================================================
+
+
+@_register(
+    "q01_filter_predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 10
+      AND l_returnflag IN ('A', 'N')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q01_filter_predicates(spark, sf_dir):
+    """Q1 — equality/range/IN predicates (Discover field filters;
+    in-code anchor: reference transformer/index.js:9). All predicates
+    reach the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 10)
+        & F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@_register(
+    "q02_fulltext_search",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE contains(lower(text), 'spark')
+      AND list_contains(str_split(lower(text), ' '), 'vector')
+    """,
+)
+def q02_fulltext_search(spark, sf_dir):
+    """Q2 — Discover's free-text search (reference README.md:312):
+    substring plus exact-token match, scan-based."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        R.full_text_search(docs, "spark", text_col="text")
+        .filter(F.array_contains(F.split(F.lower("text"), " "), "vector"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@_register(
+    "q03_time_range",
+    """
+    SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts_s
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      AND event_type = 'error'
+    """,
+)
+def q03_time_range(spark, sf_dir):
+    """Q3 — Discover's time picker; with a log_date partition column
+    this prunes partitions (the reference's daily-index selection)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        R.time_range(ev, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id", "user_id", "event_type", F.date_trunc("second", "ts").alias("ts_s")
+        )
+    )
+
+
+@_register(
+    "q04_projection",
+    """
+    SELECT p_partkey, upper(p_brand) AS brand_uc, p_brand || '#' || p_type AS brand_type,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def q04_projection(spark, sf_dir):
+    """Q4 — projection/column pruning: ReadSchema should show only the
+    three referenced columns."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@_register(
+    "q05_union_sources",
+    """
+    SELECT 'customer' AS src, c_name AS name, c_acctbal AS acctbal FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_name AS name, s_acctbal AS acctbal FROM supplier
+    """,
+)
+def q05_union_sources(spark, sf_dir):
+    """Q5 — unified view across sources with a discriminator column —
+    the reference's 'single point of access to all the logs'
+    (README.md:11), four streams unioned."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    return cust.unionByName(supp)
+
+
+# =======================================================================
+# Q6-Q10: aggregation / distinct / histogram / sort / top-k
+# =======================================================================
+
+
+@_register(
+    "q06_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q06_tpch_q1(spark, sf_dir):
+    """Q6 — grouped aggregation (Dashboards visualizations,
+    reference README.md:295-314). TPC-H Q1 shape: partial+final hash
+    agg, map-side combine; one light shuffle at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (_dsum("l_quantity") / cnt).alias("avg_qty"),
+            (_dsum("l_extendedprice") / cnt).alias("avg_price"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q07_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q07_distinct_users(spark, sf_dir):
+    """Q7 — exact distinct (unique request IDs / client IPs,
+    reference README.md:47,100)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_users"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register("q07b_approx_distinct", None)  # HLL sketches differ per engine: rows-only
+def q07b_approx_distinct(spark, sf_dir):
+    """Q7 — approx_count_distinct (HLL++): the 100 TB path where exact
+    distinct would shuffle every key. Sketch values are
+    engine-specific, so no SQL oracle — driver checks rows/schema."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@_register(
+    "q08_hourly_histogram",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def q08_hourly_histogram(spark, sf_dir):
+    """Q8 — Discover's date histogram over daily-rotated indices
+    (reference README.md:30,304)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return R.date_histogram(ev, "hour")
+
+
+@_register(
+    "q08b_sliding_window",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5 FROM events WHERE event_type = 'error'
+    ), contrib AS (
+      SELECT b5 AS window_start FROM b
+      UNION ALL
+      SELECT b5 - INTERVAL '5 minutes' AS window_start FROM b
+    )
+    SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end, COUNT(*) AS n
+    FROM contrib GROUP BY window_start
+    """,
+)
+def q08b_sliding_window(spark, sf_dir):
+    """ST4 batch form — sliding 10-minute windows every 5 minutes
+    (moving error rate). Each event lands in exactly two windows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return R.sliding_histogram(ev, "10 minutes", "5 minutes")
+
+
+@_register(
+    "q09_sort_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q09_sort_orders(spark, sf_dir):
+    """Q9/Q10 — global sort + limit compiles to
+    TakeOrderedAndProject: per-task K-row heaps merged at the driver,
+    no full shuffle (the coordinator top-K merge of OpenSearch)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(25)
+
+
+@_register(
+    "q10_topk_users",
+    """
+    SELECT user_id, COUNT(*) AS n
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def q10_topk_users(spark, sf_dir):
+    """Q10 — top error producers (Dashboards top-N)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return R.top_k(ev, 10, [], group_cols=["user_id"])
+
+
+# =======================================================================
+# Q11-Q13: joins
+# =======================================================================
+
+
+@_register(
+    "q11_join_star_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q11_join_star_revenue(spark, sf_dir):
+    """Q11 — star-schema equi-join with broadcast dims: revenue by
+    supplier nation. supplier/nation are broadcast (dims < 10 MB), so
+    the fact table never shuffles for the join — the scale-critical
+    choice at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q11b_join_left_orders",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q11b_join_left_orders(spark, sf_dir):
+    """Q11 — left outer join keeping zero-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@_register(
+    "q12_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q12_semi_join(spark, sf_dir):
+    """Q12 — left-semi join: customers with at least one finished
+    order (requests *with* errors, reference ec2-startup.sh:43-52)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_register(
+    "q12b_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q12b_anti_join(spark, sf_dir):
+    """Q12 — left-anti join: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "q13_asof_join",
+    """
+    SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
+           date_trunc('second',
+             (SELECT max(e.ts) FROM events e
+              WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts)
+           ) AS last_error_ts_s
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q13_asof_join(spark, sf_dir):
+    """Q13 — as-of temporal join: nearest preceding error per user for
+    each purchase (the reference's platform/function event
+    interleaving, README.md:95-147). Spark-first: union + ordered
+    window instead of a non-equi join — one shuffle, linear scan."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.asof_last_event(ev, match_type="error", target_type="purchase")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts_s"),
+        F.date_trunc("second", "last_match_ts").alias("last_error_ts_s"),
+    )
+
+
+# =======================================================================
+# Q14-Q18: windows / set ops / rollup / dedup / pivot
+# =======================================================================
+
+
+@_register(
+    "q14_window_funcs",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+    FROM orders
+    """,
+)
+def q14_window_funcs(spark, sf_dir):
+    """Q14 — ranking/analytic/frame window functions. The reference's
+    hand-rolled logEvent_(++index) (transformer/index.js:10) is exactly
+    row_number() over the in-record order."""
+    o = _t(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    by_price_ties = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(by_price).cast("long").alias("rn"),
+        F.rank().over(by_price_ties).cast("long").alias("rnk"),
+        F.lag("o_orderdate").over(by_date).alias("prev_order_date"),
+        F.sum(_dec("o_totalprice"))
+        .over(by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("run_spend"),
+    )
+
+
+@_register(
+    "q15_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q15_intersect(spark, sf_dir):
+    """Q15 — set intersection (nations having both customers and
+    suppliers)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_register(
+    "q15b_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q15b_except(spark, sf_dir):
+    """Q15 — set difference (nations with customers but no
+    suppliers)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@_register(
+    "q16_rollup",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+)
+def q16_rollup(spark, sf_dir):
+    """Q16 — rollup subtotals by source-dimension hierarchy
+    (multi-dimensional dashboard slicing, reference README.md:295-314)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    return ev.rollup("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q16b_cube",
+    """
+    SELECT event_type, isodow(ts) - 1 AS dow, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, isodow(ts) - 1)
+    """,
+)
+def q16b_cube(spark, sf_dir):
+    """Q16 — cube over event_type x day-of-week (Monday=0)."""
+    ev = _t(spark, sf_dir, "events").withColumn("dow", F.weekday("ts").cast("long"))
+    return ev.cube("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q17_dedup_distinct",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q17_dedup_distinct(spark, sf_dir):
+    """Q17 — exact dedup on a projection (at-least-once upstream =>
+    duplicates, reference utils.ts:42,57-59)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@_register(
+    "q18_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+    FROM events GROUP BY 1
+    """,
+)
+def q18_pivot(spark, sf_dir):
+    """Q18 — cross-tab day x event_type. Explicit pivot values keep the
+    plan static (no distinct-collection pre-job) — required at scale."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    out = R.pivot_counts(ev, "day", "event_type", ["click", "error", "purchase", "signup", "view"])
+    return out
+
+
+# =======================================================================
+# TPC-H classics (bench headliners)
+# =======================================================================
+
+
+@_register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): broadcast customer filter,
+    fact-fact join orders x lineitem."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): multi-way join; dims
+    broadcast, facts co-shuffled once on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@_register(
+    "tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue): pure scan+filter+agg — every
+    predicate reaches the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

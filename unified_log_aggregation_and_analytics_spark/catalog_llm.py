@@ -1,0 +1,339 @@
+"""LLM-data-pipeline catalog entries (X1-X5): dedup, similarity
+search, text analysis, multimodal — each oracle-checked where SQL can
+express the semantics, rows-only otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.catalog import _register, _t
+from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity, l2_norm
+from unified_log_aggregation_and_analytics_spark.operators import dedup as D
+from unified_log_aggregation_and_analytics_spark.operators import multimodal as MM
+from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+# --- X1: exact dedup ----------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """X1 — exact dedup certificate over md5(text); deterministic
+    keep-min-id policy."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_prefix_cluster",
+    """
+    SELECT array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ') AS prefix_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_prefix_cluster(spark, sf_dir):
+    """X1 variant — near-dup candidate clustering on a 5-token prefix
+    key (cheap blocking before pairwise verification)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+    return docs.groupBy(key.alias("prefix_key")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --- X2: MinHash / Jaccard / SimHash -----------------------------------
+
+
+@_register(
+    "dedup_minhash_sig",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 1, 2)),
+               i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(sh, x -> md5('1' || x))) AS mh1,
+           list_min(list_transform(sh, x -> md5('2' || x))) AS mh2,
+           list_min(list_transform(sh, x -> md5('3' || x))) AS mh3,
+           list_min(list_transform(sh, x -> md5('4' || x))) AS mh4
+    FROM s
+    """,
+)
+def dedup_minhash_sig(spark, sf_dir):
+    """X2 — 4-permutation MinHash signature over 3-token shingles
+    (md5-keyed so DuckDB computes the identical signature). The LSH
+    banding join over this signature is dedup_minhash_lsh (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_signature(docs, num_hashes=4).select(
+        "doc_id", "mh1", "mh2", "mh3", "mh4"
+    )
+
+
+@_register("dedup_minhash_lsh", None)  # self-join on band buckets: rows-only
+def dedup_minhash_lsh(spark, sf_dir):
+    """X2 scale path — LSH candidate pairs from a 16-hash signature in
+    4-hash bands. The shuffle is keyed on (band, band_hash) buckets, so
+    the cost is bucket-bounded, never n^2 (see operators/dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, num_hashes=16)
+    return D.minhash_lsh_candidates(sig, num_hashes=16, band_size=4)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 1, 2)),
+               i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """X2 — pairwise 3-gram Jaccard within a language block, threshold
+    0.05. In production the pair source is LSH candidates, not the
+    blocked self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.05)
+
+
+@_register("dedup_simhash", None)  # engine-specific xxhash64: rows-only
+def dedup_simhash(spark, sf_dir):
+    """X2 — 64-bit SimHash fingerprints (xxhash64 token hashes have no
+    DuckDB twin, so the driver records a rows-only check; pytest
+    verifies the bit math against a Python reference)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash64(docs).select("doc_id", "simhash")
+
+
+# --- X3: similarity search ---------------------------------------------
+
+_KNN_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+             , 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_register("knn_cosine", _KNN_ORACLE)
+def knn_cosine(spark, sf_dir):
+    """X3 — exact brute-force top-10 cosine neighbors of vec_id 0.
+    Scan -> fused zip_with dot product -> TakeOrderedAndProject; no
+    shuffle, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@_register("knn_ann_lsh", None)  # seeded-hyperplane LSH: rows-only
+def knn_ann_lsh(spark, sf_dir):
+    """X3 scale path — random-hyperplane LSH ANN: only vectors whose
+    8-bit sign sketch is within 1 bit of the query's bucket are scored.
+    pytest asserts recall against the brute-force result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    return S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
+@_register(
+    "emb_norm_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_norm_stats(spark, sf_dir):
+    """X3 support — per-label embedding count and mean L2 norm
+    (decimal-exact accumulation of per-row norms)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(l2_norm("embedding").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_norm"
+        ),
+    )
+
+
+# --- X4: text analysis --------------------------------------------------
+
+
+@_register(
+    "text_token_stats",
+    """
+    SELECT doc_id, n_chars,
+           len(str_split(text, ' ')) AS n_tokens,
+           len(list_distinct(str_split(text, ' '))) AS n_uniq_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok_est
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """X4 — token counting (whitespace + BPE-ish estimate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.token_stats(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "tok_est"
+    )
+
+
+@_register(
+    "text_lang_profile",
+    """
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_profile(spark, sf_dir):
+    """X4 — corpus profile by language."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double") / n).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_tokens,
+           len(list_filter(str_split(text, ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stopwords,
+           CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+             / len(str_split(text, ' ')) AS ttr,
+           CAST(len(list_filter(str_split(text, ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+             / len(str_split(text, ' ')) AS stop_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """X4 — quality scoring: stopword ratio + type-token ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_score(docs).select(
+        "doc_id", "n_tokens", "n_stopwords", "ttr", "stop_ratio"
+    )
+
+
+_LANGID_HITS = {
+    "en": "('the', 'a', 'of', 'and', 'to')",
+    "de": "('der', 'die', 'das', 'und', 'ist')",
+    "fr": "('le', 'la', 'les', 'et', 'est')",
+    "es": "('el', 'los', 'las', 'y', 'es')",
+}
+
+_LANGID_ORACLE = (
+    "WITH h AS (SELECT doc_id, lang, "
+    + ", ".join(
+        f"len(list_filter(list_distinct(str_split(text, ' ')), t -> t IN {words})) AS hits_{lang}"
+        for lang, words in _LANGID_HITS.items()
+    )
+    + " FROM documents) SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, "
+    "CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en' "
+    "WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de' "
+    "WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang FROM h"
+)
+
+
+@_register("text_langid", _LANGID_ORACLE)
+def text_langid(spark, sf_dir):
+    """X4 — stopword-profile language ID with deterministic tie order
+    en > de > fr > es."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.lang_id(docs)
+    return out.select(
+        "doc_id", "lang", "hits_en", "hits_de", "hits_fr", "hits_es", "pred_lang"
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_norm
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """X4 — document fingerprinting (exact + normalized md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.fingerprint(docs).select("doc_id", "fp", "fp_norm")
+
+
+# --- X5: multimodal -----------------------------------------------------
+
+
+@_register(
+    "multimodal_join",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars, e.label, len(e.embedding) AS dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark, sf_dir):
+    """X5 — text + vector + scalar columns side-by-side: documents
+    joined to their embeddings (broadcast if either side is small)."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", F.size("embedding").cast("long").alias("dim")
+    )
+
+
+@_register("multimodal_features", None)  # mapInPandas stub decode: rows-only
+def multimodal_features(spark, sf_dir):
+    """X5 — binary-payload feature extraction via Arrow-batched
+    mapInPandas (decode step stubbed deterministically; see
+    operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    return MM.extract_features(media)

@@ -1,0 +1,220 @@
+"""Log-domain catalog entries: the reference's transform pipeline
+(T1-T3, T9, T10) plus log-analytics queries, each with a DuckDB oracle.
+
+The driver testdata has no raw Apache log files, so the parse queries
+synthesize deterministic log lines *inside the query* from the events
+table (same construction in the oracle SQL), then parse them back —
+a round-trip proof of the T9/T10 extractors against an independent
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.catalog import _dec, _register, _t
+from unified_log_aggregation_and_analytics_spark.functions.apache_log import (
+    parse_apache_combined,
+    parse_lambda_record_line,
+)
+from unified_log_aggregation_and_analytics_spark.operators import relational as R
+from unified_log_aggregation_and_analytics_spark.operators.compat import firehose_ec2_transform
+
+
+@_register(
+    "logs_error_rate",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*) AS error_rate
+    FROM events GROUP BY 1
+    """,
+)
+def logs_error_rate(spark, sf_dir):
+    """Daily error rate — the Dashboards 'moving error rate'
+    visualization as a batch aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    n = F.count(F.lit(1))
+    return (
+        ev.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .groupBy("day")
+        .agg(
+            n.alias("n_events"),
+            n_err.alias("n_errors"),
+            (n_err.cast("double") / n).alias("error_rate"),
+        )
+    )
+
+
+@_register(
+    "logs_json_props",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def logs_json_props(spark, sf_dir):
+    """Semi-structured extraction: the events.props JSON column
+    (mirrors the reference's untyped JSON payloads, SURVEY.md §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(k.cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "logs_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def logs_sessionize(spark, sf_dir):
+    """Session counts per user with a 30-minute inactivity gap — the
+    batch analog of session_window (ST5); one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    sess = R.sessionize(ev, gap="30 minutes")
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- T9: Apache combined-log parse (synthesized round-trip) -------------
+
+_APACHE_ORACLE = r"""
+    WITH lines AS (
+      SELECT event_id,
+             printf('%s - user%d [%s +0000] "GET /page/%d HTTP/1.1" %d %d "-" "agent/%d"',
+                    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR),
+                    user_id,
+                    strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+                    event_id % 50,
+                    ([200,301,404,500,503])[CAST(event_id % 5 AS INT) + 1],
+                    CAST(floor(value * 1000) AS BIGINT),
+                    user_id % 7) AS value
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 1) AS client_ip,
+           strptime(regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 2), '%d/%b/%Y:%H:%M:%S %z')::TIMESTAMP AS ts,
+           regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 3) AS method,
+           regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 4) AS path,
+           CAST(regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 5) AS INTEGER) AS status,
+           CAST(regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 6) AS BIGINT) AS bytes,
+           regexp_extract(value, '^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ?[^"]*" (\d{3}) (\S+)(?: "[^"]*" "(.*)")?\s*$', 7) AS user_agent
+    FROM lines
+"""
+
+
+@_register("logs_apache_parse", _APACHE_ORACLE)
+def logs_apache_parse(spark, sf_dir):
+    """T9 — Apache combined-format field extraction
+    (reference README.md:47 sample, README.md:58 intended enrichment).
+    Log lines are synthesized deterministically from events, then parsed
+    back with the engine's regex extractor; the oracle does the same in
+    DuckDB, proving extractor equivalence."""
+    ev = _t(spark, sf_dir, "events")
+    status = F.element_at(
+        F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(500), F.lit(503)),
+        (F.col("event_id") % 5).cast("int") + 1,
+    )
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            '%s - user%d [%s +0000] "GET /page/%d HTTP/1.1" %d %d "-" "agent/%d"',
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                F.lit("0"),
+                (F.col("user_id") % 256).cast("string"),
+                (F.col("event_id") % 256).cast("string"),
+            ),
+            F.col("user_id"),
+            F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+            F.col("event_id") % 50,
+            status,
+            F.floor(F.col("value") * 1000),
+            F.col("user_id") % 7,
+        ).alias("value"),
+    )
+    parsed = parse_apache_combined(lines.select("event_id", "value"), "value")
+    return parsed.select(
+        "event_id", "client_ip", "ts", "method", "path", "status", "bytes", "user_agent"
+    )
+
+
+@_register(
+    "logs_tab_parse",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') || chr(9) ||
+             'req-' || CAST(event_id AS VARCHAR) || chr(9) ||
+             upper(event_type) || chr(9) ||
+             'value=' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS record
+      FROM events
+    )
+    SELECT event_id,
+           CAST(str_split(record, chr(9))[1] AS TIMESTAMP) AS log_ts,
+           str_split(record, chr(9))[2] AS request_id,
+           str_split(record, chr(9))[3] AS level,
+           trim(str_split(record, chr(9))[4]) AS log_message
+    FROM lines
+    """,
+)
+def logs_tab_parse(spark, sf_dir):
+    """T10 — tab-separated Lambda function-log record parse
+    (reference README.md:119,136; produced by the sample handler's
+    console.log). Same synthesize-then-parse round-trip as T9."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat_ws(
+            "\t",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.concat(F.lit("req-"), F.col("event_id").cast("string")),
+            F.upper("event_type"),
+            F.concat(F.lit("value="), F.floor(F.col("value") * 100).cast("string")),
+        ).alias("record"),
+    )
+    return parse_lambda_record_line(lines, "record").select(
+        "event_id", "log_ts", "request_id", "level", "log_message"
+    )
+
+
+@_register(
+    "logs_envelope_roundtrip",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS "recordId",
+           'Ok' AS result,
+           to_base64(CAST(CAST(json_object('logs', text) AS VARCHAR) AS BLOB)) AS data
+    FROM documents
+    """,
+)
+def logs_envelope_roundtrip(spark, sf_dir):
+    """T1/T2/T3/T8 — byte-faithful EC2 Firehose transformer
+    (reference ec2/lambda/index.js:1-17) applied to a synthesized
+    envelope: base64-decode, wrap as {"logs": ...}, re-encode, tag Ok.
+    The oracle rebuilds the exact same JSON + base64 in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("recordId"),
+        F.base64(F.col("text").cast("binary")).alias("data"),
+    )
+    return firehose_ec2_transform(docs)

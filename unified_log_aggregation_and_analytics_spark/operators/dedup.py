@@ -1,0 +1,193 @@
+"""Deduplication operators (X1/X2): exact, MinHash, SimHash, n-gram
+Jaccard — the LLM-training-pipeline dedup family.
+
+Scale design notes:
+- Exact dedup is a hash-groupBy on a fingerprint column — one shuffle
+  keyed by the hash, perfectly balanced (hashes are uniform).
+- MinHash+LSH: signature computation is per-row (map-only, higher-order
+  functions, no Python); the candidate-pair join shuffles on (band,
+  band_hash) buckets, so cost is bounded by bucket sizes, never the
+  full n^2 cross join. This is the 100 TB path.
+- n-gram Jaccard verification runs only on LSH candidate pairs.
+- All hash functions are deterministic (md5/xxhash64) — re-runs and
+  retries produce identical groupings, which at-least-once upstream
+  delivery requires (reference utils.ts:42,57-59).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, the shared primitive."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a text column. Pure higher-order
+    functions — evaluated per-row JVM-side, no shuffle."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1 — exact dedup certificate: md5 fingerprint -> (keep_id,
+    n_copies). min(id) keeps the result deterministic across retries
+    (vs dropDuplicates' arbitrary row)."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col).cast("binary")))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """X2 — MinHash signature columns ``mh1..mhK`` per document.
+
+    Each hash permutation is md5 with a distinct seed prefix; the
+    signature element is the lexicographic min over shingle hashes.
+    Map-only: K x |shingles| md5 calls per row, all JVM-side.
+    (md5 rather than xxhash64 keeps the result oracle-checkable in
+    DuckDB; swap _hash for xxhash64 when pure speed matters.)
+    """
+    def min_hash(seed: str) -> Column:
+        # single-arg lambda: pyspark passes the array index to a
+        # second parameter if one exists, which would clobber the seed
+        return F.array_min(
+            F.transform(
+                F.col("_shingles"),
+                lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary")),
+            )
+        )
+
+    out = df.withColumn("_shingles", shingles(text_col, shingle_n))
+    for k in range(1, num_hashes + 1):
+        out = out.withColumn(f"mh{k}", min_hash(str(k)))
+    return out.drop("_shingles")
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """X2 scale path — LSH banding: split the K-element signature into
+    bands of ``band_size``; docs sharing any band hash become candidate
+    pairs. The shuffle is keyed on (band_idx, band_hash): at 100 TB the
+    join degree is bounded by bucket population, not n^2. Skewed
+    buckets (boilerplate docs) are handled by AQE skew-join splitting.
+    Returns distinct candidate pairs (id_a < id_b).
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + i + 1}") for i in range(band_size)]
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """X2 — n-gram Jaccard similarity for pairs within a blocking key
+    (or LSH candidate pairs upstream). Jaccard = |A∩B| / |A∪B| over
+    distinct shingle sets; integer-exact, then one IEEE division —
+    bit-deterministic across engines."""
+    sh = df.select(
+        F.col(id_col), F.col(block_col).alias("_block"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X2 — 64-bit SimHash fingerprint per document.
+
+    Per-token xxhash64; each of the 64 bit positions gets a +1/-1 vote
+    per token; the fingerprint bit is 1 where the vote sum is positive.
+    Expressed entirely with higher-order functions (map-only, JVM-side):
+    for each bit position, count tokens with that bit set and compare
+    against half the token count. Near-dup docs differ in few bits —
+    Hamming distance on the fingerprint is the similarity measure.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    df = df.withColumn("_hashes", F.transform(toks, lambda t: F.xxhash64(t)))
+    hashes = F.col("_hashes")
+    n = F.size(hashes)
+    # bit b of fingerprint = 1 iff (#tokens with bit b set) * 2 > #tokens.
+    # The bit positions are a Python loop (shift amounts must be
+    # literals); the per-bit vote is a JVM-side filter over the hashes.
+    def ones_at(b: int) -> Column:
+        # closure helper so the hof lambda stays single-arg (a second
+        # lambda param would receive the array index, not the bit)
+        return F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(ones_at(b) * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        fingerprint = fingerprint.bitwiseOR(F.shiftleft(bit, b))
+    return df.withColumn("simhash", fingerprint).drop("_hashes")
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    xor) — the SimHash near-dup predicate."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))

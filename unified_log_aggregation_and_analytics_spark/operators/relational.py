@@ -1,0 +1,193 @@
+"""The relational/analytic operator surface (SURVEY.md §2.4, Q1-Q18).
+
+The reference delegates all interactive analytics to OpenSearch
+Dashboards' Discover UI — free-text search, field filters, time-range
+restriction, date histograms, sort, top-N over per-source daily indices
+(reference README.md:295-314). This module is that query surface,
+re-expressed as composable DataFrame builders over the unified logs
+table (schemas.UNIFIED_LOG) or any timestamped table.
+
+Scale mapping (OpenSearch -> Spark, see SURVEY.md §3.3):
+- daily-index selection  -> partition pruning on ``log_date``
+- shard-local filtering  -> Parquet predicate pushdown
+- coordinator top-K      -> TakeOrderedAndProject (orderBy + limit)
+- shard partial aggs     -> partial+final hash aggregation
+
+Everything here is built-in DataFrame ops — Catalyst handles pushdown,
+pruning, and broadcast selection; no custom planning is needed (see
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- Q1/Q2/Q3: filters, full-text search, time range -------------------
+
+
+def full_text_search(
+    df: DataFrame, term: str, text_col: str = "message", tokenized: bool = False
+) -> DataFrame:
+    """Q2 — Discover's search box. Substring match by default; token
+    match (whitespace tokenization, case-folded) when ``tokenized``.
+
+    Scale note: this is a scan+filter, not an inverted-index lookup —
+    the one OpenSearch capability Spark re-expresses as brute force
+    (SURVEY.md §4). Bounded by Parquet scan throughput; combine with
+    ``time_range`` so partition pruning shrinks the scan first.
+    """
+    col = F.lower(F.col(text_col))
+    if tokenized:
+        return df.filter(F.array_contains(F.split(col, r"\s+"), term.lower()))
+    return df.filter(col.contains(term.lower()))
+
+
+def time_range(df: DataFrame, start: str, end: str, ts_col: str = "ts") -> DataFrame:
+    """Q3 — Discover's time picker. ``[start, end)`` on event time.
+
+    With a ``log_date`` partition column derived from ``ts``, Catalyst
+    turns this into partition pruning — the daily-index selection of
+    the reference (README.md:30,304)."""
+    return df.filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
+
+
+# --- Q8: date histogram -------------------------------------------------
+
+
+def date_histogram(
+    df: DataFrame,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Q8 — Discover's date histogram: event count per time bucket
+    (optionally sub-grouped). Map-side partial aggregation makes this a
+    single light shuffle at any scale."""
+    keys = [F.date_trunc(bucket, F.col(ts_col)).alias("bucket"), *group_cols]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def sliding_histogram(
+    df: DataFrame, window_len: str, slide: str, ts_col: str = "ts"
+) -> DataFrame:
+    """ST4 batch form — sliding-window counts (moving error rate etc.).
+    ``F.window`` assigns each row to window_len/slide buckets; the same
+    expression runs unchanged under Structured Streaming."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n")
+    )
+
+
+# --- Q9/Q10: sort and top-K --------------------------------------------
+
+
+def top_k(
+    df: DataFrame, k: int, order_by: Sequence[Column], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Q10 — top-N terms (top URLs, top error producers...).
+
+    Global top-K compiles to TakeOrderedAndProject: each task keeps a
+    K-row heap, the driver merges — no full sort, no full shuffle.
+    Callers must pass a total order (tie-break on a unique key) for
+    deterministic results."""
+    if group_cols:
+        agg = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+        return agg.orderBy(F.col("n").desc(), *[F.col(c) for c in group_cols]).limit(k)
+    return df.orderBy(*order_by).limit(k)
+
+
+# --- Q13: as-of (temporal) join ----------------------------------------
+
+
+def asof_last_event(
+    df: DataFrame,
+    match_type: str,
+    target_type: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q13 — for each ``target_type`` row, the most recent
+    ``match_type`` row with ``ts <= target.ts`` for the same key
+    (e.g. nearest preceding platform event for a function log,
+    reference README.md:95-147 interleaving).
+
+    Spark-first design: instead of a non-equi range join (O(n*m) per
+    key), union both event sets and run ``last(..., ignoreNulls)`` over
+    a key-partitioned, time-ordered window — one shuffle on the key,
+    linear scan per partition. At equal timestamps the match row sorts
+    first (is_match desc), matching ``<=`` semantics.
+    """
+    base = df.filter(F.col(type_col).isin(match_type, target_type))
+    is_match = (F.col(type_col) == match_type).cast("int")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), is_match.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = base.withColumn(
+        "last_match_ts",
+        F.last(F.when(F.col(type_col) == match_type, F.col(ts_col)), ignorenulls=True).over(w),
+    )
+    return matched.filter(F.col(type_col) == target_type)
+
+
+# --- Q14/ST5 precursor: sessionization ---------------------------------
+
+
+def sessionize(
+    df: DataFrame, gap: str = "30 minutes", key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    key's previous event exceeds ``gap`` (batch analog of
+    ``session_window``, ST5). One shuffle on the key; running sum of
+    session-start flags is a linear per-partition scan."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        F.when(prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_expr), 1).otherwise(0)
+    )
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+# --- Q16/Q18: multi-dimensional slicing --------------------------------
+
+
+def rollup_counts(df: DataFrame, *dims: Column | str) -> DataFrame:
+    """Q16 — subtotal hierarchy over dimensions (source x date x level
+    dashboard slicing)."""
+    return df.rollup(*dims).agg(F.count(F.lit(1)).alias("n"))
+
+
+def pivot_counts(df: DataFrame, row_dim: Column | str, pivot_col: str, values: Sequence[str]) -> DataFrame:
+    """Q18 — cross-tab (sources x levels matrix). Passing explicit
+    ``values`` avoids the extra distinct-collection job and keeps the
+    plan static — required practice at 100 TB."""
+    out = df.groupBy(row_dim).pivot(pivot_col, list(values)).count()
+    # Discover-style cross-tabs show 0, not null, for empty cells.
+    return out.select(
+        out.columns[0], *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in out.columns[1:]]
+    )
+
+
+# --- Q17: exact dedup ---------------------------------------------------
+
+
+def dedup_certificate(df: DataFrame, *key_cols: str, id_col: str) -> DataFrame:
+    """Q17/X1 — deterministic exact dedup: one row per duplicate-group
+    key with the kept (minimum) id and the duplicate count. Using
+    min(id) rather than dropDuplicates' arbitrary-row pick makes the
+    result reproducible across retries and engines — required for an
+    at-least-once upstream (reference utils.ts:42,57-59)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators (X4): language ID, quality scoring, token
+counting, fingerprinting — the LLM-training-pipeline text family.
+
+All per-document computation is higher-order column expressions over
+the tokenized text: map-only, JVM-side, linear in corpus size. No
+model inference here — the language identifier is a stopword-profile
+heuristic (deterministic, oracle-checkable); plug a real classifier in
+via mapInPandas when available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
+
+# Stopword profiles for the language-ID heuristic. Order matters: ties
+# resolve to the earlier language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — token counting: total and distinct whitespace tokens.
+    (A BPE-ish subword count is ~n_chars/4; exposed as tok_est.)"""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("long"),
+            "n_uniq_tokens": F.size(F.array_distinct(toks)).cast("long"),
+            "tok_est": F.ceil(F.length(text_col) / 4).cast("long"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — quality heuristics: stopword count, type-token ratio, mean
+    token length. Exact integer counts + one IEEE division each —
+    deterministic across engines."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return df.withColumns(
+        {
+            "n_tokens": n.cast("long"),
+            "n_stopwords": n_stop.cast("long"),
+            "ttr": F.size(F.array_distinct(toks)).cast("double") / n,
+            "stop_ratio": n_stop.cast("double") / n,
+            "mean_tok_len": (
+                (F.length(text_col) - (n - 1)).cast("double") / n
+            ),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — stopword-profile language identification: score each
+    language by distinct-stopword hits, predict the argmax (ties to
+    the earlier language in LANG_STOPWORDS order)."""
+    uniq = F.array_distinct(tokens(text_col))
+    hits = {
+        lang: F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(s) for s in words]))
+        ).alias(f"hits_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    out = df.withColumns({f"hits_{lang}": col for lang, col in hits.items()})
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_STOPWORDS])
+    pred = None
+    for lang in reversed(list(LANG_STOPWORDS)):
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    # reversed() + overwrite order means the FIRST language in dict
+    # order wins ties, matching the documented tie rule.
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — document fingerprints: exact md5 and a normalized variant
+    (case-folded, whitespace-collapsed) for boilerplate detection."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumns(
+        {
+            "fp": F.md5(F.col(text_col).cast("binary")),
+            "fp_norm": F.md5(norm.cast("binary")),
+        }
+    )
