@@ -1,0 +1,79 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed into Spark's noop sink (forces every
+operator to run without result-collection overhead skewing the
+numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from unified_log_aggregation_and_analytics_spark.session import get_spark
+
+# Headliners: one per operator family (scan+agg, joins, windows,
+# as-of, text parse, dedup, vector search).
+BENCH_QUERIES = [
+    "q06_tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "q08_hourly_histogram",
+    "q11_join_star_revenue",
+    "q13_asof_join",
+    "q14_window_funcs",
+    "q17_dedup_distinct",
+    "logs_apache_parse",
+    "logs_sessionize",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "knn_cosine",
+    "text_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+
+    # Warm the JVM + file listing with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

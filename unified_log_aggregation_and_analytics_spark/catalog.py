@@ -55,6 +55,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before CPU-heavy per-row work.
+
+    The testdata tables are single parquet files with one row group, so
+    Spark gives them ONE input partition — a per-row-expensive operator
+    (minhash, simhash, regex parse) would run on one core of 32. One
+    small round-robin shuffle buys full-width execution. At 100 TB the
+    input has thousands of splits and this becomes a no-op decision —
+    but the operator cost model (spread before heavy map work when
+    upstream parallelism is low) is exactly what a production job needs.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal(18,{scale})")

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from unified_log_aggregation_and_analytics_spark.catalog import _register, _t
+from unified_log_aggregation_and_analytics_spark.catalog import _register, _spread, _t
 from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity, l2_norm
 from unified_log_aggregation_and_analytics_spark.operators import dedup as D
 from unified_log_aggregation_and_analytics_spark.operators import multimodal as MM
@@ -74,7 +74,7 @@ def dedup_minhash_sig(spark, sf_dir):
     """X2 — 4-permutation MinHash signature over 3-token shingles
     (md5-keyed so DuckDB computes the identical signature). The LSH
     banding join over this signature is dedup_minhash_lsh (rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.minhash_signature(docs, num_hashes=4).select(
         "doc_id", "mh1", "mh2", "mh3", "mh4"
     )
@@ -85,8 +85,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     """X2 scale path — LSH candidate pairs from a 16-hash signature in
     4-hash bands. The shuffle is keyed on (band, band_hash) buckets, so
     the cost is bucket-bounded, never n^2 (see operators/dedup.py)."""
-    docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(docs, num_hashes=16)
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=16, hash_fn="xxhash64")
     return D.minhash_lsh_candidates(sig, num_hashes=16, band_size=4)
 
 
@@ -122,7 +122,7 @@ def dedup_simhash(spark, sf_dir):
     """X2 — 64-bit SimHash fingerprints (xxhash64 token hashes have no
     DuckDB twin, so the driver records a rows-only check; pytest
     verifies the bit math against a Python reference)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.simhash64(docs).select("doc_id", "simhash")
 
 
@@ -334,6 +334,6 @@ def multimodal_features(spark, sf_dir):
     """X5 — binary-payload feature extraction via Arrow-batched
     mapInPandas (decode step stubbed deterministically; see
     operators/multimodal.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     media = MM.media_from_documents(docs)
     return MM.extract_features(media)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from unified_log_aggregation_and_analytics_spark.catalog import _dec, _register, _t
+from unified_log_aggregation_and_analytics_spark.catalog import _dec, _register, _spread, _t
 from unified_log_aggregation_and_analytics_spark.functions.apache_log import (
     parse_apache_combined,
     parse_lambda_record_line,
@@ -130,7 +130,7 @@ def logs_apache_parse(spark, sf_dir):
     Log lines are synthesized deterministically from events, then parsed
     back with the engine's regex extractor; the oracle does the same in
     DuckDB, proving extractor equivalence."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     status = F.element_at(
         F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(500), F.lit(503)),
         (F.col("event_id") % 5).cast("int") + 1,
@@ -183,7 +183,7 @@ def logs_tab_parse(spark, sf_dir):
     """T10 — tab-separated Lambda function-log record parse
     (reference README.md:119,136; produced by the sample handler's
     console.log). Same synthesize-then-parse round-trip as T9."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     lines = ev.select(
         "event_id",
         F.concat_ws(
