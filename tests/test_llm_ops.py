@@ -1,0 +1,154 @@
+"""Unit tests for the LLM-pipeline operator family (SURVEY.md §2.8):
+dedup (exact / minhash / simhash / embedding-cosine) and similarity
+search (brute force / LSH / IVF). Small-data correctness here; the
+DuckDB oracle gate covers the full catalog at sf0.01.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators import dedup as D
+from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF).cache()
+
+
+def test_minhash_signature_matches_python_reference(spark, docs):
+    """mh_k = min over distinct shingles of md5(str(k) || shingle)."""
+    row = docs.orderBy("doc_id").first()
+    out = (
+        D.minhash_signature(docs.filter(F.col("doc_id") == row.doc_id), num_hashes=4)
+        .collect()[0]
+        .asDict()
+    )
+    import re
+
+    toks = re.split(r"\s+", row.text)
+    sh = list(dict.fromkeys(
+        " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+    ))
+    for k in range(1, 5):
+        expect = min(hashlib.md5((str(k) + s).encode()).hexdigest() for s in sh)
+        assert out[f"mh{k}"] == expect, f"mh{k}"
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an entirely different document about spark engines")],
+        ["doc_id", "text"],
+    )
+    sig = D.minhash_signature(df, num_hashes=8, hash_fn="xxhash64")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2).collect()
+    assert (1, 2) in [(r.id_a, r.id_b) for r in pairs]
+
+
+def test_simhash_bit_math_python_reference(spark):
+    """Fingerprint bit b set iff majority of distinct-token hashes have
+    bit b set. Cross-check one row against the JVM xxhash64 via SQL."""
+    df = spark.createDataFrame([(1, "alpha beta gamma alpha")], ["doc_id", "text"])
+    got = D.simhash64(df).collect()[0].simhash
+    toks = ["alpha", "beta", "gamma"]
+    hs = [
+        spark.sql(f"SELECT xxhash64('{t}') AS h").collect()[0].h for t in toks
+    ]
+    expect = 0
+    for b in range(64):
+        ones = sum(((h >> b) & 1) for h in hs)
+        if ones * 2 > len(hs):
+            expect |= 1 << b
+    assert got & (2**64 - 1) == expect  # simhash is a signed long
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    """Identical text -> identical fingerprint; token order and repeats
+    don't matter (votes are over DISTINCT tokens)."""
+    df = spark.createDataFrame(
+        [(1, "spark is a unified analytics engine"),
+         (2, "engine analytics unified a is spark spark"),
+         (3, "completely unrelated text about gardening and tomatoes")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.simhash for r in D.simhash64(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_embedding_near_dup_matches_bruteforce(spark, emb):
+    """Blocked pairs == brute-force pairs restricted to the block."""
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dup(emb, threshold=0.3).collect()
+    }
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append((r.vec_id, np.asarray(r.embedding, dtype=np.float64)))
+    expect = set()
+    for vs in by_label.values():
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                (ia, va), (ib, vb) = vs[i], vs[j]
+                cs = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+                if cs >= 0.3:
+                    expect.add((min(ia, ib), max(ia, ib)))
+    assert got == expect
+
+
+def _brute_ids(emb, qv, k=10):
+    return [r.vec_id for r in S.knn_brute_force(emb.filter(F.col("vec_id") != 0), qv, k=k).collect()]
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+
+
+def test_ann_lsh_recall(spark, emb, query_vec):
+    exact = set(_brute_ids(emb, query_vec))
+    approx = {
+        r.vec_id
+        for r in S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), query_vec, k=10).collect()
+    }
+    assert len(exact & approx) >= 3  # multiprobe 8-bit LSH on 500 vecs
+
+
+def test_knn_ivf_recall_and_determinism(spark, emb, query_vec):
+    exact = set(_brute_ids(emb, query_vec))
+    run1 = [
+        (r.vec_id, r.cos_sim)
+        for r in S.knn_ivf(emb.filter(F.col("vec_id") != 0), query_vec, k=10, n_probe=8).collect()
+    ]
+    run2 = [
+        (r.vec_id, r.cos_sim)
+        for r in S.knn_ivf(emb.filter(F.col("vec_id") != 0), query_vec, k=10, n_probe=8).collect()
+    ]
+    assert run1 == run2
+    assert len(exact & {v for v, _ in run1}) >= 5  # 8 of 16 cells probed
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}

@@ -337,3 +337,48 @@ def multimodal_features(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     media = MM.media_from_documents(docs)
     return MM.extract_features(media)
+
+
+# --- X2/X3 additions: embedding near-dup + IVF ANN ----------------------
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           , 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           , 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """X2 — embedding-cosine near-dup pairs, blocked by label so the
+    join degree is bucket-bounded (the LSH-bucketed block is the
+    no-natural-key variant; see operators/dedup.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(emb, threshold=0.35)
+
+
+@_register("knn_ivf", None)  # numpy centroid assignment: rows-only
+def knn_ivf(spark, sf_dir):
+    """X3 scale path — IVF ANN: nearest-centroid cells via one Arrow
+    mapInPandas GEMM per batch, probe the 4 cells nearest the query,
+    exact scoring inside. pytest asserts recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    return S.knn_ivf(emb.filter(F.col("vec_id") != 0), list(qv), k=10)

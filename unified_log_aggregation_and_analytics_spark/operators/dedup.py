@@ -214,6 +214,43 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | Column = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """X2 — embedding-cosine near-duplicate pairs within a blocking key.
+
+    Pairs (id_a < id_b) sharing ``block_col`` whose cosine similarity
+    (rounded to 6 decimals — engine-portable) reaches ``threshold``.
+    The blocking key bounds the join degree: pass a natural key (label,
+    shard) or an LSH bucket expression (``similarity.sign_sketch``) so
+    the shuffle is keyed on the block and never goes n^2 across the
+    corpus. Per-pair math is a fused zip_with dot product, JVM-side.
+    """
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity
+
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
+    side = df.select(F.col(id_col), F.col(vec_col).alias("_v"), block.alias("_block"))
+    a, b = side.alias("a"), side.alias("b")
+    cos = F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def hamming_distance(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of
     xor) — the SimHash near-dup predicate."""
