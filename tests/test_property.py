@@ -1,0 +1,118 @@
+"""Property-based tests (SURVEY.md §5 item 5, hypothesis):
+
+- random Apache combined log lines round-trip through the T9 parser
+  (parse -> reassemble == original line);
+- random Lambda telemetry event arrays preserve exactly the multiset
+  of `function` events through T4-T7 (parse -> explode -> filter).
+
+Strategies are bounded and deterministic (derandomize) so CI time is
+stable; each property runs a single Spark job over all generated
+examples at once — one JVM round-trip instead of one per example.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.functions.apache_log import (
+    parse_apache_combined,
+)
+from unified_log_aggregation_and_analytics_spark.operators.transforms import (
+    lambda_telemetry_transform,
+)
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+ip = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+token = st.text("abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1, max_size=12)
+path = st.lists(token, min_size=1, max_size=4).map(lambda ps: "/" + "/".join(ps))
+method = st.sampled_from(["GET", "POST", "PUT", "DELETE", "HEAD", "PATCH"])
+status = st.integers(100, 599)
+nbytes = st.one_of(st.just("-"), st.integers(0, 10**9).map(str))
+# no backslashes or double quotes: the combined format cannot escape them
+agent = st.text(
+    st.characters(codec="ascii", exclude_characters='"\\\r\n'), min_size=1, max_size=40
+)
+day = st.integers(1, 28)
+month = st.sampled_from(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+)
+clock = st.tuples(st.integers(0, 23), st.integers(0, 59), st.integers(0, 59))
+
+
+@st.composite
+def apache_line(draw):
+    h, m, s = draw(clock)
+    ts = f"{draw(day):02d}/{draw(month)}/2021:{h:02d}:{m:02d}:{s:02d} +0000"
+    return (
+        f'{draw(ip)} - - [{ts}] "{draw(method)} {draw(path)} HTTP/1.1" '
+        f'{draw(status)} {draw(nbytes)} "-" "{draw(agent)}"'
+    )
+
+
+@given(lines=st.lists(apache_line(), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_apache_parse_roundtrip(spark, lines):
+    """Reassembling the parsed fields reproduces every input line, and
+    ts/status/bytes are typed (never null) for well-formed lines."""
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    parsed = parse_apache_combined(df)
+    rebuilt = parsed.select(
+        F.concat(
+            "client_ip", F.lit(" "), "identd", F.lit(" "), "user",
+            F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"), F.lit("] \""),
+            "method", F.lit(" "), "path", F.lit(" "), "protocol", F.lit("\" "),
+            F.col("status").cast("string"), F.lit(" "),
+            F.coalesce(F.col("bytes").cast("string"), F.lit("-")),
+            F.lit(" \""), "referer", F.lit("\" \""), "user_agent", F.lit("\""),
+        ).alias("line"),
+        "_raw",
+        F.col("ts").isNotNull().alias("has_ts"),
+    ).collect()
+    for r in rebuilt:
+        assert r.has_ts
+        assert r.line == r._raw
+
+
+fn_record = st.text(
+    st.characters(codec="ascii", exclude_characters="\\\r\n\t"), min_size=0, max_size=30
+).map(lambda m: f"2021-07-29T19:54:09.096Z\treq-1\tINFO\t{m}")
+
+event = st.one_of(
+    st.fixed_dictionaries(
+        {"time": st.just("2021-07-29T19:54:09.096Z"), "type": st.just("function"),
+         "record": fn_record}
+    ),
+    st.fixed_dictionaries(
+        {"time": st.just("2021-07-29T19:54:08.949Z"),
+         "type": st.sampled_from(
+             ["platform.start", "platform.end", "platform.report", "platform.extension"]
+         ),
+         "record": st.just("{}")}
+    ),
+)
+
+
+@given(batches=st.lists(st.lists(event, max_size=8), min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_lambda_transform_preserves_function_event_multiset(spark, batches):
+    """T4-T7: exactly the `function` events survive, each exactly once
+    (reference transformer/index.js:7-12 drops every platform.* event)."""
+    df = spark.createDataFrame(
+        [(json.dumps(b),) for b in batches], ["payload"]
+    )
+    out = lambda_telemetry_transform(df).select("record").collect()
+    got = sorted(r.record for r in out)
+    expect = sorted(
+        e["record"] for b in batches for e in b if e["type"] == "function"
+    )
+    assert got == expect
