@@ -37,7 +37,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "knn_cosine",
+    "knn_ivf",
     "text_langid",
 ]
 
@@ -51,8 +54,23 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("bench")
 
-    # Warm the JVM + file listing with a trivial action.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM with a representative plan shape (scan + filter +
+    # join + agg + sort) over the two smallest tables, so the first
+    # measured query doesn't also pay interpreter/JIT start-up.
+    from pyspark.sql import functions as F
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.length("n_name") > 0)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n_nationkey").alias("s"))
+        .orderBy("r_name")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

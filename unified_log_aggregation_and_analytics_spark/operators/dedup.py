@@ -158,26 +158,56 @@ def ngram_jaccard_pairs(
     """X2 — n-gram Jaccard similarity for pairs within a blocking key
     (or LSH candidate pairs upstream). Jaccard = |A∩B| / |A∪B| over
     distinct shingle sets; integer-exact, then one IEEE division —
-    bit-deterministic across engines."""
-    sh = df.select(
-        F.col(id_col), F.col(block_col).alias("_block"), shingles(text_col, shingle_n).alias("_sh")
+    bit-deterministic across engines.
+
+    Requires ``threshold > 0``: a qualifying pair then shares at least
+    one shingle, so the plan is an inverted-index equi-join on
+    (block, shingle-hash) — pairs materialize only where shingles
+    actually match, instead of the blocked-cross-join × array_intersect
+    formulation, which touches every same-block pair (O(block²) pair
+    evaluations; measured 10×+ slower even at sf0.01 and unusable at
+    scale). Intersection sizes come from a codegen count aggregation;
+    per-doc set sizes join back in (broadcast — one row per doc).
+    Skewed ultra-common shingles are the residual scale risk: cap them
+    with a document-frequency filter upstream or rely on AQE skew
+    handling.
+    """
+    if threshold <= 0.0:
+        raise ValueError("inverted-index jaccard needs threshold > 0")
+    # hash each shingle (8-byte join keys, not strings); the
+    # explode(array(...)) barrier materializes the array ONCE per row —
+    # without it, projection collapse re-evaluates the shingling for
+    # both the size() and the row-explode below
+    arr = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("_block"), F.explode(F.array(arr)).alias("_arr")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
-    jac = inter.cast("double") / union
-    return (
+    # set size rides along with every exploded row, so no separate
+    # per-doc size branch (which would re-shingle the corpus) is needed
+    sh = base.select(
+        F.col(id_col), "_block", F.size("_arr").alias("_n"), F.explode("_arr").alias("_s")
+    )
+    # shuffle-hash, not broadcast: the shingle stream is the BIG side
+    # at scale (and measured 2-10x slower+unstable when the optimizer
+    # broadcasts the interpreted-HOF-derived side at test scale)
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a._block") == F.col("b._block"))
+            & (F.col("a._s") == F.col("b._s"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            jac.alias("jaccard"),
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first(F.col("a._n")).alias("_na"),
+            F.first(F.col("b._n")).alias("_nb"),
         )
-        .filter(F.col("jaccard") >= threshold)
+    )
+    jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -225,30 +255,49 @@ def embedding_near_dup(
 
     Pairs (id_a < id_b) sharing ``block_col`` whose cosine similarity
     (rounded to 6 decimals — engine-portable) reaches ``threshold``.
-    The blocking key bounds the join degree: pass a natural key (label,
+    The blocking key bounds the pair count: pass a natural key (label,
     shard) or an LSH bucket expression (``similarity.sign_sketch``) so
-    the shuffle is keyed on the block and never goes n^2 across the
-    corpus. Per-pair math is a fused zip_with dot product, JVM-side.
+    work is keyed on the block and never goes n^2 across the corpus.
+
+    Execution is ``applyInPandas`` per block: one shuffle groups each
+    block onto an executor, then a single normalized GEMM (M @ M.T)
+    scores every pair in the block — orders of magnitude faster than
+    per-pair interpreted array expressions (measured ~10x at sf0.1).
+    Blocks must fit in executor memory; at 100 TB cap block sizes
+    upstream (sub-shard the blocking key, e.g. add LSH bits) — the
+    same constraint any block-local dedup imposes.
     """
-    from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     block = F.col(block_col) if isinstance(block_col, str) else block_col
-    side = df.select(F.col(id_col), F.col(vec_col).alias("_v"), block.alias("_block"))
-    a, b = side.alias("a"), side.alias("b")
-    cos = F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a._block") == F.col("b._block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    side = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), block.alias("_block"))
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        ida, idb = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib][keep]})
+
+    return side.groupBy("_block").applyInPandas(block_pairs, schema=out_schema)
 
 
 def hamming_distance(a: Column | str, b: Column | str) -> Column:

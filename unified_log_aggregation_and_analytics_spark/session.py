@@ -29,9 +29,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # Shuffle/broadcast spill files must NOT live in /tmp here: an
+    # external tmp cleaner races Spark's block manager (observed
+    # vanishing part-files + "Error deleting temp_shuffle" + 5-10x
+    # query-time variance). Honors SPARK_LOCAL_DIRS when set.
+    local_dir = os.environ.get(
+        "SPARK_LOCAL_DIRS",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".spark-local"),
+    )
+    os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
