@@ -143,3 +143,71 @@ def test_streaming_dedup_within_watermark(spark, unified_stream):
     _run_to_memory(streaming_dedup(unified_stream), "deduped")
     raws = sorted(r._raw for r in spark.sql("SELECT * FROM deduped").collect())
     assert raws == ["a", "b", "c", "d"]
+
+
+def test_checkpoint_exactly_once_resume(spark, tmp_path):
+    """ST7/K4: a second run over the same checkpoint ingests only new
+    files — the replayed micro-batch is not re-appended (exactly-once
+    file sink, an upgrade over Firehose at-least-once)."""
+    logs_dir = tmp_path / "logs"
+    logs_dir.mkdir()
+    (logs_dir / "access_log.1").write_text("\n".join(GOOD_LINES[:2]) + "\n")
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    ckpt = str(tmp_path / "ckpt")
+
+    for expected in (2, 3):
+        src = stream_text_logs(spark, str(logs_dir))
+        run_pipeline(src, "ec2", table, rej, ckpt, trigger={"availableNow": True}).await_done()
+        assert spark.read.parquet(table).count() == expected
+        if expected == 2:
+            (logs_dir / "access_log.2").write_text(GOOD_LINES[2] + "\n")
+
+
+def test_session_windows_batch(spark, unified_stream, tmp_path):
+    """ST5: 30-min-gap sessions. The 15:05->15:55 gap (50 min) splits
+    ec2 into two sessions; 15:55->16:10 (15 min) chains. The 15:05
+    session holds the event plus its at-least-once duplicate. Append
+    mode emits only sessions closed by the final watermark (16:10), so
+    the 15:55-16:40 session is correctly withheld."""
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import session_windows
+
+    _run_to_memory(session_windows(unified_stream, watermark="0 seconds"), "sessions")
+    got = {
+        (r.source, r.session_start.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got == {
+        ("ec2", "2021-07-29T15:05:00", 2),
+        ("eks", "2021-07-29T15:30:00", 1),
+    }
+
+
+def test_pipeline_metrics_listener(spark, tmp_path):
+    """K5: the listener captures per-batch row counts as a queryable
+    DataFrame (the engine's CloudWatch-metrics equivalent)."""
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import PipelineMetrics
+
+    logs_dir = tmp_path / "logs"
+    logs_dir.mkdir()
+    (logs_dir / "access_log.1").write_text("\n".join(GOOD_LINES) + "\n")
+    metrics = PipelineMetrics(spark)
+    try:
+        src = stream_text_logs(spark, str(logs_dir))
+        run_pipeline(
+            src, "ec2", str(tmp_path / "t"), str(tmp_path / "r"), str(tmp_path / "c"),
+            trigger={"availableNow": True},
+        ).await_done()
+        import time
+
+        for _ in range(40):  # listener events arrive asynchronously
+            if metrics._rows:
+                break
+            time.sleep(0.5)
+        rows = metrics.to_df().collect()
+        # a batch can be reported more than once (progress + terminal
+        # recap) — count each batch_id once
+        per_batch = {r.batch_id: r.num_input_rows for r in rows}
+        assert sum(per_batch.values()) == 3
+    finally:
+        metrics.close()

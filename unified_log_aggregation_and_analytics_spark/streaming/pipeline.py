@@ -151,14 +151,21 @@ def dlq_split(batch_df: DataFrame, table_path: str, rejected_path: str) -> tuple
     without go to the dead-letter path with an ``_error`` column.
     Mirrors s3BackupMode FailedDocumentsOnly (reference utils.ts:68).
     """
-    valid = batch_df.filter(F.col("ts").isNotNull())
-    invalid = batch_df.filter(F.col("ts").isNull()).withColumn(
-        "_error", F.lit("unparseable event time")
-    )
-    valid.write.mode("append").partitionBy("source", "log_date").parquet(table_path)
-    # count() on the lazily-built invalid side would rescan; write
-    # unconditionally — an empty write is a cheap no-op.
-    invalid.write.mode("append").parquet(rejected_path)
+    # persist: the valid and rejected writes are two actions over the
+    # same micro-batch — without it each one re-reads the source (2x
+    # ingest cost and doubled numInputRows in progress metrics)
+    batch_df.persist()
+    try:
+        valid = batch_df.filter(F.col("ts").isNotNull())
+        invalid = batch_df.filter(F.col("ts").isNull()).withColumn(
+            "_error", F.lit("unparseable event time")
+        )
+        valid.write.mode("append").partitionBy("source", "log_date").parquet(table_path)
+        # count() on the lazily-built invalid side would rescan; write
+        # unconditionally — an empty write is a cheap no-op.
+        invalid.write.mode("append").parquet(rejected_path)
+    finally:
+        batch_df.unpersist()
     return (0, 0)
 
 
@@ -198,6 +205,68 @@ def streaming_hourly_counts(df: DataFrame, watermark: str = "10 minutes") -> Dat
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("hour"), "source", "n")
     )
+
+
+def session_windows(df: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """ST5 — session windows per source: a session closes after ``gap``
+    of silence. Works identically under batch and streaming (tests run
+    both); streaming needs the watermark to finalize sessions."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "source")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "source",
+            "n_events",
+        )
+    )
+
+
+class PipelineMetrics:
+    """K5 — pipeline self-metrics (reference utils.ts:60-64 CloudWatch
+    logging, ec2-startup.sh:41 emitMetrics): a StreamingQueryListener
+    records per-micro-batch progress; ``to_df`` exposes it as a table
+    the same analytic operators can query."""
+
+    def __init__(self, spark) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self._rows: list[tuple] = []
+        rows = self._rows
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # pragma: no cover
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                rows.append(
+                    (
+                        str(p.id),
+                        p.batchId,
+                        p.timestamp,
+                        p.numInputRows,
+                        float(p.processedRowsPerSecond or 0.0),
+                    )
+                )
+
+            def onQueryTerminated(self, event) -> None:  # pragma: no cover
+                pass
+
+        self._listener = _Listener()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+
+    def to_df(self) -> DataFrame:
+        return self._spark.createDataFrame(
+            self._rows,
+            "query_id string, batch_id long, ts string, num_input_rows long, rows_per_sec double",
+        )
+
+    def close(self) -> None:
+        self._spark.streams.removeListener(self._listener)
 
 
 def streaming_dedup(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
