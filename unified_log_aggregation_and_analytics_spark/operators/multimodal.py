@@ -88,6 +88,76 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize images to (width, height) via mapInPandas.
+
+    Decode/re-encode is stubbed (``NotImplementedError`` on a real
+    image MIME; deterministic byte-fold for the fixture payloads) —
+    the Spark-side contract is real: same schema in/out, width/height
+    metadata updated, non-image rows pass through untouched.
+    """
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if payload is None:
+            return None
+        # real impl: PIL.Image.open(io.BytesIO(payload)).resize(...)
+        out_len = max(width * height // 64, 1)
+        reps = (out_len // max(len(payload), 1)) + 1
+        return (payload * reps)[:out_len]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            is_img = pdf["modality"] == "image"
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(_fake_resize)
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            pdf["width"] = pdf["width"].astype("Int32")
+            pdf["height"] = pdf["height"].astype("Int32")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Sample frames from video rows: one output row per sampled frame
+    (1-to-N via mapInPandas, the generator shape ffmpeg plumbing
+    needs). Frame decode is stubbed deterministically (slice of the
+    payload keyed by frame index); duration metadata drives the
+    sampling grid, defaulting to one frame when absent.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_payload": []
+            }
+            vids = pdf[pdf["modality"] == "video"]
+            for _, row in vids.iterrows():
+                dur = row["duration_ms"]
+                n = 1 if pd.isna(dur) else min(int(dur) // every_ms + 1, max_frames)
+                payload = row["payload"] or b""
+                for i in range(n):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    # real impl: ffmpeg seek+decode at frame_ts_ms
+                    out["frame_payload"].append(payload[i : i + 16] if payload else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_FRAMES_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a synthetic media table from the documents fixture: the
     text payload becomes the opaque binary column. Exercises the real
