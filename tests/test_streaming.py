@@ -211,3 +211,64 @@ def test_pipeline_metrics_listener(spark, tmp_path):
         assert sum(per_batch.values()) == 3
     finally:
         metrics.close()
+
+
+def test_eks_pipeline_end_to_end(spark, tmp_path):
+    """S3 Fluent Bit pod logs -> unified table; stderr maps to error
+    level, kubernetes metadata flattens into attrs."""
+    from unified_log_aggregation_and_analytics_spark.schemas import EKS_FLUENTBIT
+
+    logs_dir = tmp_path / "eks"
+    logs_dir.mkdir()
+    rows = [
+        {"log": "GET /index.html 200", "stream": "stdout",
+         "time": "2021-07-29T15:32:33.000Z",
+         "kubernetes": {"namespace_name": "nginx", "pod_name": "nginx-1",
+                        "container_name": "nginx", "host": "fargate-1"}},
+        {"log": "upstream timed out", "stream": "stderr",
+         "time": "2021-07-29T15:33:00.000Z",
+         "kubernetes": {"namespace_name": "nginx", "pod_name": "nginx-1",
+                        "container_name": "nginx", "host": "fargate-1"}},
+    ]
+    (logs_dir / "part-0.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    table = str(tmp_path / "table")
+    src = stream_json_logs(spark, str(logs_dir), EKS_FLUENTBIT)
+    run_pipeline(
+        src, "eks", table, str(tmp_path / "rej"), str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    ).await_done()
+    got = {r.message: r for r in spark.read.parquet(table).collect()}
+    assert got["GET /index.html 200"].level == "info"
+    assert got["upstream timed out"].level == "error"
+    assert got["upstream timed out"].attrs["pod"] == "nginx-1"
+
+
+def test_lambda_pipeline_end_to_end(spark, tmp_path):
+    """S4 telemetry batches -> unified table: platform events dropped
+    (T6), tab-separated records split (T10), request id into attrs."""
+    logs_dir = tmp_path / "lambda"
+    logs_dir.mkdir()
+    batch = [
+        {"time": "2021-07-29T19:54:08.949Z", "type": "platform.start",
+         "record": {"requestId": "024ae572"}},
+        {"time": "2021-07-29T19:54:09.096Z", "type": "function",
+         "record": "2021-07-29T19:54:09.094Z\tundefined\tINFO\tLoading function\n"},
+        {"time": "2021-07-29T19:54:09.097Z", "type": "function",
+         "record": "2021-07-29T19:54:09.097Z\t024ae572\tINFO\tvalue1 = value1\n"},
+        {"time": "2021-07-29T19:54:09.098Z", "type": "platform.runtimeDone",
+         "record": {"requestId": "024ae572", "status": "success"}},
+    ]
+    (logs_dir / "batch-0.txt").write_text(json.dumps(batch) + "\n")
+
+    table = str(tmp_path / "table")
+    src = stream_text_logs(spark, str(logs_dir))
+    run_pipeline(
+        src, "lambda", table, str(tmp_path / "rej"), str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    ).await_done()
+    got = spark.read.parquet(table).orderBy("ts").collect()
+    assert [r.message for r in got] == ["Loading function", "value1 = value1"]
+    assert all(r.level == "info" for r in got)
+    assert got[1].attrs["request_id"] == "024ae572"
+    assert got[0].log_date.isoformat() == "2021-07-29"

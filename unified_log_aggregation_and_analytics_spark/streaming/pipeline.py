@@ -126,7 +126,10 @@ def normalize_lambda(df: DataFrame) -> DataFrame:
         lambda _, v: v.isNotNull(),
     )
     ts = F.coalesce(F.col("log_ts"), F.to_timestamp("event_time"))
-    return _finish(t, "lambda", ts, F.lower("level"), F.col("log_message"), attrs, F.col("record"))
+    # console.log records end with a newline (reference README.md:119);
+    # the unified message column is search-friendly, _raw keeps bytes
+    message = F.regexp_replace(F.col("log_message"), r"\s+$", "")
+    return _finish(t, "lambda", ts, F.lower("level"), message, attrs, F.col("record"))
 
 
 NORMALIZERS = {
