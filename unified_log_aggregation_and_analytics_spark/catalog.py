@@ -706,3 +706,63 @@ def tpch_q6(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@_register(
+    "q14b_moving_avg",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mv4,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS spend_quartile
+    FROM orders
+    """,
+)
+def q14b_moving_avg(spark, sf_dir):
+    """Q14 — bounded frame (4-row moving average), lead, ntile: the
+    rolling-error-rate / next-event shapes of log analytics."""
+    o = _t(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(_dec("o_totalprice"))
+            .over(by_date.rowsBetween(-3, Window.currentRow))
+            .cast("double")
+            / F.count(F.lit(1)).over(by_date.rowsBetween(-3, Window.currentRow))
+        ).alias("mv4"),
+        F.lead("o_orderkey").over(by_date).alias("next_order"),
+        F.ntile(4).over(by_price).cast("long").alias("spend_quartile"),
+    )
+
+
+@_register(
+    "q16c_grouping_sets",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), (event_type, CAST(ts AS DATE)))
+    """,
+)
+def q16c_grouping_sets(spark, sf_dir):
+    """Q16 — explicit GROUPING SETS (source x date dashboard slicing),
+    via Spark SQL over a temp view; same partial+final hash agg with a
+    single expand node underneath."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), (event_type, CAST(ts AS DATE)))
+        """
+    )
