@@ -152,3 +152,19 @@ def test_exact_dedup_counts(spark):
     )
     out = {r.keep_id: r.n_copies for r in D.exact_dedup(df).collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_token_index_search_equals_scan(spark, docs):
+    """Q2: the inverted-index AND search returns exactly the rows the
+    brute-force tokenized scan returns."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+
+    terms = ["the", "data"]
+    idx = R.build_token_index(docs)
+    via_index = {r.doc_id for r in R.token_index_search(docs, idx, terms).collect()}
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    scan = docs.filter(
+        F.array_contains(toks, terms[0]) & F.array_contains(toks, terms[1])
+    )
+    via_scan = {r.doc_id for r in scan.collect()}
+    assert via_index == via_scan and len(via_index) > 0

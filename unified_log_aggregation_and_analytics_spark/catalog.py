@@ -766,3 +766,50 @@ def q16c_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), (event_type, CAST(ts AS DATE)))
         """
     )
+
+
+@_register(
+    "q06b_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont("value", 0.50), 6) AS p50,
+           round(quantile_cont("value", 0.95), 6) AS p95,
+           round(quantile_cont("value", 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q06b_percentiles(spark, sf_dir):
+    """Q6 — exact latency-style percentiles per event type (the
+    Dashboards percentile visualization). Exact `percentile` keeps the
+    DuckDB oracle; `approx_percentile` (t-digest) is the 100 TB path
+    where a single-pass sketch replaces the per-group sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q02b_token_index_search",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE list_contains(str_split(lower(text), ' '), 'spark')
+      AND list_contains(str_split(lower(text), ' '), 'vector')
+    """,
+)
+def q02b_token_index_search(spark, sf_dir):
+    """Q2 scale path — AND-of-terms full-text via the inverted token
+    index (build postings -> intersect -> semi-join), the engine's
+    stand-in for OpenSearch's inverted index. Same result set as the
+    scan-based search; at scale it reads two posting lists, not the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = R.build_token_index(docs)
+    return R.token_index_search(docs, idx, ["spark", "vector"]).select(
+        "doc_id", "lang", "source"
+    )

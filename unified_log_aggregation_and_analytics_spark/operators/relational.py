@@ -28,6 +28,49 @@ from pyspark.sql import functions as F
 # --- Q1/Q2/Q3: filters, full-text search, time range -------------------
 
 
+def build_token_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Q2 scale path — inverted token index: one (token, id) posting
+    row per distinct case-folded token per document.
+
+    This is the engine's answer to OpenSearch's inverted index
+    (SURVEY.md §4 'the one genuinely non-built-in piece'): build once
+    per ingest batch, store as a Parquet/Delta table bucketed or
+    sorted by token so a term lookup is a pruned scan of one token's
+    postings instead of a full-corpus text scan. Token search then
+    becomes a semi-join (see ``token_index_search``); multi-term AND
+    is an intersection of postings (groupBy id, count = n_terms).
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def token_index_search(
+    df: DataFrame,
+    index: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 scale path — resolve an AND-of-terms query via the inverted
+    index: postings for each term intersect (groupBy id, require all
+    terms present), then semi-join back to the base table. Equivalent
+    to the scan-based tokenized search (tests assert equality); at
+    scale it reads |terms| posting lists instead of the whole corpus.
+    """
+    terms_lc = [t.lower() for t in terms]
+    hits = (
+        index.filter(F.col("token").isin(terms_lc))
+        .groupBy(id_col)
+        .agg(F.countDistinct("token").alias("_nt"))
+        .filter(F.col("_nt") == len(terms_lc))
+        .select(id_col)
+    )
+    return df.join(hits, id_col, "left_semi")
+
+
 def full_text_search(
     df: DataFrame, term: str, text_col: str = "message", tokenized: bool = False
 ) -> DataFrame:
