@@ -813,3 +813,18 @@ def q02b_token_index_search(spark, sf_dir):
     return R.token_index_search(docs, idx, ["spark", "vector"]).select(
         "doc_id", "lang", "source"
     )
+
+
+@_register("q06c_approx_percentiles", None)  # t-digest sketch: engine-specific, rows-only
+def q06c_approx_percentiles(spark, sf_dir):
+    """Q6/Q7 scale path — approx_percentile (t-digest): single-pass
+    mergeable sketch replacing the per-group sort of exact percentiles
+    at 100 TB. Sketch internals differ across engines, so the driver
+    records a rows-only check; q06b_percentiles carries the exact
+    oracle-checked twin."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
