@@ -168,3 +168,17 @@ def test_token_index_search_equals_scan(spark, docs):
     )
     via_scan = {r.doc_id for r in scan.collect()}
     assert via_index == via_scan and len(via_index) > 0
+
+
+def test_rolling_fingerprint_chain(spark):
+    """fp_roll == xxhash64(xxhash64(xxhash64(0,'a'),'b'),'c') for 'a b c',
+    and is order-sensitive where the set-based md5 fingerprint is not."""
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], ["doc_id", "text"])
+    got = {r.doc_id: r.fp_roll for r in X.rolling_fingerprint(df).collect()}
+    expect = spark.sql(
+        "SELECT xxhash64(xxhash64(xxhash64(CAST(0 AS BIGINT),'a'),'b'),'c') AS h"
+    ).collect()[0].h
+    assert got[1] == expect
+    assert got[1] != got[2]  # order-sensitive

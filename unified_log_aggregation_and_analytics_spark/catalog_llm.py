@@ -382,3 +382,12 @@ def knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
     return S.knn_ivf(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
+@_register("text_fingerprint_rolling", None)  # xxhash64 chain: engine-specific, rows-only
+def text_fingerprint_rolling(spark, sf_dir):
+    """X4 — rolling (order-sensitive) token-stream fingerprint:
+    left fold h_i = xxhash64(h_{i-1}, token_i). Engine-specific hash,
+    so rows-only; pytest pins the chain against per-step SQL xxhash64."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.rolling_fingerprint(docs).select("doc_id", "fp_roll")

@@ -93,3 +93,19 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_norm": F.md5(norm.cast("binary")),
         }
     )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — order-sensitive rolling hash over the token stream:
+    ``h_i = xxhash64(h_{i-1}, token_i)`` folded left-to-right. The
+    chained-hash form is ANSI-overflow-safe (no multiply) while
+    keeping the rolling property: any token edit changes the
+    fingerprint, and prefix-equal documents share hash prefixes during
+    the fold (useful for streaming/incremental fingerprinting).
+    """
+    roll = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
+    return df.withColumn("fp_roll", roll)
