@@ -1,0 +1,67 @@
+"""Physical-plan quality guards: the properties that make these
+queries scale — predicate pushdown, column pruning, broadcast dims,
+no accidental cartesian products — asserted against .explain output so
+a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def _plan(spark, qs, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        qs[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filters_pushed_to_scan(spark, qs):
+    plan = _plan(spark, qs, "q01_filter_predicates")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,5" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_q04_column_pruning(spark, qs):
+    plan = _plan(spark, qs, "q04_projection")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the four referenced columns are read, not the whole table
+    for col in ("p_partkey", "p_brand", "p_type", "p_name"):
+        assert col in read_schema
+    assert "p_retailprice" not in read_schema
+
+
+def test_tpch_q3_broadcasts_dimensions(spark, qs):
+    plan = _plan(spark, qs, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_no_cartesian(spark, qs):
+    plan = _plan(spark, qs, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_shuffle_hash_join(spark, qs):
+    plan = _plan(spark, qs, "dedup_ngram_jaccard")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_take_ordered(spark, qs):
+    plan = _plan(spark, qs, "q10_topk_users")
+    assert "TakeOrderedAndProject" in plan
