@@ -62,3 +62,36 @@ def stream_json_logs(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def stream_kinesis(
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    starting_position: str = "LATEST",
+) -> DataFrame:
+    """S5 production path — Kinesis Data Streams source (the engine's
+    stand-in for the reference's four Firehose DirectPut delivery
+    streams, lib/common/utils.ts:40-42). Requires the
+    spark-sql-kinesis connector on the classpath; local tests use the
+    file sources above, which exercise the identical downstream
+    normalize -> DLQ -> sink pipeline.
+
+    The returned frame carries the connector's standard columns
+    (``data: binary``, ``partitionKey``, ``sequenceNumber``,
+    ``approximateArrivalTimestamp``); ``data.cast('string')`` feeds the
+    same per-source normalizers.
+    """
+    try:
+        return (
+            spark.readStream.format("kinesis")
+            .option("streamName", stream_name)
+            .option("region", region)
+            .option("startingPosition", starting_position)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - connector not bundled here
+        raise NotImplementedError(
+            "Kinesis connector not on classpath; use stream_text_logs/"
+            "stream_json_logs file sources locally"
+        ) from exc
