@@ -55,7 +55,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     """Repartition to full parallelism before CPU-heavy per-row work.
 
     The testdata tables are single parquet files with one row group, so
@@ -65,8 +65,16 @@ def _spread(df: DataFrame) -> DataFrame:
     input has thousands of splits and this becomes a no-op decision —
     but the operator cost model (spread before heavy map work when
     upstream parallelism is low) is exactly what a production job needs.
+
+    ``max_partitions`` caps the width for Python-worker stages: each
+    mapInPandas partition spawns an interpreter (~1s each, session
+    cold), so a small stage should use the fewest workers that cover
+    the data — width should track data volume, not cluster size.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if max_partitions is not None:
+        n = min(n, max_partitions)
+    return df.repartition(n)
 
 
 def _dec(col: str | F.Column, scale: int = 2) -> F.Column:

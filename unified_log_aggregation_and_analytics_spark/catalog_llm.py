@@ -333,8 +333,10 @@ def multimodal_join(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     """X5 — binary-payload feature extraction via Arrow-batched
     mapInPandas (decode step stubbed deterministically; see
-    operators/multimodal.py)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    operators/multimodal.py). Width capped at 8: Python-worker spawn
+    dominates this small stage (measured 38s at width 32 cold vs 5.6s
+    at width 8)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_from_documents(docs)
     return MM.extract_features(media)
 
