@@ -56,9 +56,13 @@ def test_lsh_no_cartesian(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_jaccard_shuffle_hash_join(spark, qs):
+def test_jaccard_group_then_pair(spark, qs):
+    """The inverted-index jaccard reads the shingle stream once: no
+    self-join at all — posting lists aggregate, pairs explode from
+    them."""
     plan = _plan(spark, qs, "dedup_ngram_jaccard")
-    assert "ShuffledHashJoin" in plan
+    assert "Join" not in plan
+    assert "collect_set" in plan
     assert "CartesianProduct" not in plan
 
 

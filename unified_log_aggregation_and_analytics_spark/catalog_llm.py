@@ -111,9 +111,9 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """X2 — pairwise 3-gram Jaccard within a language block, threshold
-    0.05. In production the pair source is LSH candidates, not the
-    blocked self-join."""
-    docs = _t(spark, sf_dir, "documents")
+    0.05, via the inverted-index group-then-pair plan (see
+    operators/dedup.py)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.05)
 
 

@@ -187,22 +187,40 @@ def ngram_jaccard_pairs(
     sh = base.select(
         F.col(id_col), "_block", F.size("_arr").alias("_n"), F.explode("_arr").alias("_s")
     )
-    # shuffle-hash, not broadcast: the shingle stream is the BIG side
-    # at scale (and measured 2-10x slower+unstable when the optimizer
-    # broadcasts the interpreted-HOF-derived side at test scale)
-    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._block") == F.col("b._block"))
-            & (F.col("a._s") == F.col("b._s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # group-then-pair (same shape as minhash_lsh_candidates): one
+    # shuffle keyed on (block, shingle) collects each posting list,
+    # then pairs are emitted per posting — the shingle stream is read
+    # ONCE (a self-join reads and shuffles it twice; measured ~3x
+    # slower). Hot boilerplate shingles bound the posting-array size;
+    # at 100 TB cap document frequency upstream (a stop-shingle list)
+    # exactly as a text index would.
+    posting = sh.groupBy("_block", "_s").agg(
+        F.sort_array(F.collect_set(F.struct(F.col(id_col), F.col("_n")))).alias("ds")
+    ).filter(F.size("ds") > 1)
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x[id_col].alias("doc_a"),
+                        y[id_col].alias("doc_b"),
+                        x["_n"].alias("_na"),
+                        y["_n"].alias("_nb"),
+                    ),
+                ),
+            )
         )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+    pairs = (
+        posting.select(pair_structs.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p._na", "p._nb")
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("_inter"),
-            F.first(F.col("a._n")).alias("_na"),
-            F.first(F.col("b._n")).alias("_nb"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
         )
     )
     jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
