@@ -141,3 +141,13 @@ def test_lambda_transform_ordinal_restarts_per_record(spark):
     for rid in ("r1", "r2"):
         decoded = json.loads(base64.b64decode(rows[rid].data))
         assert list(decoded.keys()) == ["logEvent_1"]
+
+
+def test_ec2_transform_unicode_multiline(spark):
+    # unicode + embedded newline round-trips byte-exactly through the
+    # envelope (JSON escaping matches JSON.stringify)
+    line = 'GET /héllo?q=日本語 200 "-" "Mözilla\\n/5.0"'
+    out = firehose_ec2_transform(_envelope(spark, line, record_id="u1")).collect()
+    decoded = base64.b64decode(out[0].data).decode()
+    assert decoded == _js_stringify({"logs": line})
+    assert json.loads(decoded)["logs"] == line

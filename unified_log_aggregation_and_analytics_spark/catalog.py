@@ -836,3 +836,24 @@ def q06c_approx_percentiles(spark, sf_dir):
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_register(
+    "q11c_salted_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q11c_salted_join(spark, sf_dir):
+    """Q11 skew path — the salted equi-join (operators/skew.py)
+    produces exactly the plain-join result: the oracle IS the plain
+    SQL join. For a hot customer key above the broadcast threshold
+    this spreads the probe across n_salts tasks."""
+    from unified_log_aggregation_and_analytics_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    joined = salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=8)
+    return joined.select("o_orderkey", "c_name", "c_mktsegment")
