@@ -272,3 +272,54 @@ def test_lambda_pipeline_end_to_end(spark, tmp_path):
     assert all(r.level == "info" for r in got)
     assert got[1].attrs["request_id"] == "024ae572"
     assert got[0].log_date.isoformat() == "2021-07-29"
+
+
+def test_stateful_error_burst_alerts(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState): alert fires when a
+    source crosses the error threshold within one micro-batch; recover
+    fires in a later batch with zero errors; state persists between
+    batches via the checkpoint."""
+    from unified_log_aggregation_and_analytics_spark.streaming.stateful import (
+        error_burst_alerts,
+    )
+
+    src_dir = tmp_path / "uni"
+    src_dir.mkdir()
+    schema = "source string, level string"
+    ckpt = str(tmp_path / "ckpt")
+    out_path = str(tmp_path / "alerts")
+
+    def run_batch(rows, name):
+        import json as _json
+
+        (src_dir / f"{name}.json").write_text(
+            "\n".join(_json.dumps({"source": s, "level": l}) for s, l in rows) + "\n"
+        )
+        stream = spark.readStream.schema(schema).json(str(src_dir))
+        batches = []
+
+        def sink(bdf, _bid):
+            batches.extend(tuple(r) for r in bdf.collect())
+            bdf.write.mode("append").parquet(out_path)
+
+        q = (
+            error_burst_alerts(stream, threshold=3)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return batches
+
+    # batch 1: ec2 bursts (3 errors), eks stays quiet -> one alert row
+    out1 = run_batch(
+        [("ec2", "error"), ("ec2", "error"), ("ec2", "error"), ("eks", "info")],
+        "b1",
+    )
+    assert out1 == [("ec2", "alert", 3, 3)]
+
+    # batch 2: ec2 goes quiet -> recover (state carried across batches)
+    out2 = run_batch([("ec2", "info"), ("eks", "info")], "b2")
+    assert out2 == [("ec2", "recover", 3, 0)]
