@@ -69,3 +69,11 @@ def test_jaccard_group_then_pair(spark, qs):
 def test_topk_take_ordered(spark, qs):
     plan = _plan(spark, qs, "q10_topk_users")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_binned_no_nested_loop(spark, qs):
+    """The binned range join must plan as an equi-join on (key, bin),
+    never BroadcastNestedLoopJoin."""
+    plan = _plan(spark, qs, "q13b_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -857,3 +857,36 @@ def q11c_salted_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     joined = salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=8)
     return joined.select("o_orderkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "q13b_range_join_binned",
+    """
+    SELECT p.event_id, COUNT(e.event_id) AS n_recent_errors
+    FROM events p LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.event_type = 'error'
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q13b_range_join_binned(spark, sf_dir):
+    """Q13 — range join via time-bin equi-join (operators/relational.py
+    range_join_binned): errors within the hour before each purchase.
+    A naive non-equi join plans as BroadcastNestedLoopJoin (quadratic
+    per key); binning keys the shuffle on (user, hour-bin). LEFT
+    semantics come from re-joining matches onto the purchase set."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    matched = R.range_join_binned(
+        purchases, errors, key_col="user_id", left_ts="ts", right_ts="ts", lookback=3600
+    )
+    counts = matched.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_recent_errors")
+    )
+    return (
+        purchases.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_recent_errors", F.lit(0)).alias("n_recent_errors"))
+    )

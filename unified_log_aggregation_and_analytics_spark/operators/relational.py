@@ -180,6 +180,48 @@ def asof_last_event(
     return matched.filter(F.col(type_col) == target_type)
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: int = 3600,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Q13 — range (interval) join without a nested-loop plan: match
+    every right row with ``right_ts`` in ``[left_ts - lookback,
+    left_ts]`` (lookback in seconds) for the same key.
+
+    A naive non-equi join plans as BroadcastNestedLoopJoin — quadratic
+    per key and a non-starter at scale. Binning makes it an equi-join:
+    each left row probes the time bins its window overlaps (explode of
+    ceil(lookback/bin)+1 bin ids), the right side is keyed by its own
+    bin, and the exact range predicate filters the bin-collisions.
+    Shuffle is keyed on (key, bin) — bounded fan-out, AQE-splittable,
+    and the bin width tunes the fan-out/selectivity trade-off.
+    """
+    lb = F.expr(f"INTERVAL {lookback} seconds")
+    lsec = F.unix_timestamp(F.col(left_ts))
+    rsec = F.unix_timestamp(F.col(right_ts))
+    # bins are second-granular but always COVER the exact window
+    # (floor of the truncated start <= floor of the true start); the
+    # exact timestamp predicate below removes bin-edge false positives
+    probe_bins = F.sequence(
+        F.floor((lsec - F.lit(lookback)) / bin_seconds),
+        F.floor(lsec / bin_seconds),
+    )
+    l = left.withColumn("_bin", F.explode(probe_bins))
+    r = right.withColumn("_bin", F.floor(rsec / bin_seconds))
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l._bin") == F.col("r._bin"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - lb)
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.alias("l").join(r.alias("r"), cond)
+
+
 # --- Q14/ST5 precursor: sessionization ---------------------------------
 
 
