@@ -393,3 +393,50 @@ def text_fingerprint_rolling(spark, sf_dir):
     so rows-only; pytest pins the chain against per-step SQL xxhash64."""
     docs = _t(spark, sf_dir, "documents")
     return X.rolling_fingerprint(docs).select("doc_id", "fp_roll")
+
+
+_NG = {
+    "en": ("the", " th", "ing", "and", " of"),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "fr": ("les", "ent", " de", "que", "ion"),
+    "es": (" de", "los", "que", "ión", " la"),
+}
+
+
+def _ng_sql_score(lang: str) -> str:
+    terms = " + ".join(
+        "CAST((length(lower(text)) - length(replace(lower(text), '{t}', ''))) / {n} AS BIGINT)".format(
+            t=t.replace("'", "''"), n=len(t)
+        )
+        for t in _NG[lang]
+    )
+    return f"({terms})"
+
+
+_NG_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_ng_sql_score("en")} AS ng_en,
+             {_ng_sql_score("de")} AS ng_de,
+             {_ng_sql_score("fr")} AS ng_fr,
+             {_ng_sql_score("es")} AS ng_es
+      FROM documents
+    )
+    SELECT doc_id, lang, ng_en, ng_de, ng_fr, ng_es,
+           CASE WHEN ng_en >= ng_de AND ng_en >= ng_fr AND ng_en >= ng_es THEN 'en'
+                WHEN ng_de >= ng_fr AND ng_de >= ng_es THEN 'de'
+                WHEN ng_fr >= ng_es THEN 'fr'
+                ELSE 'es' END AS pred_lang_ngram
+    FROM s
+"""
+
+
+@_register("text_langid_ngram", _NG_ORACLE)
+def text_langid_ngram(spark, sf_dir):
+    """X4 — character-trigram language-ID heuristic (argmax of
+    per-language trigram occurrence counts; ties resolve in profile
+    order). Complement to the stopword-profile text_langid."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.lang_id_ngram(docs).select(
+        "doc_id", "lang", "ng_en", "ng_de", "ng_fr", "ng_es", "pred_lang_ngram"
+    )

@@ -83,6 +83,49 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+# Character-trigram profiles for the n-gram language heuristic:
+# high-frequency trigrams per language (with surrounding spaces where
+# they are word-boundary markers).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "ing", "and", " of"),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "fr": ("les", "ent", " de", "que", "ion"),
+    "es": (" de", "los", "que", "ión", " la"),
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Count (possibly overlapping-adjacent) occurrences of ``needle``
+    via the replace-length trick — the same expression ANSI SQL can
+    state, keeping the op oracle-checkable."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — character-n-gram language ID: score each language by total
+    occurrences of its high-frequency trigrams in the case-folded
+    text; predict the argmax (ties to LANG_TRIGRAMS order). Pure
+    string expressions — codegen, no tokenization pass."""
+    low = F.lower(F.col(text_col))
+    out = df.withColumns(
+        {
+            f"ng_{lang}": sum(
+                (_occurrences(low, t) for t in tris), F.lit(0).cast("long")
+            )
+            for lang, tris in LANG_TRIGRAMS.items()
+        }
+    )
+    best = F.greatest(*[F.col(f"ng_{lang}") for lang in LANG_TRIGRAMS])
+    pred = None
+    for lang in reversed(list(LANG_TRIGRAMS)):
+        cond = F.col(f"ng_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang_ngram", pred)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """X4 — document fingerprints: exact md5 and a normalized variant
     (case-folded, whitespace-collapsed) for boilerplate detection."""
