@@ -207,6 +207,7 @@ def emb_norm_stats(spark, sf_dir):
     SELECT doc_id, n_chars,
            len(str_split(text, ' ')) AS n_tokens,
            len(list_distinct(str_split(text, ' '))) AS n_uniq_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok_est
     FROM documents
     """,
@@ -215,7 +216,7 @@ def text_token_stats(spark, sf_dir):
     """X4 — token counting (whitespace + BPE-ish estimate)."""
     docs = _t(spark, sf_dir, "documents")
     return X.token_stats(docs).select(
-        "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "tok_est"
+        "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "n_subwords", "tok_est"
     )
 
 

@@ -27,14 +27,24 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_STOPWORDS["en"]
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, or single
+# non-alphanumeric marks — the shape GPT-style byte-pair pre-splits
+# use (digits split one-by-one, punctuation isolated).
+BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """X4 — token counting: total and distinct whitespace tokens.
-    (A BPE-ish subword count is ~n_chars/4; exposed as tok_est.)"""
+    """X4 — token counting: whitespace tokens (total + distinct), a
+    BPE-ish regex subword count, and the chars/4 rule-of-thumb
+    estimate."""
     toks = tokens(text_col)
     return df.withColumns(
         {
             "n_tokens": F.size(toks).cast("long"),
             "n_uniq_tokens": F.size(F.array_distinct(toks)).cast("long"),
+            "n_subwords": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_RE), 0)
+            ).cast("long"),
             "tok_est": F.ceil(F.length(text_col) / 4).cast("long"),
         }
     )
