@@ -323,3 +323,26 @@ def test_stateful_error_burst_alerts(spark, tmp_path):
     # batch 2: ec2 goes quiet -> recover (state carried across batches)
     out2 = run_batch([("ec2", "info"), ("eks", "info")], "b2")
     assert out2 == [("ec2", "recover", 3, 0)]
+
+
+def test_streaming_sliding_window(spark, unified_stream):
+    """ST4: 1h window sliding every 30 min under availableNow — each
+    event lands in two overlapping windows; append mode emits the
+    windows closed by the final watermark (16:00)."""
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        sliding_histogram,
+    )
+
+    df = unified_stream.withWatermark("ts", "10 minutes")
+    _run_to_memory(sliding_histogram(df, "1 hour", "30 minutes"), "sliding")
+    got = {
+        (r.window_start.isoformat(), r.n)
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    # events: 15:05 x2(dup), 15:30(eks), 15:55, 16:10; watermark 16:00.
+    # closed windows: [14:30,15:30) holds the 15:05 pair; [15:00,16:00)
+    # holds 15:05x2 + 15:30 + 15:55.
+    assert got == {
+        ("2021-07-29T14:30:00", 2),
+        ("2021-07-29T15:00:00", 4),
+    }
