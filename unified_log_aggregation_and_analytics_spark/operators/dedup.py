@@ -4,11 +4,16 @@ Jaccard — the LLM-training-pipeline dedup family.
 Scale design notes:
 - Exact dedup is a hash-groupBy on a fingerprint column — one shuffle
   keyed by the hash, perfectly balanced (hashes are uniform).
-- MinHash+LSH: signature computation is per-row (map-only, higher-order
-  functions, no Python); the candidate-pair join shuffles on (band,
-  band_hash) buckets, so cost is bounded by bucket sizes, never the
-  full n^2 cross join. This is the 100 TB path.
-- n-gram Jaccard verification runs only on LSH candidate pairs.
+- MinHash/SimHash signatures are explode-to-rows + whole-stage-codegen
+  hash aggregation (higher-order-function lambdas are interpreted and
+  measured 10-40x slower); partial aggregation keeps the doc-keyed
+  shuffle at ~one row per document.
+- LSH candidate pairs and n-gram Jaccard both use the group-then-pair
+  shape: one shuffle keyed on the bucket (band-hash / shingle), pairs
+  emitted per posting list — cost bounded by bucket population, never
+  the n^2 cross join. This is the 100 TB path.
+- Embedding near-dup is an applyInPandas per-block GEMM — one shuffle
+  on the blocking key, one vectorized matmul per block.
 - All hash functions are deterministic (md5/xxhash64) — re-runs and
   retries produce identical groupings, which at-least-once upstream
   delivery requires (reference utils.ts:42,57-59).
