@@ -77,3 +77,35 @@ def test_range_join_binned_no_nested_loop(spark, qs):
     plan = _plan(spark, qs, "q13b_range_join_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
+    """Bucketing both join sides on the key pre-partitions data at
+    write time: the join plans with NO Exchange on either side — the
+    co-located-join strategy for repeated large-table joins at scale."""
+    # default warehouse dir (spark.sql.warehouse.dir is static config);
+    # tables are dropped in the finally block
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    orders = spark.range(1000).selectExpr("id AS o_id", "id % 100 AS cust_id")
+    cust = spark.range(100).selectExpr("id AS cust_id", "concat('c', id) AS name")
+    orders.write.bucketBy(8, "cust_id").sortBy("cust_id").mode("overwrite").saveAsTable("b_orders")
+    cust.write.bucketBy(8, "cust_id").sortBy("cust_id").mode("overwrite").saveAsTable("b_cust")
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "cust_id")
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
