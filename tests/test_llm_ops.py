@@ -182,3 +182,20 @@ def test_rolling_fingerprint_chain(spark):
     ).collect()[0].h
     assert got[1] == expect
     assert got[1] != got[2]  # order-sensitive
+
+
+def test_hash_split_stable_and_proportional(spark, docs):
+    """Split membership is a pure function of doc_id (identical across
+    runs/partitionings) and proportions land near the weights."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import hash_split
+
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / n < 0.9
+    assert 0.05 < c["val"] / n < 0.15
+    assert 0.05 < c["test"] / n < 0.15

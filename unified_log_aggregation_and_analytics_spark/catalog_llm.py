@@ -441,3 +441,29 @@ def text_langid_ngram(spark, sf_dir):
     return X.lang_id_ngram(docs).select(
         "doc_id", "lang", "ng_en", "ng_de", "ng_fr", "ng_es", "pred_lang_ngram"
     )
+
+
+@_register(
+    "docs_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def docs_hash_split(spark, sf_dir):
+    """Training-pipeline dataset split: deterministic md5-bucket
+    assignment (operators/sampling.py) — membership is a pure function
+    of doc_id, stable across engines, retries, and cluster sizes,
+    unlike RNG df.sample."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "lang", "split")
