@@ -199,3 +199,28 @@ def test_hash_split_stable_and_proportional(spark, docs):
     assert 0.7 < c["train"] / n < 0.9
     assert 0.05 < c["val"] / n < 0.15
     assert 0.05 < c["test"] / n < 0.15
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation fixpoint == classic union-find clusters."""
+    edges = [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 1)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
+    # 1-2-3-7-8-9 form one cluster rooted at 1; 4-5 another at 4
+    assert got[9] == 1 and got[5] == 4

@@ -467,3 +467,15 @@ def docs_hash_split(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return hash_split(docs).select("doc_id", "lang", "split")
+
+
+@_register("dedup_clusters", None)  # iterative fixpoint: rows-only
+def dedup_clusters(spark, sf_dir):
+    """X2 final step — dedup clusters: connected components over the
+    LSH candidate-pair graph (iterative min-label propagation; the
+    driver records rows-only because fixpoint iteration has no single
+    SQL oracle — pytest checks against a Python union-find)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=16, hash_fn="xxhash64")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=16, band_size=4)
+    return D.connected_components(pairs)

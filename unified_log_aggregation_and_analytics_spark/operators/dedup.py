@@ -323,6 +323,66 @@ def embedding_near_dup(
     return side.groupBy("_block").applyInPandas(block_pairs, schema=out_schema)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """X2 final step — dedup clustering: connected components over the
+    near-dup pair graph, returning (id, cluster_id) with cluster_id =
+    the minimum member id. Downstream keep-one-per-cluster is then a
+    trivial filter (id == cluster_id).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — pairs
+    share buckets — so a handful of rounds in practice; bounded by
+    ``max_iterations``). Each round is one join + one groupBy-min, all
+    codegen; ``localCheckpoint`` truncates the growing lineage so the
+    plan stays flat at scale. The driver-side loop only inspects a
+    scalar convergence count — no data is collected.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def hamming_distance(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of
     xor) — the SimHash near-dup predicate."""
