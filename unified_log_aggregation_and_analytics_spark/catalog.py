@@ -890,3 +890,31 @@ def q13b_range_join_binned(spark, sf_dir):
         .join(counts, "event_id", "left")
         .select("event_id", F.coalesce("n_recent_errors", F.lit(0)).alias("n_recent_errors"))
     )
+
+
+@_register(
+    "q08c_anomaly_zscore",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           round((n - AVG(n) OVER (PARTITION BY event_type))
+                 / NULLIF(STDDEV_SAMP(n) OVER (PARTITION BY event_type), 0), 6) AS z
+    FROM d
+    """,
+)
+def q08c_anomaly_zscore(spark, sf_dir):
+    """Q8/Q14 — volume-anomaly view: per-type daily counts scored as
+    z-scores against that type's own distribution (the alerting
+    analytic Dashboards builds on the date histogram). Integer counts
+    keep the mean/stddev bit-identical across engines; one shuffle for
+    the daily agg, one for the per-type window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.nullif(F.stddev_samp("n").over(w), F.lit(0))
+    return daily.select("event_type", "day", "n", F.round(z, 6).alias("z"))
