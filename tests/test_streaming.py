@@ -346,3 +346,46 @@ def test_streaming_sliding_window(spark, unified_stream):
         ("2021-07-29T14:30:00", 2),
         ("2021-07-29T15:00:00", 4),
     }
+
+
+def test_stream_stream_join_within_watermark(spark, tmp_path):
+    """Streaming form of Q11 cross-source correlation: access events
+    join error events on request id with an event-time range bound —
+    both sides watermarked so state is evictable (the production
+    requirement for unbounded stream-stream joins)."""
+    import json as _json
+
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    acc = [
+        {"rid": "r1", "ats": "2021-07-29 15:00:00", "path": "/x"},
+        {"rid": "r2", "ats": "2021-07-29 15:10:00", "path": "/y"},
+        {"rid": "r3", "ats": "2021-07-29 16:00:00", "path": "/z"},
+    ]
+    err = [
+        {"rid": "r1", "ets": "2021-07-29 15:00:30", "msg": "boom"},
+        {"rid": "r3", "ets": "2021-07-29 16:00:05", "msg": "oops"},
+        {"rid": "r9", "ets": "2021-07-29 15:20:00", "msg": "orphan"},
+    ]
+    (a_dir / "a.json").write_text("\n".join(_json.dumps(r) for r in acc))
+    (b_dir / "b.json").write_text("\n".join(_json.dumps(r) for r in err))
+
+    left = (
+        spark.readStream.schema("rid string, ats string, path string").json(str(a_dir))
+        .select("rid", "path", F.to_timestamp("ats").alias("ats"))
+        .withWatermark("ats", "10 minutes")
+    )
+    right = (
+        spark.readStream.schema("rid string, ets string, msg string").json(str(b_dir))
+        .select(F.col("rid").alias("erid"), "msg", F.to_timestamp("ets").alias("ets"))
+        .withWatermark("ets", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("rid") == F.col("erid"))
+        & (F.col("ets") >= F.col("ats"))
+        & (F.col("ets") <= F.col("ats") + F.expr("INTERVAL 5 minutes")),
+    ).select("rid", "path", "msg")
+    _run_to_memory(joined, "ssjoin")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssjoin").collect()}
+    assert got == {("r1", "/x", "boom"), ("r3", "/z", "oops")}
