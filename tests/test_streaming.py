@@ -389,3 +389,63 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
     _run_to_memory(joined, "ssjoin")
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssjoin").collect()}
     assert got == {("r1", "/x", "boom"), ("r3", "/z", "oops")}
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """ST2 late-data case: after the watermark advances past a
+    window's close, a late event for that window is dropped from the
+    streaming aggregate (state was finalized and evicted) — the bound
+    that makes unbounded-stream aggregation memory-safe."""
+    import json as _json
+
+    src_dir = tmp_path / "late"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def run(rows, name):
+        (src_dir / f"{name}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+        stream = (
+            spark.readStream.schema("source string, ts_s string").json(str(src_dir))
+            .select("source", F.to_timestamp("ts_s").alias("ts"))
+        )
+        q = (
+            streaming_hourly_counts(stream, watermark="10 minutes")
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(tuple(r) for r in bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: events up to 17:30 -> watermark 17:20; the 15:00 and
+    # 16:00 windows close and emit
+    run(
+        [{"source": "ec2", "ts_s": "2021-07-29 15:10:00"},
+         {"source": "ec2", "ts_s": "2021-07-29 16:20:00"},
+         {"source": "ec2", "ts_s": "2021-07-29 17:30:00"}],
+        "b1",
+    )
+    emitted_after_b1 = {(r[0].isoformat(), r[2]) for r in collected}
+    assert ("2021-07-29T15:00:00", 1) in emitted_after_b1
+    assert ("2021-07-29T16:00:00", 1) in emitted_after_b1
+
+    # batch 2: a LATE 15:40 event (behind the 17:20 watermark) plus a
+    # fresh 18:40 event advancing the watermark so 17:00 closes. The
+    # late event's window already emitted — it must NOT re-emit or
+    # change counts.
+    before = len(collected)
+    run(
+        [{"source": "ec2", "ts_s": "2021-07-29 15:40:00"},
+         {"source": "ec2", "ts_s": "2021-07-29 18:40:00"}],
+        "b2",
+    )
+    new = collected[before:]
+    hours = {r[0].isoformat() for r in new}
+    assert "2021-07-29T15:00:00" not in hours  # late row dropped
+    assert ("2021-07-29T17:00:00") in {h for h in hours}  # fresh window emitted
