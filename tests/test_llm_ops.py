@@ -224,3 +224,29 @@ def test_connected_components_matches_union_find(spark):
     assert got == expect
     # 1-2-3-7-8-9 form one cluster rooted at 1; 4-5 another at 4
     assert got[9] == 1 and got[5] == 4
+
+
+def test_ngram_jaccard_df_cap(spark):
+    """max_shingle_df drops boilerplate postings: docs that only share
+    a corpus-wide shingle lose their pair; genuinely similar docs
+    (sharing rare shingles) keep theirs."""
+    boiler = "terms of service apply"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler}", "en"),
+        (2, f"alpha beta gamma epsilon {boiler}", "en"),
+        (3, f"totally unrelated words here {boiler}", "en"),
+        (4, f"different things entirely now {boiler}", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(df, "lang", threshold=0.01).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            df, "lang", threshold=0.01, max_shingle_df=3
+        ).collect()
+    }
+    assert (1, 2) in capped  # rare-shingle pair survives
+    assert capped < uncapped  # boilerplate-only pairs dropped

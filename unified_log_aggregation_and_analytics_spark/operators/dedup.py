@@ -159,6 +159,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """X2 — n-gram Jaccard similarity for pairs within a blocking key
     (or LSH candidate pairs upstream). Jaccard = |A∩B| / |A∪B| over
@@ -202,6 +203,15 @@ def ngram_jaccard_pairs(
     posting = sh.groupBy("_block", "_s").agg(
         F.sort_array(F.collect_set(F.struct(F.col(id_col), F.col("_n")))).alias("ds")
     ).filter(F.size("ds") > 1)
+    if max_shingle_df is not None:
+        # stop-shingle cap: drop postings shared by more than
+        # ``max_shingle_df`` documents — boilerplate shingles generate
+        # O(df^2) pairs while carrying almost no similarity signal.
+        # CHANGES SEMANTICS (undercounts intersections through capped
+        # shingles; a pair whose every common shingle is capped is
+        # missed entirely) — the standard recall-for-cost trade every
+        # inverted text index makes at corpus scale.
+        posting = posting.filter(F.size("ds") <= max_shingle_df)
     pair_structs = F.explode(
         F.flatten(
             F.transform(
