@@ -918,3 +918,31 @@ def q08c_anomaly_zscore(spark, sf_dir):
     w = Window.partitionBy("event_type")
     z = (F.col("n") - F.avg("n").over(w)) / F.nullif(F.stddev_samp("n").over(w), F.lit(0))
     return daily.select("event_type", "day", "n", F.round(z, 6).alias("z"))
+
+
+@_register(
+    "q10b_topk_per_group",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+      FROM counts
+    )
+    SELECT event_type, user_id, n, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q10b_topk_per_group(spark, sf_dir):
+    """Q10/Q14 — top-3 users per event type (per-source top-URLs /
+    top-error-producers view): count agg, then a per-group window rank
+    filter. Two shuffles total; the rank filter prunes before any
+    further joins — the standard per-group top-K shape at scale."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
