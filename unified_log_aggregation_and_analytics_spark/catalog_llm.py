@@ -479,3 +479,45 @@ def dedup_clusters(spark, sf_dir):
     sig = D.minhash_signature(docs, num_hashes=16, hash_fn="xxhash64")
     pairs = D.minhash_lsh_candidates(sig, num_hashes=16, band_size=4)
     return D.connected_components(pairs)
+
+
+_LSH_MD5_ORACLE = """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 1, 2)),
+               i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_min(list_transform(sh, x -> md5('1' || x))) AS mh1,
+             list_min(list_transform(sh, x -> md5('2' || x))) AS mh2,
+             list_min(list_transform(sh, x -> md5('3' || x))) AS mh3,
+             list_min(list_transform(sh, x -> md5('4' || x))) AS mh4,
+             list_min(list_transform(sh, x -> md5('5' || x))) AS mh5,
+             list_min(list_transform(sh, x -> md5('6' || x))) AS mh6,
+             list_min(list_transform(sh, x -> md5('7' || x))) AS mh7,
+             list_min(list_transform(sh, x -> md5('8' || x))) AS mh8
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh1 || '|' || mh2) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh3 || '|' || mh4) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh5 || '|' || mh6) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh7 || '|' || mh8) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+@_register("dedup_minhash_lsh_md5", _LSH_MD5_ORACLE)
+def dedup_minhash_lsh_md5(spark, sf_dir):
+    """X2 — oracle-checked LSH twin: 8-hash md5 signature in 2-hash
+    bands with md5 band keys, so DuckDB reproduces the candidate-pair
+    set exactly. The xxhash64 entry (dedup_minhash_lsh) is the fast
+    production path; this one proves the banding algebra."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    return D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")

@@ -98,6 +98,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     band_size: int = 4,
+    band_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """X2 scale path — LSH banding: split the K-element signature into
     bands of ``band_size``; docs sharing any band hash become candidate
@@ -107,16 +108,21 @@ def minhash_lsh_candidates(
     Returns distinct candidate pairs (id_a < id_b).
     """
     n_bands = num_hashes // band_size
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"mh{b * band_size + i + 1}") for i in range(band_size)]
+        if band_hash_fn == "xxhash64":
+            # xxhash64 accepts any column types directly — no string
+            # concat needed to combine the band's hashes (fast path)
+            return F.xxhash64(*cols)
+        if band_hash_fn == "md5":
+            # oracle-portable path: DuckDB computes the identical key
+            return F.md5(F.concat_ws("|", *cols).cast("binary"))
+        raise ValueError(f"unknown band_hash_fn: {band_hash_fn}")  # pragma: no cover
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                # xxhash64 accepts any column types directly — no
-                # string concat needed to combine the band's hashes
-                F.xxhash64(
-                    *[F.col(f"mh{b * band_size + i + 1}") for i in range(band_size)]
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_hash"))
             for b in range(n_bands)
         ]
     )
