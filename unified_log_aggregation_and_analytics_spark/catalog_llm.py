@@ -521,3 +521,36 @@ def dedup_minhash_lsh_md5(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
     return D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CAST((hv >> {b}) & 1 AS BIGINT)) AS b{b}" for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{b} * 2 > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS hv FROM tok
+    ), votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SIMHASH_VOTES}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@_register("dedup_simhash_md5", _SIMHASH_ORACLE)
+def dedup_simhash_md5(spark, sf_dir):
+    """X2 — oracle-checked SimHash twin: 60-bit fingerprints from
+    md5-derived token hashes, reproduced bit-for-bit by DuckDB. The
+    xxhash64 entry (dedup_simhash) is the fast production path; this
+    proves the majority-vote bit algebra."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return D.simhash64(docs, hash_fn="md5", n_bits=60).select("doc_id", "simhash")

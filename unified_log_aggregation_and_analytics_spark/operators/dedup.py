@@ -250,7 +250,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
+) -> DataFrame:
     """X2 — 64-bit SimHash fingerprint per document (returns
     ``id_col, simhash``).
 
@@ -263,19 +269,31 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     higher-order-function filters are interpreted, min/sum aggregation
     is whole-stage codegen. Near-dup docs differ in few bits — Hamming
     distance on the fingerprint is the similarity measure.
+
+    ``hash_fn='md5'`` (with ``n_bits<=60``) derives the token hash
+    from the md5 hex prefix via base-16 conv — bit-identical in DuckDB
+    (``CAST('0x'||substr(md5(t),1,15) AS UBIGINT)``), making the
+    fingerprint oracle-checkable; xxhash64 is the fast default.
     """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("_t")
+    elif hash_fn == "md5":
+        assert n_bits <= 60, "md5 path uses a 15-hex-digit (60-bit) prefix"
+        h = F.conv(F.substring(F.md5(F.col("_t").cast("binary")), 1, 15), 16, 10).cast("long")
+    else:  # pragma: no cover
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_t")
-    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    ).select(id_col, h.alias("_h"))
     votes = tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     fingerprint = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         bit = (
             F.when(F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
         )
