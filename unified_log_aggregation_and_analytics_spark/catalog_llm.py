@@ -554,3 +554,55 @@ def dedup_simhash_md5(spark, sf_dir):
     proves the majority-vote bit algebra."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     return D.simhash64(docs, hash_fn="md5", n_bits=60).select("doc_id", "simhash")
+
+
+def _ann_lsh_oracle() -> str:
+    """Generate the DuckDB twin of ann_lsh_topk: the same seeded
+    hyperplanes as SQL literals, sign-bit bucket, 1-bit multiprobe,
+    exact cosine on the candidates."""
+    import numpy as np
+
+    planes = S.lsh_planes(64, 8, 42)
+    dots = []
+    for b, plane in enumerate(planes):
+        terms = " + ".join(
+            f"CAST(e.embedding[{i+1}] AS DOUBLE) * ({float(x)!r})"
+            for i, x in enumerate(plane)
+        )
+        dots.append(
+            f"(CASE WHEN ({terms}) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(dots)
+    cos = """
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+             , 6)"""
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qb AS (
+      SELECT ({bucket.replace('e.embedding', 'q.qe')}) AS qbucket FROM (SELECT qe FROM q) AS sub, q
+    ),
+    s AS (
+      SELECT e.vec_id, ({bucket}) AS bucket, {cos} AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    SELECT s.vec_id, s.cos_sim
+    FROM s, qb
+    WHERE bit_count(CAST(xor(s.bucket, qb.qbucket) AS BIGINT)) <= 1
+    ORDER BY s.cos_sim DESC, s.vec_id LIMIT 10
+"""
+
+
+@_register("knn_ann_lsh_oracle", _ann_lsh_oracle())
+def knn_ann_lsh_oracle(spark, sf_dir):
+    """X3 — oracle-checked ANN-LSH twin: identical seeded hyperplanes
+    embedded as SQL literals so DuckDB reproduces bucket assignment,
+    multiprobe filter, and candidate scoring exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    return S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
