@@ -606,3 +606,33 @@ def knn_ann_lsh_oracle(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
     return S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
+@_register(
+    "docs_weighted_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             round(pow(
+               (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     % 1000000000 AS DOUBLE) + 0.5) / 1000000000.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority FROM p
+    ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def docs_weighted_sample(spark, sf_dir):
+    """Training-pipeline weighted sampling: deterministic
+    Efraimidis-Spirakis priority sample of 50 docs weighted by length
+    (operators/sampling.py) — longer documents proportionally more
+    likely, membership reproducible across engines and retries."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(docs, k=50, weight_col="n_chars").select(
+        "doc_id", "n_chars", "priority"
+    )

@@ -25,6 +25,31 @@ def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: each row gets
+    priority ``u^(1/w)`` (Efraimidis-Spirakis A-Res) with ``u`` a
+    hash-uniform in (0,1) derived from the id — so membership is a
+    pure function of (id, weight), reproducible on any engine or
+    retry, and selection probability scales with weight. The plan is
+    a map-only projection + global top-K (TakeOrderedAndProject) —
+    no shuffle beyond the K-row merge.
+    """
+    u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
+    priority = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.withColumn("priority", priority)
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
