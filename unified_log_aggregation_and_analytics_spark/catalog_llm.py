@@ -203,7 +203,7 @@ def emb_norm_stats(spark, sf_dir):
 
 @_register(
     "text_token_stats",
-    """
+    r"""
     SELECT doc_id, n_chars,
            len(str_split(text, ' ')) AS n_tokens,
            len(list_distinct(str_split(text, ' '))) AS n_uniq_tokens,
@@ -636,3 +636,114 @@ def docs_weighted_sample(spark, sf_dir):
     return weighted_priority_sample(docs, k=50, weight_col="n_chars").select(
         "doc_id", "n_chars", "priority"
     )
+
+
+@_register(
+    "text_tfidf_top",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS s,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, round(s, 6) AS tfidf FROM scored WHERE rn = 1
+    """,
+)
+def text_tfidf_top(spark, sf_dir):
+    """X4 — most TF-IDF-salient term per document (explode → two hash
+    aggs → vocabulary-keyed join → per-doc window top-1; corpus size
+    enters as a 1-row broadcast, no driver collect)."""
+    return X.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=1)
+
+
+@_register(
+    "text_pii_scrub",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{3,}')) AS n_nums,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3,}', '<NUM>', 'g')) AS clean_hash
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """X4 — PII scrubbing certificate: mask emails and long digit
+    runs, count redactions, md5 the scrubbed text (map-only; Java
+    regex and RE2 agree on the backref-free pattern subset)."""
+    return X.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "docs_pack_contiguous",
+    """
+    WITH t AS (
+      SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, tok_est,
+             SUM(tok_est) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, tok_est, cum_tokens,
+           CAST(floor((cum_tokens - 1) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def docs_pack_contiguous(spark, sf_dir):
+    """Training-shard sequence packing: contiguous fill into 2048-token
+    packs via a per-source running sum (operators/sampling.py
+    pack_contiguous) — one shuffle on source, integer-exact."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import pack_contiguous
+
+    return pack_contiguous(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+@_register(
+    "dedup_contamination",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 1, 2)),
+               i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+             ))) AS s
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+    hit AS (SELECT t.doc_id, COUNT(*) AS n_overlap
+            FROM train t JOIN bench b ON t.s = b.s GROUP BY 1)
+    SELECT tot.doc_id, tot.n_shingles,
+           COALESCE(hit.n_overlap, 0) AS n_overlap,
+           round(CAST(COALESCE(hit.n_overlap, 0) AS DOUBLE) / tot.n_shingles, 6)
+             AS contamination
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """,
+)
+def dedup_contamination(spark, sf_dir):
+    """X2/decontamination — per training doc, the fraction of its
+    3-token shingles present in a held-out benchmark slice
+    (doc_id % 97 == 0 stands in for the eval corpus). Benchmark
+    shingle set broadcasts; the corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.contamination_overlap(train, bench)

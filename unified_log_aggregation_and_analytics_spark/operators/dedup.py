@@ -423,3 +423,40 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct n-token shingles appear anywhere in the benchmark
+    corpus (the n-gram-overlap test LLM pipelines run before
+    training on scraped data).
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval sets are thousands of documents, the corpus is
+    billions), so it is broadcast and the probe is a map-side hash
+    semi-join — the 100 TB side never shuffles. Per-doc totals and
+    hits are two partial-aggregating hash aggs keyed on the doc id.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_s"))
+    bench_sh = (
+        bench.select(F.explode(shingles(text_col, shingle_n)).alias("_s")).distinct()
+    )
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(bench_sh), "_s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        n_overlap.alias("n_overlap"),
+        F.round(n_overlap.cast("double") / F.col("n_shingles"), 6).alias("contamination"),
+    )

@@ -70,3 +70,43 @@ def hash_split(
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    budget: int = 2048,
+    token_col: str | None = None,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training shards: assign each document to a
+    fixed-token-budget pack by contiguous fill — running token sum in
+    a stable (partition, id) order, pack index = cumulative // budget.
+
+    Contiguous fill (documents may straddle a pack boundary, as
+    concatenate-then-chunk training pipelines do) keeps the operator a
+    pure window function: one shuffle on ``part_col``, no iterative
+    bin-packing state. The window partitions by source, never
+    globally — a global running sum would serialize on one task at
+    100 TB.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        F.col(token_col)
+        if token_col
+        else F.ceil(F.col("n_chars") / F.lit(4.0)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return df.select(
+        order_col,
+        part_col,
+        tok.alias("tok_est"),
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.lit(1)) / F.lit(budget)).cast("bigint").alias("pack_id"),
+    )

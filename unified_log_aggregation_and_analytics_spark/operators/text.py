@@ -162,3 +162,57 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, t: F.xxhash64(acc, t),
     )
     return df.withColumn("fp_roll", roll)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """X4 — top-k terms per document by TF-IDF.
+
+    Plan shape at scale: explode(tokens) → two hash aggregations
+    (term frequency per doc, then document frequency per term) → one
+    equi-join on ``term`` (the inverted-index shuffle key — term
+    cardinality is vocabulary-sized, far below corpus size, and the
+    partial aggregation combines map-side) → per-doc window top-k.
+    The corpus size N enters as a 1-row broadcast cross join, never a
+    driver-side collect loop.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", F.round(score, 6).alias("tfidf"))
+    )
+
+
+# PII patterns shared by engine and oracle (Java regex and RE2 agree
+# on this subset — no backrefs, no lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUM_RE = r"[0-9]{3,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — PII scrubbing: mask emails and long digit runs, report
+    per-document redaction counts. Map-only column expressions; the
+    scrubbed text is carried as an md5 certificate so equality checks
+    stay cheap."""
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_NUM_RE,
+        "<NUM>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_NUM_RE), 0)).alias("n_nums"),
+        F.md5(clean.cast("binary")).alias("clean_hash"),
+    )
