@@ -250,3 +250,61 @@ def test_ngram_jaccard_df_cap(spark):
     }
     assert (1, 2) in capped  # rare-shingle pair survives
     assert capped < uncapped  # boilerplate-only pairs dropped
+
+
+def test_pack_contiguous_boundaries(spark):
+    """Pack index advances exactly when the running sum crosses the
+    budget; packs never interleave across the partition column."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import pack_contiguous
+
+    rows = [(i, "a", 40 * (i + 1)) for i in range(6)] + [(10, "b", 4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r for r in pack_contiguous(df, budget=25).collect()}
+    # tok_est = ceil(n_chars/4): a-side 10,20,30,40,50,60; cum 10,30,60,100,150,210
+    assert [out[i].pack_id for i in range(6)] == [0, 1, 2, 3, 5, 8]
+    assert out[10].pack_id == 0 and out[10].cum_tokens == 1
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from unified_log_aggregation_and_analytics_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+e@f-g.co.uk now"),
+            (2, "call 5551234 or 12 ext 9999"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_nums) == (2, 0)
+    assert (out[2].n_emails, out[2].n_nums) == (0, 2)
+    assert (out[3].n_emails, out[3].n_nums) == (0, 0)
+    import hashlib as _h
+
+    assert out[2].clean_hash == _h.md5(b"call <NUM> or 12 ext <NUM>").hexdigest()
+
+
+def test_contamination_overlap_counts_and_plan(spark):
+    train = spark.createDataFrame(
+        [(1, "p q r s"), (2, "x y z w")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, "q r s t u")], "doc_id long, text string")
+    out = {r.doc_id: r for r in D.contamination_overlap(train, bench).collect()}
+    # doc 1 shingles {p q r, q r s}; bench has {q r s, r s t, s t u} -> 1 hit
+    assert (out[1].n_shingles, out[1].n_overlap) == (2, 1)
+    assert (out[2].n_shingles, out[2].n_overlap) == (2, 0)
+    plan = D.contamination_overlap(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top_prefers_rare_terms(spark):
+    from unified_log_aggregation_and_analytics_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common plain"), (3, "common other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.term for r in tfidf_top_terms(df).collect()}
+    # 'common' appears in every doc (idf = 0); doc-unique terms win.
+    assert out == {1: "rare", 2: "plain", 3: "other"}
