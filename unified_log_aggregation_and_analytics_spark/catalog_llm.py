@@ -747,3 +747,24 @@ def dedup_contamination(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return D.contamination_overlap(train, bench)
+
+
+@_register(
+    "text_corpus_bigrams",
+    """
+    WITH b AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(str_split(text, ' ')), 2)),
+               i -> array_to_string(list_slice(str_split(text, ' '), i, i + 1), ' ')
+             )) AS ngram
+      FROM documents
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM b GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram LIMIT 100
+    """,
+)
+def text_corpus_bigrams(spark, sf_dir):
+    """X4 — top-100 corpus bigrams (every occurrence counted):
+    explode → partial-combining hash agg → TakeOrderedAndProject."""
+    return X.corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, k=100)

@@ -216,3 +216,29 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_NUM_RE), 0)).alias("n_nums"),
         F.md5(clean.cast("binary")).alias("clean_hash"),
     )
+
+
+def corpus_ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """X4 — top-k corpus n-grams by occurrence (not per-doc distinct:
+    every occurrence counts, the corpus-statistics flavor used for
+    stop-lists and boilerplate detection).
+
+    Plan shape: explode(all n-grams) → hash aggregation with map-side
+    partial combine (a document's repeated n-grams collapse before the
+    shuffle) → global top-k as TakeOrderedAndProject — only k rows per
+    partition cross the final merge, never the n-gram stream.
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(k)
+    )
