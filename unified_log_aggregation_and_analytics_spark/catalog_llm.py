@@ -768,3 +768,43 @@ def text_corpus_bigrams(spark, sf_dir):
     """X4 — top-100 corpus bigrams (every occurrence counted):
     explode → partial-combining hash agg → TakeOrderedAndProject."""
     return X.corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, k=100)
+
+
+@_register(
+    "knn_batch",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 4
+    ),
+    sims AS (
+      SELECT q.q_id, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+             , 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))) DESC,
+                 e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 4
+    )
+    SELECT q_id, vec_id, cos_sim FROM sims WHERE rn <= 5
+    """,
+)
+def knn_batch(spark, sf_dir):
+    """X3 — batch retrieval: exact top-5 cosine neighbors for query
+    vectors 0-3 in one corpus pass (broadcast queries, map-side Q×N
+    scoring, grouped top-k)."""
+    return S.knn_batch(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=5)

@@ -175,3 +175,44 @@ def ann_lsh_topk(
         F.bit_count(bucket.bitwiseXOR(F.lit(q_bucket))) <= multiprobe_bits
     )
     return knn_brute_force(candidates, query_vec, k, vec_col, id_col)
+
+
+def knn_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN: exact top-k cosine neighbors for each of a set of
+    query vectors at once — the retrieval-workload shape (many
+    queries, one corpus pass) rather than one query per scan.
+
+    The Q query vectors broadcast; every corpus partition scores all
+    Q against its rows map-side in one pass (Q×N similarities never
+    hit disk). The grouped top-k is a window rank over q_id — with
+    small Q the per-query groups are large, so at high Q swap in the
+    per-group top-K pattern (q10b) whose shuffle carries only
+    candidates ranked ≤ k per partition.
+    """
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qe")
+    )
+    cand = emb.filter(~F.col(id_col).isin(query_ids))
+    sims = cand.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, "cos_sim")
+    )
