@@ -808,3 +808,30 @@ def knn_batch(spark, sf_dir):
     vectors 0-3 in one corpus pass (broadcast queries, map-side Q×N
     scoring, grouped top-k)."""
     return S.knn_batch(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=5)
+
+
+@_register(
+    "docs_stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
+    """,
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Training-pipeline language rebalancing: deterministic
+    per-stratum hash sampling (operators/sampling.py) — downsample
+    dominant languages (en 30%, zh 60%), keep the tail at 100%.
+    Map-only membership, reproducible across engines and retries."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, {"en": 30, "zh": 60, "de": 100, "fr": 100, "es": 100}
+    ).select("doc_id", "lang", "source")

@@ -110,3 +110,25 @@ def pack_contiguous(
         cum.alias("cum_tokens"),
         F.floor((cum - F.lit(1)) / F.lit(budget)).cast("bigint").alias("pack_id"),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum percentage
+    (``rates[stratum]`` in [0,100]) of rows, membership decided by the
+    row's md5 hash bucket — the language-rebalancing pass training
+    corpora apply (downsample dominant languages, keep the tail).
+
+    Same hygiene argument as hash_bucket splitting: membership is a
+    pure function of the id, so reruns, retries, and repartitions
+    never change the sample. Map-only filter, fuses into the scan —
+    predicate pushdown still applies to any other filter; no shuffle.
+    """
+    m = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(m[F.col(stratum_col)], F.lit(default_rate))
+    return df.filter(hash_bucket(id_col, 100) < rate)
