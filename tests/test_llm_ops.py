@@ -308,3 +308,53 @@ def test_tfidf_top_prefers_rare_terms(spark):
     out = {r.doc_id: r.term for r in tfidf_top_terms(df).collect()}
     # 'common' appears in every doc (idf = 0); doc-unique terms win.
     assert out == {1: "rare", 2: "plain", 3: "other"}
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, docs):
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    rates = {"en": 30, "zh": 60, "de": 100, "fr": 100, "es": 100}
+    a = {r.doc_id for r in stratified_hash_sample(docs, rates).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in stratified_hash_sample(docs.repartition(7), rates).select("doc_id").collect()
+    }
+    assert a == b  # membership survives repartitioning
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in stratified_hash_sample(docs, rates)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kept.get("de", 0) == full["de"]  # 100% strata keep everything
+    assert kept.get("en", 0) < full["en"]  # downsampled stratum shrinks
+
+
+def test_quota_sample_exact_per_stratum(spark, docs):
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import quota_sample
+
+    out = quota_sample(docs, 5).groupBy("lang").agg(F.count("*").alias("n"))
+    sizes = {r.lang: r.n for r in out.collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, full[lang])
+
+
+def test_knn_batch_agrees_with_single_query(spark, emb):
+    single = {
+        (r.vec_id, r.cos_sim)
+        for r in S.knn_brute_force(
+            emb.filter(F.col("vec_id") != 0),
+            [row[0] for row in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0],
+            k=5,
+        ).collect()
+    }
+    batch = {
+        (r.vec_id, r.cos_sim)
+        for r in S.knn_batch(emb, query_ids=[0], k=5).filter(F.col("q_id") == 0).collect()
+    }
+    assert batch == single

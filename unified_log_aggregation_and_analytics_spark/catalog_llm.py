@@ -835,3 +835,30 @@ def docs_stratified_sample(spark, sf_dir):
     return stratified_hash_sample(
         docs, {"en": 30, "zh": 60, "de": 100, "fr": 100, "es": 100}
     ).select("doc_id", "lang", "source")
+
+
+@_register(
+    "docs_quota_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, lang,
+             (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 1000000000 AS DOUBLE) + 0.5) / 1000000000.0 AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, priority,
+             row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      FROM p
+    )
+    SELECT doc_id, lang, priority FROM r WHERE rn <= 40
+    """,
+)
+def docs_quota_sample(spark, sf_dir):
+    """Balanced-corpus quota sampling: exactly 40 docs per language by
+    deterministic hash priority (operators/sampling.py quota_sample) —
+    equal per-stratum slices however skewed the raw corpus."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(docs, 40).select("doc_id", "lang", "priority")

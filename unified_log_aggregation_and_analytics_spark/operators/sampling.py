@@ -132,3 +132,35 @@ def stratified_hash_sample(
     m = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
     rate = F.coalesce(m[F.col(stratum_col)], F.lit(default_rate))
     return df.filter(hash_bucket(id_col, 100) < rate)
+
+
+def quota_sample(
+    df: DataFrame,
+    k_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced corpus construction: exactly ``k_per_stratum`` rows per
+    stratum (fewer if the stratum is smaller), chosen by deterministic
+    hash priority — equal-size per-language slices regardless of how
+    skewed the raw corpus is.
+
+    One shuffle keyed on the stratum for the rank window; the priority
+    is a pure function of the id, so the quota membership is stable
+    across runs. Strata counts are bounded (languages, sources), so
+    the per-key groups parallelize across the cluster; for huge
+    strata swap the window for the two-phase per-partition top-K.
+    """
+    from pyspark.sql import Window
+
+    # No rounding: (int + 0.5)/1e9 sits exactly on a round-half tie at
+    # digit 10, and engines disagree on tie direction; the raw double
+    # is the same IEEE ops in any engine, hence bit-identical.
+    u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
+    w = Window.partitionBy(stratum_col).orderBy(u.desc(), F.col(id_col))
+    return (
+        df.withColumn("priority", u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_per_stratum)
+        .drop("rn")
+    )
