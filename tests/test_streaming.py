@@ -63,6 +63,50 @@ def test_ec2_pipeline_end_to_end(spark, tmp_path):
     assert rej.collect()[0]._error == "unparseable event time"
 
 
+ERROR_LINES = [
+    "[Thu Jul 29 15:32:33 2021] [error] [client 72.21.198.66] File does not exist: /var/www/favicon.ico",
+    "[Thu Jul 29 15:40:00.123456 2021] [core:warn] [pid 3191:tid 140] [client 10.0.0.9:4753] AH00671: retry",
+    "[Fri Jul 30 06:00:01 2021] [mpm_prefork:notice] [pid 99] AH00163: resuming normal operations",
+]
+
+
+def test_ec2_error_log_routing(spark, tmp_path):
+    """S1 both-agent-flows parity (reference ec2-startup.sh:46-49 tails
+    access_log* AND error_log* into one stream): a mixed batch routes
+    each format to its parser — error-log lines land TYPED in the
+    table (level/module/client extracted), never in _rejected/."""
+    logs_dir = tmp_path / "logs"
+    logs_dir.mkdir()
+    (logs_dir / "access_log.1").write_text("\n".join(GOOD_LINES) + "\n")
+    (logs_dir / "error_log.1").write_text("\n".join(ERROR_LINES) + "\n")
+
+    table = str(tmp_path / "table")
+    rejected = str(tmp_path / "_rejected")
+    src = stream_text_logs(spark, str(logs_dir))
+    run_pipeline(
+        src, "ec2", table, rejected, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    ).await_done()
+
+    got = spark.read.parquet(table)
+    assert got.count() == len(GOOD_LINES) + len(ERROR_LINES)
+    err_rows = {r.message: r for r in got.filter(F.col("attrs")["err_level"].isNotNull()).collect()}
+    assert len(err_rows) == 3
+    r22 = err_rows["File does not exist: /var/www/favicon.ico"]
+    assert r22.level == "error" and r22.attrs["client_ip"] == "72.21.198.66"
+    assert r22.ts.isoformat() == "2021-07-29T15:32:33"
+    r24 = err_rows["AH00671: retry"]
+    assert r24.level == "warn"
+    assert r24.attrs["module"] == "core" and r24.attrs["pid"] == "3191"
+    assert r24.attrs["client_ip"] == "10.0.0.9"  # :port stripped
+    assert r24.ts.microsecond == 123456
+    notice = err_rows["AH00163: resuming normal operations"]
+    assert notice.level == "info" and notice.attrs["err_level"] == "notice"
+    # nothing dead-lettered: every error-log line parsed
+    import os as _os
+
+    assert not _os.path.exists(rejected) or spark.read.parquet(rejected).count() == 0
+
+
 def test_ecs_pipeline_end_to_end(spark, tmp_path):
     """S2 FireLens JSON -> unified table with container metadata attrs."""
     logs_dir = tmp_path / "ecs"
@@ -302,8 +346,11 @@ def test_stateful_error_burst_alerts(spark, tmp_path):
             batches.extend(tuple(r) for r in bdf.collect())
             bdf.write.mode("append").parquet(out_path)
 
+        # NoTimeout: this test drives explicit batches; a pending
+        # processing-time timer would stall each availableNow run by
+        # recover_after_ms (see error_burst_alerts docstring)
         q = (
-            error_burst_alerts(stream, threshold=3)
+            error_burst_alerts(stream, threshold=3, timeout="NoTimeout")
             .writeStream.foreachBatch(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -323,6 +370,49 @@ def test_stateful_error_burst_alerts(spark, tmp_path):
     # batch 2: ec2 goes quiet -> recover (state carried across batches)
     out2 = run_batch([("ec2", "info"), ("eks", "info")], "b2")
     assert out2 == [("ec2", "recover", 3, 0)]
+
+
+def test_stateful_recover_on_silent_source_timeout(spark, tmp_path):
+    """The sticky-alert fix: a source that bursts and then goes SILENT
+    (no rows at all in later batches) must still emit 'recover' via the
+    processing-time timeout path — without it the state function is
+    never invoked for absent keys and the alert never clears."""
+    import json as _json
+    import time
+
+    from unified_log_aggregation_and_analytics_spark.streaming.stateful import (
+        error_burst_alerts,
+    )
+
+    src_dir = tmp_path / "uni"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text(
+        "\n".join(_json.dumps({"source": "ec2", "level": "error"}) for _ in range(3)) + "\n"
+    )
+    stream = spark.readStream.schema("source string, level string").json(str(src_dir))
+    rows = []
+
+    def sink(bdf, _bid):
+        rows.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        error_burst_alerts(stream, threshold=3, recover_after_ms=2000)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not any(r[1] == "recover" for r in rows):
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert ("ec2", "alert", 3, 3) in rows
+    # the recover row came from the timeout path: zero batch errors,
+    # no input rows for the key
+    assert ("ec2", "recover", 3, 0) in rows
 
 
 def test_streaming_sliding_window(spark, unified_stream):

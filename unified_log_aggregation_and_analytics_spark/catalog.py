@@ -13,7 +13,9 @@ SQL string DuckDB runs over the same parquet views. Determinism rules
 - ``events.ts`` is nanosecond-precision parquet; Spark truncates to
   micros, DuckDB keeps ns. Never output raw events.ts — always
   date_trunc('second') or coarser; filter only on whole-second
-  literals. (orders/lineitem timestamps are ms — safe raw.)
+  literals; and wrap BOTH sides of any ts-to-ts comparison in
+  date_trunc('microseconds', ...) in the oracle so DuckDB compares at
+  Spark's precision. (orders/lineitem timestamps are ms — safe raw.)
 - Every ORDER BY ... LIMIT carries a unique tie-break column.
 - Float similarity scores are rounded to 6 decimals with id tie-breaks.
 """
@@ -433,7 +435,8 @@ def q12b_anti_join(spark, sf_dir):
     SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
            date_trunc('second',
              (SELECT max(e.ts) FROM events e
-              WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts)
+              WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                AND date_trunc('microseconds', e.ts) <= date_trunc('microseconds', p.ts))
            ) AS last_error_ts_s
     FROM events p WHERE p.event_type = 'purchase'
     """,
@@ -823,6 +826,48 @@ def q02b_token_index_search(spark, sf_dir):
     )
 
 
+@_register(
+    "q02c_ranked_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('merge', 'spark', 'vector') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / avg_dl)))
+             ), 6) AS bm25
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q02c_ranked_search(spark, sf_dir):
+    """Q2 ranked hits — Okapi BM25 over the token stream (Discover
+    returns relevance-ranked results; the reference delegates the
+    scoring to OpenSearch, operators/relational.py bm25_search is the
+    Spark-native formula): top-10 documents for the query
+    'merge spark vector'."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.bm25_search(docs, ["merge", "spark", "vector"], k=10)
+
+
 @_register("q06c_approx_percentiles", None)  # t-digest sketch: engine-specific, rows-only
 def q06c_approx_percentiles(spark, sf_dir):
     """Q6/Q7 scale path — approx_percentile (t-digest): single-pass
@@ -865,7 +910,9 @@ def q11c_salted_join(spark, sf_dir):
     SELECT p.event_id, COUNT(e.event_id) AS n_recent_errors
     FROM events p LEFT JOIN events e
       ON e.user_id = p.user_id AND e.event_type = 'error'
-     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+     AND date_trunc('microseconds', e.ts)
+         >= date_trunc('microseconds', p.ts) - INTERVAL 1 HOUR
+     AND date_trunc('microseconds', e.ts) <= date_trunc('microseconds', p.ts)
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id
     """,

@@ -5,9 +5,17 @@ express the semantics, rows-only otherwise.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
-from unified_log_aggregation_and_analytics_spark.catalog import _register, _spread, _t
+from unified_log_aggregation_and_analytics_spark.catalog import (
+    QUERIES,
+    QuerySpec,
+    _register,
+    _spread,
+    _t,
+)
 from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity, l2_norm
 from unified_log_aggregation_and_analytics_spark.operators import dedup as D
 from unified_log_aggregation_and_analytics_spark.operators import multimodal as MM
@@ -166,11 +174,13 @@ def knn_cosine(spark, sf_dir):
     )
 
 
-@_register("knn_ann_lsh", None)  # seeded-hyperplane LSH: rows-only
+@_register("knn_ann_lsh", None)  # oracle attached below, after _ann_lsh_oracle is defined
 def knn_ann_lsh(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH ANN: only vectors whose
     8-bit sign sketch is within 1 bit of the query's bucket are scored.
-    pytest asserts recall against the brute-force result."""
+    Oracle: the same seeded hyperplanes as SQL literals (see
+    _ann_lsh_oracle); pytest additionally asserts recall against the
+    brute-force result."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
     return S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
@@ -340,6 +350,33 @@ def multimodal_features(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_from_documents(docs)
     return MM.extract_features(media)
+
+
+@_register(
+    "multimodal_image_stats",
+    """
+    SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+           list_sum(list_transform(range(0, 16),
+             j -> CAST((doc_id * 7 + (3 * j) * 13) % 256 AS DOUBLE))) / 16 AS mean_r,
+           list_sum(list_transform(range(0, 16),
+             j -> CAST((doc_id * 7 + (3 * j + 1) * 13) % 256 AS DOUBLE))) / 16 AS mean_g,
+           list_sum(list_transform(range(0, 16),
+             j -> CAST((doc_id * 7 + (3 * j + 2) * 13) % 256 AS DOUBLE))) / 16 AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_image_stats(spark, sf_dir):
+    """X5 — REAL image decode, value-matched: payloads are genuine
+    binary P6 PPM images synthesized from a closed-form pixel formula
+    (operators/multimodal.py media_with_ppm); the engine decodes them
+    (header parse + frombuffer) and reports width/height/channel
+    means; the oracle predicts the same stats analytically WITHOUT a
+    decoder — any header/layout/stride bug in the decode path breaks
+    the match. uint8 channel sums are exact in float64, so no
+    rounding is needed."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_ppm(docs, width=4, height=4)
+    return MM.image_stats(media)
 
 
 # --- X2/X3 additions: embedding near-dup + IVF ANN ----------------------
@@ -556,23 +593,28 @@ def dedup_simhash_md5(spark, sf_dir):
     return D.simhash64(docs, hash_fn="md5", n_bits=60).select("doc_id", "simhash")
 
 
-def _ann_lsh_oracle() -> str:
-    """Generate the DuckDB twin of ann_lsh_topk: the same seeded
-    hyperplanes as SQL literals, sign-bit bucket, 1-bit multiprobe,
-    exact cosine on the candidates."""
-    import numpy as np
-
+def _lsh_bucket_sql(ref: str = "e.embedding") -> str:
+    """The seeded-hyperplane sign-sketch bucket as a DuckDB expression:
+    identical planes to similarity.lsh_planes(64, 8, 42), embedded as
+    SQL literals so DuckDB reproduces bucket assignment exactly."""
     planes = S.lsh_planes(64, 8, 42)
     dots = []
     for b, plane in enumerate(planes):
         terms = " + ".join(
-            f"CAST(e.embedding[{i+1}] AS DOUBLE) * ({float(x)!r})"
+            f"CAST({ref}[{i+1}] AS DOUBLE) * ({float(x)!r})"
             for i, x in enumerate(plane)
         )
         dots.append(
             f"(CASE WHEN ({terms}) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         )
-    bucket = " + ".join(dots)
+    return " + ".join(dots)
+
+
+def _ann_lsh_oracle() -> str:
+    """Generate the DuckDB twin of ann_lsh_topk: the same seeded
+    hyperplanes as SQL literals, sign-bit bucket, 1-bit multiprobe,
+    exact cosine on the candidates."""
+    bucket = _lsh_bucket_sql("e.embedding")
     cos = """
              round(
                list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -832,8 +874,10 @@ def docs_stratified_sample(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # default_rate=100 mirrors the oracle's ELSE 100: both sides keep
+    # unlisted strata, so a new fixture language can't skew the gate.
     return stratified_hash_sample(
-        docs, {"en": 30, "zh": 60, "de": 100, "fr": 100, "es": 100}
+        docs, {"en": 30, "zh": 60}, default_rate=100
     ).select("doc_id", "lang", "source")
 
 
@@ -862,3 +906,139 @@ def docs_quota_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return quota_sample(docs, 40).select("doc_id", "lang", "priority")
+
+
+# --- X3: persisted ANN indexes (operators/ann_index.py) -----------------
+#
+# Build-once, probe-many: the index tables live under <repo>/.ann_index,
+# partitioned by bucket (LSH) / cell (IVF), so probes are
+# partition-pruned reads (PartitionFilters asserted in tests/test_plans).
+# The catalog entries build the index lazily on first touch and validate
+# it against the source row count before reuse; production would version
+# indexes explicitly instead.
+
+
+def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
+    """Return the index directory for (sf_dir, kind), building it if
+    absent or stale (row count mismatch vs the source table)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    repo = Path(__file__).resolve().parents[1]
+    path = repo / ".ann_index" / Path(str(sf_dir).rstrip("/")).name / kind
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    table = path / "table"
+    fresh = (table / "_SUCCESS").exists()
+    if fresh:
+        fresh = spark.read.parquet(str(table)).count() == emb.count()
+    if not fresh:
+        if kind == "lsh8":
+            A.build_lsh_index(emb, str(path), n_bits=8, seed=42)
+        elif kind == "ivf16":
+            A.build_ivf_index(emb, str(path), n_centroids=16)
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+    return str(path)
+
+
+def _cos_raw(a: str, b: str) -> str:
+    """Unrounded DuckDB cosine between two list columns (used for
+    ORDER BY / argmax; final output sims are rounded separately)."""
+    return (
+        f"(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+    )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the IVF index + probe: centroids are the 16
+    lowest-id corpus vectors (deterministic_centroids over vec_id != 0
+    -> vec_ids 1..16); each vector joins its argmax-cosine centroid
+    (ties -> lowest centroid ordinal, matching numpy argmax); the probe
+    keeps the 4 cells nearest the query (ties -> highest ordinal,
+    matching argsort()[::-1]); candidates get exact cosine top-10."""
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY {_cos_raw('ce', 'qe')} DESC, cid DESC LIMIT 4
+    ),
+    r AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM r
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    )
+    SELECT cand.vec_id, round({_cos_raw('cand.embedding', 'q.qe')}, 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, cand.vec_id LIMIT 10
+"""
+
+
+# The scan-time paths compute the same buckets/cells/scores as the
+# indexed paths, so they share oracles; attach them now that the
+# builders are defined (registration order put the entries earlier).
+QUERIES["knn_ann_lsh"] = QuerySpec(QUERIES["knn_ann_lsh"].spark_fn, _ann_lsh_oracle())
+QUERIES["knn_ivf"] = QuerySpec(QUERIES["knn_ivf"].spark_fn, _ivf_oracle())
+
+
+@_register("knn_ann_lsh_indexed", _ann_lsh_oracle())
+def knn_ann_lsh_indexed(spark, sf_dir):
+    """X3 — persisted-LSH-index probe: the corpus is sketched once into
+    a table partitioned by bucket (operators/ann_index.py); the probe
+    enumerates the 9 bucket ids within 1 bit of the query's bucket and
+    reads only those partitions (PartitionFilters), then scores
+    exactly. Must equal the scan-time knn_ann_lsh result."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    path = _ann_index_path(spark, sf_dir, "lsh8")
+    return A.lsh_probe(spark, path, list(qv), k=10, multiprobe_bits=1)
+
+
+@_register("knn_ivf_indexed", _ivf_oracle())
+def knn_ivf_indexed(spark, sf_dir):
+    """X3 — persisted-IVF-index probe: cell assignments and centroids
+    are persisted artifacts (operators/ann_index.py); the probe ranks
+    the 16 stored centroids on the driver, reads the 4 nearest cell
+    partitions (PartitionFilters), and scores exactly. Must equal the
+    scan-time knn_ivf result."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    path = _ann_index_path(spark, sf_dir, "ivf16")
+    return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
+@_register(
+    "ann_lsh_index_stats",
+    f"""
+    SELECT ({_lsh_bucket_sql('e.embedding')}) AS bucket, COUNT(*) AS n
+    FROM embeddings e WHERE e.vec_id <> 0
+    GROUP BY 1
+    """,
+)
+def ann_lsh_index_stats(spark, sf_dir):
+    """X3 — index-content certificate: the persisted LSH table's
+    per-bucket histogram, value-matched against DuckDB recomputing
+    every bucket from raw embeddings — proves the materialized index
+    is exactly the sketch it claims to be."""
+    path = _ann_index_path(spark, sf_dir, "lsh8")
+    idx = spark.read.parquet(str(Path(path) / "table"))
+    return idx.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

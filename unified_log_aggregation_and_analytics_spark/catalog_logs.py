@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from unified_log_aggregation_and_analytics_spark.catalog import _dec, _register, _spread, _t
 from unified_log_aggregation_and_analytics_spark.functions.apache_log import (
     parse_apache_combined,
+    parse_apache_error,
     parse_lambda_record_line,
 )
 from unified_log_aggregation_and_analytics_spark.operators import relational as R
@@ -73,12 +74,15 @@ def logs_json_props(spark, sf_dir):
 @_register(
     "logs_sessionize",
     """
-    WITH g AS (
+    WITH us AS (
+      -- match Spark's microsecond timestamps for ts-to-ts arithmetic
+      SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+    ), g AS (
       SELECT user_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM us
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     )
     SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
@@ -157,6 +161,91 @@ def logs_apache_parse(spark, sf_dir):
     parsed = parse_apache_combined(lines.select("event_id", "value"), "value")
     return parsed.select(
         "event_id", "client_ip", "ts", "method", "path", "status", "bytes", "user_agent"
+    )
+
+
+# --- T9b: Apache error-log parse (synthesized round-trip) ---------------
+# The reference tails error_log* into the same stream as access_log*
+# (lib/computes/ec2/ec2-startup.sh:46-49); even ids synthesize the 2.2
+# shape, odd ids the 2.4 shape (module:level, pid, client:port), so one
+# query exercises every optional group of APACHE_ERROR_RE.
+
+_ERRLOG_RE_SQL = (
+    r"^\[([^\]]+)\] \[(?:([a-z_]+):)?([a-z]+[0-9]?)\]"
+    r"(?: \[pid (\d+)(?::tid \d+)?\])?"
+    r"(?: \[client ([^\]]+)\])? (.*)$"
+)
+
+_ERRLOG_ORACLE = f"""
+    WITH base AS (
+      SELECT event_id, ts,
+             (['error','warn','notice','info','crit'])[CAST(event_id % 5 AS INT) + 1] AS lvl,
+             '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) AS ip,
+             'File does not exist: /var/www/html/page' || CAST(event_id % 50 AS VARCHAR) AS msg
+      FROM events
+    ),
+    lines AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN
+               printf('[%s] [%s] [client %s] %s',
+                      strftime(ts, '%a %b %d %H:%M:%S %Y'), lvl, ip, msg)
+             ELSE
+               printf('[%s] [core:%s] [pid %d] [client %s:%d] %s',
+                      strftime(ts, '%a %b %d %H:%M:%S %Y'), lvl,
+                      event_id % 32768, ip, 40000 + event_id % 1000, msg)
+             END AS value
+      FROM base
+    )
+    SELECT event_id,
+           strptime(regexp_replace(regexp_replace(
+               regexp_extract(value, '{_ERRLOG_RE_SQL}', 1),
+               '^[A-Za-z]+ ', ''), ' +', ' '), '%b %d %H:%M:%S %Y') AS ts,
+           NULLIF(regexp_extract(value, '{_ERRLOG_RE_SQL}', 2), '') AS module,
+           NULLIF(regexp_extract(value, '{_ERRLOG_RE_SQL}', 3), '') AS level,
+           CAST(NULLIF(regexp_extract(value, '{_ERRLOG_RE_SQL}', 4), '') AS BIGINT) AS pid,
+           regexp_replace(NULLIF(regexp_extract(value, '{_ERRLOG_RE_SQL}', 5), ''),
+                          ':[0-9]+$', '') AS client_ip,
+           NULLIF(regexp_extract(value, '{_ERRLOG_RE_SQL}', 6), '') AS message
+    FROM lines
+"""
+
+
+@_register("logs_error_parse", _ERRLOG_ORACLE)
+def logs_error_parse(spark, sf_dir):
+    """T9b — Apache error-log field extraction
+    (functions/apache_log.py parse_apache_error). Same
+    synthesize-then-parse round-trip as logs_apache_parse: both the
+    2.2 and 2.4 line shapes are built deterministically from events,
+    parsed back by the engine, and reproduced independently in DuckDB."""
+    ev = _spread(_t(spark, sf_dir, "events"))
+    lvl = F.element_at(
+        F.array(F.lit("error"), F.lit("warn"), F.lit("notice"), F.lit("info"), F.lit("crit")),
+        (F.col("event_id") % 5).cast("int") + 1,
+    )
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        F.lit("0"),
+        (F.col("user_id") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    ts_str = F.date_format("ts", "EEE MMM dd HH:mm:ss yyyy")
+    msg = F.concat(
+        F.lit("File does not exist: /var/www/html/page"),
+        (F.col("event_id") % 50).cast("string"),
+    )
+    line22 = F.format_string("[%s] [%s] [client %s] %s", ts_str, lvl, ip, msg)
+    line24 = F.format_string(
+        "[%s] [core:%s] [pid %d] [client %s:%d] %s",
+        ts_str, lvl, F.col("event_id") % 32768, ip,
+        F.lit(40000) + F.col("event_id") % 1000, msg,
+    )
+    lines = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, line22).otherwise(line24).alias("value"),
+    )
+    return parse_apache_error(lines, "value").select(
+        "event_id", "ts", "module", "level", "pid", "client_ip", "message"
     )
 
 

@@ -362,6 +362,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """X2 final step — dedup clustering: connected components over the
     near-dup pair graph, returning (id, cluster_id) with cluster_id =
@@ -373,29 +374,45 @@ def connected_components(
     O(graph diameter) rounds (near-dup clusters are shallow — pairs
     share buckets — so a handful of rounds in practice; bounded by
     ``max_iterations``). Each round is one join + one groupBy-min, all
-    codegen; ``localCheckpoint`` truncates the growing lineage so the
-    plan stays flat at scale. The driver-side loop only inspects a
-    scalar convergence count — no data is collected.
+    codegen; checkpointing truncates the growing lineage so the plan
+    stays flat at scale. The driver-side loop only inspects a scalar
+    convergence count — no data is collected.
+
+    Checkpoint profile: the default ``localCheckpoint`` writes to
+    executor-local block storage — fast, but on a real cluster a lost
+    executor loses the truncated lineage and fails the job. For the
+    100 TB profile pass ``reliable_checkpoint=True`` to use reliable
+    ``checkpoint()`` into ``spark.sparkContext.setCheckpointDir`` (the
+    caller must have set one); each round's labels then survive
+    executor loss at the cost of one HDFS/object-store round-trip.
+
+    Raises ``RuntimeError`` if the loop exits at ``max_iterations``
+    with labels still changing — partial clusters are silently wrong
+    for dedup (two docs of one component keep different labels), so
+    non-convergence must be loud, not a quiet return.
     """
-    edges = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -403,7 +420,6 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -414,6 +430,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations — partial clusters are not a valid dedup result."
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

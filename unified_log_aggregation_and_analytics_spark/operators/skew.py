@@ -38,7 +38,19 @@ def salted_join(
     key's probe work spreads over ``n_salts`` tasks instead of one.
     The salt is uniform random (seeded): any assignment is correct
     because every replica carries the full small side for its key.
+
+    Only joins that preserve small-side multiplicity under replication
+    are allowed: inner/left/left_semi/left_anti (from the big side).
+    ``right``/``full`` would emit each unmatched small-side row once
+    per salt replica, so they are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving — the "
+            "replicated small side would duplicate unmatched rows; use "
+            "inner/left/semi/anti (from the big side)."
+        )
     salts = F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
     big_salted = big.withColumn("_salt", F.floor(F.rand(seed) * n_salts).cast("int"))
     small_rep = small.withColumn("_salt", F.explode(salts))
