@@ -79,6 +79,53 @@ def test_range_join_binned_no_nested_loop(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_index_probe_partition_pruned(spark, tmp_path):
+    """The persisted ANN indexes must turn probes into partition-pruned
+    reads: the scan node carries PartitionFilters on the bucket/cell
+    partition column, and the pruned scan reads only the probed
+    partitions — the property that makes the index an index."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        ann_lsh_topk,
+        knn_ivf,
+    )
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    emb = load_table(spark, "embeddings", SF).filter(F.col("vec_id") != 0)
+    qv = [
+        float(x)
+        for x in load_table(spark, "embeddings", SF)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+
+    lsh_path = str(tmp_path / "lsh")
+    A.build_lsh_index(emb, lsh_path)
+    probe = A.lsh_probe(spark, lsh_path, qv, k=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # indexed result == scan-time result (same planes, same multiprobe)
+    scan = ann_lsh_topk(emb, qv, k=10)
+    assert probe.collect() == scan.collect()
+
+    ivf_path = str(tmp_path / "ivf")
+    A.build_ivf_index(emb, ivf_path, n_centroids=16)
+    iprobe = A.ivf_probe(spark, ivf_path, qv, k=10, n_probe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        iprobe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+    iscan = knn_ivf(emb, qv, k=10, n_probe=4)
+    assert iprobe.collect() == iscan.collect()
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
     """Bucketing both join sides on the key pre-partitions data at
     write time: the join plans with NO Exchange on either side — the
