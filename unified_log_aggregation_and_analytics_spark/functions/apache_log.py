@@ -28,6 +28,30 @@ APACHE_COMBINED_RE = (
 _APACHE_TS_FMT = "dd/MMM/yyyy:HH:mm:ss Z"
 
 
+def combined_fields(line: Column) -> dict[str, Column]:
+    """The combined-format extraction as a named-column bundle, so
+    callers that route multiple formats in ONE pass (normalize_ec2)
+    can embed the expressions in a CASE without re-scanning."""
+
+    def grp(n: int) -> Column:
+        return F.nullif(F.regexp_extract(line, APACHE_COMBINED_RE, n), F.lit(""))
+
+    return {
+        "client_ip": grp(1),
+        "identd": grp(2),
+        "user": grp(3),
+        "ts": F.to_timestamp(grp(4), _APACHE_TS_FMT),
+        "method": grp(5),
+        "path": grp(6),
+        "protocol": grp(7),
+        "status": grp(8).cast("int"),
+        # '-' means no bytes; cast of '-' yields null which is correct
+        "bytes": F.when(grp(9) == "-", F.lit(None)).otherwise(grp(9)).cast("long"),
+        "referer": grp(10),
+        "user_agent": grp(11),
+    }
+
+
 def parse_apache_combined(df: DataFrame, line_col: str = "value") -> DataFrame:
     """Parse Apache combined-format lines into typed columns (T9).
 
@@ -37,25 +61,71 @@ def parse_apache_combined(df: DataFrame, line_col: str = "value") -> DataFrame:
     reference transformer, which would throw).
     """
     line = F.col(line_col)
-
-    def grp(n: int) -> Column:
-        return F.nullif(F.regexp_extract(line, APACHE_COMBINED_RE, n), F.lit(""))
-
+    fields = combined_fields(line)
     passthrough = [c for c in df.columns if c != line_col]
     return df.select(
         *passthrough,
-        grp(1).alias("client_ip"),
-        grp(2).alias("identd"),
-        grp(3).alias("user"),
-        F.to_timestamp(grp(4), _APACHE_TS_FMT).alias("ts"),
-        grp(5).alias("method"),
-        grp(6).alias("path"),
-        grp(7).alias("protocol"),
-        grp(8).cast("int").alias("status"),
-        # '-' means no bytes; cast of '-' yields null which is correct
-        F.when(grp(9) == "-", F.lit(None)).otherwise(grp(9)).cast("long").alias("bytes"),
-        grp(10).alias("referer"),
-        grp(11).alias("user_agent"),
+        *[v.alias(k) for k, v in fields.items()],
+        line.alias("_raw"),
+    )
+
+
+# Apache error-log line. Covers both the 2.2 shape
+#   [Wed Oct 13 14:32:52 2021] [error] [client 72.21.198.66] msg
+# and the 2.4 shape
+#   [Wed Oct 13 14:32:52.123456 2021] [core:error] [pid 31] [client 72.21.198.66:4753] msg
+# (the reference tails error_log* into the same delivery stream as
+# access_log*, lib/computes/ec2/ec2-startup.sh:46-49). Groups:
+# 1 timestamp, 2 module (2.4 only), 3 level, 4 pid (2.4 only),
+# 5 client, 6 message
+APACHE_ERROR_RE = (
+    r"^\[([^\]]+)\] \[(?:([a-z_]+):)?([a-z]+[0-9]?)\]"
+    r"(?: \[pid (\d+)(?::tid \d+)?\])?"
+    r"(?: \[client ([^\]]+)\])? (.*)$"
+)
+
+
+def error_fields(line: Column) -> dict[str, Column]:
+    """The error-log extraction as a named-column bundle (see
+    combined_fields for why)."""
+
+    def grp(n: int) -> Column:
+        return F.nullif(F.regexp_extract(line, APACHE_ERROR_RE, n), F.lit(""))
+
+    ts_clean = F.regexp_replace(  # drop "Wed ", collapse "Oct  1" day pad
+        F.regexp_replace(grp(1), r"^[A-Za-z]+ ", ""), r"\s+", " "
+    )
+    ts = F.coalesce(
+        F.try_to_timestamp(ts_clean, F.lit("MMM d HH:mm:ss.SSSSSS yyyy")),
+        F.try_to_timestamp(ts_clean, F.lit("MMM d HH:mm:ss yyyy")),
+    )
+    return {
+        "ts": ts,
+        "module": grp(2),
+        "level": grp(3),
+        "pid": grp(4).cast("long"),
+        # 2.4 appends :port to the client; strip it, keep the ip
+        "client_ip": F.regexp_replace(grp(5), r":\d+$", ""),
+        "message": grp(6),
+    }
+
+
+def parse_apache_error(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse Apache error-log lines into typed columns.
+
+    The error-log timestamp (``Wed Oct 13 14:32:52[.ffffff] 2021``) has
+    no zone (httpd logs server-local time; the reference's EC2 AMI runs
+    UTC) and a space-padded day-of-month; the day-of-week token is
+    dropped before parsing because Java's formatter cannot parse 'EEE'.
+    Non-matching lines keep ``_raw`` with null fields — same DLQ
+    routing contract as parse_apache_combined.
+    """
+    line = F.col(line_col)
+    fields = error_fields(line)
+    passthrough = [c for c in df.columns if c != line_col]
+    return df.select(
+        *passthrough,
+        *[v.alias(k) for k, v in fields.items()],
         line.alias("_raw"),
     )
 

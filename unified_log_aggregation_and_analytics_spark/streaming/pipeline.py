@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from unified_log_aggregation_and_analytics_spark.functions.apache_log import (
+    combined_fields,
+    error_fields,
     parse_apache_combined,
 )
 from unified_log_aggregation_and_analytics_spark.operators.transforms import (
@@ -56,26 +58,60 @@ def _finish(df: DataFrame, source: str, ts: F.Column, level: F.Column, message: 
 
 
 def normalize_ec2(df: DataFrame) -> DataFrame:
-    """Apache access-log lines (S1) -> unified rows. Level derives from
-    HTTP status (5xx error / 4xx warn / else info)."""
-    p = parse_apache_combined(df, "value")
-    level = (
-        F.when(F.col("status") >= 500, "error")
-        .when(F.col("status") >= 400, "warn")
-        .when(F.col("status").isNotNull(), "info")
+    """Apache log lines (S1) -> unified rows. The reference's agent
+    tails BOTH access_log* and error_log* into one delivery stream
+    (ec2-startup.sh:46-49), so one batch mixes both formats; lines are
+    routed by their leading character (error lines start with '[',
+    access lines with the client ip). Each branch applies its regex
+    only to its own rows; the union is two filtered scans of the same
+    micro-batch — the standard routing split, no shuffle added.
+
+    Access level derives from HTTP status (5xx error / 4xx warn / else
+    info); error-log level maps the httpd severity onto the unified
+    scale (emerg..error -> error, warn -> warn, rest -> info) and
+    keeps the original in attrs.err_level.
+
+    ONE pass, one scan: the two extraction bundles embed in CASE
+    expressions keyed on the leading character, so each row evaluates
+    only its own format's regexes and the source is never read twice
+    (a union of two filtered branches would double numInputRows and,
+    at 100 TB, ingest cost)."""
+    line = F.col("value")
+    is_err = line.rlike(r"^\[")
+    acc = combined_fields(line)
+    err = error_fields(line)
+
+    acc_level = (
+        F.when(acc["status"] >= 500, "error")
+        .when(acc["status"] >= 400, "warn")
+        .when(acc["status"].isNotNull(), "info")
     )
+    err_level = (
+        F.when(err["level"].isin("emerg", "alert", "crit", "error"), "error")
+        .when(err["level"] == "warn", "warn")
+        .when(err["level"].isNotNull(), "info")
+    )
+    acc_attrs = F.create_map(
+        F.lit("client_ip"), acc["client_ip"],
+        F.lit("method"), acc["method"],
+        F.lit("path"), acc["path"],
+        F.lit("status"), acc["status"].cast("string"),
+        F.lit("bytes"), acc["bytes"].cast("string"),
+        F.lit("user_agent"), acc["user_agent"],
+    )
+    err_attrs = F.create_map(
+        F.lit("client_ip"), err["client_ip"],
+        F.lit("module"), err["module"],
+        F.lit("pid"), err["pid"].cast("string"),
+        F.lit("err_level"), err["level"],
+    )
+    ts = F.when(is_err, err["ts"]).otherwise(acc["ts"])
+    level = F.when(is_err, err_level).otherwise(acc_level)
+    message = F.when(is_err, err["message"]).otherwise(line)
     attrs = F.map_filter(
-        F.create_map(
-            F.lit("client_ip"), F.col("client_ip"),
-            F.lit("method"), F.col("method"),
-            F.lit("path"), F.col("path"),
-            F.lit("status"), F.col("status").cast("string"),
-            F.lit("bytes"), F.col("bytes").cast("string"),
-            F.lit("user_agent"), F.col("user_agent"),
-        ),
-        lambda _, v: v.isNotNull(),
+        F.when(is_err, err_attrs).otherwise(acc_attrs), lambda _, v: v.isNotNull()
     )
-    return _finish(p, "ec2", F.col("ts"), level, F.col("_raw"), attrs, F.col("_raw"))
+    return _finish(df, "ec2", ts, level, message, attrs, line)
 
 
 def normalize_ecs(df: DataFrame) -> DataFrame:
