@@ -71,6 +71,63 @@ def token_index_search(
     return df.join(hits, id_col, "left_semi")
 
 
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Q2 ranked path — BM25 relevance over whitespace tokens: the
+    engine's answer to Discover's *ranked* hits (the reference
+    delegates scoring to OpenSearch's Okapi BM25; same formula here,
+    Lucene-flavored idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Plan shape at scale: one explode over the corpus feeds two hash
+    aggregations (per-doc length; per-(doc, query-term) tf — the
+    filter to query terms happens BEFORE the tf aggregation, so the
+    shuffle carries only matching postings). Document frequency per
+    term and the corpus (N, avg_dl) scalars broadcast; the final
+    score is a vocabulary-keyed join + one sum, topped with
+    TakeOrderedAndProject. With a persisted token index
+    (build_token_index) the explode is replaced by posting-list reads.
+
+    Scores are rounded to 6 decimals with id tie-break (cross-engine
+    float determinism; sum order differences live below round-6)."""
+    terms_lc = sorted({t.lower() for t in terms})
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms_lc))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avg_dl")))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def full_text_search(
     df: DataFrame, term: str, text_col: str = "message", tokenized: bool = False
 ) -> DataFrame:
