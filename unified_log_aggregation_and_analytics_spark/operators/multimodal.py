@@ -1,18 +1,26 @@
 """Multimodal columns (X5): image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side plumbing — schema, batch iteration, partition sizing —
-is real and tested; the actual media decoding is STUBBED because the
-image/audio libraries are not available in this environment. Each stub
-is deterministic so tests can assert exact outputs; swap `_fake_*` for
-Pillow/torchaudio/ffmpeg calls in production.
+Decode tiers:
+- **Real**: binary P6 PPM images are decoded for real (pure numpy —
+  header parse + frombuffer; no external library needed), so the
+  decode → typed-stats path is exercised end-to-end and value-matched
+  against an analytic oracle (catalog ``multimodal_image_stats``).
+- **Gated-real**: other image MIME types decode through Pillow when it
+  is importable (``_HAS_PIL``); without it they raise
+  ``NotImplementedError`` — loud, never silently fake.
+- **Stubbed**: opaque payloads (audio/video/octet-stream) get
+  deterministic md5-derived features so plumbing tests can assert
+  exact outputs; swap for torchaudio/ffmpeg in production.
 
 Scale notes:
 - Binary payloads ride in the same parquet row groups as metadata;
   ``spark.sql.files.maxPartitionBytes`` bounds task input so a
   partition of 10 MB blobs still fits executor memory.
 - mapInPandas streams Arrow batches — one Python worker per task,
-  vectorized transfer; never a per-row Python UDF.
+  vectorized transfer; never a per-row Python UDF. (Per-image decode
+  inside a batch is a Python loop over blobs by nature — identical to
+  what Pillow/ffmpeg would do — but all row bookkeeping is pandas.)
 - Feature extraction emits fixed-size vectors, so downstream
   similarity ops (operators/similarity.py) apply unchanged.
 """
@@ -22,11 +30,20 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # gated-real decode for non-PPM images
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    _HAS_PIL = False
 
 # Unified multimodal record: opaque payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -53,15 +70,50 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for decode + feature-extract.
+PPM_MAGIC = b"P6"
 
-    Real implementation would be e.g. PIL.Image.open + resize + model
-    embed; not available here, so features are derived from the md5
-    digest — stable, collision-resistant, and unit-testable.
-    """
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """REAL image decode for binary (P6) PPM: parse the canonical
+    ``P6\\n<w> <h>\\n<maxval>\\n`` header, then reinterpret the raw
+    pixel bytes as an (h, w, 3) uint8 array — zero-copy via
+    np.frombuffer. Returns (width, height, maxval, pixels), or None
+    when the payload is not a PPM. (Canonical header form only — the
+    rarely-used comment lines are out of scope.)"""
+    if payload is None or not payload.startswith(PPM_MAGIC):
+        return None
+    parts = bytes(payload).split(b"\n", 3)
+    if len(parts) < 4:
+        return None
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    return w, h, maxval, px
+
+
+def _decode_features(payload: bytes, mime: str | None) -> list[float]:
+    """Feature vector per payload. PPM: real decode — dimensions,
+    per-channel means, leading pixel bytes. Other image/* MIME: Pillow
+    when present, NotImplementedError otherwise (never a silent fake).
+    Opaque payloads: deterministic md5-derived stub features."""
     if payload is None:
         raise NotImplementedError("media decode of null payload")
+    ppm = decode_ppm(payload)
+    if ppm is not None:
+        w, h, _, px = ppm
+        flat = px.reshape(-1).astype(np.float64)
+        head = [float(b) / 255.0 for b in flat[: FEATURE_DIM - 5]]
+        feats = [float(w), float(h), *px.reshape(-1, 3).mean(axis=0).tolist(), *head]
+        return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+    if mime is not None and mime.startswith("image/"):
+        if _HAS_PIL:
+            import io
+
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img, dtype=np.float64)
+            feats = [float(img.width), float(img.height), *arr.reshape(-1, 3).mean(axis=0).tolist()]
+            return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+        raise NotImplementedError(f"image decode for {mime} requires Pillow")
     digest = hashlib.md5(payload).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
@@ -79,13 +131,65 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "payload_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "feature": pdf["payload"].map(
-                        lambda p: _fake_decode_features(p) if p is not None else None
-                    ),
+                    "feature": [
+                        _decode_features(p, m) if p is not None else None
+                        for p, m in zip(pdf["payload"], pdf["mime"])
+                    ],
                 }
             )
 
     return df.mapInPandas(batches, schema=_FEATURES_SCHEMA)
+
+
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """X5 typed-stats path — REAL decode to typed columns: width,
+    height, and per-channel pixel means for every decodable image
+    payload (nulls for non-images). Channel sums of uint8 pixels are
+    exact in float64 regardless of summation order, so the output is
+    bit-identical across engines — the property the
+    ``multimodal_image_stats`` oracle check relies on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for p in pdf["payload"]:
+                ppm = decode_ppm(p) if p is not None else None
+                if ppm is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                else:
+                    w, h, _, px = ppm
+                    means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+            o = pd.DataFrame(out)
+            o["width"] = o["width"].astype("Int32")
+            o["height"] = o["height"].astype("Int32")
+            yield o
+
+    return df.mapInPandas(batches, schema=_IMAGE_STATS_SCHEMA)
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -138,24 +242,76 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out: dict[str, list] = {
-                "media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_payload": []
-            }
             vids = pdf[pdf["modality"] == "video"]
-            for _, row in vids.iterrows():
-                dur = row["duration_ms"]
-                n = 1 if pd.isna(dur) else min(int(dur) // every_ms + 1, max_frames)
-                payload = row["payload"] or b""
-                for i in range(n):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(i * every_ms)
-                    # real impl: ffmpeg seek+decode at frame_ts_ms
-                    out["frame_payload"].append(payload[i : i + 16] if payload else None)
-            yield pd.DataFrame(out)
+            if len(vids) == 0:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype="int64"),
+                        "frame_idx": pd.Series([], dtype="int32"),
+                        "frame_ts_ms": pd.Series([], dtype="int64"),
+                        "frame_payload": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            # vectorized 1-to-N fan-out: rows repeat by frame count,
+            # frame_idx = position within each repeat group
+            dur = vids["duration_ms"]
+            n = np.where(
+                dur.isna(), 1, np.minimum(dur.fillna(0).astype("int64") // every_ms + 1, max_frames)
+            ).astype("int64")
+            rep = vids.loc[vids.index.repeat(n)]
+            frame_idx = (np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)).astype(
+                "int32"
+            )
+            # real impl: ffmpeg seek+decode at frame_ts_ms
+            payloads = [
+                p[i : i + 16] if p else None
+                for p, i in zip(rep["payload"], frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": rep["media_id"].to_numpy(),
+                    "frame_idx": frame_idx,
+                    "frame_ts_ms": frame_idx.astype("int64") * every_ms,
+                    "frame_payload": payloads,
+                }
+            )
 
     return df.mapInPandas(batches, schema=_FRAMES_SCHEMA)
+
+
+def media_with_ppm(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
+    """Build a media table whose payloads are REAL binary PPM images,
+    deterministically synthesized from doc_id: pixel byte i of document
+    d is ``(d*7 + i*13) % 256``. The closed form lets an independent
+    engine (the DuckDB oracle) predict the decoded statistics without
+    running the decoder — proving the decode path, not assuming it."""
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            i = np.arange(npx, dtype=np.int64)
+            payloads = [
+                header + ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes() for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
