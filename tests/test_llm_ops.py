@@ -226,6 +226,32 @@ def test_connected_components_matches_union_find(spark):
     assert got[9] == 1 and got[5] == 4
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The 100 TB profile: reliable checkpoint() (survives executor
+    loss) must produce the identical fixpoint as localCheckpoint."""
+    edges = [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 1)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    local = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    reliable = {
+        r.id: r.cluster_id
+        for r in D.connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert reliable == local
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iterations with labels still moving must be loud:
+    partial clusters are silently wrong for dedup. A 6-node path graph
+    needs ~3 min-label rounds; 1 iteration cannot converge."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(1, 7)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iterations=1)
+
+
 def test_ngram_jaccard_df_cap(spark):
     """max_shingle_df drops boilerplate postings: docs that only share
     a corpus-wide shingle lose their pair; genuinely similar docs

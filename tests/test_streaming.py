@@ -539,3 +539,58 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     hours = {r[0].isoformat() for r in new}
     assert "2021-07-29T15:00:00" not in hours  # late row dropped
     assert ("2021-07-29T17:00:00") in {h for h in hours}  # fresh window emitted
+
+
+def test_sustained_trigger_state_bounded_by_watermark(spark, tmp_path):
+    """ST2 scale probe under a SUSTAINED processing-time trigger: feed
+    12 hourly windows over many micro-batches plus one late row, then
+    read the engine's own state-store metrics. Watermark eviction must
+    (a) count the late row in numRowsDroppedByWatermark and (b) keep
+    numRowsTotal bounded at the few open windows — never the full
+    window history — which is what makes unbounded-stream aggregation
+    memory-safe at 100 TB/day."""
+    import json as _json
+    import time
+
+    src_dir = tmp_path / "sustained"
+    src_dir.mkdir()
+    stream = (
+        spark.readStream.schema("source string, ts_s string")
+        .option("maxFilesPerTrigger", 1)  # one event-hour per micro-batch
+        .json(str(src_dir))
+        .select("source", F.to_timestamp("ts_s").alias("ts"))
+    )
+    q = (
+        streaming_hourly_counts(stream, watermark="10 minutes")
+        .writeStream.foreachBatch(lambda bdf, _bid: bdf.count())
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        for h in range(12):
+            (src_dir / f"b{h:02d}.json").write_text(
+                _json.dumps({"source": "ec2", "ts_s": f"2021-07-29 {8 + h}:00:00"}) + "\n"
+            )
+        # a late straggler: hours behind the final 19:50 watermark
+        (src_dir / "late.json").write_text(
+            _json.dumps({"source": "ec2", "ts_s": "2021-07-29 08:05:00"}) + "\n"
+        )
+        deadline = time.time() + 90
+        progs = []
+        while time.time() < deadline:
+            time.sleep(1)
+            progs = [_json.loads(p.json) for p in q.recentProgress]
+            ops = [p["stateOperators"][0] for p in progs if p.get("stateOperators")]
+            if sum(o.get("numRowsDroppedByWatermark", 0) for o in ops) >= 1:
+                break
+    finally:
+        q.stop()
+    ops = [p["stateOperators"][0] for p in progs if p.get("stateOperators")]
+    assert ops, "no state-operator progress recorded"
+    assert sum(o.get("numRowsDroppedByWatermark", 0) for o in ops) >= 1
+    max_state = max(o["numRowsTotal"] for o in ops)
+    # 12 distinct windows flowed through; eviction must keep only the
+    # open tail (current window + the one racing the watermark)
+    assert max_state <= 4, f"state grew to {max_state} rows — eviction broken"
