@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_ivf",
     "text_langid",
+    # round-2 breadth: LLM-pipeline family end to end
+    "knn_batch",
+    "dedup_contamination",
+    "text_tfidf_top",
+    "docs_stratified_sample",
+    "q02c_ranked_search",
+    "knn_ann_lsh_indexed",
 ]
 
 

@@ -784,8 +784,11 @@ def dedup_contamination(spark, sf_dir):
     """X2/decontamination — per training doc, the fraction of its
     3-token shingles present in a held-out benchmark slice
     (doc_id % 97 == 0 stands in for the eval corpus). Benchmark
-    shingle set broadcasts; the corpus side never shuffles."""
-    docs = _t(spark, sf_dir, "documents")
+    shingle set broadcasts; the corpus side never shuffles. _spread:
+    the shingle expression is per-row-heavy (interpreted HOF), so the
+    single-file scan must fan out before it (was 2.8s on one core,
+    0.3s spread)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return D.contamination_overlap(train, bench)
