@@ -126,6 +126,50 @@ def test_ann_index_probe_partition_pruned(spark, tmp_path):
     assert iprobe.collect() == iscan.collect()
 
 
+def test_token_index_bucket_pruned(spark, qs):
+    """The persisted token index must make term lookups bucket-pruned
+    reads (SelectedBucketsCount << total) and reproduce the scan-time
+    results exactly for both boolean and ranked search."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    spark.sql("DROP TABLE IF EXISTS tok_idx_plan_test")
+    spark.sql("DROP TABLE IF EXISTS tok_idx_plan_test_doclen")
+    spark.sql("DROP TABLE IF EXISTS tok_idx_plan_test_stats")
+    docs = load_table(spark, "documents", SF)
+    R.build_token_index_table(docs, "tok_idx_plan_test")
+    try:
+        postings = R.token_postings(spark, "tok_idx_plan_test", ["spark", "vector"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            postings.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount" in plan
+        n_sel = int(plan.split("SelectedBucketsCount: ")[1].split(" out of")[0])
+        assert n_sel <= 2  # two terms -> at most two buckets read
+
+        indexed = R.token_index_table_search(
+            spark, docs, "tok_idx_plan_test", ["spark", "vector"]
+        )
+        idx = R.build_token_index(docs)
+        scan = R.token_index_search(docs, idx, ["spark", "vector"])
+        assert sorted(r.doc_id for r in indexed.collect()) == sorted(
+            r.doc_id for r in scan.collect()
+        )
+
+        ranked_idx = R.bm25_search_indexed(
+            spark, "tok_idx_plan_test", ["merge", "spark", "vector"], k=10
+        )
+        ranked_scan = R.bm25_search(docs, ["merge", "spark", "vector"], k=10)
+        assert ranked_idx.collect() == ranked_scan.collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tok_idx_plan_test")
+        spark.sql("DROP TABLE IF EXISTS tok_idx_plan_test_doclen")
+        spark.sql("DROP TABLE IF EXISTS tok_idx_plan_test_stats")
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
     """Bucketing both join sides on the key pre-partitions data at
     write time: the join plans with NO Exchange on either side — the

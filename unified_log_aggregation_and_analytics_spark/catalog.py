@@ -868,6 +868,39 @@ def q02c_ranked_search(spark, sf_dir):
     return R.bm25_search(docs, ["merge", "spark", "vector"], k=10)
 
 
+def _token_index_table(spark, sf_dir) -> str:
+    """Session-scoped persisted token index for sf_dir: built once per
+    session (amortized over every indexed query), files land under
+    spark-warehouse/. Production would register it in a real
+    metastore; the per-session rebuild keeps the sandbox honest."""
+    name = "tok_idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    if not spark.catalog.tableExists(name):
+        R.build_token_index_table(_t(spark, sf_dir, "documents"), name)
+    return name
+
+
+@_register("q02d_indexed_search", QUERIES["q02b_token_index_search"].oracle)
+def q02d_indexed_search(spark, sf_dir):
+    """Q2 persisted-index path — AND-of-terms search reading only the
+    query terms' posting buckets (SelectedBucketsCount plan-guarded);
+    must equal the scan-time q02b result, hence shares its oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    name = _token_index_table(spark, sf_dir)
+    return R.token_index_table_search(spark, docs, name, ["spark", "vector"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register("q02e_indexed_bm25", QUERIES["q02c_ranked_search"].oracle)
+def q02e_indexed_bm25(spark, sf_dir):
+    """Q2 persisted-index ranked path — BM25 entirely from the index
+    tables (postings + doclen + stats), zero corpus scans at query
+    time; must equal the scan-time q02c scores, hence shares its
+    oracle."""
+    name = _token_index_table(spark, sf_dir)
+    return R.bm25_search_indexed(spark, name, ["merge", "spark", "vector"], k=10)
+
+
 @_register("q06c_approx_percentiles", None)  # t-digest sketch: engine-specific, rows-only
 def q06c_approx_percentiles(spark, sf_dir):
     """Q6/Q7 scale path — approx_percentile (t-digest): single-pass
