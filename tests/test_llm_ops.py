@@ -226,6 +226,36 @@ def test_connected_components_matches_union_find(spark):
     assert got[9] == 1 and got[5] == 4
 
 
+def test_kmeans_refine_improves_objective(spark, tmp_path):
+    """Spherical-k-means refinement must not worsen the clustering
+    objective (mean cosine to assigned centroid) — the Lloyd
+    guarantee — and the refined index must still answer probes."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    emb = load_table(spark, "embeddings", SF).filter(F.col("vec_id") != 0)
+    seed = S.deterministic_centroids(emb, 8)
+    refined = S.kmeans_refine(emb, seed, n_iter=2)
+    before = S.ivf_objective(emb, seed)
+    after = S.ivf_objective(emb, refined)
+    assert after >= before - 1e-9, f"objective worsened: {before} -> {after}"
+
+    path = str(tmp_path / "ivf_refined")
+    A.build_ivf_index(emb, path, n_centroids=8, refine_iters=2)
+    qv = [
+        float(x)
+        for x in load_table(spark, "embeddings", SF)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    got = A.ivf_probe(spark, path, qv, k=5, n_probe=3).collect()
+    assert len(got) == 5
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """The 100 TB profile: reliable checkpoint() (survives executor
     loss) must produce the identical fixpoint as localCheckpoint."""

@@ -89,6 +89,35 @@ def test_ppm_decode_is_real(spark):
     assert round(feats.feature[2], 6) == round(stats[3].mean_r, 6)
 
 
+def test_wav_decode_is_real(spark):
+    """The WAV path genuinely walks RIFF chunks: rate/channels/bits
+    come from the fmt chunk, frames from the data chunk — verified
+    against the synthesis formula and a hand-built 16-bit stereo file."""
+    docs = load_table(spark, "documents", SF).limit(8)
+    media = MM.media_with_wav(docs)
+    stats = {r.media_id: r for r in MM.audio_stats(media).collect()}
+    for d in range(8):
+        exp_mean = sum((d * 11 + i * 17) % 256 for i in range(64)) / 64
+        s = stats[d]
+        assert (s.sample_rate, s.n_channels, s.n_frames, s.duration_ms) == (8000, 1, 64, 8)
+        assert s.mean_amp == exp_mean
+    # hand-built 16-bit stereo WAV exercises dtype + channel math
+    import numpy as np
+
+    samples = np.array([100, -100, 200, -200], dtype=np.int16).tobytes()
+    fmt = (
+        b"fmt \x10\x00\x00\x00" + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(samples).to_bytes(4, "little") + samples
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    rate, ch, bits, n_frames, arr = MM.decode_wav(wav)
+    assert (rate, ch, bits, n_frames) == (44100, 2, 16, 2)
+    assert arr.tolist() == [100, -100, 200, -200]
+    assert MM.decode_wav(b"not a wav") is None
+
+
 def test_non_ppm_image_gated_on_pillow(spark):
     """Contract for the gated-real branch: an image/* payload that is
     not PPM must decode via Pillow when the library exists, and raise

@@ -379,6 +379,28 @@ def multimodal_image_stats(spark, sf_dir):
     return MM.image_stats(media)
 
 
+@_register(
+    "multimodal_audio_stats",
+    """
+    SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
+           list_sum(list_transform(range(0, 64),
+             i -> CAST((doc_id * 11 + i * 17) % 256 AS DOUBLE))) / 64 AS mean_amp
+    FROM documents
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """X5 — REAL audio decode, value-matched: payloads are genuine
+    8-bit mono PCM WAV files synthesized from a closed-form sample
+    formula (operators/multimodal.py media_with_wav); the engine walks
+    the RIFF chunks and reports rate/channels/frames/duration/mean
+    amplitude; the oracle predicts the same analytically WITHOUT a
+    decoder. 64 frames at 8 kHz -> 8 ms."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav(docs)
+    return MM.audio_stats(media)
+
+
 # --- X2/X3 additions: embedding near-dup + IVF ANN ----------------------
 
 

@@ -121,12 +121,25 @@ def build_ivf_index(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 0,
 ) -> None:
     """One-pass IVF index build: nearest-centroid cell per vector via
     one Arrow GEMM per batch (similarity.ivf_assign), table written
     partitioned by cell, centroids persisted as a parquet artifact —
-    probes load 16 rows, never recompute or rescan the corpus."""
+    probes load 16 rows, never recompute or rescan the corpus.
+
+    ``refine_iters`` > 0 runs spherical-k-means rounds
+    (similarity.kmeans_refine) before assignment — tighter cells mean
+    fewer probes for a given recall. Off by default in the catalog:
+    float-mean jitter across runs can flip boundary assignments, and
+    the oracle-checked entries need run-to-run determinism."""
     centroids = deterministic_centroids(df, n_centroids, vec_col, id_col)
+    if refine_iters > 0:
+        from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+            kmeans_refine,
+        )
+
+        centroids = kmeans_refine(df, centroids, n_iter=refine_iters, vec_col=vec_col)
     spark = df.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     (

@@ -283,6 +283,129 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
     return df.mapInPandas(batches, schema=_FRAMES_SCHEMA)
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
+    """REAL audio decode for PCM WAV: walk the RIFF chunk list, parse
+    the ``fmt `` chunk (channels, sample rate, bit depth) and
+    reinterpret the ``data`` chunk as samples (uint8 for 8-bit,
+    int16 for 16-bit). Returns (sample_rate, n_channels, bits,
+    n_frames, samples) or None when the payload is not RIFF/WAVE."""
+    if payload is None or not payload.startswith(WAV_MAGIC) or payload[8:12] != b"WAVE":
+        return None
+    buf = bytes(payload)
+    pos, n = 12, len(buf)
+    rate = channels = bits = None
+    samples = None
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        return None
+    dtype = np.uint8 if bits == 8 else np.int16
+    arr = np.frombuffer(samples, dtype=dtype)
+    n_frames = len(arr) // max(channels, 1)
+    return rate, channels, bits, n_frames, arr
+
+
+_AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """X5 typed-stats path for audio — REAL WAV decode to typed
+    columns: rate/channels/frame-count/duration plus mean amplitude.
+    Integer sample sums are exact in float64, so the means are
+    bit-identical across engines (multimodal_audio_stats oracle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "sample_rate": [], "n_channels": [], "n_frames": [],
+                "duration_ms": [], "mean_amp": [],
+            }
+            for p in pdf["payload"]:
+                wav = decode_wav(p) if p is not None else None
+                if wav is None:
+                    for k in ("sample_rate", "n_channels", "n_frames", "duration_ms", "mean_amp"):
+                        out[k].append(None)
+                else:
+                    rate, ch, _bits, n_frames, arr = wav
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(ch)
+                    out["n_frames"].append(n_frames)
+                    out["duration_ms"].append(n_frames * 1000 // rate)
+                    out["mean_amp"].append(float(arr.astype(np.float64).mean()))
+            o = pd.DataFrame(out)
+            o["sample_rate"] = o["sample_rate"].astype("Int32")
+            o["n_channels"] = o["n_channels"].astype("Int32")
+            o["n_frames"] = o["n_frames"].astype("Int64")
+            o["duration_ms"] = o["duration_ms"].astype("Int64")
+            yield o
+
+    return df.mapInPandas(batches, schema=_AUDIO_STATS_SCHEMA)
+
+
+def media_with_wav(
+    docs: DataFrame, n_samples: int = 64, sample_rate: int = 8000
+) -> DataFrame:
+    """Media table with REAL 8-bit mono PCM WAV payloads synthesized
+    from a closed-form sample formula (sample i of document d is
+    ``(d*11 + i*17) % 256``) — the audio twin of media_with_ppm: the
+    oracle predicts decoded stats analytically, proving the RIFF walk
+    and sample reinterpretation."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        fmt = (
+            b"fmt \x10\x00\x00\x00"  # PCM fmt chunk, 16 bytes
+            + (1).to_bytes(2, "little")  # audio format 1 = PCM
+            + (1).to_bytes(2, "little")  # mono
+            + sample_rate.to_bytes(4, "little")
+            + sample_rate.to_bytes(4, "little")  # byte rate (8-bit mono)
+            + (1).to_bytes(2, "little")  # block align
+            + (8).to_bytes(2, "little")  # bits per sample
+        )
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                data = ((d * 11 + i * 17) % 256).astype(np.uint8).tobytes()
+                body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def media_with_ppm(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
     """Build a media table whose payloads are REAL binary PPM images,
     deterministically synthesized from doc_id: pixel byte i of document
