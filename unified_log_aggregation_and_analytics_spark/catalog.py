@@ -269,6 +269,27 @@ def q07b_approx_distinct(spark, sf_dir):
 
 
 @_register(
+    "q07c_skew_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q07c_skew_distinct(spark, sf_dir):
+    """Q7 skew path — exact per-key COUNT(DISTINCT) via the two-phase
+    rewrite (operators/skew.py): shuffle one is keyed on (key, value)
+    so a hot key's values spread across tasks; the final count
+    aggregates pre-deduped rows. Same answer as the naive plan, no
+    single-task funnel at 100 TB."""
+    from unified_log_aggregation_and_analytics_spark.operators.skew import (
+        two_phase_count_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return two_phase_count_distinct(ev, "event_type", "user_id")
+
+
+@_register(
     "q08_hourly_histogram",
     """
     SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
