@@ -893,9 +893,21 @@ def _token_index_table(spark, sf_dir) -> str:
     """Session-scoped persisted token index for sf_dir: built once per
     session (amortized over every indexed query), files land under
     spark-warehouse/. Production would register it in a real
-    metastore; the per-session rebuild keeps the sandbox honest."""
+    metastore; with the default in-memory catalog a NEW session forgets
+    the table but its managed location survives on disk, so a rebuild
+    must clear the leftover directories first (saveAsTable refuses to
+    create over an existing location)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
     name = "tok_idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     if not spark.catalog.tableExists(name):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for suffix in ("", "_doclen", "_stats"):
+            leftover = Path(wh) / (name + suffix).lower()
+            if leftover.exists() and not spark.catalog.tableExists(name + suffix):
+                shutil.rmtree(leftover)
         R.build_token_index_table(_t(spark, sf_dir, "documents"), name)
     return name
 

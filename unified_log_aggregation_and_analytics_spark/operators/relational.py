@@ -199,26 +199,32 @@ def bm25_search(
     delegates scoring to OpenSearch's Okapi BM25; same formula here,
     Lucene-flavored idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
 
-    Plan shape at scale: one explode over the corpus feeds two hash
-    aggregations (per-doc length; per-(doc, query-term) tf — the
-    filter to query terms happens BEFORE the tf aggregation, so the
-    shuffle carries only matching postings). Document frequency per
-    term and the corpus (N, avg_dl) scalars broadcast; the final
-    score is a vocabulary-keyed join + one sum, topped with
-    TakeOrderedAndProject. With a persisted token index
-    (build_token_index) the explode is replaced by posting-list reads.
+    Plan shape at scale: document length is a MAP-ONLY expression
+    (size of the non-empty token split — no explode, no shuffle), so
+    the only token-granularity work is the tf aggregation, filtered to
+    the query terms BEFORE its shuffle. Document frequency per term
+    and the corpus (N, avg_dl) scalars broadcast; scoring joins the
+    query-term postings back to per-doc lengths on the doc id and the
+    top-k is TakeOrderedAndProject. With a persisted token index
+    (build_token_index_table) even that one corpus pass disappears —
+    see bm25_search_indexed.
 
     Scores are rounded to 6 decimals with id tie-break (cross-engine
     float determinism; sum order differences live below round-6)."""
     terms_lc = sorted({t.lower() for t in terms})
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
-    ).filter(F.col("token") != "")
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    token_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    doclen = df.select(F.col(id_col), F.size(token_arr).alias("dl")).filter(
+        F.col("dl") > 0
+    )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     )
     tf = (
         toks.filter(F.col("token").isin(terms_lc))
