@@ -126,6 +126,50 @@ def test_ann_index_probe_partition_pruned(spark, tmp_path):
     assert iprobe.collect() == iscan.collect()
 
 
+# Entries allowed to plan a BroadcastNestedLoopJoin: each is a
+# crossJoin(broadcast(<1-row scalar>)) — corpus stats or a single query
+# vector — where BNLJ with a 1-row build side IS the right plan. Any
+# other BNLJ (or any CartesianProduct anywhere) fails the sweep.
+SCALAR_BROADCAST_OK = {
+    "q02c_ranked_search",
+    "q02e_indexed_bm25",
+    "knn_cosine",
+    "knn_batch",
+    "text_tfidf_top",
+}
+
+# Entries allowed >2 scans of one parquet file: filtered or map-only
+# re-reads where the persisted-index/materialized variant is the scale
+# path (documented in each docstring).
+MULTI_SCAN_OK = {"q02c_ranked_search", "q13b_range_join_binned", "text_tfidf_top"}
+
+
+def test_catalog_plan_sweep(spark, qs):
+    """Every registered query's physical plan is screened for the
+    anti-patterns that kill 100 TB runs: cartesian products, unintended
+    nested-loop joins, and unbounded re-scans. The whitelists above are
+    the deliberate exceptions; anything new fails here before it can
+    regress silently."""
+    import re
+    from collections import Counter
+
+    offenders = []
+    for name, fn in qs.items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn(spark, SF).explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BROADCAST_OK:
+            offenders.append(f"{name}: BroadcastNestedLoopJoin")
+        scans = Counter(re.findall(r"(\w+)\.parquet", plan))
+        worst = max(scans.values(), default=0)
+        if worst > 2 and name not in MULTI_SCAN_OK:
+            offenders.append(f"{name}: {worst} scans of one table")
+    assert not offenders, "plan regressions: " + "; ".join(offenders)
+
+
 def test_token_index_bucket_pruned(spark, qs):
     """The persisted token index must make term lookups bucket-pruned
     reads (SelectedBucketsCount << total) and reproduce the scan-time
