@@ -116,3 +116,78 @@ def test_lambda_transform_preserves_function_event_multiset(spark, batches):
         e["record"] for b in batches for e in b if e["type"] == "function"
     )
     assert got == expect
+
+
+_MONTH_NUM = {
+    m: i + 1
+    for i, m in enumerate(
+        ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    )
+}
+err_level = st.sampled_from(["error", "warn", "notice", "info", "crit", "debug"])
+err_module = st.one_of(st.none(), st.sampled_from(["core", "mpm_prefork", "ssl", "auth_basic"]))
+
+
+@st.composite
+def error_line(draw):
+    """A structured Apache error-log line (2.2 or 2.4 shape depending
+    on which optional groups are drawn) plus its expected parse."""
+    import datetime as dt
+
+    lvl = draw(err_level)
+    mod = draw(err_module)
+    p = draw(st.one_of(st.none(), st.integers(1, 65535)))
+    client = draw(st.one_of(st.none(), ip))
+    port = draw(st.one_of(st.none(), st.integers(1024, 65535)))
+    h, m, s = draw(clock)
+    d = draw(day)
+    mon = draw(month)
+    us = draw(st.one_of(st.none(), st.integers(0, 999999)))
+    ts_txt = f"Wed {mon} {d:02d} {h:02d}:{m:02d}:{s:02d}"
+    if us is not None:
+        ts_txt += f".{us:06d}"
+    ts_txt += " 2021"
+    parts = [f"[{ts_txt}]", f"[{mod}:{lvl}]" if mod else f"[{lvl}]"]
+    if p is not None:
+        parts.append(f"[pid {p}]")
+    if client is not None:
+        parts.append(f"[client {client}:{port}]" if port else f"[client {client}]")
+    # leading alpha keeps the message from mimicking an optional group
+    msg = "m" + draw(
+        st.text(st.characters(codec="ascii", exclude_characters="\\\r\n"), max_size=30)
+    )
+    expected = {
+        "module": mod,
+        "level": lvl,
+        "pid": p,
+        "client_ip": client,
+        "message": msg,
+        "ts": dt.datetime(2021, _MONTH_NUM[mon], d, h, m, s, us or 0),
+    }
+    return " ".join(parts) + " " + msg, expected
+
+
+@given(cases=st.lists(error_line(), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_apache_error_parse_fields(spark, cases):
+    """T9b: every combination of the error-log format's optional
+    groups (module prefix, pid/tid, client with/without port,
+    fractional seconds) parses to exactly the generating fields."""
+    from unified_log_aggregation_and_analytics_spark.functions.apache_log import (
+        parse_apache_error,
+    )
+
+    df = spark.createDataFrame([(l,) for l, _ in cases], ["value"])
+    rows = {r._raw: r for r in parse_apache_error(df).collect()}
+    assert len(rows) == len({l for l, _ in cases})
+    for line, exp in cases:
+        r = rows[line]
+        got = {
+            "module": r.module,
+            "level": r.level,
+            "pid": r.pid,
+            "client_ip": r.client_ip,
+            "message": r.message,
+            "ts": r.ts,
+        }
+        assert got == exp, f"line {line!r}: {got} != {exp}"

@@ -541,6 +541,51 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert ("2021-07-29T17:00:00") in {h for h in hours}  # fresh window emitted
 
 
+def test_compact_partitions(spark, tmp_path):
+    """K1/K2 companion: three micro-batches leave multiple part files
+    per partition; compaction rewrites to exactly one file per
+    (source, log_date) dir with identical rows."""
+    import os
+
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        compact_partitions,
+    )
+
+    logs_dir = tmp_path / "logs"
+    logs_dir.mkdir()
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    for i, line in enumerate(GOOD_LINES):
+        (logs_dir / f"access_log.{i}").write_text(line + "\n")
+        run_pipeline(
+            stream_text_logs(spark, str(logs_dir)), "ec2", table, rej,
+            str(tmp_path / "ckpt"), trigger={"availableNow": True},
+        ).await_done()
+
+    def files_per_dir(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            parts = [f for f in files if f.startswith("part-")]
+            if parts:
+                out[os.path.relpath(dirpath, root)] = len(parts)
+        return out
+
+    before = files_per_dir(table)
+    assert any(n > 1 for n in before.values()), f"fixture too small: {before}"
+    out = str(tmp_path / "compacted")
+    compact_partitions(spark, table, out)
+    after = files_per_dir(out)
+    assert after and all(n == 1 for n in after.values()), after
+    def row_key(r):
+        d = r.asDict()
+        d["attrs"] = tuple(sorted((d["attrs"] or {}).items()))
+        return tuple(sorted(d.items()))
+
+    orig = sorted(row_key(r) for r in spark.read.parquet(table).collect())
+    comp = sorted(row_key(r) for r in spark.read.parquet(out).collect())
+    assert orig == comp
+
+
 def test_sustained_trigger_state_bounded_by_watermark(spark, tmp_path):
     """ST2 scale probe under a SUSTAINED processing-time trigger: feed
     12 hourly windows over many micro-batches plus one late row, then

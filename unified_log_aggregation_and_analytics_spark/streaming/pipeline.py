@@ -234,6 +234,40 @@ def run_pipeline(
     return PipelineResult(q)
 
 
+def compact_partitions(
+    spark,
+    table_path: str,
+    out_path: str,
+    files_per_partition: int = 1,
+) -> None:
+    """K1/K2 operational companion — small-files compaction: the
+    streaming sink appends one file per task per micro-batch, so a
+    (source, log_date) partition accumulates files linearly with batch
+    count; at a 60 s trigger that is ~1 440 files/partition/day and
+    scan overhead grows with file count, not data size.
+
+    Rewrites the table with each partition hashed to
+    ``files_per_partition`` tasks (repartition on the partition keys —
+    plus a salt when >1 — puts each partition's rows in exactly that
+    many tasks, so the partitioned write emits exactly that many files
+    per directory). Output goes to ``out_path``; the caller swaps
+    directories (object stores make in-place rewrite non-atomic, so
+    the swap is deliberately left to the deployment's rename/commit
+    protocol)."""
+    df = spark.read.parquet(table_path)
+    keys = [F.col("source"), F.col("log_date")]
+    if files_per_partition > 1:
+        # row-level salt (hashing the map-typed attrs is disallowed)
+        keys.append(F.pmod(F.xxhash64("_raw", "ts"), F.lit(files_per_partition)))
+    n_parts = max(df.select("source", "log_date").distinct().count(), 1)
+    (
+        df.repartition(n_parts * files_per_partition, *keys)
+        .write.mode("overwrite")
+        .partitionBy("source", "log_date")
+        .parquet(out_path)
+    )
+
+
 def streaming_hourly_counts(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """ST2+ST3 — watermarked tumbling-hour counts, the streaming form
     of the Discover date histogram. The same expression works under
