@@ -1049,6 +1049,49 @@ def knn_ivf_indexed(spark, sf_dir):
     return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
+def _ann_batch_oracle() -> str:
+    """DuckDB twin of the batch LSH probe: per-query sign-sketch
+    buckets from the same hyperplane literals, candidates within 1 bit
+    of their query's bucket, exact cosine, per-query top-5."""
+    bucket_e = _lsh_bucket_sql("e.embedding")
+    bucket_q = _lsh_bucket_sql("q.qe")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe, ({bucket_q.replace('q.qe', 'embedding')}) AS qbucket
+               FROM embeddings q WHERE vec_id < 4),
+    s AS (SELECT e.vec_id, e.embedding, ({bucket_e}) AS bucket
+          FROM embeddings e WHERE e.vec_id >= 4),
+    cand AS (
+      SELECT q.q_id, s.vec_id,
+             round({_cos_raw('s.embedding', 'q.qe')}, 6) AS cos_sim
+      FROM s JOIN q ON bit_count(CAST(xor(s.bucket, q.qbucket) AS BIGINT)) <= 1
+    ),
+    r AS (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand
+    )
+    SELECT q_id, vec_id, cos_sim FROM r WHERE rn <= 5
+"""
+
+
+@_register("knn_batch_ann_indexed", _ann_batch_oracle())
+def knn_batch_ann_indexed(spark, sf_dir):
+    """X3 — batch retrieval over the persisted LSH index: queries 0-3
+    probe their (1-bit multiprobe) buckets in ONE index read; each
+    candidate scores only against the queries probing its bucket;
+    per-query top-5. The scale shape for high-QPS retrieval — work is
+    bucket-bounded, independent of corpus size."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [(int(r[0]), list(r[1])) for r in
+          emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()]
+    path = _ann_index_path(spark, sf_dir, "lsh8")
+    return A.lsh_probe_batch(
+        spark, path, qs, k=5, candidate_filter=F.col("vec_id") >= 4
+    )
+
+
 @_register(
     "ann_lsh_index_stats",
     f"""

@@ -34,7 +34,7 @@ from itertools import combinations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unified_log_aggregation_and_analytics_spark.operators.similarity import (
@@ -113,6 +113,72 @@ def lsh_probe(
     idx = spark.read.parquet(_table_path(path))
     cand = idx.filter(F.col("bucket").isin(probe)).drop("bucket")
     return knn_brute_force(cand, query_vec, k, vec_col, id_col)
+
+
+def lsh_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Batch ANN over the persisted LSH index — the retrieval-workload
+    shape (Q queries, one index read). Per-query probe buckets are
+    enumerated on the driver (Q x ~n_bits ids); the index is read ONCE
+    with the union of all probe buckets as the partition filter, each
+    candidate joins only the queries probing its bucket (broadcast
+    (q_id, bucket) pairs), scoring is the exact cosine kernel, and the
+    per-query top-k is a window rank. Total work: |union of buckets|
+    partitions scanned + Q x |bucket| scorings — independent of corpus
+    size."""
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    planes = lsh_planes(len(queries[0][1]), n_bits, seed)
+    pairs: list[tuple[int, int]] = []
+    qrows = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        qb = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
+        buckets = {qb}
+        for d in range(1, multiprobe_bits + 1):
+            for bits in combinations(range(n_bits), d):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                buckets.add(qb ^ flip)
+        pairs.extend((qid, b) for b in sorted(buckets))
+        qrows.append((qid, [float(x) for x in vec]))
+    probe_df = spark.createDataFrame(pairs, "q_id long, bucket long")
+    qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
+    idx = spark.read.parquet(_table_path(path))
+    cand = idx.filter(F.col("bucket").isin(sorted({b for _, b in pairs})))
+    if candidate_filter is not None:
+        # applied BEFORE scoring/ranking (e.g. exclude the query set)
+        cand = cand.filter(candidate_filter)
+    sims = (
+        cand.join(F.broadcast(probe_df), "bucket")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, "cos_sim")
+    )
 
 
 def build_ivf_index(
