@@ -81,9 +81,9 @@ def main() -> None:
 
     # Per query: one unmeasured warmup execution (pays the one-time
     # Janino codegen compile of that plan, ~1-3s for the wide dedup
-    # plans), then the MIN of two measured runs — steady-state
+    # plans), then the MIN of three measured runs — steady-state
     # throughput, which is what a resident engine on a long-lived
-    # cluster delivers. Min-of-2 because this host exhibits sporadic
+    # cluster delivers. Min-of-N because this host exhibits sporadic
     # ~45 s freezes (observed hitting exactly one arbitrary query per
     # session); the minimum is the standard noise-robust estimator.
     timings: dict[str, float] = {}
@@ -91,7 +91,7 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)

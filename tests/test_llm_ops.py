@@ -414,3 +414,55 @@ def test_knn_batch_agrees_with_single_query(spark, emb):
         for r in S.knn_batch(emb, query_ids=[0], k=5).filter(F.col("q_id") == 0).collect()
     }
     assert batch == single
+
+
+def test_repetition_stats_hand_computed(spark):
+    from unified_log_aggregation_and_analytics_spark.operators.text import repetition_stats
+
+    # "a a b c": 4 tokens, 3 uniq, top count 2; bigrams (a,a)(a,b)(b,c)
+    # all distinct -> dup_bigram_frac 0.  "x x x x": 4 tokens, 1 uniq;
+    # bigrams (x,x)x3 -> 2/3 duplicated.
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "x x x x"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].dup_word_frac == pytest.approx(0.25)
+    assert rows[1].top_word_frac == pytest.approx(0.5)
+    assert rows[1].dup_bigram_frac == pytest.approx(0.0)
+    assert rows[2].dup_word_frac == pytest.approx(0.75)
+    assert rows[2].dup_bigram_frac == pytest.approx(2 / 3)
+    # single-token doc: no bigrams, guarded division
+    assert rows[3].n_tokens == 1 and rows[3].dup_bigram_frac == 0.0
+
+
+def test_quality_filter_rules_and_order(spark):
+    from unified_log_aggregation_and_analytics_spark.operators.text import quality_filter
+
+    long_varied = " ".join(f"w{i}" for i in range(40))
+    repetitive = " ".join(["dup"] * 40)
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, repetitive), (3, long_varied)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert rows[1].verdict == "too_short" and not rows[1].kept
+    assert rows[2].verdict == "dup_words" and not rows[2].kept  # first failed rule
+    assert rows[3].verdict == "keep" and rows[3].kept
+
+
+def test_chunk_dedup_finds_shared_boilerplate(spark):
+    boiler = " ".join(f"b{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"c{i}" for i in range(20))
+    # boilerplate chunk leads two different documents
+    df = spark.createDataFrame(
+        [(10, f"{boiler} {uniq_a}"), (20, f"{boiler} {uniq_b}")],
+        "doc_id long, text string",
+    )
+    out = D.chunk_dedup(df).collect()
+    by_copies = sorted((r.n_copies, r.n_docs, r.keep_doc) for r in out)
+    assert len(out) == 3  # boiler (shared) + two unique tails
+    assert by_copies[-1] == (2, 2, 10)  # shared chunk seen in both docs
+    expect = hashlib.md5(boiler.encode()).hexdigest()
+    assert any(r.chunk_hash == expect and r.n_copies == 2 for r in out)

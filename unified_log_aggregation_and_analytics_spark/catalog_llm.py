@@ -275,6 +275,117 @@ def text_quality(spark, sf_dir):
     )
 
 
+@_register(
+    "text_repetition",
+    """
+    WITH sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents
+    ), bg AS (
+      SELECT doc_id, greatest(len(s) - 1, 0) AS nb,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(s), 1)),
+               i -> s[i] || ' ' || s[i + 1]
+             ))) AS nb_uniq
+      FROM sp
+    ), tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ), wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), w AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_uniq, MAX(c) AS top_cnt
+      FROM wc GROUP BY 1
+    )
+    SELECT w.doc_id, n_tokens,
+           CAST(n_tokens - n_uniq AS DOUBLE) / n_tokens AS dup_word_frac,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_word_frac,
+           CASE WHEN nb > 0
+                THEN CAST(nb - nb_uniq AS DOUBLE) / nb
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM w JOIN bg ON w.doc_id = bg.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """X4 — Gopher-style repetition signals: duplicate-word fraction,
+    top-word fraction, duplicate-bigram fraction (the 'repetitious
+    document' quality-filter family)."""
+    return X.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_quality_filter",
+    """
+    WITH sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents
+    ), bg AS (
+      SELECT doc_id, greatest(len(s) - 1, 0) AS nb,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(s), 1)),
+               i -> s[i] || ' ' || s[i + 1]
+             ))) AS nb_uniq
+      FROM sp
+    ), tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ), wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), w AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_uniq, MAX(c) AS top_cnt
+      FROM wc GROUP BY 1
+    ), rep AS (
+      SELECT w.doc_id, n_tokens,
+             CAST(n_tokens - n_uniq AS DOUBLE) / n_tokens AS dup_word_frac,
+             CAST(top_cnt AS DOUBLE) / n_tokens AS top_word_frac,
+             CASE WHEN nb > 0
+                  THEN CAST(nb - nb_uniq AS DOUBLE) / nb
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM w JOIN bg ON w.doc_id = bg.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 30 THEN 'too_short'
+                WHEN dup_word_frac > 0.7 THEN 'dup_words'
+                WHEN top_word_frac > 0.2 THEN 'top_word'
+                WHEN dup_bigram_frac > 0.6 THEN 'dup_bigrams'
+                ELSE 'keep' END AS verdict,
+           (CASE WHEN n_tokens < 30 THEN 'too_short'
+                WHEN dup_word_frac > 0.7 THEN 'dup_words'
+                WHEN top_word_frac > 0.2 THEN 'top_word'
+                WHEN dup_bigram_frac > 0.6 THEN 'dup_bigrams'
+                ELSE 'keep' END) = 'keep' AS kept
+    FROM rep
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """X4 — composite C4/Gopher keep-drop verdict with the first
+    failed rule per document (per-rule rejection-rate reporting)."""
+    return X.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_chunks",
+    """
+    WITH sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(CAST(ceil(len(s) / 20.0) AS BIGINT), 1)),
+               i -> array_to_string(list_slice(s, i * 20 + 1, i * 20 + 20), ' ')
+             )) AS chunk
+      FROM sp
+    )
+    SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keep_doc
+    FROM ch GROUP BY 1
+    """,
+)
+def dedup_chunks(spark, sf_dir):
+    """X1/X2 — sub-document boilerplate dedup: corpus-wide dedup of
+    fixed 20-token chunks (repeated headers/footers recur as identical
+    chunks across non-duplicate documents)."""
+    return D.chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
 _LANGID_HITS = {
     "en": "('the', 'a', 'of', 'and', 'to')",
     "de": "('der', 'die', 'das', 'und', 'ist')",

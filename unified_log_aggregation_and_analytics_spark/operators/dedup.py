@@ -54,6 +54,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """X1/X2 — sub-document dedup: split each document's token stream
+    into fixed ``chunk_tokens``-token chunks and dedup the chunks
+    corpus-wide (the boilerplate-stripping granularity — repeated
+    headers/footers/navigation recur as identical chunks across
+    documents that are not themselves duplicates).
+
+    Plan shape: per-doc chunking is an array expression + explode
+    (map-only, linear in corpus tokens); the dedup is one hash
+    aggregation on the chunk md5 with map-side partial combine — a
+    document's own repeated chunks collapse before the shuffle. Keep
+    policy is deterministic min(doc_id).
+    """
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - F.lit(1)) * chunk_tokens + F.lit(1), chunk_tokens)
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    return exploded.groupBy(
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_hash")
+    ).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.min(id_col).alias("keep_doc"),
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -218,6 +218,89 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X4 — Gopher-style repetition signals per document: duplicate
+    word fraction, top-word fraction, and duplicate bigram fraction
+    (the "repetitious document" family of quality filters from the
+    Gopher/MassiveText rules, adapted to word granularity).
+
+    Plan shape at scale: the bigram duplicate fraction is a pure array
+    expression (``arrays_zip`` of two shifted slices — no lambda HOF,
+    stays in codegen) computed in the pre-explode projection and
+    carried through as per-doc constants; word multiplicities are
+    explode → (doc, token) hash agg → (doc) hash agg, both map-side
+    combined. Zero joins, one shuffle pair keyed on doc/token.
+    """
+    toks = tokens(text_col)
+    nb = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.arrays_zip(F.slice(toks, 1, nb), F.slice(toks, 2, nb))
+    exploded = df.select(
+        F.col(id_col),
+        nb.alias("nb"),
+        F.size(F.array_distinct(bigrams)).alias("nb_uniq"),
+        F.explode(toks).alias("tok"),
+    )
+    wc = exploded.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("nb").alias("nb"),
+        F.max("nb_uniq").alias("nb_uniq"),
+    )
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("c").alias("top_cnt"),
+        F.max("nb").alias("nb"),
+        F.max("nb_uniq").alias("nb_uniq"),
+    )
+    n = F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        ((n - F.col("n_uniq")).cast("double") / n).alias("dup_word_frac"),
+        (F.col("top_cnt").cast("double") / n).alias("top_word_frac"),
+        F.when(
+            F.col("nb") > 0,
+            (F.col("nb") - F.col("nb_uniq")).cast("double") / F.col("nb"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+# C4-style composite filter thresholds: a document is kept when it is
+# long enough, lexically diverse, and not dominated by repetition.
+QF_MIN_TOKENS = 30
+QF_MAX_DUP_WORD_FRAC = 0.7
+QF_MAX_TOP_WORD_FRAC = 0.2
+QF_MAX_DUP_BIGRAM_FRAC = 0.6
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X4 — composite keep/drop verdict (C4/Gopher-flavored): combines
+    the repetition signals with a length floor; emits the keep flag
+    AND the first failed rule, so the pipeline can report per-rule
+    rejection rates. Same plan shape as repetition_stats plus one
+    map-only CASE projection."""
+    rep = repetition_stats(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("dup_word_frac") > QF_MAX_DUP_WORD_FRAC, F.lit("dup_words"))
+        .when(F.col("top_word_frac") > QF_MAX_TOP_WORD_FRAC, F.lit("top_word"))
+        .when(
+            F.col("dup_bigram_frac") > QF_MAX_DUP_BIGRAM_FRAC, F.lit("dup_bigrams")
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return rep.select(
+        id_col,
+        "n_tokens",
+        reason.alias("verdict"),
+        (reason == "keep").alias("kept"),
+    )
+
+
 def corpus_ngram_counts(
     df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
 ) -> DataFrame:
