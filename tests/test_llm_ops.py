@@ -466,3 +466,20 @@ def test_chunk_dedup_finds_shared_boilerplate(spark):
     assert by_copies[-1] == (2, 2, 10)  # shared chunk seen in both docs
     expect = hashlib.md5(boiler.encode()).hexdigest()
     assert any(r.chunk_hash == expect and r.n_copies == 2 for r in out)
+
+
+def test_quantize_int8_hand_computed_and_error_bound(spark, emb):
+    # [0, 1, 2]: mn=0, scale=2/255, codes floor(x*255/2+0.5) -> 0,128,255
+    df = spark.createDataFrame([(1, [0.0, 1.0, 2.0]), (2, [3.0, 3.0, 3.0])],
+                               "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    expect = hashlib.md5(b"0,128,255").hexdigest()
+    assert rows[1].q_hash == expect
+    assert rows[1].max_abs_err <= (2 / 255) / 2 + 1e-6  # +quantum: err is rounded to 6dp
+    # constant vector: scale 0 guard -> all-zero codes, zero error
+    assert rows[2].q_hash == hashlib.md5(b"0,0,0").hexdigest()
+    assert rows[2].max_abs_err == 0.0
+    # real corpus: reconstruction error bounded by half a step
+    out = S.quantize_embeddings(emb).agg(F.max("max_abs_err")).collect()[0][0]
+    step = 2.0 / 255  # embeddings are unit-ish; generous bound
+    assert out <= step / 2 + 1e-6

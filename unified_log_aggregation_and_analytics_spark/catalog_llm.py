@@ -1054,6 +1054,38 @@ def docs_quota_sample(spark, sf_dir):
 # indexes explicitly instead.
 
 
+@_register(
+    "emb_quantize_int8",
+    """
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e, list_min(e) AS mn,
+             (list_max(e) - list_min(e)) / 255.0 AS sc
+      FROM b
+    ), q AS (
+      SELECT vec_id, e, mn, sc,
+             CASE WHEN sc = 0
+                  THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(floor((x - mn) / sc + 0.5) AS BIGINT))
+             END AS qv
+      FROM m
+    )
+    SELECT vec_id, md5(array_to_string(qv, ',')) AS q_hash,
+           round(CASE WHEN sc = 0 THEN 0.0
+                      ELSE list_max(list_transform(range(1, len(e) + 1),
+                           i -> abs(e[i] - (mn + qv[i] * sc)))) END, 6) AS max_abs_err
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """X3 — int8 range quantization of the embedding column with a
+    reconstruction-error certificate (the storage-compression step
+    before indexing a 100 TB vector corpus)."""
+    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
     """Return the index directory for (sf_dir, kind), building it if
     absent or stale (row count mismatch vs the source table)."""

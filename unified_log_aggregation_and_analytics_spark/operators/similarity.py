@@ -274,3 +274,42 @@ def knn_batch(
         .filter(F.col("rn") <= k)
         .select("q_id", id_col, "cos_sim")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X3 — per-vector int8 range quantization (the 4× storage
+    compression step before a 100 TB vector corpus is indexed):
+    ``q_i = floor((x_i - min) / scale + 0.5)`` with
+    ``scale = (max - min) / 255``, plus the max absolute
+    reconstruction error as a quality certificate.
+
+    floor(v + 0.5) instead of round() keeps half-tie behavior
+    identical across engines. Map-only column expressions — no
+    shuffle, no Python; the quantized vector is emitted as an md5
+    certificate over its comma-joined codes so cross-engine equality
+    checks stay cheap.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn = F.array_min(e)
+    sc = (F.array_max(e) - mn) / F.lit(255.0)
+    qv = F.when(
+        sc == 0, F.transform(e, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(e, lambda x: F.floor((x - mn) / sc + F.lit(0.5)))
+    )
+    err = F.when(sc == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(e, qv, lambda x, q: F.abs(x - (mn + q.cast("double") * sc)))
+        )
+    )
+    return df.select(
+        id_col,
+        F.md5(
+            F.concat_ws(",", F.transform(qv, lambda x: x.cast("string"))).cast("binary")
+        ).alias("q_hash"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
