@@ -483,3 +483,24 @@ def test_quantize_int8_hand_computed_and_error_bound(spark, emb):
     out = S.quantize_embeddings(emb).agg(F.max("max_abs_err")).collect()[0][0]
     step = 2.0 / 255  # embeddings are unit-ish; generous bound
     assert out <= step / 2 + 1e-6
+
+
+def test_mixture_sample_binding_stratum_and_determinism(spark, docs):
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import mixture_sample
+
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mixture_sample(docs, w)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # only weighted sources survive
+    assert set(got) <= set(w)
+    # binding stratum (largest w/n ratio) keeps every row: uniform
+    # counts -> src0 has the max weight, so it binds
+    assert got["src0"] == full["src0"]
+    # no stratum oversampled, and the mix leans toward the weights
+    assert got["src1"] <= full["src1"] and got["src2"] <= full["src2"]
+    assert got["src2"] <= got["src1"] <= got["src0"]
+    # pure function of (id, weights, counts): identical on rerun
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in mixture_sample(docs, w).collect()
+    )

@@ -1018,6 +1018,41 @@ def docs_stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "docs_mixture_sample",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n,
+             CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 ELSE NULL END AS w
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT * FROM c WHERE w IS NOT NULL
+    ), m AS (
+      SELECT MIN(CAST(n AS DOUBLE) / w) AS nout FROM t
+    ), r AS (
+      SELECT source, least(w * nout / n, 1.0) AS keep_rate FROM t, m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 1000000000 AS DOUBLE) + 0.5) / 1000000000.0 < keep_rate
+    """,
+)
+def docs_mixture_sample(spark, sf_dir):
+    """Data mixing: the largest deterministic sample hitting a 50/30/20
+    target mixture over src0/src1/src2 without oversampling any source
+    (binding source keeps everything; others hash-downsample). Rates
+    derive from corpus counts inside the plan — a stratum-cardinality
+    aggregation plus a broadcast join; the corpus never shuffles."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+
+@_register(
     "docs_quota_sample",
     """
     WITH p AS (

@@ -164,3 +164,48 @@ def quota_sample(
         .filter(F.col("rn") <= k_per_stratum)
         .drop("rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing: draw the largest deterministic sample whose
+    stratum proportions match the target ``weights`` without
+    oversampling any stratum. The binding stratum (smallest
+    ``n_s / w_s``) keeps all its rows; every other stratum is
+    hash-downsampled to ``rate_s = w_s * N_out / n_s`` with
+    ``N_out = min_s(n_s / w_s)``. Strata absent from ``weights`` are
+    dropped.
+
+    Plan shape: one tiny aggregation for the per-stratum counts
+    (stratum cardinality rows — sources/languages, never corpus-sized),
+    a 1-row global min, then the rates broadcast-join back onto the
+    corpus and membership is the map-only hash rule — the corpus
+    itself is never shuffled, and membership is a pure function of
+    (id, weights, corpus counts): stable across runs and engines.
+    """
+    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", m[F.col(stratum_col)])
+        .filter(F.col("w").isNotNull())
+    )
+    nout = counts.agg(
+        F.min(F.col("n").cast("double") / F.col("w")).alias("nout")
+    )
+    rates = counts.crossJoin(F.broadcast(nout)).select(
+        stratum_col,
+        F.least(
+            F.col("w") * F.col("nout") / F.col("n"), F.lit(1.0)
+        ).alias("keep_rate"),
+    )
+    u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("keep_rate"))
+        .select(id_col, stratum_col)
+    )
