@@ -244,3 +244,45 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_write_range_sorted_layout_gives_disjoint_file_stats(spark, tmp_path):
+    """The layout writer must produce files whose parquet min/max
+    statistics are pairwise disjoint on the sort column — the property
+    that lets a predicate skip whole files at scale."""
+    import pyarrow.parquet as pq
+
+    from unified_log_aggregation_and_analytics_spark.sources.batch import (
+        load_table,
+        write_range_sorted,
+    )
+
+    out = str(tmp_path / "orders_by_custkey")
+    orders = load_table(spark, "orders", SF)
+    write_range_sorted(orders, out, "o_custkey", n_ranges=4)
+
+    ranges = []
+    for f in sorted((tmp_path / "orders_by_custkey").glob("part-*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.names.index("o_custkey")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # file key ranges never interleave
+
+    # and a predicate on the sort column still reaches the scan
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    buf = _io.StringIO()
+    with _rs(buf):
+        spark.read.parquet(out).filter(F.col("o_custkey") < 100).explain("formatted")
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)]" in buf.getvalue()

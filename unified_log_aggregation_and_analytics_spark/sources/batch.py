@@ -53,3 +53,31 @@ def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -
     against the same names DuckDB pre-registers (driver contract)."""
     for name in TESTDATA_TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_ranges: int = 8,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Data-layout management: write a table range-partitioned and
+    sorted on ``sort_col`` so parquet row-group/file min-max statistics
+    become disjoint — a later scan with a ``sort_col`` predicate skips
+    whole files instead of reading the full table.
+
+    ``repartitionByRange`` samples the column to build balanced range
+    boundaries (one shuffle), ``sortWithinPartitions`` orders rows
+    inside each output file (no extra shuffle). At 100 TB this is the
+    difference between a time-range query touching ~1/N of the files
+    and touching all of them; the same layout is what makes
+    z-order/liquid-clustering effective in lakehouse engines. Combine
+    with ``partition_by`` (e.g. log_date) for directory-level pruning
+    on a second key.
+    """
+    out = df.repartitionByRange(n_ranges, sort_col).sortWithinPartitions(sort_col)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
