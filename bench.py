@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "docs_stratified_sample",
     "q02c_ranked_search",
     "knn_ann_lsh_indexed",
+    # round-2 additions: quality filtering, sub-doc dedup, compression,
+    # data mixing, batch indexed retrieval
+    "text_repetition",
+    "dedup_chunks",
+    "emb_quantize_int8",
+    "docs_mixture_sample",
+    "knn_batch_ann_indexed",
 ]
 
 

@@ -309,7 +309,7 @@ def text_repetition(spark, sf_dir):
     """X4 — Gopher-style repetition signals: duplicate-word fraction,
     top-word fraction, duplicate-bigram fraction (the 'repetitious
     document' quality-filter family)."""
-    return X.repetition_stats(_t(spark, sf_dir, "documents"))
+    return X.repetition_stats(_spread(_t(spark, sf_dir, "documents")))
 
 
 @_register(
@@ -358,7 +358,7 @@ def text_repetition(spark, sf_dir):
 def text_quality_filter(spark, sf_dir):
     """X4 — composite C4/Gopher keep-drop verdict with the first
     failed rule per document (per-rule rejection-rate reporting)."""
-    return X.quality_filter(_t(spark, sf_dir, "documents"))
+    return X.quality_filter(_spread(_t(spark, sf_dir, "documents")))
 
 
 @_register(
@@ -383,7 +383,7 @@ def dedup_chunks(spark, sf_dir):
     """X1/X2 — sub-document boilerplate dedup: corpus-wide dedup of
     fixed 20-token chunks (repeated headers/footers recur as identical
     chunks across non-duplicate documents)."""
-    return D.chunk_dedup(_t(spark, sf_dir, "documents"))
+    return D.chunk_dedup(_spread(_t(spark, sf_dir, "documents")))
 
 
 _LANGID_HITS = {
@@ -1118,7 +1118,7 @@ def emb_quantize_int8(spark, sf_dir):
     """X3 — int8 range quantization of the embedding column with a
     reconstruction-error certificate (the storage-compression step
     before indexing a 100 TB vector corpus)."""
-    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return S.quantize_embeddings(_spread(_t(spark, sf_dir, "embeddings")))
 
 
 def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
