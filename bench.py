@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "emb_quantize_int8",
     "docs_mixture_sample",
     "knn_batch_ann_indexed",
+    "docs_training_pipeline",
 ]
 
 

@@ -504,3 +504,20 @@ def test_mixture_sample_binding_stratum_and_determinism(spark, docs):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in mixture_sample(docs, w).collect()
     )
+
+
+def test_training_pipeline_composition_properties(spark, docs):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["docs_training_pipeline"](spark, SF)
+    joined = out.join(docs.select("doc_id", "text"), "doc_id")
+    # dedup stage: no two surviving docs share a text
+    n = joined.count()
+    assert joined.select("text").distinct().count() == n
+    # filter stage: every survivor passes the quality filter
+    from unified_log_aggregation_and_analytics_spark.operators.text import quality_filter
+    bad = out.join(quality_filter(docs).filter(~F.col("kept")), "doc_id").count()
+    assert bad == 0
+    # split stage: only the three labels, all non-empty at this SF
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}

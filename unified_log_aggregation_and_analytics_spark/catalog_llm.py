@@ -1288,3 +1288,62 @@ def ann_lsh_index_stats(spark, sf_dir):
     return idx.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --- End-to-end training-data pipeline ----------------------------------
+
+# The flagship composition: quality-filter -> exact-dedup -> split, the
+# minimal real preprocessing pipeline a training corpus goes through.
+# The oracle nests the registered quality-filter SQL as a CTE so both
+# engines run the identical rule chain.
+_PIPELINE_ORACLE = f"""
+    WITH qf AS ({QUERIES['text_quality_filter'].oracle}),
+    kept AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+      WHERE qf.kept
+    ), dd AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM kept
+    ), u AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 100 AS BIGINT) AS bucket
+      FROM dd WHERE rn = 1
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+"""
+
+
+@_register("docs_training_pipeline", _PIPELINE_ORACLE)
+def docs_training_pipeline(spark, sf_dir):
+    """End-to-end preprocessing pipeline over the documents table:
+    C4/Gopher quality filter (keep verdicts) -> exact dedup
+    (keep-min-id per md5(text)) -> deterministic train/val/test split.
+
+    Plan shape: the filter chain is the repetition aggregation + one
+    doc_id join back onto the corpus; dedup is one window over the
+    md5 key (equivalently a groupBy+join — same single shuffle); the
+    split is the map-only hash rule. Three shuffles total end to end,
+    each on a uniform key, at corpus scale."""
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    kept_ids = X.quality_filter(docs).filter(F.col("kept")).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return hash_split(uniq).select("doc_id", "source", "split")
