@@ -136,7 +136,6 @@ SCALAR_BROADCAST_OK = {
     "knn_cosine",
     "knn_batch",
     "text_tfidf_top",
-    "docs_mixture_sample",  # 1-row global min of per-source rates
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

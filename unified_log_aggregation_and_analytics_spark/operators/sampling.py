@@ -181,12 +181,17 @@ def mixture_sample(
     dropped.
 
     Plan shape: one tiny aggregation for the per-stratum counts
-    (stratum cardinality rows — sources/languages, never corpus-sized),
-    a 1-row global min, then the rates broadcast-join back onto the
-    corpus and membership is the map-only hash rule — the corpus
-    itself is never shuffled, and membership is a pure function of
-    (id, weights, corpus counts): stable across runs and engines.
+    (stratum cardinality rows — sources/languages, never corpus-sized);
+    the global min over those counts is a window over the SAME tiny
+    relation (a separate .agg() would re-scan the corpus — measured as
+    a third parquet scan in the plan sweep); then the rates
+    broadcast-join back onto the corpus and membership is the map-only
+    hash rule — the corpus itself is never shuffled, and membership is
+    a pure function of (id, weights, corpus counts): stable across
+    runs and engines.
     """
+    from pyspark.sql import Window
+
     m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     counts = (
         df.groupBy(stratum_col)
@@ -194,14 +199,14 @@ def mixture_sample(
         .withColumn("w", m[F.col(stratum_col)])
         .filter(F.col("w").isNotNull())
     )
-    nout = counts.agg(
-        F.min(F.col("n").cast("double") / F.col("w")).alias("nout")
+    # global window over a stratum-cardinality relation (sources /
+    # languages): one single-partition exchange of ~|strata| rows.
+    nout = F.min(F.col("n").cast("double") / F.col("w")).over(
+        Window.partitionBy()
     )
-    rates = counts.crossJoin(F.broadcast(nout)).select(
+    rates = counts.select(
         stratum_col,
-        F.least(
-            F.col("w") * F.col("nout") / F.col("n"), F.lit(1.0)
-        ).alias("keep_rate"),
+        F.least(F.col("w") * nout / F.col("n"), F.lit(1.0)).alias("keep_rate"),
     )
     u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
     return (
