@@ -1347,3 +1347,67 @@ def docs_training_pipeline(spark, sf_dir):
         .drop("rn")
     )
     return hash_split(uniq).select("doc_id", "source", "split")
+
+
+def _ivf_batch_oracle() -> str:
+    """DuckDB twin of the batch IVF probe: centroids are the persisted
+    16 lowest-id corpus vectors (cid 1..16 = cell cid-1); per query the
+    4 nearest centroids (ties -> higher cid, matching argsort()[::-1]);
+    candidates are vectors >= 4 whose assigned cell (argmax cosine,
+    ties -> lower cid, matching numpy argmax) is probed by that query;
+    exact cosine, per-query top-5 on the rounded score."""
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+    probe AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_cos_raw('c.ce', 'q.qe')} DESC, c.cid DESC
+               ) AS pr
+        FROM c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c WHERE e.vec_id >= 4
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             round({_cos_raw('a.embedding', 'q.qe')}, 6) AS cos_sim
+      FROM asg a JOIN probe p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@_register("knn_batch_ivf_indexed", _ivf_batch_oracle())
+def knn_batch_ivf_indexed(spark, sf_dir):
+    """X3 — batch retrieval over the persisted IVF index: queries 0-3
+    rank the 16 stored centroids on the driver, the union of their
+    probe cells is ONE partition-pruned index read, and each candidate
+    scores only against the queries probing its cell. The IVF twin of
+    knn_batch_ann_indexed."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [(int(r[0]), list(r[1])) for r in
+          emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()]
+    path = _ann_index_path(spark, sf_dir, "ivf16")
+    return A.ivf_probe_batch(
+        spark, path, qs, k=5, candidate_filter=F.col("vec_id") >= 4
+    )

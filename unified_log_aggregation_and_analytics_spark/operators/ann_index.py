@@ -249,3 +249,59 @@ def ivf_probe(
     idx = spark.read.parquet(_table_path(path))
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
     return knn_brute_force(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Batch IVF retrieval over the persisted index — Q queries, ONE
+    index read. Centroid ranking happens on the driver (Q × n_centroids
+    matmul against the 16-row persisted artifact); the union of all
+    probed cells becomes the partition filter, each candidate scores
+    only against the queries probing its cell (broadcast (q_id, cell)
+    pairs), and the per-query top-k is a window rank. Work scales with
+    |probed cells| + Q × |cell|, independent of corpus size."""
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    centroids = load_centroids(spark, path, vec_col)
+    norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    pairs: list[tuple[int, int]] = []
+    qrows = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        cells = [int(c) for c in (norm @ q).argsort()[::-1][:n_probe]]
+        pairs.extend((qid, c) for c in cells)
+        qrows.append((qid, [float(x) for x in vec]))
+    probe_df = spark.createDataFrame(pairs, "q_id long, cell int")
+    qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
+    idx = spark.read.parquet(_table_path(path))
+    cand = idx.filter(F.col("cell").isin(sorted({c for _, c in pairs})))
+    if candidate_filter is not None:
+        cand = cand.filter(candidate_filter)
+    sims = (
+        cand.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, "cos_sim")
+    )
