@@ -136,6 +136,7 @@ SCALAR_BROADCAST_OK = {
     "knn_cosine",
     "knn_batch",
     "text_tfidf_top",
+    "ann_recall_report",  # composes knn_cosine's 1-row query broadcast
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

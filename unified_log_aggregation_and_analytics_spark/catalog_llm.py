@@ -1411,3 +1411,38 @@ def knn_batch_ivf_indexed(spark, sf_dir):
     return A.ivf_probe_batch(
         spark, path, qs, k=5, candidate_filter=F.col("vec_id") >= 4
     )
+
+
+@_register(
+    "ann_recall_report",
+    f"""
+    WITH ex AS ({_KNN_ORACLE}),
+    ap AS ({{APPROX}})
+    SELECT 10 AS k, COUNT(*) AS n_hits, COUNT(*) / 10.0 AS recall_at_10
+    FROM ex JOIN ap ON ex.vec_id = ap.vec_id
+    """.replace("{APPROX}", "PLACEHOLDER"),
+)
+def ann_recall_report(spark, sf_dir):
+    """X3 — retrieval-quality certificate: recall@10 of the persisted
+    LSH-index probe against the exact brute-force top-10 for query 0,
+    computed as a plan (join of the two top-10 sets + one count) — the
+    evaluation query an ANN deployment runs after every index build."""
+    exact = QUERIES["knn_cosine"].spark_fn(spark, sf_dir).select("vec_id")
+    approx = QUERIES["knn_ann_lsh_indexed"].spark_fn(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_hits",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
+
+
+# The approx side of the recall oracle is the full LSH oracle text;
+# splice it in now that both strings exist.
+QUERIES["ann_recall_report"] = QuerySpec(
+    QUERIES["ann_recall_report"].spark_fn,
+    QUERIES["ann_recall_report"].oracle.replace("PLACEHOLDER", _ann_lsh_oracle()),
+)
