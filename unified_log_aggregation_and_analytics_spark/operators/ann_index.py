@@ -142,6 +142,8 @@ def lsh_probe_batch(
         cosine_similarity,
     )
 
+    if not queries:
+        raise ValueError("lsh_probe_batch requires at least one query")
     planes = lsh_planes(len(queries[0][1]), n_bits, seed)
     pairs: list[tuple[int, int]] = []
     qrows = []
@@ -274,6 +276,8 @@ def ivf_probe_batch(
         cosine_similarity,
     )
 
+    if not queries:
+        raise ValueError("ivf_probe_batch requires at least one query")
     centroids = load_centroids(spark, path, vec_col)
     norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     pairs: list[tuple[int, int]] = []

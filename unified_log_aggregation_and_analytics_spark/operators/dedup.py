@@ -72,6 +72,8 @@ def chunk_dedup(
     document's own repeated chunks collapse before the shuffle. Keep
     policy is deterministic min(doc_id).
     """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
     toks = tokens(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(

@@ -192,6 +192,8 @@ def mixture_sample(
     """
     from pyspark.sql import Window
 
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive")
     m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     counts = (
         df.groupBy(stratum_col)
