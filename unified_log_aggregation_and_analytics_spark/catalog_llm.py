@@ -1446,3 +1446,29 @@ QUERIES["ann_recall_report"] = QuerySpec(
     QUERIES["ann_recall_report"].spark_fn,
     QUERIES["ann_recall_report"].oracle.replace("PLACEHOLDER", _ann_lsh_oracle()),
 )
+
+
+@_register(
+    "langid_accuracy_report",
+    f"""
+    WITH p AS ({_LANGID_ORACLE})
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+             AS accuracy
+    FROM p GROUP BY lang
+    """,
+)
+def langid_accuracy_report(spark, sf_dir):
+    """X4 — classifier-quality certificate: per-language accuracy of
+    the stopword language-ID heuristic against the labeled lang column
+    (the evaluation query a pipeline runs before trusting a filter
+    stage). Composes the registered text_langid plan + one hash agg."""
+    pred = QUERIES["text_langid"].spark_fn(spark, sf_dir)
+    n = F.count(F.lit(1))
+    hit = F.sum((F.col("pred_lang") == F.col("lang")).cast("long"))
+    return pred.groupBy("lang").agg(
+        n.alias("n_docs"),
+        hit.alias("n_correct"),
+        (hit / n.cast("double")).alias("accuracy"),
+    )
