@@ -1121,13 +1121,20 @@ def emb_quantize_int8(spark, sf_dir):
     return S.quantize_embeddings(_spread(_t(spark, sf_dir, "embeddings")))
 
 
+_ANN_FRESH: set[str] = set()
+
+
 def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
     """Return the index directory for (sf_dir, kind), building it if
-    absent or stale (row count mismatch vs the source table)."""
+    absent or stale (row count mismatch vs the source table). The
+    freshness probe (two counts) runs once per process — repeated
+    probes in the same session (bench, batch entries) skip it."""
     from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
 
     repo = Path(__file__).resolve().parents[1]
     path = repo / ".ann_index" / Path(str(sf_dir).rstrip("/")).name / kind
+    if str(path) in _ANN_FRESH:
+        return str(path)
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     table = path / "table"
     fresh = (table / "_SUCCESS").exists()
@@ -1140,6 +1147,7 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_ivf_index(emb, str(path), n_centroids=16)
         else:
             raise ValueError(f"unknown index kind {kind!r}")
+    _ANN_FRESH.add(str(path))
     return str(path)
 
 
