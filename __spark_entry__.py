@@ -39,12 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark_fn for name, spec in _catalog.QUERIES.items()}
+    # Stratified order (catalog.GATE_ORDER): the driver's correctness
+    # gate samples the first 50 entries, so that window carries one
+    # representative per operator family instead of registration order.
+    return {name: _catalog.QUERIES[name].spark_fn for name in _catalog.gate_ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
-        for name, spec in _catalog.QUERIES.items()
-        if spec.oracle is not None
+        name: _catalog.QUERIES[name].oracle
+        for name in _catalog.gate_ordered_names()
+        if _catalog.QUERIES[name].oracle is not None
     }

@@ -45,3 +45,48 @@ def test_bench_queries_are_registered():
     qs = set(entry.queries())
     missing = sorted(set(bench.BENCH_QUERIES) - qs)
     assert not missing, f"bench.py names unregistered queries: {missing}"
+
+
+# --- gate-window stratification ---------------------------------------
+# The driver's correctness gate samples the FIRST catalog.GATE_WINDOW
+# entries of queries(). These guards make ordering-based coverage
+# non-fragile: if the catalog grows, a family falling out of the window
+# fails the suite instead of silently losing its driver row.
+
+from unified_log_aggregation_and_analytics_spark import catalog as _cat
+
+# family -> at-least-these-many representatives required in the window
+_FAMILIES = {
+    "relational": (re.compile(r"^(q\d|tpch_)"), 20),
+    "logs": (re.compile(r"^logs_"), 3),
+    "dedup": (re.compile(r"^dedup_"), 5),
+    "similarity": (re.compile(r"^(knn_|ann_|emb_)"), 4),
+    "text": (re.compile(r"^text_"), 3),
+    "sampling": (re.compile(r"^docs_"), 3),
+    "multimodal": (re.compile(r"^multimodal_"), 2),
+}
+
+
+def test_gate_order_names_all_registered():
+    names = _cat.gate_ordered_names()  # raises KeyError on a stale name
+    assert names[: len(_cat.GATE_ORDER)] == _cat.GATE_ORDER
+    assert sorted(names) == sorted(_cat.QUERIES)
+    assert list(entry.queries()) == names
+
+
+def test_gate_window_covers_every_family():
+    window = list(entry.queries())[: _cat.GATE_WINDOW]
+    for family, (pat, minimum) in _FAMILIES.items():
+        got = [n for n in window if pat.match(n)]
+        assert len(got) >= minimum, (
+            f"gate window has {len(got)} {family} entries, needs ≥{minimum}: {got}"
+        )
+
+
+def test_gate_window_entries_carry_oracles():
+    # The window is the hard evidence channel — approximate-sketch
+    # rows-only entries belong outside it.
+    window = list(entry.queries())[: _cat.GATE_WINDOW]
+    oracles = entry.oracle_sql()
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"gate-window entries without oracle SQL: {missing}"

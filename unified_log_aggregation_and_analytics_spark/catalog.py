@@ -51,6 +51,89 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's correctness gate samples the FIRST 50 entries of
+# ``queries()``. Registration order (module import order) would put all
+# relational queries first and leave the LLM-pipeline families (dedup /
+# ANN / text / sampling / multimodal) without a driver-verified row, so
+# the gate window is stratified explicitly: one representative per
+# operator family, relational + logs + every LLM family interleaved.
+# ``gate_ordered_names()`` validates the list against the registry and
+# tests/test_catalog_gate.py asserts family coverage of the window, so
+# a catalog grown past 50 can never silently drop a family again.
+GATE_WINDOW = 50
+
+GATE_ORDER: list[str] = [
+    # -- relational core: one per SURVEY §2 Q-operator (+ scale variants
+    #    that exercise a distinct physical strategy)
+    "q01_filter_predicates",
+    "q02_fulltext_search",
+    "q02e_indexed_bm25",        # token index + BM25 + persisted-index read
+    "q03_time_range",
+    "q04_projection",
+    "q05_union_sources",
+    "q06_tpch_q1",
+    "q07c_skew_distinct",       # distinct + two-phase skew path
+    "q08_hourly_histogram",
+    "q08b_sliding_window",
+    "q09_sort_orders",
+    "q10b_topk_per_group",      # top-K + per-group window rank
+    "q11_join_star_revenue",    # broadcast star join
+    "q11c_salted_join",         # skew-salted shuffle join
+    "q12_semi_join",
+    "q12b_anti_join",
+    "q13_asof_join",
+    "q14_window_funcs",
+    "q15_intersect",
+    "q15b_except",
+    "q16_rollup",
+    "q16c_grouping_sets",
+    "q17_dedup_distinct",
+    "q18_pivot",
+    "tpch_q3",
+    "tpch_q5",
+    # -- log-pipeline analytics (reference's Discover/transform surface)
+    "logs_error_rate",
+    "logs_sessionize",
+    "logs_apache_parse",
+    "logs_envelope_roundtrip",
+    # -- dedup family (X1/X2)
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_ngram_jaccard",
+    "dedup_chunks",
+    "dedup_embedding_cosine",
+    # -- similarity search family (X3)
+    "knn_ann_lsh_oracle",
+    "knn_ivf",
+    "knn_ann_lsh_indexed",
+    "knn_batch_ann_indexed",
+    "ann_recall_report",
+    # -- text analysis family (X4)
+    "text_langid",
+    "text_quality_filter",
+    "text_tfidf_top",
+    # -- sampling / training-pipeline family
+    "docs_hash_split",
+    "docs_mixture_sample",
+    "docs_training_pipeline",
+    # -- multimodal family (X5)
+    "multimodal_image_stats",
+    "multimodal_audio_stats",
+]
+
+
+def gate_ordered_names() -> list[str]:
+    """All registered query names, GATE_ORDER first, rest in
+    registration order. Call after every catalog module has imported."""
+    missing = [n for n in GATE_ORDER if n not in QUERIES]
+    if missing:
+        raise KeyError(f"GATE_ORDER names not registered: {missing}")
+    rest = [n for n in QUERIES if n not in set(GATE_ORDER)]
+    return list(GATE_ORDER) + rest
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
 
