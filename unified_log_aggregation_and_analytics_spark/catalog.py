@@ -523,13 +523,19 @@ def q12_semi_join(spark, sf_dir):
     "q12b_anti_join",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def q12b_anti_join(spark, sf_dir):
-    """Q12 — left-anti join: customers with no orders at all."""
+    """Q12 — left-anti join: customers with no urgent orders. The
+    right side is filtered so the result is non-empty at every SF
+    (every customer has *some* order in the testdata; a 0-row
+    certificate can't distinguish a correct anti-join from one that
+    drops everything)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -620,17 +626,28 @@ def q15_intersect(spark, sf_dir):
 @_register(
     "q15b_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT DISTINCT l_suppkey AS suppkey FROM lineitem WHERE l_discount > 0.09
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 5000
     """,
 )
 def q15b_except(spark, sf_dir):
-    """Q15 — set difference (nations with customers but no
-    suppliers)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Q15 — set difference: well-capitalized suppliers that shipped
+    deep-discount items. Both sides filtered so the difference is
+    non-empty at every SF (customer/supplier nationkeys fully overlap
+    in the testdata, which made the old certificate a vacuous 0=0)."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.09)
+        .select(F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 5000)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    return l.subtract(s)
 
 
 @_register(

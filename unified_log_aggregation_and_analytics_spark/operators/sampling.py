@@ -182,16 +182,17 @@ def mixture_sample(
 
     Plan shape: one tiny aggregation for the per-stratum counts
     (stratum cardinality rows — sources/languages, never corpus-sized);
-    the global min over those counts is a window over the SAME tiny
-    relation (a separate .agg() would re-scan the corpus — measured as
-    a third parquet scan in the plan sweep); then the rates
+    the global min over those counts is a 1-row HashAggregate over the
+    SAME tiny relation, carrying the strata alongside via
+    ``collect_list`` so the corpus lineage is scanned exactly once for
+    the counts (a separate ``.agg()`` subtree would re-scan it, and the
+    previous ``Window.partitionBy()`` formulation emitted the
+    global-window WindowExec warning on every run); then the rates
     broadcast-join back onto the corpus and membership is the map-only
     hash rule — the corpus itself is never shuffled, and membership is
     a pure function of (id, weights, corpus counts): stable across
     runs and engines.
     """
-    from pyspark.sql import Window
-
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("mixture weights must be positive")
     m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
@@ -201,14 +202,21 @@ def mixture_sample(
         .withColumn("w", m[F.col(stratum_col)])
         .filter(F.col("w").isNotNull())
     )
-    # global window over a stratum-cardinality relation (sources /
-    # languages): one single-partition exchange of ~|strata| rows.
-    nout = F.min(F.col("n").cast("double") / F.col("w")).over(
-        Window.partitionBy()
-    )
-    rates = counts.select(
-        stratum_col,
-        F.least(F.col("w") * nout / F.col("n"), F.lit(1.0)).alias("keep_rate"),
+    # 1-row global aggregate over a stratum-cardinality relation
+    # (sources / languages): one single-partition exchange of
+    # ~|strata| rows, then explode the strata back out of it.
+    rates = (
+        counts.agg(
+            F.min(F.col("n").cast("double") / F.col("w")).alias("n_out"),
+            F.collect_list(F.struct(stratum_col, "n", "w")).alias("strata"),
+        )
+        .select(F.col("n_out"), F.explode("strata").alias("s"))
+        .select(
+            F.col(f"s.{stratum_col}").alias(stratum_col),
+            F.least(
+                F.col("s.w") * F.col("n_out") / F.col("s.n"), F.lit(1.0)
+            ).alias("keep_rate"),
+        )
     )
     u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
     return (
