@@ -1,0 +1,155 @@
+"""Incremental index maintenance (VERDICT r3 item 2): append-mode
+ingest for the persisted LSH/IVF/token indexes must be probe-
+equivalent to a fresh full rebuild, manifests must record lineage,
+and compaction must fold small files without changing results.
+
+The scale claim under test: a delta ingest touches O(|delta|) rows
+(frozen planes / frozen centroids / delta-only postings), never the
+base index, so daily refresh at 100 TB is an append + periodic
+compaction instead of a full rebuild.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+from unified_log_aggregation_and_analytics_spark.operators import relational as R
+from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR).filter(F.col("vec_id") != 0)
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    row = (
+        load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def test_lsh_append_equals_full_build(spark, emb, qvec, tmp_path_factory):
+    full = str(tmp_path_factory.mktemp("lsh_full"))
+    inc = str(tmp_path_factory.mktemp("lsh_inc"))
+    base = emb.filter(F.col("vec_id") % 2 == 1)
+    delta = emb.filter(F.col("vec_id") % 2 == 0)
+
+    A.build_lsh_index(emb, full, n_bits=8, seed=42)
+    A.build_lsh_index(base, inc, n_bits=8, seed=42)
+    A.append_lsh_index(delta, inc, n_bits=8, seed=42)
+
+    got = _rows(A.lsh_probe(spark, inc, qvec, k=10, multiprobe_bits=1))
+    want = _rows(A.lsh_probe(spark, full, qvec, k=10, multiprobe_bits=1))
+    assert got == want and len(got) == 10
+
+    ops = [v["op"] for v in A.read_manifest(inc)]
+    assert ops == ["build", "append"]
+    n_base, n_delta = base.count(), delta.count()
+    assert [v["rows"] for v in A.read_manifest(inc)] == [n_base, n_delta]
+
+
+def test_lsh_append_is_delta_sized(spark, emb, tmp_path_factory):
+    """The append must not rewrite base rows: base files survive
+    byte-identical (same paths, same sizes) after the append."""
+    inc = str(tmp_path_factory.mktemp("lsh_delta"))
+    base = emb.filter(F.col("vec_id") % 2 == 1)
+    delta = emb.filter(F.col("vec_id") % 2 == 0)
+    A.build_lsh_index(base, inc, n_bits=8, seed=42)
+    table = Path(inc) / "table"
+    before = {
+        str(p.relative_to(table)): p.stat().st_size
+        for p in table.rglob("*.parquet")
+    }
+    A.append_lsh_index(delta, inc, n_bits=8, seed=42)
+    after = {
+        str(p.relative_to(table)): p.stat().st_size
+        for p in table.rglob("*.parquet")
+    }
+    assert set(before) <= set(after)
+    assert all(after[f] == sz for f, sz in before.items())
+    assert len(after) > len(before)
+
+
+def test_compact_preserves_probe_and_folds_files(spark, emb, qvec, tmp_path_factory):
+    inc = str(tmp_path_factory.mktemp("lsh_compact"))
+    base = emb.filter(F.col("vec_id") % 2 == 1)
+    delta = emb.filter(F.col("vec_id") % 2 == 0)
+    A.build_lsh_index(base, inc, n_bits=8, seed=42)
+    A.append_lsh_index(delta, inc, n_bits=8, seed=42)
+    want = _rows(A.lsh_probe(spark, inc, qvec, k=10, multiprobe_bits=1))
+
+    A.compact_index(spark, inc, part_col="bucket", files_per_partition=1)
+
+    got = _rows(A.lsh_probe(spark, inc, qvec, k=10, multiprobe_bits=1))
+    assert got == want
+    table = Path(inc) / "table"
+    for bucket_dir in table.glob("bucket=*"):
+        assert len(list(bucket_dir.glob("*.parquet"))) == 1
+    assert [v["op"] for v in A.read_manifest(inc)] == ["build", "append", "compact"]
+    total = spark.read.parquet(str(table)).count()
+    assert A.read_manifest(inc)[-1]["rows"] == total == emb.count()
+
+
+def test_ivf_append_equals_full_build(spark, emb, qvec, tmp_path_factory):
+    """Base holds the 16 lowest-id vectors (the deterministic centroid
+    seeds), so the frozen persisted centroids equal a fresh full
+    build's — the precondition append_ivf_index documents."""
+    full = str(tmp_path_factory.mktemp("ivf_full"))
+    inc = str(tmp_path_factory.mktemp("ivf_inc"))
+    base = emb.filter(F.col("vec_id") <= 40)
+    delta = emb.filter(F.col("vec_id") > 40)
+
+    A.build_ivf_index(emb, full, n_centroids=16)
+    A.build_ivf_index(base, inc, n_centroids=16)
+    A.append_ivf_index(delta, inc)
+
+    got = _rows(A.ivf_probe(spark, inc, qvec, k=10, n_probe=4))
+    want = _rows(A.ivf_probe(spark, full, qvec, k=10, n_probe=4))
+    assert got == want and len(got) == 10
+    assert [v["op"] for v in A.read_manifest(inc)] == ["build", "append"]
+
+
+def test_token_index_append_equals_full_build(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    base = docs.filter(F.col("doc_id") % 2 == 1)
+    delta = docs.filter(F.col("doc_id") % 2 == 0)
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("tok_mnt_full", "tok_mnt_inc"):
+        for suffix in ("", "_doclen", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+            leftover = Path(wh) / (name + suffix).lower()
+            if leftover.exists():
+                shutil.rmtree(leftover)
+
+    R.build_token_index_table(docs, "tok_mnt_full")
+    R.build_token_index_table(base, "tok_mnt_inc")
+    R.append_token_index_table(delta, "tok_mnt_inc")
+
+    terms = ["merge", "spark", "vector"]
+    got = _rows(R.bm25_search_indexed(spark, "tok_mnt_inc", terms, k=10))
+    want = _rows(R.bm25_search_indexed(spark, "tok_mnt_full", terms, k=10))
+    assert got == want and len(got) == 10
+
+    # scalars refreshed from the doclen table, not stale base values
+    s_full = spark.table("tok_mnt_full_stats").first()
+    s_inc = spark.table("tok_mnt_inc_stats").first()
+    assert s_inc["n_docs"] == s_full["n_docs"]
+    assert abs(s_inc["avg_dl"] - s_full["avg_dl"]) < 1e-9

@@ -133,6 +133,7 @@ def test_ann_index_probe_partition_pruned(spark, tmp_path):
 SCALAR_BROADCAST_OK = {
     "q02c_ranked_search",
     "q02e_indexed_bm25",
+    "q02f_indexed_bm25_appended",  # same bm25_search_indexed plan as q02e
     "knn_cosine",
     "knn_batch",
     "text_tfidf_top",

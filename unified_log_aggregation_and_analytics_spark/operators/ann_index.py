@@ -23,6 +23,23 @@ query touches buckets/cells totalling a few percent of the data and
 never recomputes hyperplanes, centroids, or assignments. Rebuilds are
 explicit (mode=overwrite), not implicit per query.
 
+Incremental maintenance (the reference's daily-rotation contract,
+/root/reference/README.md:30, applied to the vector side): new
+documents arrive continuously, and a full rebuild per refresh is
+untenable at 100 TB. ``append_lsh_index`` / ``append_ivf_index``
+ingest a delta by writing its rows into the EXISTING bucket/cell
+partition directories — legal because the assignment functions are
+frozen: LSH planes are a pure function of (dim, n_bits, seed) and IVF
+assigns against the persisted centroid artifact, so a vector's
+partition never depends on when it was ingested, and a probe over
+(base + deltas) is value-identical to a probe over a fresh full build
+(the catalog proves this through the driver oracle: the appended
+entries share the full-corpus oracle SQL). Every build/append/compact
+records a version row in ``_manifest.jsonl`` so operators can audit
+segment lineage; appends accumulate small files per partition, which
+``compact_index`` folds back to ``files_per_partition`` files per
+directory without touching assignment.
+
 Reference parity: the reference delegates vector search entirely to
 its search backend; this is the Spark-native equivalent of building
 that backend's index files (SURVEY.md §2 X3).
@@ -30,7 +47,11 @@ that backend's index files (SURVEY.md §2 X3).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from itertools import combinations
+from pathlib import Path
 
 import numpy as np
 
@@ -52,6 +73,33 @@ def _table_path(path: str) -> str:
 
 def _centroids_path(path: str) -> str:
     return f"{path}/centroids"
+
+
+def _manifest_path(path: str) -> str:
+    return f"{path}/_manifest.jsonl"
+
+
+def read_manifest(path: str) -> list[dict]:
+    """Version history of the index at ``path``: one dict per
+    build/append/compact, oldest first. Empty list if the index
+    predates manifests (or was never built)."""
+    p = Path(_manifest_path(path))
+    if not p.exists():
+        return []
+    return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
+
+
+def _record_version(path: str, op: str, rows: int) -> None:
+    """Append a version row to the index manifest. The manifest is a
+    driver-side artifact (bounded: one line per maintenance op); on an
+    object store the append becomes a conditional-put of a new version
+    object under the same prefix — the deployment's commit protocol,
+    like the compaction swap below."""
+    versions = read_manifest(path)
+    entry = {"version": len(versions) + 1, "op": op, "rows": int(rows)}
+    Path(path).mkdir(parents=True, exist_ok=True)
+    with open(_manifest_path(path), "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
 
 
 def build_lsh_index(
@@ -82,6 +130,71 @@ def build_lsh_index(
         .partitionBy("bucket")
         .parquet(_table_path(path))
     )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(path, "build", df.sparkSession.read.parquet(_table_path(path)).count())
+
+
+def append_lsh_index(
+    df_new: DataFrame,
+    path: str,
+    n_bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental LSH ingest: sketch ONLY the delta with the same
+    (dim, n_bits, seed)-derived planes the base build used and append
+    its rows into the existing per-bucket partition directories. No
+    base rows are read or rewritten — delta cost is O(|delta|), not
+    O(|index|) — and because the plane set is a pure function of the
+    build parameters, (base + delta) is row-identical to a fresh full
+    build over the union (catalog entry knn_ann_lsh_appended certifies
+    this against the full-corpus oracle). Records an ``append``
+    manifest version; run ``compact_index`` periodically to fold the
+    per-append small files."""
+    dim = len(df_new.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_bits, seed)
+    delta = df_new.select(id_col, vec_col).withColumn(
+        "bucket", sign_sketch(vec_col, planes)
+    )
+    delta.write.mode("append").partitionBy("bucket").parquet(_table_path(path))
+    _record_version(path, "append", df_new.count())
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    files_per_partition: int = 1,
+    id_col: str = "vec_id",
+) -> None:
+    """Index small-files compaction (same contract as
+    streaming/pipeline.py compact_partitions): each append writes one
+    file per task per partition, so probe-time open cost grows with
+    append count, not data size. Rewrites the table with each
+    partition's rows hashed into ``files_per_partition`` tasks and
+    swaps the directory. The swap here is a local-FS rename executed
+    on the driver; an object-store deployment substitutes its atomic
+    rename/commit protocol, exactly as compact_partitions documents.
+    Assignment columns are untouched, so probe results are preserved
+    (asserted in tests/test_index_maintenance.py)."""
+    table = _table_path(path)
+    df = spark.read.parquet(table)
+    keys = [F.col(part_col)]
+    if files_per_partition > 1:
+        keys.append(F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_partition)))
+    n_parts = max(df.select(part_col).distinct().count(), 1)
+    tmp = f"{table}__compact_tmp"
+    (
+        df.repartition(n_parts * files_per_partition, *keys)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp)
+    )
+    rows = spark.read.parquet(tmp).count()
+    shutil.rmtree(table)
+    os.rename(tmp, table)
+    _record_version(path, "compact", rows)
 
 
 def lsh_probe(
@@ -222,6 +335,35 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(path, "build", spark.read.parquet(_table_path(path)).count())
+
+
+def append_ivf_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF ingest: assign ONLY the delta against the
+    PERSISTED centroid artifact (frozen — never recomputed from the
+    grown corpus, which would reshuffle every existing assignment) and
+    append its rows into the existing per-cell partitions. Delta cost
+    is one Arrow GEMM pass over the delta; probe results over
+    (base + delta) equal a fresh full build whenever the fresh build
+    would pick the same centroids (catalog entry knn_ivf_appended
+    certifies this against the full-corpus oracle). Centroid drift
+    under heavy append is an explicit rebuild decision — the manifest's
+    append/build ratio is the signal."""
+    spark = df_new.sparkSession
+    centroids = load_centroids(spark, path, vec_col)
+    (
+        ivf_assign(df_new.select(id_col, vec_col), centroids, vec_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_table_path(path))
+    )
+    _record_version(path, "append", df_new.count())
 
 
 def load_centroids(spark: SparkSession, path: str, vec_col: str = "embedding") -> np.ndarray:

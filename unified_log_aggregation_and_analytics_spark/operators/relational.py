@@ -120,6 +120,53 @@ def build_token_index_table(
     )
 
 
+def append_token_index_table(
+    df_new: DataFrame,
+    table_name: str,
+    n_buckets: int = TOKEN_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Q2 incremental ingest — extend the persisted inverted index
+    with a batch of NEW documents without rebuilding: the delta's
+    (token, id, tf) postings append into the bucketed table (Spark
+    validates the bucket spec matches, so hash(term) pruning keeps
+    working across base + delta files), the delta's doclen rows
+    append, and the 1-row stats table is recomputed FROM THE DOCLEN
+    TABLE — an aggregate over |docs| counter rows, never a corpus
+    rescan. Delta cost is one explode + two hash aggs over the new
+    docs only; the daily-index-rotation contract of the reference
+    (/root/reference/README.md:30) becomes "append today's postings,
+    refresh the scalars".
+
+    Caller contract: ``df_new`` holds documents whose ids are NOT in
+    the base (re-ingesting an id would double its postings — upstream
+    exact dedup is the guard, as in the streaming pipeline)."""
+    toks = df_new.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.write.bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .mode("append")
+        .saveAsTable(table_name)
+    )
+    spark = df_new.sparkSession
+    doclen_delta = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    doclen_delta.write.mode("append").saveAsTable(f"{table_name}_doclen")
+    (
+        spark.table(f"{table_name}_doclen")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(f"{table_name}_stats")
+    )
+
+
 def token_postings(spark, table_name: str, terms: list[str]) -> DataFrame:
     """Bucket-pruned posting-list read for a term set. Requires
     autoBucketedScan off so the planner keeps the bucketed layout for
