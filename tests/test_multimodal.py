@@ -140,3 +140,42 @@ def test_non_ppm_image_gated_on_pillow(spark):
     # opaque payloads still use the deterministic stub either way
     stub = MM._decode_features(b"opaque", "application/octet-stream")
     assert stub == [b / 255.0 for b in hashlib.md5(b"opaque").digest()[: MM.FEATURE_DIM]]
+
+
+def test_png_roundtrip_all_filters():
+    """The pure-stdlib PNG codec round-trips every scanline filter
+    type and every supported color layout — the decoder's unfilter
+    paths (None/Sub/Up/Average/Paeth) each reconstruct exact pixels."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for shape in [(4, 4, 3), (7, 5, 3), (1, 1, 3), (6, 3, 1), (5, 4, 4), (3, 8, 2)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for f in range(5):
+            w, h, c, out = MM.decode_png(MM.encode_png(px, filter_type=f))
+            assert (w, h, c) == (shape[1], shape[0], shape[2])
+            assert np.array_equal(out, px), (shape, f)
+    assert MM.decode_png(b"not a png") is None
+
+
+def test_png_unsupported_is_loud():
+    """16-bit / interlaced PNGs must raise, never silently skip: a
+    corpus of unsupported files should fail the job, not vanish."""
+    import numpy as np
+
+    data = bytearray(MM.encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    ihdr_depth = 8 + 4 + 4 + 8  # magic + len + type + w + h
+    data[ihdr_depth] = 16
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        MM.decode_png(bytes(data))
+
+
+def test_png_image_stats_match_ppm(spark):
+    """Compressed-decode certificate: PNG-encoded closed-form pixels
+    (filters cycling by doc_id) decode to EXACTLY the stats the PPM
+    path reports — inflate + unfilter reconstruct the pixel bytes."""
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(40)
+    ppm = MM.image_stats(MM.media_with_ppm(docs, 4, 4)).collect()
+    png = MM.image_stats(MM.media_with_png(docs, 4, 4)).collect()
+    assert sorted(map(tuple, png)) == sorted(map(tuple, ppm))
+    assert len(png) == 40

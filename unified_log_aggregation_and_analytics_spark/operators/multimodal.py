@@ -2,10 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode tiers:
-- **Real**: binary P6 PPM images are decoded for real (pure numpy —
-  header parse + frombuffer; no external library needed), so the
-  decode → typed-stats path is exercised end-to-end and value-matched
-  against an analytic oracle (catalog ``multimodal_image_stats``).
+- **Real**: binary P6 PPM images, PNG (full chunk walk + zlib inflate
+  + all five scanline filters — pure stdlib/numpy), and PCM WAV are
+  decoded for real, so the decode → typed-stats path is exercised
+  end-to-end and value-matched against analytic oracles (catalog
+  ``multimodal_image_stats`` / ``multimodal_image_stats_png`` /
+  ``multimodal_audio_stats``).
 - **Gated-real**: other image MIME types decode through Pillow when it
   is importable (``_HAS_PIL``); without it they raise
   ``NotImplementedError`` — loud, never silently fake.
@@ -91,6 +93,159 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     return w, h, maxval, px
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type -> samples per pixel (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG filter 4), vectorized over a scanline."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """REAL compressed-image decode for PNG, pure stdlib+numpy: verify
+    the signature, walk the chunk list (length/type/body/CRC), parse
+    IHDR, zlib-inflate the concatenated IDAT stream, then invert the
+    per-scanline filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth —
+    the full filter set). Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the canonical
+    output of every mainstream encoder. Returns (width, height,
+    channels, pixels[(h, w, c) uint8]) or None when the payload is not
+    a PNG; raises NotImplementedError for exotic depth/interlace so an
+    unsupported file is loud, never silently skipped.
+
+    Per-scanline unfiltering is sequential by spec (each row depends on
+    the previous), but Sub/Paeth's intra-row dependency runs on whole
+    pixel-stride slices and Up/Average vectorize across the row; the
+    per-image cost is what any native decoder pays, and rows ride in
+    Arrow batches through mapInPandas like every other decode here."""
+    import zlib
+
+    if payload is None or not bytes(payload).startswith(PNG_MAGIC):
+        return None
+    buf = bytes(payload)
+    pos, n = len(PNG_MAGIC), len(buf)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if width is None or not idat:
+        return None
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    rows = raw.reshape(height, stride + 1)  # leading byte = filter type
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype, line = rows[y, 0], rows[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else zero_row
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: left-neighbor prefix sum per stride lane
+            for x in range(channels, stride):
+                line[x] = (int(line[x]) + int(line[x - channels])) & 0xFF
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev  # uint8 wraparound == mod-256 spec
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - channels]) if x >= channels else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+            out[y] = line
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - channels]) if x >= channels else 0
+                c = int(prev[x - channels]) if x >= channels else 0
+                line[x] = (
+                    int(line[x])
+                    + int(_paeth(np.uint8(a), prev[x], np.uint8(c)))
+                ) & 0xFF
+            out[y] = line
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal real PNG encoder (test-fixture twin of decode_png):
+    8-bit gray/RGB/RGBA from an (h, w[, c]) uint8 array, every
+    scanline filtered with ``filter_type`` (0-4 — exercising each
+    decoder unfilter path), zlib-deflated IDAT, CRC-correct chunks.
+    Round-trips through any standards-compliant decoder."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    flat = px.reshape(h, stride).astype(np.uint8)
+    lines = bytearray()
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur, prev = flat[y], (flat[y - 1] if y > 0 else zero_row)
+        left = np.concatenate([np.zeros(channels, dtype=np.uint8), cur[:-channels]])
+        ul = np.concatenate([np.zeros(channels, dtype=np.uint8), prev[:-channels]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left.astype(np.int32) + prev.astype(np.int32)) // 2).astype(
+                np.uint8
+            )
+        elif filter_type == 4:
+            filt = cur - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"PNG filter type {filter_type}")
+        lines.append(filter_type)
+        lines += filt.astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])  # depth 8, no interlace
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_features(payload: bytes, mime: str | None) -> list[float]:
     """Feature vector per payload. PPM: real decode — dimensions,
     per-channel means, leading pixel bytes. Other image/* MIME: Pillow
@@ -98,9 +253,9 @@ def _decode_features(payload: bytes, mime: str | None) -> list[float]:
     Opaque payloads: deterministic md5-derived stub features."""
     if payload is None:
         raise NotImplementedError("media decode of null payload")
-    ppm = decode_ppm(payload)
-    if ppm is not None:
-        w, h, _, px = ppm
+    decoded = _decode_rgb(payload)
+    if decoded is not None:
+        w, h, px = decoded
         flat = px.reshape(-1).astype(np.float64)
         head = [float(b) / 255.0 for b in flat[: FEATURE_DIM - 5]]
         feats = [float(w), float(h), *px.reshape(-1, 3).mean(axis=0).tolist(), *head]
@@ -153,12 +308,29 @@ _IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
+def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Dispatch decode across the real codecs (PPM then PNG) to a
+    uniform (w, h, rgb-pixels) view; gray/alpha PNGs normalize to RGB
+    (gray broadcast across channels, alpha dropped) so the stats
+    schema is format-independent."""
+    ppm = decode_ppm(payload)
+    if ppm is not None:
+        w, h, _, px = ppm
+        return w, h, px
+    png = decode_png(payload)
+    if png is not None:
+        w, h, c, px = png
+        rgb = px[:, :, :3] if c >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+        return w, h, rgb
+    return None
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """X5 typed-stats path — REAL decode to typed columns: width,
     height, and per-channel pixel means for every decodable image
-    payload (nulls for non-images). Channel sums of uint8 pixels are
-    exact in float64 regardless of summation order, so the output is
-    bit-identical across engines — the property the
+    payload (PPM or PNG; nulls for non-images). Channel sums of uint8
+    pixels are exact in float64 regardless of summation order, so the
+    output is bit-identical across engines — the property the
     ``multimodal_image_stats`` oracle check relies on."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,12 +344,12 @@ def image_stats(df: DataFrame) -> DataFrame:
                 "mean_b": [],
             }
             for p in pdf["payload"]:
-                ppm = decode_ppm(p) if p is not None else None
-                if ppm is None:
+                dec = _decode_rgb(p) if p is not None else None
+                if dec is None:
                     for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
                         out[k].append(None)
                 else:
-                    w, h, _, px = ppm
+                    w, h, px = dec
                     means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
                     out["width"].append(w)
                     out["height"].append(h)
@@ -428,6 +600,48 @@ def media_with_ppm(docs: DataFrame, width: int = 4, height: int = 4) -> DataFram
                     "modality": "image",
                     "payload": payloads,
                     "mime": "image/x-portable-pixmap",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_with_png(
+    docs: DataFrame, width: int = 4, height: int = 4, filter_cycle: bool = True
+) -> DataFrame:
+    """Media table with REAL compressed PNG payloads: the same
+    closed-form pixel formula as media_with_ppm (pixel byte i of
+    document d is ``(d*7 + i*13) % 256``) run through the real PNG
+    encoder — zlib-deflated IDAT, CRC chunks — with the scanline
+    filter cycling over all five types by doc_id, so decoding the
+    corpus exercises None/Sub/Up/Average/Paeth unfiltering. The
+    analytic oracle predicts the decoded stats WITHOUT a decoder:
+    identical to the PPM oracle because the pixel formula is shared —
+    a match proves inflate + unfilter reconstruct the exact pixels."""
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(npx, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_png(
+                    ((d * 7 + i * 13) % 256)
+                    .astype(np.uint8)
+                    .reshape(height, width, 3),
+                    filter_type=(int(d) % 5 if filter_cycle else 0),
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
                     "width": pd.Series([None] * len(ids), dtype="Int32"),
                     "height": pd.Series([None] * len(ids), dtype="Int32"),
                     "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
