@@ -1,0 +1,160 @@
+"""Streaming LLM-corpus ingestion e2e (streaming/corpus.py): the
+document-side twin of the log pipeline. Across multiple micro-batches
+the sink + DLQ + fingerprint sidecar must reproduce EXACTLY the
+routing the oracle-checked batch analog (`docs_corpus_ingest`)
+computes — including a duplicate that arrives in a LATER batch than
+its original, which only the sidecar can catch.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+from unified_log_aggregation_and_analytics_spark.streaming.corpus import (
+    corpus_ingest_batch,
+    ingest_report,
+    run_corpus_pipeline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR)
+
+
+def _write_batches(docs_pdf, src_dir: Path, n_batches: int = 3) -> None:
+    """Split documents round-robin into n_batches json files; file
+    order (b00, b01, ...) is the micro-batch order under
+    maxFilesPerTrigger=1."""
+    for b in range(n_batches):
+        part = docs_pdf[docs_pdf["doc_id"] % n_batches == b]
+        lines = part.to_json(orient="records", lines=True)
+        (src_dir / f"b{b:02d}.json").write_text(lines)
+
+
+def test_corpus_pipeline_end_to_end(spark, docs, tmp_path):
+    """Multi-batch streaming ingest: sink partitioned by lang, DLQ
+    carries the failed rule, sidecar holds one fingerprint per
+    ingested doc, and (ingested + rejected + dropped-duplicates)
+    reconciles exactly with the batch-analog report."""
+    n_docs = 120
+    pdf = (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    # plant a cross-batch duplicate: a KEPT doc's text re-ingested
+    # under the next id — consecutive ids always land in different
+    # round-robin batches (mod 3), so only the fingerprint sidecar
+    # can drop the copy
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        quality_filter,
+    )
+
+    kept_ids = {
+        r[0]
+        for r in quality_filter(docs.filter(F.col("doc_id") < n_docs - 1))
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .collect()
+    }
+    d = min(kept_ids)
+    dup_src = pdf[pdf["doc_id"] == d].iloc[0]
+    pdf.loc[pdf["doc_id"] == d + 1, "text"] = dup_src["text"]
+    pdf.loc[pdf["doc_id"] == d + 1, "lang"] = dup_src["lang"]
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    _write_batches(pdf, src_dir, n_batches=3)
+
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    res = run_corpus_pipeline(
+        stream, table, rejected, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    res.await_done()
+
+    # batch-analog truth over the SAME (duplicate-planted) corpus
+    batch_docs = spark.createDataFrame(pdf)
+    report = {
+        (r["lang"], r["outcome"]): r["n_docs"]
+        for r in ingest_report(batch_docs).collect()
+    }
+    want_ingested = sum(n for (_, o), n in report.items() if o == "ingested")
+    want_rejected = sum(n for (_, o), n in report.items() if o.startswith("rejected:"))
+    want_dups = sum(n for (_, o), n in report.items() if o == "duplicate")
+    assert want_dups >= 1  # the planted duplicate is live
+
+    ingested = spark.read.parquet(table)
+    assert ingested.count() == want_ingested
+    # the planted cross-batch duplicate pair yields exactly one survivor
+    ids = {r[0] for r in ingested.select("doc_id").collect()}
+    assert len(ids & {d, d + 1}) == 1
+    # mixture-aware layout: one directory per stratum
+    langs = {r[0] for r in ingested.select("lang").distinct().collect()}
+    on_disk = {p.name.split("=")[1] for p in Path(table).glob("lang=*")}
+    assert on_disk == langs
+
+    rej = spark.read.parquet(rejected)
+    assert rej.count() == want_rejected
+    got_rej = {
+        (r["lang"], "rejected:" + r["_error"]): r["n"]
+        for r in rej.groupBy("lang", "_error").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_rej == {k: v for k, v in report.items() if k[1].startswith("rejected:")}
+
+    # sidecar: exactly one fingerprint per ingested doc, bucket-partitioned
+    sidecar = spark.read.parquet(table + "_fingerprints")
+    assert sidecar.count() == want_ingested
+    assert sidecar.select("fp").distinct().count() == want_ingested
+    assert len(list(Path(table + "_fingerprints").glob("fp_bucket=*"))) >= 1
+
+    # per-stratum ingest accounting matches the oracle-checked analog
+    got_ingested = {
+        (r["lang"], "ingested"): r["n"]
+        for r in ingested.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_ingested == {k: v for k, v in report.items() if k[1] == "ingested"}
+
+
+def test_corpus_ingest_idempotent_replay(spark, docs, tmp_path):
+    """Exactly-once story: replaying a micro-batch (the checkpoint
+    recovery path) must not double-ingest — the sidecar anti-join
+    makes the corpus append idempotent."""
+    pdf_docs = docs.filter(F.col("doc_id") < 60)
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    corpus_ingest_batch(pdf_docs, table, rejected)
+    n1 = spark.read.parquet(table).count()
+    side1 = spark.read.parquet(table + "_fingerprints").count()
+    corpus_ingest_batch(pdf_docs, table, rejected)  # torn-batch replay
+    assert spark.read.parquet(table).count() == n1
+    assert spark.read.parquet(table + "_fingerprints").count() == side1
+
+
+def test_corpus_ingest_report_matches_manual(spark, docs):
+    """The routing partition is total and disjoint: every doc lands in
+    exactly one outcome, and outcome totals sum to the corpus."""
+    sub = docs.filter(F.col("doc_id") < 200)
+    rep = ingest_report(sub).collect()
+    assert sum(r["n_docs"] for r in rep) == sub.count()
+    outcomes = {r["outcome"] for r in rep}
+    assert "ingested" in outcomes
+    assert all(
+        o == "ingested" or o == "duplicate" or o.startswith("rejected:")
+        for o in outcomes
+    )

@@ -67,7 +67,7 @@ GATE_ORDER: list[str] = [
     #    that exercise a distinct physical strategy)
     "q01_filter_predicates",
     "q02_fulltext_search",
-    "q02e_indexed_bm25",        # token index + BM25 + persisted-index read
+    "q02f_indexed_bm25_appended",  # token index + BM25 + incremental append
     "q03_time_range",
     "q04_projection",
     "q05_union_sources",
@@ -106,8 +106,8 @@ GATE_ORDER: list[str] = [
     "dedup_embedding_cosine",
     # -- similarity search family (X3)
     "knn_ann_lsh_oracle",
-    "knn_ivf",
-    "knn_ann_lsh_indexed",
+    "knn_ivf_appended",         # IVF index + incremental append/compact
+    "knn_ann_lsh_appended",     # LSH index + incremental append/compact
     "knn_batch_ann_indexed",
     "ann_recall_report",
     # -- text analysis family (X4)
@@ -115,11 +115,13 @@ GATE_ORDER: list[str] = [
     "text_quality_filter",
     "text_tfidf_top",
     # -- sampling / training-pipeline family
-    "docs_hash_split",
+    # (hash_split's bucket rule is re-proved inside docs_training_pipeline,
+    # so its slot carries the streaming-ingest routing certificate)
+    "docs_corpus_ingest",
     "docs_mixture_sample",
     "docs_training_pipeline",
     # -- multimodal family (X5)
-    "multimodal_image_stats",
+    "multimodal_image_stats_png",  # compressed decode: inflate + unfilter
     "multimodal_audio_stats",
 ]
 
@@ -1031,6 +1033,43 @@ def q02e_indexed_bm25(spark, sf_dir):
     time; must equal the scan-time q02c scores, hence shares its
     oracle."""
     name = _token_index_table(spark, sf_dir)
+    return R.bm25_search_indexed(spark, name, ["merge", "spark", "vector"], k=10)
+
+
+def _token_index_table_appended(spark, sf_dir) -> str:
+    """Incrementally-built twin of _token_index_table: base build over
+    the odd doc_ids, append_token_index_table the even ones — the
+    persisted-index maintenance lifecycle. Queries over it share the
+    scan-time oracles, so a green row proves base+append ≡ full
+    rebuild."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    name = "tok_idxinc_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    if not spark.catalog.tableExists(name):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for suffix in ("", "_doclen", "_stats"):
+            leftover = Path(wh) / (name + suffix).lower()
+            if leftover.exists() and not spark.catalog.tableExists(name + suffix):
+                shutil.rmtree(leftover)
+        docs = _t(spark, sf_dir, "documents")
+        R.build_token_index_table(docs.filter(F.col("doc_id") % 2 == 1), name)
+        R.append_token_index_table(docs.filter(F.col("doc_id") % 2 == 0), name)
+    return name
+
+
+@_register("q02f_indexed_bm25_appended", QUERIES["q02c_ranked_search"].oracle)
+def q02f_indexed_bm25_appended(spark, sf_dir):
+    """Q2 incremental-maintenance certificate — BM25 over an index
+    built from half the corpus and APPENDED with the other half
+    (operators/relational.py append_token_index_table: delta postings
+    into the bucketed layout, stats refreshed from the doclen table).
+    Shares the scan-time q02c oracle: a hash match proves the
+    maintained index scores identically to a fresh full build — the
+    reference's daily index rotation (README.md:30) as an append, not
+    a rebuild."""
+    name = _token_index_table_appended(spark, sf_dir)
     return R.bm25_search_indexed(spark, name, ["merge", "spark", "vector"], k=10)
 
 

@@ -490,6 +490,21 @@ def multimodal_image_stats(spark, sf_dir):
     return MM.image_stats(media)
 
 
+@_register("multimodal_image_stats_png", QUERIES["multimodal_image_stats"].oracle)
+def multimodal_image_stats_png(spark, sf_dir):
+    """X5 — REAL COMPRESSED image decode, value-matched: the same
+    closed-form pixels as multimodal_image_stats, but encoded as
+    genuine PNG (zlib IDAT, CRC chunks, scanline filter cycling over
+    all five types by doc_id — operators/multimodal.py media_with_png)
+    and decoded by the pure-stdlib PNG decoder (chunk walk + inflate +
+    None/Sub/Up/Average/Paeth unfiltering). The oracle is byte-for-
+    byte the PPM twin's analytic formula, so a hash match proves the
+    compressed decode reconstructs the exact pixels."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_png(docs, width=4, height=4)
+    return MM.image_stats(media)
+
+
 @_register(
     "multimodal_audio_stats",
     """
@@ -1235,6 +1250,80 @@ def knn_ivf_indexed(spark, sf_dir):
     return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
+_INC_FRESH: set[str] = set()
+
+
+def _ann_inc_index_path(spark, sf_dir: str, kind: str) -> str:
+    """Incrementally-built twin of _ann_index_path: base build over
+    half the corpus, append the other half, then compact — the full
+    maintenance lifecycle (operators/ann_index.py). The gated probes
+    over this index share the FULL-corpus oracle, so a green driver
+    row proves (base + append + compact) ≡ fresh full build. The IVF
+    base keeps vec_ids 1..16 so the frozen persisted centroids equal
+    the fresh build's deterministic seeds."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    repo = Path(__file__).resolve().parents[1]
+    path = repo / ".ann_index" / Path(str(sf_dir).rstrip("/")).name / kind
+    if str(path) in _INC_FRESH:
+        return str(path)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    base = emb.filter((F.col("vec_id") <= 16) | (F.col("vec_id") % 2 == 1))
+    delta = emb.filter((F.col("vec_id") > 16) & (F.col("vec_id") % 2 == 0))
+    table = path / "table"
+    fresh = (table / "_SUCCESS").exists()
+    if fresh:
+        ops = [v["op"] for v in A.read_manifest(str(path))]
+        fresh = ops == ["build", "append", "compact"] and (
+            spark.read.parquet(str(table)).count() == emb.count()
+        )
+    if not fresh:
+        if kind == "lsh8inc":
+            A.build_lsh_index(base, str(path), n_bits=8, seed=42)
+            A.append_lsh_index(delta, str(path), n_bits=8, seed=42)
+            A.compact_index(spark, str(path), part_col="bucket")
+        elif kind == "ivf16inc":
+            A.build_ivf_index(base, str(path), n_centroids=16)
+            A.append_ivf_index(delta, str(path))
+            A.compact_index(spark, str(path), part_col="cell")
+        else:
+            raise ValueError(f"unknown incremental index kind {kind!r}")
+    _INC_FRESH.add(str(path))
+    return str(path)
+
+
+@_register("knn_ann_lsh_appended", _ann_lsh_oracle())
+def knn_ann_lsh_appended(spark, sf_dir):
+    """X3 — incremental-maintenance certificate for the persisted LSH
+    index: build over half the corpus, append_lsh_index the rest
+    (frozen planes, delta-only cost), compact_index the small files,
+    then probe. Shares the full-corpus oracle with knn_ann_lsh — a
+    hash match proves the maintained index is value-identical to a
+    fresh full rebuild, the reference's daily-rotation freshness
+    contract (/root/reference/README.md:30) without the rebuild."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    path = _ann_inc_index_path(spark, sf_dir, "lsh8inc")
+    return A.lsh_probe(spark, path, list(qv), k=10, multiprobe_bits=1)
+
+
+@_register("knn_ivf_appended", _ivf_oracle())
+def knn_ivf_appended(spark, sf_dir):
+    """X3 — incremental-maintenance certificate for the persisted IVF
+    index: base build (containing the centroid seed ids), delta
+    assigned against the FROZEN persisted centroids, compaction, then
+    probe. Shares the full-corpus oracle with knn_ivf: a hash match
+    proves append-then-compact ≡ fresh rebuild."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select("embedding").collect()][0]
+    path = _ann_inc_index_path(spark, sf_dir, "ivf16inc")
+    return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
 def _ann_batch_oracle() -> str:
     """DuckDB twin of the batch LSH probe: per-query sign-sketch
     buckets from the same hyperplane literals, candidates within 1 bit
@@ -1480,3 +1569,49 @@ def langid_accuracy_report(spark, sf_dir):
         hit.alias("n_correct"),
         (hit / n.cast("double")).alias("accuracy"),
     )
+
+
+# Batch analog of the streaming corpus-ingest routing
+# (streaming/corpus.py): every document lands in exactly one outcome —
+# rejected:<rule> / duplicate / ingested — reported per mixture
+# stratum. The oracle nests the registered quality-filter SQL so both
+# engines run the identical rule chain, then routes with the same
+# (fingerprint, kept)-partitioned dedup rank.
+_INGEST_ORACLE = f"""
+    WITH qf AS ({{qf}}),
+    j AS (
+      SELECT d.doc_id, d.lang,
+             md5(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS fp,
+             qf.verdict, qf.kept
+      FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+    ),
+    r AS (
+      SELECT lang,
+             CASE WHEN NOT kept THEN 'rejected:' || verdict
+                  WHEN row_number() OVER (
+                         PARTITION BY fp, kept ORDER BY doc_id) = 1
+                       THEN 'ingested'
+                  ELSE 'duplicate' END AS outcome
+      FROM j
+    )
+    SELECT lang, outcome, COUNT(*) AS n_docs FROM r GROUP BY 1, 2
+"""
+
+
+@_register(
+    "docs_corpus_ingest",
+    _INGEST_ORACLE.format(qf=QUERIES["text_quality_filter"].oracle),
+)
+def docs_corpus_ingest(spark, sf_dir):
+    """Streaming-ingest certificate (batch analog of
+    streaming/corpus.py run_corpus_pipeline): quality rules -> DLQ
+    routing -> fingerprint dedup -> per-stratum ingest accounting,
+    computed as one plan. tests/test_streaming.py proves the streaming
+    pipeline's sink + DLQ + fingerprint sidecar reproduce exactly
+    these counts across micro-batches; this entry proves the routing
+    itself against the independent oracle."""
+    from unified_log_aggregation_and_analytics_spark.streaming.corpus import (
+        ingest_report,
+    )
+
+    return ingest_report(_spread(_t(spark, sf_dir, "documents")))
