@@ -614,10 +614,19 @@ def test_sustained_trigger_state_bounded_by_watermark(spark, tmp_path):
         .start()
     )
     try:
+        # sf0.1-scale volume: 5 000 events per hourly micro-batch
+        # (60 000 rows total — the sf0.1 events-table order of
+        # magnitude). Row volume must NOT inflate state: the windowed
+        # agg keeps one state row per open (window, source), so the
+        # bound below is identical at 1 row/batch and 5 000.
         for h in range(12):
-            (src_dir / f"b{h:02d}.json").write_text(
-                _json.dumps({"source": "ec2", "ts_s": f"2021-07-29 {8 + h}:00:00"}) + "\n"
+            rows = "\n".join(
+                _json.dumps(
+                    {"source": "ec2", "ts_s": f"2021-07-29 {8 + h}:00:{s % 60:02d}"}
+                )
+                for s in range(5000)
             )
+            (src_dir / f"b{h:02d}.json").write_text(rows + "\n")
         # a late straggler: hours behind the final 19:50 watermark
         (src_dir / "late.json").write_text(
             _json.dumps({"source": "ec2", "ts_s": "2021-07-29 08:05:00"}) + "\n"
@@ -639,3 +648,63 @@ def test_sustained_trigger_state_bounded_by_watermark(spark, tmp_path):
     # 12 distinct windows flowed through; eviction must keep only the
     # open tail (current window + the one racing the watermark)
     assert max_state <= 4, f"state grew to {max_state} rows — eviction broken"
+
+
+def test_kinesis_contract_config_and_decode_boundary(spark, tmp_path):
+    """S5 contract (sandbox has no Kinesis): the option map handed to
+    format('kinesis') is validated and exact; connector records with
+    the documented schema decode through kinesis_records_to_lines into
+    the SAME normalize -> DLQ -> sink pipeline the file sources drive;
+    and without the connector jar stream_kinesis fails loud."""
+    from datetime import datetime
+
+    from unified_log_aggregation_and_analytics_spark.sources.logs import (
+        KINESIS_RECORD_SCHEMA,
+        kinesis_records_to_lines,
+        kinesis_source_config,
+        stream_kinesis,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        dlq_split,
+    )
+
+    # option-map contract: exact keys/values the connector receives
+    assert kinesis_source_config("app-logs", region="eu-west-1") == {
+        "streamName": "app-logs",
+        "region": "eu-west-1",
+        "startingPosition": "LATEST",
+    }
+    cfg = kinesis_source_config(
+        "s", starting_position="trim_horizon", endpoint_url="http://localstack:4566"
+    )
+    assert cfg["startingPosition"] == "TRIM_HORIZON"
+    assert cfg["endpointUrl"] == "http://localstack:4566"
+    with pytest.raises(ValueError, match="non-empty"):
+        kinesis_source_config("  ")
+    with pytest.raises(ValueError, match="starting_position"):
+        kinesis_source_config("s", starting_position="YESTERDAY")
+
+    # decode boundary: documented record schema -> value lines -> the
+    # identical EC2 normalize/DLQ path the file-tail source feeds
+    now = datetime(2021, 7, 29, 15, 0, 0)
+    records = spark.createDataFrame(
+        [
+            (GOOD_LINES[0].encode(), "pk-1", "seq-1", now),
+            (BAD_LINES[0].encode(), "pk-1", "seq-2", now),
+        ],
+        KINESIS_RECORD_SCHEMA,
+    )
+    lines = kinesis_records_to_lines(records)
+    assert lines.columns == ["value"]
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        NORMALIZERS,
+    )
+
+    table, rejected = str(tmp_path / "t"), str(tmp_path / "r")
+    dlq_split(NORMALIZERS["ec2"](lines), table, rejected)
+    assert spark.read.parquet(table).count() == 1
+    assert spark.read.parquet(rejected).count() == 1
+
+    # plan boundary: no connector jar -> loud NotImplementedError
+    with pytest.raises(NotImplementedError, match="connector"):
+        stream_kinesis(spark, "app-logs")

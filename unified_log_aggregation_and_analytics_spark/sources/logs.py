@@ -64,6 +64,63 @@ def stream_json_logs(
     return reader.load(path)
 
 
+# The record schema every Kinesis connector emits (and the contract the
+# downstream pipeline is written against): payload is opaque binary,
+# plus the stream position/arrival metadata. This is the Spark-side
+# shape of one Firehose DirectPut record (reference utils.ts:40-42).
+KINESIS_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("partitionKey", T.StringType(), True),
+        T.StructField("sequenceNumber", T.StringType(), True),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType(), True),
+    ]
+)
+
+_KINESIS_POSITIONS = {"LATEST", "TRIM_HORIZON", "EARLIEST"}
+
+
+def kinesis_source_config(
+    stream_name: str,
+    region: str = "us-east-1",
+    starting_position: str = "LATEST",
+    endpoint_url: str | None = None,
+) -> dict[str, str]:
+    """S5 config contract — the exact option map handed to
+    ``readStream.format('kinesis')``, validated eagerly so a bad
+    deployment config fails at build time, not at stream start.
+    Factored out of stream_kinesis so the contract is testable without
+    the connector jar (tests/test_streaming.py); the sandbox has no
+    Kinesis, so this boundary — options + record schema + payload
+    decode — IS the production integration surface."""
+    if not stream_name or not stream_name.strip():
+        raise ValueError("kinesis stream_name must be non-empty")
+    if starting_position.upper() not in _KINESIS_POSITIONS:
+        raise ValueError(
+            f"starting_position {starting_position!r} not in {sorted(_KINESIS_POSITIONS)}"
+        )
+    cfg = {
+        "streamName": stream_name,
+        "region": region,
+        "startingPosition": starting_position.upper(),
+    }
+    if endpoint_url is not None:
+        cfg["endpointUrl"] = endpoint_url
+    return cfg
+
+
+def kinesis_records_to_lines(records: DataFrame) -> DataFrame:
+    """The decode boundary between connector records and the log
+    pipeline: ``data`` (binary UTF-8 payload) becomes the one-column
+    ``value: string`` frame the per-source normalizers consume — a
+    Kinesis stream drops into run_pipeline exactly where a file-tail
+    source does. Works identically on batch and streaming frames, so
+    the contract is testable without the connector."""
+    from pyspark.sql import functions as F
+
+    return records.select(F.col("data").cast("string").alias("value"))
+
+
 def stream_kinesis(
     spark: SparkSession,
     stream_name: str,
@@ -77,19 +134,16 @@ def stream_kinesis(
     file sources above, which exercise the identical downstream
     normalize -> DLQ -> sink pipeline.
 
-    The returned frame carries the connector's standard columns
-    (``data: binary``, ``partitionKey``, ``sequenceNumber``,
-    ``approximateArrivalTimestamp``); ``data.cast('string')`` feeds the
-    same per-source normalizers.
+    The returned frame carries KINESIS_RECORD_SCHEMA;
+    ``kinesis_records_to_lines`` feeds the same per-source
+    normalizers.
     """
+    cfg = kinesis_source_config(stream_name, region, starting_position)
     try:
-        return (
-            spark.readStream.format("kinesis")
-            .option("streamName", stream_name)
-            .option("region", region)
-            .option("startingPosition", starting_position)
-            .load()
-        )
+        reader = spark.readStream.format("kinesis")
+        for k, v in cfg.items():
+            reader = reader.option(k, v)
+        return reader.load()
     except Exception as exc:  # pragma: no cover - connector not bundled here
         raise NotImplementedError(
             "Kinesis connector not on classpath; use stream_text_logs/"
