@@ -59,6 +59,7 @@ def chunk_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 20,
+    tokens_col: Column | None = None,
 ) -> DataFrame:
     """X1/X2 — sub-document dedup: split each document's token stream
     into fixed ``chunk_tokens``-token chunks and dedup the chunks
@@ -71,10 +72,15 @@ def chunk_dedup(
     aggregation on the chunk md5 with map-side partial combine — a
     document's own repeated chunks collapse before the shuffle. Keep
     policy is deterministic min(doc_id).
+
+    ``tokens_col`` plugs the tokenization granularity: None keeps the
+    whitespace split; pass any array-of-tokens column (e.g.
+    tokenizer.with_subword_tokens for a real BPE vocab) to chunk on
+    subword boundaries — the chunking/dedup plan is unchanged.
     """
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
-    toks = tokens(text_col)
+    toks = tokens(text_col) if tokens_col is None else tokens_col
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),

@@ -27,24 +27,29 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_STOPWORDS["en"]
 
 
-# BPE-ish pre-tokenizer: letter runs, single digits, or single
-# non-alphanumeric marks — the shape GPT-style byte-pair pre-splits
-# use (digits split one-by-one, punctuation isolated).
-BPEISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# BPE-ish pre-tokenizer regex — canonical definition + pluggable real
+# backends live in operators/tokenizer.py; re-exported here for
+# compatibility.
+from unified_log_aggregation_and_analytics_spark.operators.tokenizer import (  # noqa: E402
+    BPEISH_RE,
+    subword_tokens,
+)
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_stats(df: DataFrame, text_col: str = "text", tokenizer=None) -> DataFrame:
     """X4 — token counting: whitespace tokens (total + distinct), a
-    BPE-ish regex subword count, and the chars/4 rule-of-thumb
-    estimate."""
+    subword count, and the chars/4 rule-of-thumb estimate.
+
+    ``tokenizer`` plugs the subword backend (operators/tokenizer.py):
+    None -> the deterministic JVM-side BPE-ish regex (the oracle-
+    mirrored fallback, unchanged values); an ArrowTokenizer -> a real
+    vocab-merge tokenizer batch-encoding through one pandas UDF."""
     toks = tokens(text_col)
     return df.withColumns(
         {
             "n_tokens": F.size(toks).cast("long"),
             "n_uniq_tokens": F.size(F.array_distinct(toks)).cast("long"),
-            "n_subwords": F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_RE), 0)
-            ).cast("long"),
+            "n_subwords": F.size(subword_tokens(text_col, tokenizer)).cast("long"),
             "tok_est": F.ceil(F.length(text_col) / 4).cast("long"),
         }
     )
