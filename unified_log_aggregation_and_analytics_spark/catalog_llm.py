@@ -1615,3 +1615,85 @@ def docs_corpus_ingest(spark, sf_dir):
     )
 
     return ingest_report(_spread(_t(spark, sf_dir, "documents")))
+
+
+def _ivf_refined_oracle() -> str:
+    """DuckDB twin of ONE spherical-k-means refinement round + probe:
+    seeds are vec_ids 1..16; every vector joins its argmax-cosine seed
+    (ties -> lowest cid); each cell's refined centroid is the
+    per-dimension mean ROUNDED to 6 decimals (matching
+    similarity.kmeans_refine round_means=6 — rounding is what makes
+    float means reproducible across engines); empty cells fall back to
+    their seed. Cosine is scale-invariant, so the oracle skips the
+    normalization step entirely. Probe/score then mirror _ivf_oracle
+    over the refined centroids."""
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    seed AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id BETWEEN 1 AND 16),
+    a1 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, s.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_raw('e.embedding', 's.ce')} DESC, s.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN seed s WHERE e.vec_id <> 0
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cid, pos, round(avg(v), 6) AS mval FROM (
+        SELECT cid, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM a1
+      ) GROUP BY cid, pos
+    ),
+    newc AS (SELECT cid, list(mval ORDER BY pos) AS mv FROM m GROUP BY cid),
+    c AS (
+      SELECT s.cid, COALESCE(n.mv, s.ce) AS ce
+      FROM seed s LEFT JOIN newc n ON s.cid = n.cid
+    ),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY {_cos_raw('ce', 'qe')} DESC, cid DESC LIMIT 4
+    ),
+    r AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM r
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    )
+    SELECT cand.vec_id, round({_cos_raw('cand.embedding', 'q.qe')}, 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, cand.vec_id LIMIT 10
+"""
+
+
+@_register("knn_ivf_refined", _ivf_refined_oracle())
+def knn_ivf_refined(spark, sf_dir):
+    """X3 — IVF over Lloyd-REFINED centroids, oracle-checked: one
+    spherical-k-means round (similarity.kmeans_refine) with
+    round_means=6 makes the refined centroids engine-reproducible, so
+    the DuckDB twin replays the identical assignment -> rounded-mean
+    -> probe chain in SQL. Tighter cells raise recall at the same
+    n_probe (tests/test_llm_ops.py pins refined recall >= seed
+    recall); rounding is what turns the float mean from
+    run-dependent into a certificate."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = [
+        r[0]
+        for r in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()
+    ][0]
+    seeds = S.deterministic_centroids(emb, 16)
+    refined = S.kmeans_refine(emb, seeds, n_iter=1, round_means=6)
+    return S.knn_ivf(emb, list(qv), k=10, centroids=refined)

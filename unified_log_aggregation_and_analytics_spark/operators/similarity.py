@@ -129,6 +129,7 @@ def kmeans_refine(
     centroids: np.ndarray,
     n_iter: int = 3,
     vec_col: str = "embedding",
+    round_means: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means (Lloyd) refinement of IVF centroids: assign
     by max cosine, recompute each cell's centroid as the normalized
@@ -137,7 +138,16 @@ def kmeans_refine(
     the driver (16 x 64 here), never the data. Empty cells keep their
     previous centroid. The spherical objective (sum of assigned
     cosines, see ivf_objective) is non-decreasing per round — asserted
-    in tests."""
+    in tests.
+
+    ``round_means`` rounds each per-dimension mean to that many
+    decimals BEFORE normalization: float sums depend on aggregation
+    order, so unrounded centroids differ in low bits run-to-run (and
+    engine-to-engine); rounding makes the refined centroids exactly
+    reproducible — the property the oracle-checked refined entries
+    (catalog knn_ivf_refined) and any persisted refined index rely
+    on. Cosine is scale-invariant, so rounding before vs after
+    normalization scores identically."""
     c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     for _ in range(n_iter):
         assigned = ivf_assign(df, c, vec_col)
@@ -150,7 +160,8 @@ def kmeans_refine(
         new_c = c.copy()
         seen = set()
         for r in rows:
-            new_c[r.cell][r.pos] = r.m
+            m = round(r.m, round_means) if round_means is not None else r.m
+            new_c[r.cell][r.pos] = m
             seen.add(r.cell)
         for cell in seen:
             n = np.linalg.norm(new_c[cell])
