@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "docs_mixture_sample",
     "knn_batch_ann_indexed",
     "docs_training_pipeline",
+    # round-4 additions: incremental index maintenance (BM25 over an
+    # appended token index), streaming-ingest routing analog,
+    # refined-centroid IVF, compressed-image decode
+    "q02f_indexed_bm25_appended",
+    "docs_corpus_ingest",
+    "knn_ivf_refined",
+    "multimodal_image_stats_png",
 ]
 
 
