@@ -158,3 +158,103 @@ def test_corpus_ingest_report_matches_manual(spark, docs):
         o == "ingested" or o == "duplicate" or o.startswith("rejected:")
         for o in outcomes
     )
+
+
+def _kept_docs_pdf(spark, docs, n, lo=0):
+    """First n docs with doc_id >= lo that pass the quality filter."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        quality_filter,
+    )
+
+    sub = docs.filter(F.col("doc_id") >= lo)
+    kept = (
+        quality_filter(sub)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(n)
+    )
+    return (
+        sub.join(kept, "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+    )
+
+
+def test_corpus_near_dup_cross_batch(spark, docs, tmp_path):
+    """near_dup=True: a slightly-edited copy of an ALREADY-INGESTED
+    document (different exact fingerprint, high shingle Jaccard) is
+    caught by the band+signature sidecars in a LATER batch and
+    dead-lettered as near_duplicate; an unrelated doc in the same
+    batch ingests normally."""
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    base = _kept_docs_pdf(spark, docs, 30)
+    corpus_ingest_batch(
+        spark.createDataFrame(base), table, rejected, near_dup=True
+    )
+    n1 = spark.read.parquet(table).count()
+    assert n1 > 0
+
+    victim = base.iloc[0]
+    unrelated = _kept_docs_pdf(spark, docs, 1, lo=400).iloc[0]
+    batch2 = base.iloc[0:0].copy()
+    batch2.loc[0] = [
+        9001,
+        victim["text"] + " appended trailing tokens",
+        victim["lang"],
+        victim["source"],
+        victim["n_chars"],
+    ]
+    batch2.loc[1] = [
+        9002,
+        unrelated["text"],
+        unrelated["lang"],
+        unrelated["source"],
+        unrelated["n_chars"],
+    ]
+    corpus_ingest_batch(
+        spark.createDataFrame(batch2), table, rejected, near_dup=True
+    )
+
+    rej = spark.read.parquet(rejected)
+    nd = {r["doc_id"] for r in rej.filter(F.col("_error") == "near_duplicate").collect()}
+    assert 9001 in nd and 9002 not in nd
+    ids = {r[0] for r in spark.read.parquet(table).select("doc_id").collect()}
+    assert 9002 in ids and 9001 not in ids
+    # sidecars carry only survivors: one sig row per ingested doc
+    sigs = spark.read.parquet(table + "_minhash_sigs")
+    assert sigs.count() == len(ids)
+    assert len(list(Path(table + "_minhash_bands").glob("bh_bucket=*"))) >= 1
+
+
+def test_corpus_near_dup_within_batch(spark, docs, tmp_path):
+    """near_dup=True: two near-identical docs arriving in the SAME
+    batch collapse to the lower id; the higher id dead-letters."""
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    base = _kept_docs_pdf(spark, docs, 5)
+    victim = base.iloc[0]
+    twin = base.iloc[0:0].copy()
+    twin.loc[0] = [
+        9100,
+        victim["text"],
+        victim["lang"],
+        victim["source"],
+        victim["n_chars"],
+    ]
+    twin.loc[1] = [
+        9101,
+        victim["text"] + " tail edit",
+        victim["lang"],
+        victim["source"],
+        victim["n_chars"],
+    ]
+    corpus_ingest_batch(
+        spark.createDataFrame(twin), table, rejected, near_dup=True
+    )
+    ids = {r[0] for r in spark.read.parquet(table).select("doc_id").collect()}
+    assert ids == {9100}
+    rej = spark.read.parquet(rejected)
+    nd = {r["doc_id"] for r in rej.filter(F.col("_error") == "near_duplicate").collect()}
+    assert nd == {9101}

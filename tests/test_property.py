@@ -191,3 +191,29 @@ def test_apache_error_parse_fields(spark, cases):
             "ts": r.ts,
         }
         assert got == exp, f"line {line!r}: {got} != {exp}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    f=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_property(w, h, c, f, seed):
+    """PNG round-trip holds for ARBITRARY pixel content, every shape,
+    every color layout, every scanline filter — the decoder's five
+    unfilter paths are exact inverses of the encoder's filters (no
+    Spark needed: the codec is pure numpy/stdlib)."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    gw, gh, gc, out = decode_png(encode_png(px, filter_type=f))
+    assert (gw, gh, gc) == (w, h, c)
+    assert np.array_equal(out, px)

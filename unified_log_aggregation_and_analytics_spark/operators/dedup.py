@@ -137,20 +137,18 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def band_rows(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     band_size: int = 4,
     band_hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """X2 scale path — LSH banding: split the K-element signature into
-    bands of ``band_size``; docs sharing any band hash become candidate
-    pairs. The shuffle is keyed on (band_idx, band_hash): at 100 TB the
-    join degree is bounded by bucket population, not n^2. Skewed
-    buckets (boilerplate docs) are handled by AQE skew-join splitting.
-    Returns distinct candidate pairs (id_a < id_b).
-    """
+    """LSH banding primitive: split each ``mh1..mhK`` signature row
+    into ``K/band_size`` band rows ``(id, band_idx, band_hash)`` — the
+    shared key space for batch candidate pairing
+    (minhash_lsh_candidates) and the streaming near-dup band sidecar
+    (streaming/corpus.py). Pure per-row expressions, map-only."""
     n_bands = num_hashes // band_size
 
     def band_hash(b: int) -> Column:
@@ -170,9 +168,26 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, "band.band_idx", "band.band_hash"
     )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    band_hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """X2 scale path — LSH banding: split the K-element signature into
+    bands of ``band_size``; docs sharing any band hash become candidate
+    pairs. The shuffle is keyed on (band_idx, band_hash): at 100 TB the
+    join degree is bounded by bucket population, not n^2. Skewed
+    buckets (boilerplate docs) are handled by AQE skew-join splitting.
+    Returns distinct candidate pairs (id_a < id_b).
+    """
+    exploded = band_rows(sig_df, id_col, num_hashes, band_size, band_hash_fn)
     # Group-then-pair instead of a bucket self-join: a self-join would
     # re-evaluate the whole signature pipeline once per side (2x the
     # minhash cost) and shuffle twice; grouping shuffles once, computes

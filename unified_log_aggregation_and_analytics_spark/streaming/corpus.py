@@ -23,6 +23,18 @@ bytes, and the join shuffles on the uniform hash bucket. This is the
 same persisted-artifact pattern as the token/ANN indexes
 (operators/ann_index.py): assignment is a pure function (xxhash64 of
 the normalized text), so append never rewrites base state.
+
+Near-duplicate removal (``near_dup=True``) extends the same pattern
+to MinHash-LSH: two more sidecars — band rows ``(band_idx, band_hash,
+doc_id)`` partitioned by band-hash bucket, and signature rows
+``(doc_id, mh1..mh16)`` partitioned by id bucket. A delta's band rows
+join the band sidecar (bucket-bounded degree, partition-pruned), the
+resulting candidate pairs verify by estimated Jaccard against the sig
+sidecar (pruned to candidate ids), and confirmed near-dups dead-letter
+with ``_error='near_duplicate'``. Per-trigger cost tracks the delta's
+band collisions — the corpus text is never re-read, and batch vs
+streaming agree on what "near-duplicate" means because both use the
+identical signature family (operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -36,9 +48,23 @@ from unified_log_aggregation_and_analytics_spark.operators.text import quality_f
 
 N_FP_BUCKETS = 64
 
+# Streaming near-dup parameters: 16 minhashes in 4-hash bands — the
+# same family the batch LSH dedup uses (operators/dedup.py), so batch
+# and streaming agree on what "near-duplicate" means.
+ND_NUM_HASHES = 16
+ND_BAND_SIZE = 4
+
 
 def _fp_sidecar_path(table_path: str) -> str:
     return f"{table_path}_fingerprints"
+
+
+def _band_sidecar_path(table_path: str) -> str:
+    return f"{table_path}_minhash_bands"
+
+
+def _sig_sidecar_path(table_path: str) -> str:
+    return f"{table_path}_minhash_sigs"
 
 
 def doc_fingerprint(text_col: str = "text") -> F.Column:
@@ -50,11 +76,118 @@ def doc_fingerprint(text_col: str = "text") -> F.Column:
     return F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
+def _near_dup_ids(
+    spark: SparkSession,
+    kept: DataFrame,
+    table_path: str,
+    jaccard_threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming MinHash near-dup stage: returns (near_ids, sigs) —
+    the batch's near-duplicate doc_ids (vs already-ingested docs AND
+    within this batch) and every batch doc's signature row.
+
+    Scale design mirrors the fingerprint sidecar: the BAND sidecar
+    holds ``(band_idx, band_hash, doc_id)`` keyed/partitioned by
+    ``pmod(band_hash, N)``; the SIG sidecar holds ``(doc_id,
+    mh1..mhK)`` partitioned by ``pmod(xxhash64(doc_id), N)``. A delta
+    joins the band sidecar on the band key (bucket-bounded degree,
+    partition-pruned to the delta's buckets), then verifies candidate
+    pairs by estimated Jaccard (fraction of equal signature
+    components) against the sig sidecar — pruned to the candidates'
+    id buckets. Per-trigger cost scales with the delta's band
+    collisions, never the corpus text."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        band_rows,
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    K = ND_NUM_HASHES
+    sigs = minhash_signature(
+        kept.select("doc_id", "text"), num_hashes=K, hash_fn="xxhash64"
+    )
+    sigs.persist()
+    mh = [f"mh{k}" for k in range(1, K + 1)]
+    omh = [f"omh{k}" for k in range(1, K + 1)]
+    old_sigs_all = None
+    try:
+        old_sigs_all = spark.read.parquet(_sig_sidecar_path(table_path))
+    except Exception:
+        pass  # first trigger: nothing ingested yet
+
+    def verified(cand: DataFrame, other_sigs: DataFrame) -> DataFrame:
+        """cand(doc_id, other_id) -> doc_ids whose estimated Jaccard
+        vs other_id clears the threshold."""
+        est = (
+            cand.join(sigs, "doc_id")
+            .join(
+                other_sigs.select(
+                    F.col("doc_id").alias("other_id"),
+                    *[F.col(m).alias(o) for m, o in zip(mh, omh)],
+                ),
+                "other_id",
+            )
+            .withColumn(
+                "est_jaccard",
+                sum(
+                    F.when(F.col(m) == F.col(o), 1).otherwise(0)
+                    for m, o in zip(mh, omh)
+                )
+                / F.lit(float(K)),
+            )
+        )
+        return est.filter(F.col("est_jaccard") >= jaccard_threshold).select("doc_id")
+
+    near = None
+    if old_sigs_all is not None:
+        bands = band_rows(sigs, num_hashes=K, band_size=ND_BAND_SIZE).withColumn(
+            "bh_bucket", F.pmod(F.col("band_hash"), F.lit(N_FP_BUCKETS))
+        )
+        seen_bands = spark.read.parquet(_band_sidecar_path(table_path))
+        buckets = [r[0] for r in bands.select("bh_bucket").distinct().collect()]
+        seen_bands = seen_bands.filter(F.col("bh_bucket").isin(buckets))
+        cand = (
+            bands.join(
+                seen_bands.select(
+                    "band_idx", "band_hash", F.col("doc_id").alias("other_id")
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select("doc_id", "other_id")
+            .distinct()
+        )
+        # prune the sig read to the candidates' id buckets — the
+        # verification join touches |candidates| signature rows, not
+        # the corpus's
+        obuckets = [
+            r[0]
+            for r in cand.select(
+                F.pmod(F.xxhash64(F.col("other_id")), F.lit(N_FP_BUCKETS))
+            )
+            .distinct()
+            .collect()
+        ]
+        near = verified(
+            cand, old_sigs_all.filter(F.col("sig_bucket").isin(obuckets))
+        )
+    # within-batch: candidate pairs via banding, verify, drop the
+    # higher id of each verified pair (keep-min-id, as batch dedup)
+    pairs = minhash_lsh_candidates(sigs, num_hashes=K, band_size=ND_BAND_SIZE)
+    intra = verified(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other_id")),
+        sigs,
+    )
+    near = intra if near is None else near.union(intra)
+    return near.distinct(), sigs
+
+
 def corpus_ingest_batch(
     batch_df: DataFrame,
     table_path: str,
     rejected_path: str,
     stratum_col: str = "lang",
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.6,
 ) -> None:
     """Ingest ONE micro-batch of documents:
 
@@ -65,11 +198,16 @@ def corpus_ingest_batch(
     3. survivors dedup within the batch (keep min doc_id per
        fingerprint) and against the sidecar (anti-join on
        ``(fp_bucket, fp)`` — reads fingerprints, never corpus text);
-    4. new docs append to ``table_path`` partitioned by the mixture
-       stratum; their fingerprints append to the sidecar.
+    4. with ``near_dup``: MinHash-LSH near-duplicate removal vs the
+       already-ingested corpus and within the batch (band + signature
+       sidecars; `_near_dup_ids`), rejects carrying
+       ``_error='near_duplicate'``;
+    5. new docs append to ``table_path`` partitioned by the mixture
+       stratum; their fingerprints (and, with ``near_dup``, band +
+       signature rows) append to the sidecars.
 
     Persisted like dlq_split: verdicts + fingerprints are computed
-    once, then feed three writes (table, DLQ, sidecar)."""
+    once, then feed the writes (table, DLQ, sidecars)."""
     spark = batch_df.sparkSession
     scored = (
         batch_df.join(
@@ -102,14 +240,60 @@ def corpus_ingest_batch(
             kept = kept.join(seen, ["fp_bucket", "fp"], "left_anti")
         except Exception:
             pass  # sidecar absent: nothing ingested yet
+        sigs = None
+        pre_nd = None
+        if near_dup:
+            pre_nd = kept
+            pre_nd.persist()
+            near_ids, sigs = _near_dup_ids(spark, kept, table_path, jaccard_threshold)
+            (
+                kept.join(near_ids, "doc_id")
+                .drop("fp", "fp_bucket")
+                .withColumn("_error", F.lit("near_duplicate"))
+                .write.mode("append")
+                .parquet(rejected_path)
+            )
+            kept = kept.join(near_ids, "doc_id", "left_anti")
         kept.persist()
         try:
+            # WRITE ORDER MATTERS: appending to a parquet path
+            # invalidates (and recaches by re-reading) every cached
+            # plan whose lineage scans that path. `kept` reads the fp
+            # sidecar and `_near_dup_ids` reads the band/sig sidecars,
+            # so each sidecar append must come AFTER every write whose
+            # plan reads it — fp last, sig before band's re-derivation
+            # is harmless (band candidates key on the band sidecar,
+            # still untouched).
             (
                 kept.drop("fp", "fp_bucket")
                 .write.mode("append")
                 .partitionBy(stratum_col)
                 .parquet(table_path)
             )
+            if near_dup:
+                from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+                    band_rows,
+                )
+
+                surv_sigs = sigs.join(kept.select("doc_id"), "doc_id")
+                (
+                    surv_sigs.withColumn(
+                        "sig_bucket",
+                        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_FP_BUCKETS)),
+                    )
+                    .write.mode("append")
+                    .partitionBy("sig_bucket")
+                    .parquet(_sig_sidecar_path(table_path))
+                )
+                (
+                    band_rows(surv_sigs, num_hashes=ND_NUM_HASHES, band_size=ND_BAND_SIZE)
+                    .withColumn(
+                        "bh_bucket", F.pmod(F.col("band_hash"), F.lit(N_FP_BUCKETS))
+                    )
+                    .write.mode("append")
+                    .partitionBy("bh_bucket")
+                    .parquet(_band_sidecar_path(table_path))
+                )
             (
                 kept.select("fp", "fp_bucket")
                 .write.mode("append")
@@ -118,6 +302,10 @@ def corpus_ingest_batch(
             )
         finally:
             kept.unpersist()
+            if pre_nd is not None:
+                pre_nd.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
     finally:
         scored.unpersist()
 
@@ -137,6 +325,8 @@ def run_corpus_pipeline(
     checkpoint: str,
     stratum_col: str = "lang",
     trigger: dict | None = None,
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.6,
 ) -> CorpusPipelineResult:
     """Wire the corpus ingest end-to-end: readStream of documents ->
     foreachBatch(corpus_ingest_batch). Trigger defaults to the
@@ -149,7 +339,14 @@ def run_corpus_pipeline(
     trigger = trigger or {"processingTime": "60 seconds"}
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        corpus_ingest_batch(batch_df, table_path, rejected_path, stratum_col)
+        corpus_ingest_batch(
+            batch_df,
+            table_path,
+            rejected_path,
+            stratum_col,
+            near_dup=near_dup,
+            jaccard_threshold=jaccard_threshold,
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)
