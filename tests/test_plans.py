@@ -288,3 +288,57 @@ def test_write_range_sorted_layout_gives_disjoint_file_stats(spark, tmp_path):
     with _rs(buf):
         spark.read.parquet(out).filter(F.col("o_custkey") < 100).explain("formatted")
     assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)]" in buf.getvalue()
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Z-order certificate from the parquet footers: on a uniform
+    (x, y) grid clustered into 16 files, a narrow predicate on EITHER
+    column overlaps only a bounded fraction of files; the same data
+    range-sorted on x alone leaves every file spanning y's full
+    domain (no pruning on the second dimension)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.sources.batch import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(path.glob("part-*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for flo, fhi in ranges if fhi >= lo and flo <= hi)
+
+    zpath = tmp_path / "zorder"
+    write_zordered(grid, str(zpath), ["x", "y"], n_files=16)
+    zx, zy = file_ranges(zpath, "x"), file_ranges(zpath, "y")
+    assert len(zx) == 16
+    # a 1/8-of-domain predicate on either dimension touches at most
+    # half the files (the z-curve bound for 16 tiles is 4 of 16;
+    # boundary effects allowed for)
+    assert overlapping(zx, 0, 31) <= 8
+    assert overlapping(zy, 0, 31) <= 8
+    # correctness: layout changes bytes, never rows
+    assert spark.read.parquet(str(zpath)).count() == 256 * 256
+
+    rpath = tmp_path / "rsorted"
+    write_range_sorted(grid, str(rpath), "x", n_ranges=16)
+    ry = file_ranges(rpath, "y")
+    # single-column sort: the unsorted dimension overlaps EVERY file
+    assert overlapping(ry, 0, 31) == len(ry)

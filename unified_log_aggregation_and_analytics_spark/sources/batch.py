@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from unified_log_aggregation_and_analytics_spark.schemas import TESTDATA_TABLES
 
@@ -77,6 +78,77 @@ def write_range_sorted(
     on a second key.
     """
     out = df.repartitionByRange(n_ranges, sort_col).sortWithinPartitions(sort_col)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_col: int = 16,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Data-layout management, two-dimensional: write the table
+    clustered on the Morton (Z-order) interleaving of two numeric
+    columns, so file-level min/max statistics prune scans filtered on
+    EITHER column — the property single-column range sorting cannot
+    give (a sort on A leaves every file spanning B's full domain).
+    This is the layout behind lakehouse OPTIMIZE ZORDER, built from
+    Spark primitives: normalize, interleave bits, range-partition.
+
+    Mechanics (all JVM-side codegen expressions):
+    1. each column min-max normalizes to a ``bits_per_col``-bit
+       integer (the 1-row min/max agg is crossJoin-broadcast — the
+       same scalar pattern the BM25 entries whitelist). Min-max
+       scaling assumes roughly uniform values; heavily skewed
+       columns should pre-transform (e.g. rank or log), the same
+       caveat lakehouse z-ordering carries;
+    2. bits interleave into one z-value: bit b of col0 lands at
+       position 2b, col1 at 2b+1 — nearby (A, B) pairs get nearby
+       z-values, so the space-filling curve preserves locality in
+       both dimensions;
+    3. ``repartitionByRange(n_files, z)`` + ``sortWithinPartitions``
+       give each output file a tight z-range, hence tight min/max on
+       BOTH source columns.
+
+    tests/test_plans.py certifies the pruning effect from the parquet
+    footers: under z-order a narrow predicate on either dimension
+    overlaps a bounded fraction of files; under single-column range
+    sort the unsorted dimension overlaps all of them.
+    """
+    if len(cols) != 2:
+        raise ValueError("write_zordered interleaves exactly 2 columns")
+    mins = [F.min(c).alias(f"_mn{i}") for i, c in enumerate(cols)]
+    maxs = [F.max(c).alias(f"_mx{i}") for i, c in enumerate(cols)]
+    stats = df.agg(*mins, *maxs)
+    scale = (1 << bits_per_col) - 1
+    with_stats = df.crossJoin(F.broadcast(stats))
+
+    def norm(i: int, c: str) -> F.Column:
+        lo = F.col(f"_mn{i}").cast("double")
+        hi = F.col(f"_mx{i}").cast("double")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        return F.floor(
+            ((F.col(c).cast("double") - lo) / span) * F.lit(float(scale))
+        ).cast("long")
+
+    z = F.lit(0).cast("long")
+    n0, n1 = norm(0, cols[0]), norm(1, cols[1])
+    for b in range(bits_per_col):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(n0, b).bitwiseAND(F.lit(1)), 2 * b))
+            .bitwiseOR(F.shiftleft(F.shiftright(n1, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+        )
+    out = (
+        with_stats.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_mn0", "_mn1", "_mx0", "_mx1")
+    )
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
