@@ -143,7 +143,16 @@ SCALAR_BROADCAST_OK = {
 # Entries allowed >2 scans of one parquet file: filtered or map-only
 # re-reads where the persisted-index/materialized variant is the scale
 # path (documented in each docstring).
-MULTI_SCAN_OK = {"q02c_ranked_search", "q13b_range_join_binned", "text_tfidf_top"}
+MULTI_SCAN_OK = {
+    "q02c_ranked_search",
+    "q13b_range_join_binned",
+    "text_tfidf_top",
+    # 4 scans = 2 references to the routing relation (final outcome join
+    # + the near-dup branch) x the 2-scan quality subtree; the streaming
+    # pipeline persists the routed batch (corpus_ingest_batch), so the
+    # duplication exists only in this one-shot certificate plan
+    "docs_corpus_ingest_nd",
+}
 
 
 def test_catalog_plan_sweep(spark, qs):

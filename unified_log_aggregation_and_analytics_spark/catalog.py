@@ -116,8 +116,9 @@ GATE_ORDER: list[str] = [
     "text_tfidf_top",
     # -- sampling / training-pipeline family
     # (hash_split's bucket rule is re-proved inside docs_training_pipeline,
-    # so its slot carries the streaming-ingest routing certificate)
-    "docs_corpus_ingest",
+    # so its slot carries the streaming-ingest routing certificate —
+    # the near-dup variant, which strictly extends docs_corpus_ingest)
+    "docs_corpus_ingest_nd",
     "docs_mixture_sample",
     "docs_training_pipeline",
     # -- multimodal family (X5)

@@ -1713,3 +1713,124 @@ def knn_ivf_refined(spark, sf_dir):
     seeds = S.deterministic_centroids(emb, 16)
     refined = S.kmeans_refine(emb, seeds, n_iter=1, round_means=6)
     return S.knn_ivf(emb, list(qv), k=10, centroids=refined)
+
+
+@_register(
+    "docs_temperature_sample",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    r AS (
+      SELECT source,
+             round(least(power(CAST(n_min AS DOUBLE) / n, 0.5), 1.0), 9) AS keep_rate
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 1000000000 AS DOUBLE) + 0.5) / 1000000000.0 < keep_rate
+    """,
+)
+def docs_temperature_sample(spark, sf_dir):
+    """Temperature-based data mixing (tau=0.5): stratum proportions
+    rebalance toward ``n_s^0.5`` — dominant sources damp, rare sources
+    keep everything (keep_rate_s = min((n_min/n_s)^(1-tau), 1), the
+    multilingual-pretraining rebalancing rule). Closed-form rates from
+    one stratum-cardinality aggregation + broadcast join; map-only
+    membership; the corpus never shuffles
+    (operators/sampling.py temperature_mixture_sample)."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    return temperature_mixture_sample(
+        _t(spark, sf_dir, "documents"), tau=0.5, stratum_col="source"
+    )
+
+
+def _ingest_nd_oracle() -> str:
+    """DuckDB twin of the near-dup-aware ingest routing: quality CTE
+    (shared with text_quality_filter), md5 fingerprint exact-dup rank,
+    8x md5 MinHash over trigram shingles on the unique kept docs (the
+    same signature SQL family as dedup_minhash_lsh_md5), 2-hash md5
+    bands, pair verification at estimated Jaccard >= 5/8, and a doc is
+    near_duplicate iff a verified lower-id partner exists."""
+    K = 8
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(sh, x -> md5('{k}' || x))) AS mh{k}"
+        for k in range(1, K + 1)
+    )
+    band_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b+1} || '|' || mh{2*b+2}) AS bh FROM sig"
+        for b in range(K // 2)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(1, K + 1)
+    )
+    return f"""
+    WITH qf AS ({QUERIES['text_quality_filter'].oracle}),
+    j AS (
+      SELECT d.doc_id, d.lang, d.text,
+             md5(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS fp,
+             qf.verdict, qf.kept
+      FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+    ),
+    rt AS (
+      SELECT doc_id, lang, text, verdict, kept,
+             row_number() OVER (PARTITION BY fp, kept ORDER BY doc_id) AS rn
+      FROM j
+    ),
+    u AS (SELECT doc_id, text FROM rt WHERE kept AND rn = 1),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 1, 2)),
+               i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM u
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM s
+    ),
+    bands AS (
+      {band_sql}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.id_b, ({eq_sum}) / 8.0 AS ej
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    ),
+    near AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE ej >= 0.6),
+    r AS (
+      SELECT rt.lang,
+             CASE WHEN NOT rt.kept THEN 'rejected:' || rt.verdict
+                  WHEN rt.rn > 1 THEN 'duplicate'
+                  WHEN near.doc_id IS NOT NULL THEN 'near_duplicate'
+                  ELSE 'ingested' END AS outcome
+      FROM rt LEFT JOIN near ON rt.doc_id = near.doc_id
+    )
+    SELECT lang, outcome, COUNT(*) AS n_docs FROM r GROUP BY 1, 2
+"""
+
+
+@_register("docs_corpus_ingest_nd", _ingest_nd_oracle())
+def docs_corpus_ingest_nd(spark, sf_dir):
+    """Near-dup-aware ingest certificate (batch analog of
+    corpus_ingest_batch(near_dup=True)): quality rules -> exact dedup
+    -> MinHash-LSH near-dup verification -> per-stratum routing, one
+    plan, hash-matched against the independent oracle. The md5 hash
+    family makes every signature and band key engine-reproducible;
+    streaming runs the identical policy on the xxhash64 fast path."""
+    from unified_log_aggregation_and_analytics_spark.streaming.corpus import (
+        ingest_report_nd,
+    )
+
+    return ingest_report_nd(_spread(_t(spark, sf_dir, "documents")))

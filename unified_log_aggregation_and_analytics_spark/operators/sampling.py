@@ -224,3 +224,57 @@ def mixture_sample(
         .filter(u < F.col("keep_rate"))
         .select(id_col, stratum_col)
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    tau: float,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based data mixing (the standard LLM-corpus
+    rebalancing rule): target stratum proportions ``∝ n_s^tau``.
+    ``tau = 1`` keeps the natural mix, ``tau -> 0`` approaches
+    uniform-per-stratum, intermediate values damp dominant sources
+    while preserving their lead — multilingual-pretraining's usual
+    compromise.
+
+    Derivation: with weights ``w_s = n_s^tau`` the no-oversampling
+    mixture rule (see mixture_sample) gives
+    ``keep_rate_s = min((n_min / n_s)^(1 - tau), 1)`` where ``n_min``
+    is the smallest stratum — a closed form, computed entirely
+    in-plan: one stratum-cardinality aggregation, a 1-row global min
+    over it, a broadcast join back, and the map-only hash-membership
+    rule. The corpus never shuffles. Rates round to 9 decimals so the
+    float ``pow`` cannot flip a membership decision between engines
+    (the hash u-value has exactly 9 digits of resolution).
+    """
+    if tau < 0 or tau > 1:
+        raise ValueError("temperature tau must be in [0, 1]")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    rates = (
+        counts.agg(
+            F.min("n").alias("n_min"),
+            F.collect_list(F.struct(stratum_col, "n")).alias("strata"),
+        )
+        .select(F.col("n_min"), F.explode("strata").alias("s"))
+        .select(
+            F.col(f"s.{stratum_col}").alias(stratum_col),
+            F.round(
+                F.least(
+                    F.pow(
+                        F.col("n_min").cast("double") / F.col("s.n"),
+                        F.lit(1.0 - tau),
+                    ),
+                    F.lit(1.0),
+                ),
+                9,
+            ).alias("keep_rate"),
+        )
+    )
+    u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("keep_rate"))
+        .select(id_col, stratum_col)
+    )

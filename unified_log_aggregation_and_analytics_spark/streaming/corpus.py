@@ -400,3 +400,112 @@ def ingest_report(
     return routed.groupBy("lang", "outcome").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def ingest_report_nd(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Batch analog of the FULL ingest routing including near-dup
+    removal — the oracle-checkable twin of ``corpus_ingest_batch(...,
+    near_dup=True)``: outcomes ``rejected:<rule>`` / ``duplicate``
+    (exact) / ``near_duplicate`` (MinHash-verified, a lower-id
+    verified partner exists) / ``ingested``, reported per stratum.
+    Uses the md5 hash family so DuckDB replays the identical
+    signatures (the xxhash64 family is the streaming fast path; policy
+    and plan shape are the same — the repo's standard oracle-twin
+    split, as dedup_minhash_lsh / dedup_minhash_lsh_md5).
+
+    Plan shape: quality rules (one repetition agg + join back), exact
+    dedup rank (one window on the fp key), MinHash signatures (explode
+    + codegen min-agg), then ONE group-then-pair pass where each band
+    bucket's rows carry their signature arrays, so pair verification
+    (fraction of equal components, zip_with over the pair) happens at
+    pair-emission time — no join back to the signature relation, and
+    the corpus is scanned exactly twice (routing + signatures), never
+    once per signature reference. The higher-order pair expressions
+    run on bucket pairs only — bounded — not the corpus."""
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    fp = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").cast("binary"))
+    scored = docs.join(
+        quality_filter(docs).select("doc_id", "verdict", "kept"), "doc_id"
+    )
+    w = Window.partitionBy(fp, F.col("kept")).orderBy("doc_id")
+    routed = scored.withColumn("rn", F.row_number().over(w))
+    uniq = routed.filter(F.col("kept") & (F.col("rn") == 1))
+
+    mh = [f"mh{k}" for k in range(1, num_hashes + 1)]
+    sigs = minhash_signature(
+        uniq.select("doc_id", "text"), num_hashes=num_hashes, hash_fn="md5"
+    ).withColumn("sig", F.array(*mh))
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + i + 1}") for i in range(band_size)]
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select("doc_id", "sig", F.explode(bands).alias("band")).select(
+        "doc_id", "sig", "band.band_idx", "band.band_hash"
+    )
+    # group-then-pair with signatures riding along: sort by doc_id
+    # (struct sort orders by the leading field), emit each bucket's
+    # (lower, higher) pairs with the equal-component fraction computed
+    # inline — zip_with + filter over the two 8-element arrays.
+    buckets = (
+        exploded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sig"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    y["doc_id"].alias("id_b"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with(x["sig"], y["sig"], lambda a, b: a == b),
+                                lambda t: t,
+                            )
+                        )
+                        / F.lit(float(num_hashes))
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
+    )
+    near = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.est_jaccard") >= jaccard_threshold)
+        .select(F.col("p.id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    outcome = (
+        F.when(~F.col("kept"), F.concat(F.lit("rejected:"), F.col("verdict")))
+        .when(F.col("rn") > 1, F.lit("duplicate"))
+        .when(F.col("_near"), F.lit("near_duplicate"))
+        .otherwise(F.lit("ingested"))
+    )
+    return (
+        routed.join(near, "doc_id", "left")
+        .groupBy("lang", outcome.alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
