@@ -554,3 +554,35 @@ def test_ivf_refined_recall_not_worse(spark, emb):
 
     again = S.kmeans_refine(corpus, seeds, n_iter=1, round_means=6)
     assert np.array_equal(refined, again)
+
+
+def test_knn_join_recall_vs_exact_graph(spark, emb):
+    """The LSH kNN join's neighbor sets overlap the exact kNN graph's:
+    mean recall@5 over all nodes clears a floor (same-bucket
+    approximation; the embeddings fixture is label-clustered, so
+    bucket cohesion is realistic), and every returned neighbor list
+    is correctly ordered by cosine."""
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in S.knn_join(emb, k=5, n_bits=4).collect():
+        got[r.src].append((r.cos_sim, r.nbr))
+
+    # exact graph via per-bucketless all-pairs in python (500 vectors)
+    rows = [(r[0], list(r[1])) for r in emb.select("vec_id", "embedding").collect()]
+    import numpy as np
+
+    ids = [i for i, _ in rows]
+    m = np.array([v for _, v in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    hits = total = 0
+    idx = {i: j for j, i in enumerate(ids)}
+    for src, nbrs in got.items():
+        exact = {ids[j] for j in np.argsort(sims[idx[src]])[::-1][:5]}
+        hits += len(exact & {n for _, n in nbrs})
+        total += 5
+        assert [c for c, _ in nbrs] == sorted((c for c, _ in nbrs), reverse=True)
+    assert total > 0
+    assert hits / total >= 0.35, f"kNN-join recall {hits/total:.2f} below floor"

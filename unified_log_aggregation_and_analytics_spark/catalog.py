@@ -105,7 +105,10 @@ GATE_ORDER: list[str] = [
     "dedup_chunks",
     "dedup_embedding_cosine",
     # -- similarity search family (X3)
-    "knn_ann_lsh_oracle",
+    # (knn_ann_lsh_oracle's probe math is certified through
+    # knn_ann_lsh_appended, which shares its oracle; the slot carries
+    # the corpus-wide kNN-graph join instead)
+    "knn_join_graph",
     "knn_ivf_appended",         # IVF index + incremental append/compact
     "knn_ann_lsh_appended",     # LSH index + incremental append/compact
     "knn_batch_ann_indexed",

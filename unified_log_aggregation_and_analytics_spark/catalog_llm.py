@@ -763,11 +763,11 @@ def dedup_simhash_md5(spark, sf_dir):
     return D.simhash64(docs, hash_fn="md5", n_bits=60).select("doc_id", "simhash")
 
 
-def _lsh_bucket_sql(ref: str = "e.embedding") -> str:
+def _lsh_bucket_sql(ref: str = "e.embedding", n_bits: int = 8) -> str:
     """The seeded-hyperplane sign-sketch bucket as a DuckDB expression:
-    identical planes to similarity.lsh_planes(64, 8, 42), embedded as
-    SQL literals so DuckDB reproduces bucket assignment exactly."""
-    planes = S.lsh_planes(64, 8, 42)
+    identical planes to similarity.lsh_planes(64, n_bits, 42), embedded
+    as SQL literals so DuckDB reproduces bucket assignment exactly."""
+    planes = S.lsh_planes(64, n_bits, 42)
     dots = []
     for b, plane in enumerate(planes):
         terms = " + ".join(
@@ -1834,3 +1834,51 @@ def docs_corpus_ingest_nd(spark, sf_dir):
     )
 
     return ingest_report_nd(_spread(_t(spark, sf_dir, "documents")))
+
+
+def _knn_join_oracle(k: int = 5) -> str:
+    """DuckDB twin of the LSH kNN join: identical plane-literal
+    buckets (4 bits — granularity sized to the fixture corpus; at
+    scale n_bits grows with log2(corpus)), Hamming<=1 multiprobe
+    self-join (the O(n^2) mathematical form of the Spark side's
+    probe-replicated equi-join — identical pair set), exact rounded
+    cosine, per-source top-k with (cos DESC, nbr) tie order."""
+    cos = """
+        round(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        , 6)"""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding, ({_lsh_bucket_sql('e.embedding', n_bits=4)}) AS bucket
+      FROM embeddings e
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, {cos} AS cos_sim
+      FROM v a JOIN v b
+        ON bit_count(CAST(xor(a.bucket, b.bucket) AS BIGINT)) <= 1
+       AND a.vec_id <> b.vec_id
+    )
+    SELECT src, nbr, cos_sim FROM (
+      SELECT src, nbr, cos_sim,
+             row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr) AS rn
+      FROM p
+    ) WHERE rn <= {k}
+"""
+
+
+@_register("knn_join_graph", _knn_join_oracle())
+def knn_join_graph(spark, sf_dir):
+    """X3 — corpus-wide approximate kNN graph (similarity.knn_join):
+    every vector's top-5 same-LSH-bucket neighbors by cosine, the
+    graph behind dedup clustering and diversity-aware curation. One
+    bucket-keyed shuffle, pair scoring at bucket-emission time, one
+    top-k window — oracle-checked end to end via plane literals (the
+    DuckDB twin replays buckets, pairs, and scores exactly); recall
+    vs the exact graph pinned in tests/test_llm_ops.py."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    return S.knn_join(emb, k=5, n_bits=4)

@@ -359,3 +359,70 @@ def quantize_embeddings(
         ).alias("q_hash"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 4,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """X3 — corpus-wide approximate kNN JOIN (the kNN-graph builder
+    behind dedup clustering, diversity sampling, and graph-based
+    curation): every vector gets its top-``k`` most-cosine-similar
+    neighbors among vectors whose LSH bucket is within
+    ``multiprobe_bits`` Hamming distance of its own.
+
+    Plan shape: the source side replicates into its home bucket plus
+    each 1-bit-flip probe bucket (``n_bits + 1`` copies — the standard
+    multiprobe trade: bounded replication buys the recall a single
+    hash table cannot reach); candidates come from ONE bucket-keyed
+    equi-join against the un-replicated side (each qualifying pair
+    matches exactly one probe bucket, so no dedup is needed); scoring
+    is the JVM-side cosine expression; one window on the source id
+    keeps the top-k. At 100 TB the bucket column is precomputed and
+    both sides shuffle once on the uniform bucket key; hot buckets
+    split via AQE — the same scaling story as the LSH dedup.
+
+    ``n_bits`` sizes bucket granularity: ~log2(corpus / target bucket
+    population). Recall vs the exact graph is pinned in tests."""
+    from pyspark.sql import Window
+
+    if multiprobe_bits not in (0, 1):
+        raise ValueError("multiprobe_bits must be 0 or 1")
+    dim = len(df.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_bits, seed)
+    base = df.select(
+        F.col(id_col), F.col(vec_col), sign_sketch(vec_col, planes).alias("bucket")
+    )
+    probes = [F.col("bucket")]
+    if multiprobe_bits == 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
+        ]
+    left = base.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("_v1"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    right = base.select(
+        F.col(id_col).alias("nbr"), F.col(vec_col).alias("_v2"), "bucket"
+    )
+    scored = (
+        left.join(right, "bucket")
+        .filter(F.col("src") != F.col("nbr"))
+        .select(
+            "src",
+            "nbr",
+            F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
