@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "docs_corpus_ingest",
     "knn_ivf_refined",
     "multimodal_image_stats_png",
+    # near-dup-aware ingest routing, kNN graph join, temperature mixing
+    "docs_corpus_ingest_nd",
+    "knn_join_graph",
+    "docs_temperature_sample",
 ]
 
 
