@@ -258,3 +258,60 @@ def test_corpus_near_dup_within_batch(spark, docs, tmp_path):
     rej = spark.read.parquet(rejected)
     nd = {r["doc_id"] for r in rej.filter(F.col("_error") == "near_duplicate").collect()}
     assert nd == {9101}
+
+
+def test_corpus_near_dup_replay_idempotent(spark, docs, tmp_path):
+    """Checkpoint-replay idempotence extends to the near-dup sidecars:
+    re-running a batch adds nothing to the corpus, the fingerprint
+    sidecar, or the band/sig sidecars (the fp anti-join empties the
+    replayed batch before any near-dup work)."""
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    base = _kept_docs_pdf(spark, docs, 20)
+    bdf = spark.createDataFrame(base)
+    corpus_ingest_batch(bdf, table, rejected, near_dup=True)
+    counts = {
+        p: spark.read.parquet(table + p).count()
+        for p in ("", "_fingerprints", "_minhash_sigs", "_minhash_bands")
+    }
+    corpus_ingest_batch(bdf, table, rejected, near_dup=True)  # replay
+    for p, n in counts.items():
+        assert spark.read.parquet(table + p).count() == n, p
+
+
+def test_corpus_metrics_reconcile(spark, docs, tmp_path):
+    """K5 parity for the corpus side: per-batch outcome metrics sum to
+    exactly the outcomes on disk — ingested rows, DLQ rows per rule,
+    and the dedup drops — across all micro-batches."""
+    pdf = (
+        docs.filter(F.col("doc_id") < 90)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    _write_batches(pdf, src_dir, n_batches=3)
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    run_corpus_pipeline(
+        stream, table, rejected, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    ).await_done()
+
+    metrics = spark.read.parquet(table + "_metrics")
+    assert metrics.select("batch_id").distinct().count() == 3
+    per_outcome = {
+        r["outcome"]: r["total"]
+        for r in metrics.groupBy("outcome").agg(F.sum("n").alias("total")).collect()
+    }
+    assert per_outcome["ingested"] == spark.read.parquet(table).count()
+    rej = spark.read.parquet(rejected)
+    for r in rej.groupBy("_error").agg(F.count("*").alias("n")).collect():
+        assert per_outcome["rejected:" + r["_error"]] == r["n"]
+    assert sum(per_outcome.values()) == len(pdf)

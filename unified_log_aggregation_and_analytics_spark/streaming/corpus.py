@@ -188,6 +188,7 @@ def corpus_ingest_batch(
     stratum_col: str = "lang",
     near_dup: bool = False,
     jaccard_threshold: float = 0.6,
+    batch_id: int | None = None,
 ) -> None:
     """Ingest ONE micro-batch of documents:
 
@@ -207,7 +208,16 @@ def corpus_ingest_batch(
        signature rows) append to the sidecars.
 
     Persisted like dlq_split: verdicts + fingerprints are computed
-    once, then feed the writes (table, DLQ, sidecars)."""
+    once, then feed the writes (table, DLQ, sidecars).
+
+    With ``batch_id`` set (run_corpus_pipeline passes it), per-batch
+    outcome accounting appends to ``{table_path}_metrics`` —
+    ``(batch_id, outcome, n)`` rows, the corpus twin of the log
+    pipeline's K5 self-metrics: an operator watches per-rule rejection
+    and dedup rates per trigger without scanning the corpus. Counts
+    come from the already-persisted frames (three cheap count jobs),
+    and the metrics write is the last append, so it doubles as the
+    batch's completion marker."""
     spark = batch_df.sparkSession
     scored = (
         batch_df.join(
@@ -256,6 +266,29 @@ def corpus_ingest_batch(
             kept = kept.join(near_ids, "doc_id", "left_anti")
         kept.persist()
         try:
+            # Metrics COUNTS must come before any sidecar append (the
+            # appends below invalidate every cached plan reading those
+            # paths — see WRITE ORDER note); the rows are plain driver
+            # values, written as the final append.
+            metric_rows = None
+            if batch_id is not None:
+                n_in = scored.count()
+                rej = {
+                    r["verdict"]: r["n"]
+                    for r in scored.filter(~F.col("kept"))
+                    .groupBy("verdict")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_ing = kept.count()
+                n_near = (pre_nd.count() - n_ing) if pre_nd is not None else 0
+                n_dup = n_in - sum(rej.values()) - n_near - n_ing
+                metric_rows = (
+                    [(int(batch_id), "ingested", n_ing)]
+                    + ([(int(batch_id), "near_duplicate", n_near)] if near_dup else [])
+                    + [(int(batch_id), "duplicate", n_dup)]
+                    + [(int(batch_id), f"rejected:{v}", n) for v, n in sorted(rej.items())]
+                )
             # WRITE ORDER MATTERS: appending to a parquet path
             # invalidates (and recaches by re-reading) every cached
             # plan whose lineage scans that path. `kept` reads the fp
@@ -300,6 +333,10 @@ def corpus_ingest_batch(
                 .partitionBy("fp_bucket")
                 .parquet(sidecar)
             )
+            if metric_rows is not None:
+                spark.createDataFrame(
+                    metric_rows, "batch_id long, outcome string, n long"
+                ).write.mode("append").parquet(f"{table_path}_metrics")
         finally:
             kept.unpersist()
             if pre_nd is not None:
@@ -338,7 +375,7 @@ def run_corpus_pipeline(
     away on retry)."""
     trigger = trigger or {"processingTime": "60 seconds"}
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         corpus_ingest_batch(
             batch_df,
             table_path,
@@ -346,6 +383,7 @@ def run_corpus_pipeline(
             stratum_col,
             near_dup=near_dup,
             jaccard_threshold=jaccard_threshold,
+            batch_id=batch_id,
         )
 
     q = (
