@@ -586,3 +586,30 @@ def test_knn_join_recall_vs_exact_graph(spark, emb):
         assert [c for c, _ in nbrs] == sorted((c for c, _ in nbrs), reverse=True)
     assert total > 0
     assert hits / total >= 0.35, f"kNN-join recall {hits/total:.2f} below floor"
+
+
+def test_write_training_shards_layout(spark, docs, tmp_path):
+    """Shard export: split directories on disk, every shard at most
+    docs_per_shard rows, rows and values preserved exactly."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        hash_split,
+        write_training_shards,
+    )
+
+    out = tmp_path / "shards"
+    split_docs = hash_split(docs.select("doc_id", "text", "lang"))
+    write_training_shards(split_docs, str(out), docs_per_shard=100)
+
+    on_disk = {p.name for p in out.glob("split=*")}
+    assert on_disk == {"split=train", "split=val", "split=test"}
+    for f in out.rglob("*.parquet"):
+        assert pq.ParquetFile(str(f)).metadata.num_rows <= 100
+    back = spark.read.parquet(str(out))
+    assert back.count() == docs.count()
+    want = {r["doc_id"]: r["split"] for r in split_docs.select("doc_id", "split").collect()}
+    got = {r["doc_id"]: r["split"] for r in back.select("doc_id", "split").collect()}
+    assert got == want

@@ -278,3 +278,34 @@ def temperature_mixture_sample(
         .filter(u < F.col("keep_rate"))
         .select(id_col, stratum_col)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    docs_per_shard: int = 10_000,
+    order_col: str = "doc_id",
+) -> None:
+    """The training-pipeline OUTPUT stage: materialize a processed
+    corpus as ``split=train/val/test`` directories of size-bounded
+    parquet shards — the layout a data loader streams without listing
+    pathologies (shard count ~ corpus / docs_per_shard, each shard a
+    self-contained row group).
+
+    Mechanics: repartitionByRange on (split, order_col) gives each
+    output task a contiguous, deterministic id range within its split
+    (so shard boundaries are stable across runs — the same hygiene
+    argument as hash_split), and ``maxRecordsPerFile`` caps shard
+    size without a count pass. One range shuffle total; the write is
+    the scan's natural parallelism."""
+    n_rows = df.count()
+    n_parts = max(1, (n_rows + docs_per_shard - 1) // docs_per_shard)
+    (
+        df.repartitionByRange(n_parts, F.col(split_col), F.col(order_col))
+        .sortWithinPartitions(split_col, order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", docs_per_shard)
+        .partitionBy(split_col)
+        .parquet(path)
+    )
