@@ -315,3 +315,67 @@ def test_corpus_metrics_reconcile(spark, docs, tmp_path):
     for r in rej.groupBy("_error").agg(F.count("*").alias("n")).collect():
         assert per_outcome["rejected:" + r["_error"]] == r["n"]
     assert sum(per_outcome.values()) == len(pdf)
+
+
+def test_corpus_ingest_empty_batch_is_noop(spark, docs, tmp_path):
+    """An empty micro-batch (idle trigger) must not crash or disturb
+    state; a later real batch ingests normally."""
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    empty = docs.filter(F.col("doc_id") < 0)
+    corpus_ingest_batch(empty, table, rejected, near_dup=True)
+    real = docs.filter(F.col("doc_id") < 40)
+    corpus_ingest_batch(real, table, rejected, near_dup=True)
+    assert spark.read.parquet(table).count() > 0
+    corpus_ingest_batch(empty, table, rejected, near_dup=True)  # idle again
+    n = spark.read.parquet(table).count()
+    assert n == spark.read.parquet(table + "_fingerprints").count()
+
+
+def test_compact_sidecars_preserves_dedup(spark, docs, tmp_path):
+    """Sidecar compaction folds per-batch small files to one per
+    partition without changing any routing decision: a replayed and a
+    genuinely-new batch behave identically after compaction."""
+    from unified_log_aggregation_and_analytics_spark.streaming.corpus import (
+        compact_sidecars,
+    )
+
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    b1 = _kept_docs_pdf(spark, docs, 15)
+    b2 = _kept_docs_pdf(spark, docs, 15, lo=200)
+    corpus_ingest_batch(spark.createDataFrame(b1), table, rejected, near_dup=True)
+    corpus_ingest_batch(spark.createDataFrame(b2), table, rejected, near_dup=True)
+
+    fp_dir = Path(table + "_fingerprints")
+    multi = [d for d in fp_dir.glob("fp_bucket=*") if len(list(d.glob("*.parquet"))) > 1]
+    n_before = spark.read.parquet(str(fp_dir)).count()
+
+    compact_sidecars(spark, table)
+
+    for d in fp_dir.glob("fp_bucket=*"):
+        assert len(list(d.glob("*.parquet"))) == 1
+    for side in ("_minhash_bands", "_minhash_sigs"):
+        for d in Path(table + side).glob("*=*"):
+            assert len(list(d.glob("*.parquet"))) == 1
+    assert spark.read.parquet(str(fp_dir)).count() == n_before
+
+    # replay of batch 1 still fully deduped; a near-dup of an ingested
+    # doc is still caught through the compacted band/sig sidecars
+    n_table = spark.read.parquet(table).count()
+    corpus_ingest_batch(spark.createDataFrame(b1), table, rejected, near_dup=True)
+    assert spark.read.parquet(table).count() == n_table
+    victim = b1.iloc[0]
+    nd = b1.iloc[0:0].copy()
+    nd.loc[0] = [
+        9500,
+        victim["text"] + " tail tokens",
+        victim["lang"],
+        victim["source"],
+        victim["n_chars"],
+    ]
+    corpus_ingest_batch(spark.createDataFrame(nd), table, rejected, near_dup=True)
+    rej = spark.read.parquet(rejected)
+    assert 9500 in {
+        r["doc_id"] for r in rej.filter(F.col("_error") == "near_duplicate").collect()
+    }

@@ -547,3 +547,37 @@ def ingest_report_nd(
         .groupBy("lang", outcome.alias("outcome"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def compact_sidecars(
+    spark: SparkSession, table_path: str, files_per_partition: int = 1
+) -> None:
+    """Sidecar maintenance: every micro-batch appends one file per
+    task to each sidecar partition, so file counts grow with trigger
+    count (~1 440/day/partition at the 60 s trigger) and every later
+    batch's anti-join pays the open cost. Folds each existing sidecar
+    (fingerprints, and the near-dup band/sig tables when present) back
+    to ``files_per_partition`` files per partition via
+    pipeline.compact_dir — dedup state is untouched, so routing
+    decisions are identical before and after (asserted in tests). The
+    local-FS directory swap stands in for the deployment's atomic
+    rename, exactly as compact_dir documents."""
+    import os
+    import shutil
+
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        compact_dir,
+    )
+
+    sidecars = [
+        (_fp_sidecar_path(table_path), "fp_bucket"),
+        (_band_sidecar_path(table_path), "bh_bucket"),
+        (_sig_sidecar_path(table_path), "sig_bucket"),
+    ]
+    for path, part_col in sidecars:
+        if not os.path.isdir(path):
+            continue
+        tmp = f"{path}__compact_tmp"
+        compact_dir(spark, path, tmp, [part_col], files_per_partition)
+        shutil.rmtree(path)
+        os.rename(tmp, path)

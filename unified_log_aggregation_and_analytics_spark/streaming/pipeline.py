@@ -234,6 +234,36 @@ def run_pipeline(
     return PipelineResult(q)
 
 
+def compact_dir(
+    spark,
+    table_path: str,
+    out_path: str,
+    part_cols: list[str],
+    files_per_partition: int = 1,
+    salt_cols: list[str] | None = None,
+) -> None:
+    """Generic small-files compaction for any partitioned parquet
+    directory: rewrite with each partition's rows hashed into
+    ``files_per_partition`` tasks (repartition on the partition keys,
+    plus a salt over ``salt_cols`` when >1), so the partitioned write
+    emits exactly that many files per directory. Output goes to
+    ``out_path``; the caller swaps directories (object stores make
+    in-place rewrite non-atomic, so the swap is deliberately left to
+    the deployment's rename/commit protocol)."""
+    df = spark.read.parquet(table_path)
+    keys = [F.col(c) for c in part_cols]
+    if files_per_partition > 1:
+        salt = salt_cols or [c for c in df.columns if c not in part_cols][:1]
+        keys.append(F.pmod(F.xxhash64(*salt), F.lit(files_per_partition)))
+    n_parts = max(df.select(*part_cols).distinct().count(), 1)
+    (
+        df.repartition(n_parts * files_per_partition, *keys)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(out_path)
+    )
+
+
 def compact_partitions(
     spark,
     table_path: str,
@@ -244,27 +274,16 @@ def compact_partitions(
     streaming sink appends one file per task per micro-batch, so a
     (source, log_date) partition accumulates files linearly with batch
     count; at a 60 s trigger that is ~1 440 files/partition/day and
-    scan overhead grows with file count, not data size.
-
-    Rewrites the table with each partition hashed to
-    ``files_per_partition`` tasks (repartition on the partition keys —
-    plus a salt when >1 — puts each partition's rows in exactly that
-    many tasks, so the partitioned write emits exactly that many files
-    per directory). Output goes to ``out_path``; the caller swaps
-    directories (object stores make in-place rewrite non-atomic, so
-    the swap is deliberately left to the deployment's rename/commit
-    protocol)."""
-    df = spark.read.parquet(table_path)
-    keys = [F.col("source"), F.col("log_date")]
-    if files_per_partition > 1:
+    scan overhead grows with file count, not data size. See
+    compact_dir for mechanics and the directory-swap contract."""
+    compact_dir(
+        spark,
+        table_path,
+        out_path,
+        ["source", "log_date"],
+        files_per_partition,
         # row-level salt (hashing the map-typed attrs is disallowed)
-        keys.append(F.pmod(F.xxhash64("_raw", "ts"), F.lit(files_per_partition)))
-    n_parts = max(df.select("source", "log_date").distinct().count(), 1)
-    (
-        df.repartition(n_parts * files_per_partition, *keys)
-        .write.mode("overwrite")
-        .partitionBy("source", "log_date")
-        .parquet(out_path)
+        salt_cols=["_raw", "ts"],
     )
 
 
