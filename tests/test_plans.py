@@ -351,3 +351,37 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     ry = file_ranges(rpath, "y")
     # single-column sort: the unsorted dimension overlaps EVERY file
     assert overlapping(ry, 0, 31) == len(ry)
+
+
+def test_bucketed_join_no_exchange(spark, qs):
+    """The co-located bucketed join must plan with ZERO Exchange
+    nodes once the broadcast shortcut is off (at fixture scale Spark
+    rightly broadcasts the small side — the bucketing payoff is for
+    two LARGE sides): bucketed scans satisfy the join's AND the
+    downstream aggregation's required distribution, so nothing
+    shuffles. The same query over plain parquet plans two shuffle
+    exchanges — the contrast IS the certificate."""
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, qs, "q11d_bucketed_join")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        import pyspark.sql.functions as F
+
+        o = load_table(spark, "orders", SF)
+        c = load_table(spark, "customer", SF)
+        unbucketed = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            unbucketed.explain("formatted")
+        unb = buf.getvalue()
+        assert "Exchange" in unb and "hashpartitioning" in unb
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -1202,3 +1202,46 @@ def q10b_topk_per_group(spark, sf_dir):
         counts.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+def _bucketed_pair(spark, sf_dir) -> tuple[str, str]:
+    """Session-scoped co-located (orders, customer) tables bucketed on
+    the join key — same build-once amortization and leftover-location
+    handling as _token_index_table."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    prefix = "bkt_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o_name, c_name = f"{prefix}_orders", f"{prefix}_customer"
+    if not (spark.catalog.tableExists(o_name) and spark.catalog.tableExists(c_name)):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name in (o_name, c_name):
+            leftover = Path(wh) / name.lower()
+            if leftover.exists() and not spark.catalog.tableExists(name):
+                shutil.rmtree(leftover)
+        R.build_bucketed_join_tables(
+            spark, _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"), prefix
+        )
+    return o_name, c_name
+
+
+@_register(
+    "q11d_bucketed_join",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q11d_bucketed_join(spark, sf_dir):
+    """Q11 scale path — CO-LOCATED bucketed join: both sides persisted
+    bucketed+sorted on the join key (relational.build_bucketed_join_
+    tables), so the join AND the downstream per-customer aggregation
+    run with ZERO Exchange nodes (plan-guarded) — the recurring-join
+    layout that removes two corpus-wide shuffles at 100 TB. The oracle
+    is the plain join SQL: bucketing changes the plan, never the
+    values."""
+    o_name, c_name = _bucketed_pair(spark, sf_dir)
+    return R.bucketed_join(spark, o_name, c_name)

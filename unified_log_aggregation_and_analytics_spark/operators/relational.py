@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # --- Q1/Q2/Q3: filters, full-text search, time range -------------------
@@ -499,4 +499,54 @@ def dedup_certificate(df: DataFrame, *key_cols: str, id_col: str) -> DataFrame:
     at-least-once upstream (reference utils.ts:42,57-59)."""
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def build_bucketed_join_tables(
+    spark: SparkSession,
+    orders: DataFrame,
+    customer: DataFrame,
+    prefix: str,
+    n_buckets: int = 8,
+) -> tuple[str, str]:
+    """Q11 scale path — CO-LOCATED join layout: persist both join
+    sides bucketed (and sorted) on the join key with the same bucket
+    count, so every future orders-customer join on that key is
+    shuffle-free: matching buckets are read task-aligned and the plan
+    contains NO Exchange on either side (plan-guarded in
+    tests/test_plans.py). At 100 TB this converts the recurring join's
+    two corpus-wide shuffles into zero — the bucketing cost is paid
+    once at layout time, the same trade as the persisted token/ANN
+    indexes. Sorting within buckets additionally removes the join's
+    Sort nodes (SortMergeJoin reads pre-sorted runs)."""
+    o_name, c_name = f"{prefix}_orders", f"{prefix}_customer"
+    (
+        orders.write.bucketBy(n_buckets, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(o_name)
+    )
+    (
+        customer.write.bucketBy(n_buckets, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(c_name)
+    )
+    return o_name, c_name
+
+
+def bucketed_join(spark: SparkSession, o_name: str, c_name: str) -> DataFrame:
+    """The shuffle-free join over build_bucketed_join_tables output:
+    customer spend rollup without a single Exchange."""
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
     )
