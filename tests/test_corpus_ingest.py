@@ -379,3 +379,63 @@ def test_compact_sidecars_preserves_dedup(spark, docs, tmp_path):
     assert 9500 in {
         r["doc_id"] for r in rej.filter(F.col("_error") == "near_duplicate").collect()
     }
+
+
+def test_streaming_maintained_token_index(spark, docs, tmp_path):
+    """The reference's core loop as Spark: continuously-ingested
+    documents stay SEARCHABLE — each micro-batch appends its survivors
+    into the persisted inverted index, and after the run, BM25 over
+    the streaming-maintained index is value-identical to an index
+    built from scratch over the final corpus."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        relational as R,
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("tok_stream_idx", "tok_stream_ref"):
+        for suffix in ("", "_doclen", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+            leftover = Path(wh) / (name + suffix).lower()
+            if leftover.exists():
+                shutil.rmtree(leftover)
+
+    pdf = (
+        docs.filter(F.col("doc_id") < 90)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    _write_batches(pdf, src_dir, n_batches=3)
+    table = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    run_corpus_pipeline(
+        stream,
+        table,
+        str(tmp_path / "rejected"),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        token_index="tok_stream_idx",
+    ).await_done()
+
+    # reference index: fresh build over exactly the ingested corpus
+    R.build_token_index_table(
+        spark.read.parquet(table).select("doc_id", "text"), "tok_stream_ref"
+    )
+    terms = ["merge", "spark", "vector"]
+    got = sorted(
+        tuple(r) for r in R.bm25_search_indexed(spark, "tok_stream_idx", terms, k=10).collect()
+    )
+    want = sorted(
+        tuple(r) for r in R.bm25_search_indexed(spark, "tok_stream_ref", terms, k=10).collect()
+    )
+    assert got == want and len(got) > 0

@@ -189,6 +189,7 @@ def corpus_ingest_batch(
     near_dup: bool = False,
     jaccard_threshold: float = 0.6,
     batch_id: int | None = None,
+    token_index: str | None = None,
 ) -> None:
     """Ingest ONE micro-batch of documents:
 
@@ -209,6 +210,15 @@ def corpus_ingest_batch(
 
     Persisted like dlq_split: verdicts + fingerprints are computed
     once, then feed the writes (table, DLQ, sidecars).
+
+    With ``token_index`` set, each batch's survivors ALSO append into
+    the persisted inverted index (relational.append_token_index_table)
+    — the reference's actual shape, continuously-searchable ingest
+    (Firehose -> daily OpenSearch index, README.md:30), as index
+    APPENDS instead of rebuilds. The exact-dedup stage upstream is
+    precisely the "ids not in base" contract the index append
+    requires, so the wiring is safe by construction; the first batch
+    builds the index, later batches append.
 
     With ``batch_id`` set (run_corpus_pipeline passes it), per-batch
     outcome accounting appends to ``{table_path}_metrics`` —
@@ -327,6 +337,20 @@ def corpus_ingest_batch(
                     .partitionBy("bh_bucket")
                     .parquet(_band_sidecar_path(table_path))
                 )
+            if token_index is not None:
+                # must run BEFORE the fp-sidecar append below: the
+                # survivors frame reads the fp sidecar, and appending
+                # to it would recache `kept` as empty (see WRITE ORDER)
+                from unified_log_aggregation_and_analytics_spark.operators.relational import (
+                    append_token_index_table,
+                    build_token_index_table,
+                )
+
+                docs_new = kept.select("doc_id", "text")
+                if spark.catalog.tableExists(token_index):
+                    append_token_index_table(docs_new, token_index)
+                else:
+                    build_token_index_table(docs_new, token_index)
             (
                 kept.select("fp", "fp_bucket")
                 .write.mode("append")
@@ -364,6 +388,7 @@ def run_corpus_pipeline(
     trigger: dict | None = None,
     near_dup: bool = False,
     jaccard_threshold: float = 0.6,
+    token_index: str | None = None,
 ) -> CorpusPipelineResult:
     """Wire the corpus ingest end-to-end: readStream of documents ->
     foreachBatch(corpus_ingest_batch). Trigger defaults to the
@@ -384,6 +409,7 @@ def run_corpus_pipeline(
             near_dup=near_dup,
             jaccard_threshold=jaccard_threshold,
             batch_id=batch_id,
+            token_index=token_index,
         )
 
     q = (
