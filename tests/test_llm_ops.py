@@ -613,3 +613,61 @@ def test_write_training_shards_layout(spark, docs, tmp_path):
     want = {r["doc_id"]: r["split"] for r in split_docs.select("doc_id", "split").collect()}
     got = {r["doc_id"]: r["split"] for r in back.select("doc_id", "split").collect()}
     assert got == want
+
+
+def test_sketch_cube_accuracy_merge_and_append(spark, tmp_path):
+    """The persisted HLL sketch cube answers distinct counts (a) within
+    2% of exact, (b) with cube-cell merges EQUAL to sketching the raw
+    union (mergeability — what makes the cube a cube), and (c)
+    incrementally: appending a new day's cells changes nothing vs a
+    full build."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.sketches import (
+        build_distinct_sketch_cube,
+        sketch_distinct,
+    )
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", SF).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    cube = str(tmp_path / "cube")
+    build_distinct_sketch_cube(ev, cube, ["event_type", "day"], "user_id")
+
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketch_distinct(spark, cube, group_by=["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] - n) <= max(0.02 * n, 1), (t, got[t], n)
+
+    # mergeability: union of per-cell sketches == sketch of raw union
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.expr("hll_sketch_agg(user_id, 12)")).alias("d")
+    ).collect()[0]["d"]
+    merged = sketch_distinct(spark, cube).collect()[0]["approx_distinct"]
+    assert merged == direct
+
+    # incremental: day-partitioned appends == one-shot build
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    split_day = days[len(days) // 2]
+    inc = str(tmp_path / "cube_inc")
+    build_distinct_sketch_cube(
+        ev.filter(F.col("day") <= F.lit(split_day)), inc, ["event_type", "day"], "user_id"
+    )
+    build_distinct_sketch_cube(
+        ev.filter(F.col("day") > F.lit(split_day)), inc, ["event_type", "day"], "user_id"
+    )
+    got_inc = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketch_distinct(spark, inc, group_by=["event_type"]).collect()
+    }
+    assert got_inc == got
