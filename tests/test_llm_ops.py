@@ -671,3 +671,35 @@ def test_sketch_cube_accuracy_merge_and_append(spark, tmp_path):
         for r in sketch_distinct(spark, inc, group_by=["event_type"]).collect()
     }
     assert got_inc == got
+
+
+def test_profile_table_approx_path_no_expand(spark, docs):
+    """The scale-path profile (approx distincts) must plan as ONE
+    aggregation without Spark's Expand-based multi-distinct rewrite,
+    and its non-cardinality numbers must equal the exact twin's."""
+    import io
+    from contextlib import redirect_stdout
+
+    from unified_log_aggregation_and_analytics_spark.operators.profiling import (
+        profile_table,
+    )
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    approx = profile_table(docs, cols)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        approx.explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+
+    got = {r["column"]: r for r in approx.collect()}
+    exact = {r["column"]: r for r in profile_table(docs, cols, exact=True).collect()}
+    for c in cols:
+        assert got[c]["n_rows"] == exact[c]["n_rows"]
+        assert got[c]["n_null"] == exact[c]["n_null"]
+        assert got[c]["min_value"] == exact[c]["min_value"]
+        assert got[c]["max_value"] == exact[c]["max_value"]
+        # HLL within 5% of truth
+        assert abs(got[c]["n_distinct"] - exact[c]["n_distinct"]) <= max(
+            0.05 * exact[c]["n_distinct"], 2
+        )

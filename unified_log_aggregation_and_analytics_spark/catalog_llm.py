@@ -1882,3 +1882,31 @@ def knn_join_graph(spark, sf_dir):
     vs the exact graph pinned in tests/test_llm_ops.py."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     return S.knn_join(emb, k=5, n_bits=4)
+
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+_PROFILE_ORACLE = "\n    UNION ALL ".join(
+    f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN(CAST({c} AS VARCHAR)) AS min_value,
+           MAX(CAST({c} AS VARCHAR)) AS max_value
+    FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@_register("docs_profile", _PROFILE_ORACLE)
+def docs_profile(spark, sf_dir):
+    """Dataset-card profile of the documents table
+    (operators/profiling.py): one pass, one hash aggregation, per-
+    column completeness/cardinality/range rows. exact=True here so the
+    DuckDB oracle matches bit-for-bit; the scale path flips to
+    approx_count_distinct to avoid the Expand-based multi-distinct
+    plan (same output schema, ~2% cardinality error)."""
+    from unified_log_aggregation_and_analytics_spark.operators.profiling import (
+        profile_table,
+    )
+
+    return profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS, exact=True)

@@ -1,0 +1,50 @@
+"""Dataset profiling (the dataset-card stage of a training pipeline):
+per-column completeness, cardinality, and range in a form both
+humans and downstream validation rules consume.
+
+Scale shape: ONE pass over the table computing every column's
+aggregates together (a single hash aggregation — no per-column jobs),
+then a map-only unpivot to (column, metric...) rows. Exact
+count_distinct per column would force Spark's Expand-based multi-
+distinct plan (one duplicated input stream per distinct column), so
+the scale path uses approx_count_distinct (HLL, ~2%) — the
+``exact=True`` twin exists for oracle checks and small tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
+    """One-pass per-column profile: row count, nulls, (approx)
+    distincts, lexicographic min/max (values cast to string so one
+    schema fits every column type). Returns one row per column:
+    ``(column, n_rows, n_null, n_distinct, min_value, max_value)``."""
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            distinct(c).alias(f"{c}__dist"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__null").cast("long").alias("n_null"),
+                F.col(f"{c}__dist").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
