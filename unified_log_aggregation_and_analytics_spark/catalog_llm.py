@@ -1910,3 +1910,49 @@ def docs_profile(spark, sf_dir):
     )
 
     return profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS, exact=True)
+
+
+_DRIFT_ORACLE = f"""
+    WITH qf AS ({{qf}}),
+    ka AS (SELECT lang, COUNT(*) AS n_a FROM documents GROUP BY lang),
+    kb AS (
+      SELECT d.lang, COUNT(*) AS n_b
+      FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+      WHERE qf.kept GROUP BY d.lang
+    ),
+    j AS (
+      SELECT COALESCE(ka.lang, kb.lang) AS lang,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ka FULL OUTER JOIN kb ON ka.lang = kb.lang
+    ),
+    t AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM j)
+    SELECT lang, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / t_a, 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / t_b, 6) AS share_b,
+           round((CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b)
+                 * ln((CAST(n_a AS DOUBLE) / t_a + 0.000000001)
+                      / (CAST(n_b AS DOUBLE) / t_b + 0.000000001)), 6) AS psi
+    FROM j, t
+"""
+
+
+@_register(
+    "docs_filter_drift",
+    _DRIFT_ORACLE.format(qf=QUERIES["text_quality_filter"].oracle),
+)
+def docs_filter_drift(spark, sf_dir):
+    """Mixture-drift monitor (operators/profiling.py mixture_drift):
+    per-language shares of the corpus BEFORE vs AFTER the quality
+    filter plus each language's PSI contribution — the "did this
+    filter stage skew my mixture" alarm a training pipeline runs after
+    every destructive stage. Oracle replays the shares and the
+    smoothed PSI formula in SQL."""
+    from unified_log_aggregation_and_analytics_spark.operators.profiling import (
+        mixture_drift,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    kept = docs.join(
+        X.quality_filter(docs).filter(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    return mixture_drift(docs, kept, "lang")

@@ -48,3 +48,41 @@ def profile_table(df: DataFrame, cols: list[str], exact: bool = False) -> DataFr
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def mixture_drift(
+    df_a: DataFrame, df_b: DataFrame, stratum_col: str
+) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots (or a
+    corpus and its filtered self): per-stratum shares side by side
+    plus the stratum's Population-Stability-Index contribution
+    ``(share_a - share_b) * ln(share_a / share_b)`` — the standard
+    "did this pipeline stage skew my mixture" alarm (sum > 0.1 is the
+    conventional review threshold; a stratum's own row says WHERE the
+    shift came from).
+
+    Plan shape: two stratum-cardinality aggregations (tiny), a full
+    outer join on the stratum key, map-only share/PSI math with
+    epsilon smoothing for one-sided strata. The corpora are each
+    scanned once; nothing corpus-sized shuffles. PSI rounds to 6
+    decimals so libm's last-ulp ln differences can't break
+    cross-engine equality."""
+    eps = 1e-9
+    a = df_a.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_a"))
+    b = df_b.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_b"))
+    joined = a.join(b, stratum_col, "full_outer").fillna(0, ["n_a", "n_b"])
+    totals = joined.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    out = joined.crossJoin(F.broadcast(totals))
+    share_a = F.col("n_a").cast("double") / F.col("t_a")
+    share_b = F.col("n_b").cast("double") / F.col("t_b")
+    psi = (share_a - share_b) * F.log((share_a + eps) / (share_b + eps))
+    return out.select(
+        stratum_col,
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(psi, 6).alias("psi"),
+    )
