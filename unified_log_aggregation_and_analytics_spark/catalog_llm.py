@@ -1948,11 +1948,11 @@ def docs_filter_drift(spark, sf_dir):
     every destructive stage. Oracle replays the shares and the
     smoothed PSI formula in SQL."""
     from unified_log_aggregation_and_analytics_spark.operators.profiling import (
-        mixture_drift,
+        mixture_drift_flagged,
     )
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    kept = docs.join(
-        X.quality_filter(docs).filter(F.col("kept")).select("doc_id"), "doc_id"
+    scored = docs.select("doc_id", "lang").join(
+        X.quality_filter(docs).select("doc_id", "kept"), "doc_id"
     )
-    return mixture_drift(docs, kept, "lang")
+    return mixture_drift_flagged(scored, "kept", "lang")

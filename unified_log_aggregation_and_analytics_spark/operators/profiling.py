@@ -86,3 +86,40 @@ def mixture_drift(
         F.round(share_b, 6).alias("share_b"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+def mixture_drift_flagged(
+    df: DataFrame, flag_col: str, stratum_col: str
+) -> DataFrame:
+    """mixture_drift specialized for the common case where snapshot B
+    is a FLAGGED SUBSET of snapshot A (a filter stage's survivors):
+    one corpus pass computes per-stratum (n_a, n_b) together, and the
+    totals come from a 1-row aggregate over that tiny relation with
+    the strata carried alongside via collect_list (the same
+    no-rescan trick as sampling.mixture_sample) — no second corpus
+    scan, no cross join, no global window. Share/PSI math identical
+    to mixture_drift."""
+    eps = 1e-9
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(F.col(flag_col).cast("long")).alias("n_b"),
+    )
+    exploded = (
+        counts.agg(
+            F.sum("n_a").alias("t_a"),
+            F.sum("n_b").alias("t_b"),
+            F.collect_list(F.struct(stratum_col, "n_a", "n_b")).alias("strata"),
+        )
+        .select("t_a", "t_b", F.explode("strata").alias("s"))
+    )
+    share_a = F.col("s.n_a").cast("double") / F.col("t_a")
+    share_b = F.col("s.n_b").cast("double") / F.col("t_b")
+    psi = (share_a - share_b) * F.log((share_a + eps) / (share_b + eps))
+    return exploded.select(
+        F.col(f"s.{stratum_col}").alias(stratum_col),
+        F.col("s.n_a").alias("n_a"),
+        F.col("s.n_b").alias("n_b"),
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(psi, 6).alias("psi"),
+    )
