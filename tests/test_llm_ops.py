@@ -703,3 +703,41 @@ def test_profile_table_approx_path_no_expand(spark, docs):
         assert abs(got[c]["n_distinct"] - exact[c]["n_distinct"]) <= max(
             0.05 * exact[c]["n_distinct"], 2
         )
+
+
+def test_mixture_drift_invariants(spark, docs):
+    """PSI invariants: a no-op stage (everything kept) drifts zero on
+    every stratum; a stage that wipes out one language produces the
+    largest positive PSI contribution on that language; the flagged
+    single-pass variant agrees with the generic two-frame form."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.profiling import (
+        mixture_drift,
+        mixture_drift_flagged,
+    )
+
+    sub = docs.filter(F.col("doc_id") < 300).select("doc_id", "lang")
+    noop = sub.withColumn("kept", F.lit(True))
+    for r in mixture_drift_flagged(noop, "kept", "lang").collect():
+        assert r["psi"] == 0.0 and r["n_a"] == r["n_b"]
+
+    # drop one language entirely
+    victim = sub.select("lang").first()[0]
+    flagged = sub.withColumn("kept", F.col("lang") != victim)
+    rows = {r["lang"]: r for r in mixture_drift_flagged(flagged, "kept", "lang").collect()}
+    assert rows[victim]["n_b"] == 0
+    assert rows[victim]["psi"] == max(r["psi"] for r in rows.values())
+    assert rows[victim]["psi"] > 0.1  # conventional drift-alarm level
+
+    # generic two-frame form computes the identical report
+    generic = {
+        r["lang"]: r
+        for r in mixture_drift(
+            sub, sub.filter(F.col("lang") != victim), "lang"
+        ).collect()
+    }
+    assert set(generic) == set(rows)
+    for lang in rows:
+        assert generic[lang]["psi"] == rows[lang]["psi"]
+        assert generic[lang]["share_a"] == rows[lang]["share_a"]
