@@ -56,8 +56,12 @@ def test_bench_queries_are_registered():
 from unified_log_aggregation_and_analytics_spark import catalog as _cat
 
 # family -> at-least-these-many representatives required in the window
+# (relational dropped 20→15 in round 5: the rotation policy cycles
+# never-driver-sampled entries in, and only 5 of those are relational —
+# the other 10 slots are certified anchors covering distinct physical
+# strategies.)
 _FAMILIES = {
-    "relational": (re.compile(r"^(q\d|tpch_)"), 20),
+    "relational": (re.compile(r"^(q\d|tpch_)"), 15),
     "logs": (re.compile(r"^logs_"), 3),
     "dedup": (re.compile(r"^dedup_"), 5),
     "similarity": (re.compile(r"^(knn_|ann_|emb_)"), 4),
@@ -80,6 +84,21 @@ def test_gate_window_covers_every_family():
         got = [n for n in window if pat.match(n)]
         assert len(got) >= minimum, (
             f"gate window has {len(got)} {family} entries, needs ≥{minimum}: {got}"
+        )
+
+
+def test_gate_window_rotates_uncertified_in():
+    # Rotation policy: while oracle-backed entries exist that no prior
+    # round's driver gate has certified, they must fill ≥60% of the
+    # window (or all of them, if fewer remain) — so every entry earns a
+    # driver-green row within ~2 rounds of landing.
+    window = list(entry.queries())[: _cat.GATE_WINDOW]
+    pending = [n for n in entry.oracle_sql() if n not in _cat.GATE_CERTIFIED]
+    if pending:
+        rotated_in = [n for n in window if n not in _cat.GATE_CERTIFIED]
+        need = min(len(pending), int(0.6 * _cat.GATE_WINDOW))
+        assert len(rotated_in) >= need, (
+            f"window carries {len(rotated_in)} uncertified entries, needs ≥{need}"
         )
 
 

@@ -228,6 +228,86 @@ def test_corpus_near_dup_cross_batch(spark, docs, tmp_path):
     assert len(list(Path(table + "_minhash_bands").glob("bh_bucket=*"))) >= 1
 
 
+def test_corpus_near_dup_sidecars_complete_after_cross_batch(spark, docs, tmp_path):
+    """Regression (ADVICE r4 high): the band/sig sidecar appends used
+    to invalidate the persisted `kept` plan, so the later fp-sidecar
+    and token-index appends recomputed `kept` against a band sidecar
+    already containing this batch's own rows — self-pairs verified at
+    est_jaccard 1.0 and silently dropped survivors' fingerprints.
+    After any batch with cross-batch candidates: fp-sidecar count must
+    equal corpus count, and a later EXACT duplicate of a survivor must
+    route as 'duplicate' (fp anti-join), never 'near_duplicate'."""
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    base = _kept_docs_pdf(spark, docs, 2)
+    corpus_ingest_batch(spark.createDataFrame(base), table, rejected, near_dup=True)
+
+    # batch 2: one near-dup of an ingested doc (cross-batch candidate
+    # traffic) + one genuinely new survivor. The survivor's doc_id is
+    # chosen so its sig-bucket collides with the victim's — the stale
+    # `obuckets` pruning list of the pre-fix plan — which is exactly
+    # the state where the recomputed `kept` verified a self-pair and
+    # dropped the survivor's fingerprint.
+    victim = base.iloc[0]
+    victim_bucket = (
+        spark.range(int(victim["doc_id"]), int(victim["doc_id"]) + 1)
+        .select(F.pmod(F.xxhash64("id"), F.lit(64)).alias("b"))
+        .first()[0]
+    )
+    collide_id = (
+        spark.range(9210, 50000)
+        .filter(F.pmod(F.xxhash64("id"), F.lit(64)) == victim_bucket)
+        .orderBy("id")
+        .first()[0]
+    )
+    fresh = _kept_docs_pdf(spark, docs, 1, lo=300).iloc[0]
+    b2 = base.iloc[0:0].copy()
+    b2.loc[0] = [
+        9201,
+        victim["text"] + " trailing tail tokens",
+        victim["lang"],
+        victim["source"],
+        victim["n_chars"],
+    ]
+    b2.loc[1] = [
+        int(collide_id),
+        fresh["text"],
+        fresh["lang"],
+        fresh["source"],
+        fresh["n_chars"],
+    ]
+    corpus_ingest_batch(spark.createDataFrame(b2), table, rejected, near_dup=True)
+
+    n_corpus = spark.read.parquet(table).count()
+    assert spark.read.parquet(table + "_fingerprints").count() == n_corpus
+    assert spark.read.parquet(table + "_minhash_sigs").count() == n_corpus
+    assert int(collide_id) in {
+        r[0] for r in spark.read.parquet(table).select("doc_id").collect()
+    }
+
+    # batch 3: EXACT duplicate of the batch-2 survivor — must be
+    # caught by the fp sidecar (outcome 'duplicate' = dropped without
+    # a DLQ near_duplicate row), which only works if its fingerprint
+    # was recorded
+    b3 = base.iloc[0:0].copy()
+    b3.loc[0] = [
+        9301,
+        fresh["text"],
+        fresh["lang"],
+        fresh["source"],
+        fresh["n_chars"],
+    ]
+    corpus_ingest_batch(spark.createDataFrame(b3), table, rejected, near_dup=True)
+    assert spark.read.parquet(table).count() == n_corpus
+    rej_nd = {
+        r["doc_id"]
+        for r in spark.read.parquet(rejected)
+        .filter(F.col("_error") == "near_duplicate")
+        .collect()
+    }
+    assert 9301 not in rej_nd, "exact dup misrouted as near_duplicate"
+
+
 def test_corpus_near_dup_within_batch(spark, docs, tmp_path):
     """near_dup=True: two near-identical docs arriving in the SAME
     batch collapse to the lower id; the higher id dead-letters."""

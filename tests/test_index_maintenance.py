@@ -85,6 +85,22 @@ def test_lsh_append_is_delta_sized(spark, emb, tmp_path_factory):
     assert len(after) > len(before)
 
 
+def test_lsh_append_empty_delta_is_noop(spark, emb, qvec, tmp_path_factory):
+    """ADVICE r4: an idle-trigger EMPTY delta must not crash (the old
+    dim derivation ran first() on the delta). dim now comes from the
+    build manifest; probe results are unchanged."""
+    inc = str(tmp_path_factory.mktemp("lsh_empty"))
+    A.build_lsh_index(emb, inc, n_bits=8, seed=42)
+    want = _rows(A.lsh_probe(spark, inc, qvec, k=10, multiprobe_bits=1))
+    A.append_lsh_index(emb.filter(F.lit(False)), inc, n_bits=8, seed=42)
+    got = _rows(A.lsh_probe(spark, inc, qvec, k=10, multiprobe_bits=1))
+    assert got == want
+    manifest = A.read_manifest(inc)
+    assert [v["op"] for v in manifest] == ["build", "append"]
+    assert manifest[-1]["rows"] == 0
+    assert manifest[0]["dim"] == 64
+
+
 def test_compact_preserves_probe_and_folds_files(spark, emb, qvec, tmp_path_factory):
     inc = str(tmp_path_factory.mktemp("lsh_compact"))
     base = emb.filter(F.col("vec_id") % 2 == 1)

@@ -50,6 +50,29 @@ def test_tpch_q3_broadcasts_dimensions(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q10_broadcasts_nation_only(spark, qs):
+    """customer is O(rows/15) in TPC-H — a multi-TB side at 100 TB.
+    Only the 25-row nation dim may broadcast; customer⋈orders must
+    plan as a shuffle join. Auto-broadcast is disabled so the
+    assertion reflects hint-driven plan shape, not tiny-SF file
+    sizes."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, qs, "tpch_q10")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted explain prints each node twice (tree + detail); count
+    # unique "(id) Node" headers instead of raw substring hits
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, (
+        "only nation may broadcast"
+    )
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_no_cartesian(spark, qs):
     plan = _plan(spark, qs, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan

@@ -1179,7 +1179,7 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
         fresh = spark.read.parquet(str(table)).count() == emb.count()
     if not fresh:
         if kind == "lsh8":
-            A.build_lsh_index(emb, str(path), n_bits=8, seed=42)
+            A.build_lsh_index(emb, str(path), n_bits=8, seed=42, dim=64)
         elif kind == "ivf16":
             A.build_ivf_index(emb, str(path), n_centroids=16)
         else:
@@ -1301,7 +1301,7 @@ def _ann_inc_index_path(spark, sf_dir: str, kind: str) -> str:
         )
     if not fresh:
         if kind == "lsh8inc":
-            A.build_lsh_index(base, str(path), n_bits=8, seed=42)
+            A.build_lsh_index(base, str(path), n_bits=8, seed=42, dim=64)
             A.append_lsh_index(delta, str(path), n_bits=8, seed=42)
             A.compact_index(spark, str(path), part_col="bucket")
         elif kind == "ivf16inc":
@@ -1881,7 +1881,7 @@ def knn_join_graph(spark, sf_dir):
     DuckDB twin replays buckets, pairs, and scores exactly); recall
     vs the exact graph pinned in tests/test_llm_ops.py."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    return S.knn_join(emb, k=5, n_bits=4)
+    return S.knn_join(emb, k=5, n_bits=4, dim=64)
 
 
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]

@@ -89,17 +89,42 @@ def read_manifest(path: str) -> list[dict]:
     return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
 
 
-def _record_version(path: str, op: str, rows: int) -> None:
+def _record_version(path: str, op: str, rows: int, dim: int | None = None) -> None:
     """Append a version row to the index manifest. The manifest is a
     driver-side artifact (bounded: one line per maintenance op); on an
     object store the append becomes a conditional-put of a new version
     object under the same prefix — the deployment's commit protocol,
-    like the compaction swap below."""
+    like the compaction swap below. ``dim`` is recorded at build time
+    so later appends derive the plane set from metadata instead of
+    scanning the delta."""
     versions = read_manifest(path)
     entry = {"version": len(versions) + 1, "op": op, "rows": int(rows)}
+    if dim is not None:
+        entry["dim"] = int(dim)
     Path(path).mkdir(parents=True, exist_ok=True)
     with open(_manifest_path(path), "a") as fh:
         fh.write(json.dumps(entry) + "\n")
+
+
+def manifest_dim(path: str) -> int | None:
+    """Vector dimensionality recorded by the index build, or None for
+    a pre-manifest index."""
+    for entry in read_manifest(path):
+        if "dim" in entry:
+            return int(entry["dim"])
+    return None
+
+
+def _peek_dim(df: DataFrame, vec_col: str) -> int:
+    """LAST-RESORT dim derivation: runs a Spark job (limit-1 scan).
+    Only reached when the caller passed no ``dim`` and no manifest
+    records one — never on the per-trigger append path."""
+    row = df.select(vec_col).limit(1).collect()
+    if not row:
+        raise ValueError(
+            f"cannot infer vector dim from an empty frame; pass dim= explicitly"
+        )
+    return len(row[0][0])
 
 
 def build_lsh_index(
@@ -109,19 +134,22 @@ def build_lsh_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> None:
     """One-pass LSH index build: bucket = packed sign bits of the
     vector against ``n_bits`` seeded hyperplanes; table written
     partitioned by bucket. The planes are a pure function of
     (dim, n_bits, seed), so probes regenerate them instead of loading
-    an artifact — there is nothing data-dependent to persist.
+    an artifact — there is nothing data-dependent to persist; ``dim``
+    is recorded in the manifest so appends never scan for it.
 
     The sketch is a map-only projection (fused into the scan); the
     write shuffles nothing — each task writes its rows into per-bucket
     files. 2^n_bits directories; keep n_bits ≤ ~12 so the partition
     count stays object-store-friendly.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = _peek_dim(df, vec_col)
     planes = lsh_planes(dim, n_bits, seed)
     (
         df.select(id_col, vec_col)
@@ -131,7 +159,12 @@ def build_lsh_index(
         .parquet(_table_path(path))
     )
     Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(path, "build", df.sparkSession.read.parquet(_table_path(path)).count())
+    _record_version(
+        path,
+        "build",
+        df.sparkSession.read.parquet(_table_path(path)).count(),
+        dim=dim,
+    )
 
 
 def append_lsh_index(
@@ -141,6 +174,7 @@ def append_lsh_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> None:
     """Incremental LSH ingest: sketch ONLY the delta with the same
     (dim, n_bits, seed)-derived planes the base build used and append
@@ -149,16 +183,22 @@ def append_lsh_index(
     O(|index|) — and because the plane set is a pure function of the
     build parameters, (base + delta) is row-identical to a fresh full
     build over the union (catalog entry knn_ann_lsh_appended certifies
-    this against the full-corpus oracle). Records an ``append``
-    manifest version; run ``compact_index`` periodically to fold the
-    per-append small files."""
-    dim = len(df_new.select(vec_col).first()[0])
+    this against the full-corpus oracle). ``dim`` comes from the build
+    manifest, so an idle-trigger EMPTY delta is a clean no-op rather
+    than a crash, and no job runs against the delta to plan the
+    append. Records an ``append`` manifest version; run
+    ``compact_index`` periodically to fold the per-append small
+    files."""
+    if dim is None:
+        dim = manifest_dim(path)
+    if dim is None:
+        dim = _peek_dim(df_new, vec_col)  # pre-manifest index only
     planes = lsh_planes(dim, n_bits, seed)
     delta = df_new.select(id_col, vec_col).withColumn(
         "bucket", sign_sketch(vec_col, planes)
     )
     delta.write.mode("append").partitionBy("bucket").parquet(_table_path(path))
-    _record_version(path, "append", df_new.count())
+    _record_version(path, "append", df_new.count(), dim=dim)
 
 
 def compact_index(

@@ -369,6 +369,7 @@ def knn_join(
     n_bits: int = 4,
     seed: int = 42,
     multiprobe_bits: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """X3 — corpus-wide approximate kNN JOIN (the kNN-graph builder
     behind dedup clustering, diversity sampling, and graph-based
@@ -388,12 +389,22 @@ def knn_join(
     split via AQE — the same scaling story as the LSH dedup.
 
     ``n_bits`` sizes bucket granularity: ~log2(corpus / target bucket
-    population). Recall vs the exact graph is pinned in tests."""
+    population). Recall vs the exact graph is pinned in tests.
+
+    Pass ``dim`` (vector dimensionality) whenever it is known: the
+    hyperplanes are generated driver-side from (dim, n_bits, seed),
+    and without it the only derivation is a limit-1 scan — a Spark
+    job at plan-construction time, a full-scan-first-row on a cold
+    100 TB table."""
     from pyspark.sql import Window
 
     if multiprobe_bits not in (0, 1):
         raise ValueError("multiprobe_bits must be 0 or 1")
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        row = df.select(vec_col).limit(1).collect()
+        if not row:
+            raise ValueError("cannot infer dim from an empty frame; pass dim=")
+        dim = len(row[0][0])
     planes = lsh_planes(dim, n_bits, seed)
     base = df.select(
         F.col(id_col), F.col(vec_col), sign_sketch(vec_col, planes).alias("bucket")

@@ -32,9 +32,15 @@ join the band sidecar (bucket-bounded degree, partition-pruned), the
 resulting candidate pairs verify by estimated Jaccard against the sig
 sidecar (pruned to candidate ids), and confirmed near-dups dead-letter
 with ``_error='near_duplicate'``. Per-trigger cost tracks the delta's
-band collisions — the corpus text is never re-read, and batch vs
-streaming agree on what "near-duplicate" means because both use the
-identical signature family (operators/dedup.py).
+band collisions — the corpus text is never re-read. Batch and
+streaming agree at POLICY level (same MinHash family construction,
+same verify-by-estimated-Jaccard threshold, same keep-min-id rule;
+operators/dedup.py) — but NOT parameter-for-parameter: streaming runs
+16 xxhash64 hashes in 4-hash bands, while the batch oracle twin
+``ingest_report_nd`` defaults to 8 md5 hashes in 2-hash bands so
+DuckDB can replay the signatures. The banding S-curves differ, so
+borderline pairs near the threshold can route differently between
+the two paths.
 """
 
 from __future__ import annotations
@@ -153,6 +159,10 @@ def _near_dup_ids(
                 ),
                 ["band_idx", "band_hash"],
             )
+            # a doc is never its own near-dup: a replayed/raced append
+            # could land this batch's own band rows in the sidecar, and
+            # a self-pair would verify at est_jaccard 1.0
+            .filter(F.col("doc_id") != F.col("other_id"))
             .select("doc_id", "other_id")
             .distinct()
         )
@@ -274,6 +284,17 @@ def corpus_ingest_batch(
                 .parquet(rejected_path)
             )
             kept = kept.join(near_ids, "doc_id", "left_anti")
+            # SEVER LINEAGE before any sidecar append: kept's plan
+            # reads the fp/band/sig sidecars (through the anti-joins
+            # above), and appending to those paths invalidates every
+            # cached plan that scans them — a recompute after the
+            # sig/band appends below would see this batch's own rows
+            # as already-ingested (self-candidates, est_jaccard 1.0)
+            # and silently drop survivors from the fp sidecar and
+            # token index. localCheckpoint materializes the
+            # micro-batch-sized frame and cuts the plan from the
+            # sidecar paths entirely.
+            kept = kept.localCheckpoint()
         kept.persist()
         try:
             # Metrics COUNTS must come before any sidecar append (the
@@ -393,11 +414,21 @@ def run_corpus_pipeline(
     """Wire the corpus ingest end-to-end: readStream of documents ->
     foreachBatch(corpus_ingest_batch). Trigger defaults to the
     reference's 60 s buffering hint (utils.ts:46); tests pass
-    ``availableNow=True``. Exactly-once story is the same as the log
-    pipeline: the checkpoint replays an interrupted batch, and the
-    fingerprint sidecar makes the replayed append idempotent for the
-    corpus table (duplicate fingerprints from a torn batch anti-join
-    away on retry)."""
+    ``availableNow=True``.
+
+    Delivery semantics — AT-LEAST-ONCE with a bounded duplication
+    window, stated honestly: the checkpoint replays an interrupted
+    batch, and replay is idempotent for the corpus table ONLY for
+    batches that completed through the fingerprint-sidecar append
+    (the replayed rows anti-join away against their own recorded
+    fingerprints). A failure in the window between the corpus append
+    and the fp-sidecar append re-appends those survivor rows on
+    replay, and DLQ rows re-append unconditionally. The metrics
+    append (written last) doubles as the batch completion marker, so
+    a downstream consumer can detect and fence torn batches; a
+    transactional table format (or batch_id-stamped output paths)
+    would close the window entirely — that is the documented upgrade
+    path, not what this local-FS parquet sink provides."""
     trigger = trigger or {"processingTime": "60 seconds"}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
