@@ -1446,10 +1446,11 @@ def docs_training_pipeline(spark, sf_dir):
     (keep-min-id per md5(text)) -> deterministic train/val/test split.
 
     Plan shape: the filter chain is the repetition aggregation + one
-    doc_id join back onto the corpus; dedup is one window over the
-    md5 key (equivalently a groupBy+join — same single shuffle); the
-    split is the map-only hash rule. Three shuffles total end to end,
-    each on a uniform key, at corpus scale."""
+    doc_id join back onto the corpus; dedup is ONE window over the
+    md5 key computed on NARROW (fp, doc_id, source) rows — the text
+    column is hashed then dropped before the shuffle, so at corpus
+    scale the dedup shuffle moves ~40 B/row instead of full document
+    text; the split is the map-only hash rule."""
     from pyspark.sql import Window
 
     from unified_log_aggregation_and_analytics_spark.operators.sampling import (
@@ -1458,12 +1459,14 @@ def docs_training_pipeline(spark, sf_dir):
 
     docs = _spread(_t(spark, sf_dir, "documents"))
     kept_ids = X.quality_filter(docs).filter(F.col("kept")).select("doc_id")
-    kept = docs.join(kept_ids, "doc_id")
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    kept = docs.join(kept_ids, "doc_id").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("_fp")
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
     uniq = (
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", "_fp")
     )
     return hash_split(uniq).select("doc_id", "source", "split")
 

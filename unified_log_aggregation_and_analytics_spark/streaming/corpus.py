@@ -534,11 +534,23 @@ def ingest_report_nd(
     )
     w = Window.partitionBy(fp, F.col("kept")).orderBy("doc_id")
     routed = scored.withColumn("rn", F.row_number().over(w))
-    uniq = routed.filter(F.col("kept") & (F.col("rn") == 1))
+    # Stage barrier between the window and the shingle explode: fused
+    # into one stage, WindowExec -> Generate -> partial min-agg runs
+    # ~4x slower (measured 4.2 s -> 1.25 s at sf0.1) — the window's
+    # sorted-buffer output feeds the 300x-expanding explode row by
+    # row. One narrow (doc_id, text) round-robin shuffle buys a clean
+    # pipelined explode stage; at corpus scale the shuffled bytes are
+    # the deduped survivors' text, which the signature pass must move
+    # once anyway.
+    uniq = (
+        routed.filter(F.col("kept") & (F.col("rn") == 1))
+        .select("doc_id", "text")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
 
     mh = [f"mh{k}" for k in range(1, num_hashes + 1)]
     sigs = minhash_signature(
-        uniq.select("doc_id", "text"), num_hashes=num_hashes, hash_fn="md5"
+        uniq, num_hashes=num_hashes, hash_fn="md5"
     ).withColumn("sig", F.array(*mh))
     n_bands = num_hashes // band_size
     bands = F.array(
