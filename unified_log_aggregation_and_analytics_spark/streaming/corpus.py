@@ -149,9 +149,15 @@ def _near_dup_ids(
         bands = band_rows(sigs, num_hashes=K, band_size=ND_BAND_SIZE).withColumn(
             "bh_bucket", F.pmod(F.col("band_hash"), F.lit(N_FP_BUCKETS))
         )
+        # No per-trigger bucket pruning: with N_FP_BUCKETS=64 any
+        # real batch's bands hit every bucket, so the old
+        # distinct().collect() + isin filter pruned nothing while
+        # costing a driver job AND baking a stale bucket list into
+        # the plan (the recompute-hazard class ADVICE r4 flagged).
+        # The band equi-join below is the candidate bound; bucket
+        # partitioning exists for compaction and selective probe
+        # reads, not trigger-time pruning.
         seen_bands = spark.read.parquet(_band_sidecar_path(table_path))
-        buckets = [r[0] for r in bands.select("bh_bucket").distinct().collect()]
-        seen_bands = seen_bands.filter(F.col("bh_bucket").isin(buckets))
         cand = (
             bands.join(
                 seen_bands.select(
@@ -166,20 +172,14 @@ def _near_dup_ids(
             .select("doc_id", "other_id")
             .distinct()
         )
-        # prune the sig read to the candidates' id buckets — the
-        # verification join touches |candidates| signature rows, not
-        # the corpus's
-        obuckets = [
-            r[0]
-            for r in cand.select(
-                F.pmod(F.xxhash64(F.col("other_id")), F.lit(N_FP_BUCKETS))
-            )
-            .distinct()
-            .collect()
-        ]
-        near = verified(
-            cand, old_sigs_all.filter(F.col("sig_bucket").isin(obuckets))
-        )
+        # No sig-bucket pre-filter either: the verification equi-join
+        # on other_id already touches |candidates| signature rows —
+        # an extra pruning join only re-executes the candidate
+        # subtree (measured: more AQE stages per trigger, not fewer).
+        # The old driver-side collect additionally baked a STALE
+        # bucket list into the plan — the recompute-hazard class
+        # ADVICE r4 flagged.
+        near = verified(cand, old_sigs_all)
     # within-batch: candidate pairs via banding, verify, drop the
     # higher id of each verified pair (keep-min-id, as batch dedup)
     pairs = minhash_lsh_candidates(sigs, num_hashes=K, band_size=ND_BAND_SIZE)
@@ -264,9 +264,14 @@ def corpus_ingest_batch(
         # only — never the corpus. First trigger: no sidecar yet.
         sidecar = _fp_sidecar_path(table_path)
         try:
+            # Straight anti-join, no per-trigger bucket pre-filter:
+            # any real batch's fingerprints hit all N_FP_BUCKETS=64
+            # buckets, so the old distinct().collect() + isin pruned
+            # nothing while adding a driver job per trigger and a
+            # stale-list plan hazard. The join keys on
+            # (fp_bucket, fp) — a uniform hash key — and the sidecar
+            # side is ~16 B/row.
             seen = spark.read.parquet(sidecar)
-            buckets = [r[0] for r in kept.select("fp_bucket").distinct().collect()]
-            seen = seen.filter(F.col("fp_bucket").isin(buckets))
             kept = kept.join(seen, ["fp_bucket", "fp"], "left_anti")
         except Exception:
             pass  # sidecar absent: nothing ingested yet
