@@ -708,3 +708,132 @@ def test_kinesis_contract_config_and_decode_boundary(spark, tmp_path):
     # plan boundary: no connector jar -> loud NotImplementedError
     with pytest.raises(NotImplementedError, match="connector"):
         stream_kinesis(spark, "app-logs")
+
+
+def test_unified_four_source_topology(spark, tmp_path):
+    """The reference's ACTUAL composition as one assertion
+    (lib/cdk-unified-logs-stack.ts:52-64: four compute producers ->
+    four delivery streams -> ONE search domain): ec2 + ecs + eks +
+    lambda streams each normalize through their own pipeline with
+    their own DLQ, all landing in ONE (source, log_date)-partitioned
+    queryable table — the engine's 'unified index'. A single query
+    over the union answers per-source/date analytics, and each
+    source's junk dead-letters to its own path without poisoning the
+    others."""
+    from unified_log_aggregation_and_analytics_spark.schemas import (
+        ECS_FIRELENS,
+        EKS_FLUENTBIT,
+    )
+
+    # --- four source directories, one payload each + ec2 junk ---
+    ec2_dir = tmp_path / "ec2"
+    ec2_dir.mkdir()
+    (ec2_dir / "access_log.1").write_text("\n".join(GOOD_LINES + BAD_LINES[:1]) + "\n")
+
+    ecs_dir = tmp_path / "ecs"
+    ecs_dir.mkdir()
+    (ecs_dir / "part-0.json").write_text(
+        json.dumps(
+            {
+                "container_id": "abc123",
+                "container_name": "httpd",
+                "ecs_cluster": "demo",
+                "ecs_task_arn": "arn:aws:ecs:task/1",
+                "source": "stdout",
+                "log": GOOD_LINES[1],
+            }
+        )
+        + "\n"
+    )
+
+    eks_dir = tmp_path / "eks"
+    eks_dir.mkdir()
+    (eks_dir / "part-0.json").write_text(
+        json.dumps(
+            {
+                "log": "upstream timed out",
+                "stream": "stderr",
+                "time": "2021-07-29T15:33:00.000Z",
+                "kubernetes": {
+                    "namespace_name": "nginx",
+                    "pod_name": "nginx-1",
+                    "container_name": "nginx",
+                    "host": "fargate-1",
+                },
+            }
+        )
+        + "\n"
+    )
+
+    lambda_dir = tmp_path / "lambda"
+    lambda_dir.mkdir()
+    (lambda_dir / "batch-0.txt").write_text(
+        json.dumps(
+            [
+                {
+                    "time": "2021-07-29T19:54:08.949Z",
+                    "type": "platform.start",
+                    "record": {"requestId": "024ae572"},
+                },
+                {
+                    "time": "2021-07-29T19:54:09.097Z",
+                    "type": "function",
+                    "record": "2021-07-29T19:54:09.097Z\t024ae572\tERROR\tboom\n",
+                },
+            ]
+        )
+        + "\n"
+    )
+
+    # --- one unified table, per-source DLQs/checkpoints ---
+    table = str(tmp_path / "unified_table")
+    sources = {
+        "ec2": stream_text_logs(spark, str(ec2_dir)),
+        "ecs": stream_json_logs(spark, str(ecs_dir), ECS_FIRELENS),
+        "eks": stream_json_logs(spark, str(eks_dir), EKS_FLUENTBIT),
+        "lambda": stream_text_logs(spark, str(lambda_dir)),
+    }
+    results = [
+        run_pipeline(
+            src,
+            name,
+            table,
+            str(tmp_path / f"rej_{name}"),
+            str(tmp_path / f"ckpt_{name}"),
+            trigger={"availableNow": True},
+        )
+        for name, src in sources.items()
+    ]
+    for r in results:
+        r.await_done()
+
+    unified = spark.read.parquet(table)
+    # every source present, partition layout is the 'index pattern'
+    per_source = {
+        r["source"]: r["n"]
+        for r in unified.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source == {"ec2": 3, "ecs": 1, "eks": 1, "lambda": 1}
+    part_dirs = {d for d in os.listdir(table) if d.startswith("source=")}
+    assert part_dirs == {"source=ec2", "source=ecs", "source=eks", "source=lambda"}
+
+    # the unified Discover query: per-source/level counts in one scan
+    levels = {
+        (r["source"], r["level"]): r["n"]
+        for r in unified.groupBy("source", "level")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert levels[("eks", "error")] == 1
+    assert levels[("lambda", "error")] == 1
+    assert levels[("ec2", "error")] == 1  # the 500 access line
+
+    # per-source DLQ isolation: only ec2 had junk
+    rej_counts = {}
+    for name in sources:
+        p = tmp_path / f"rej_{name}"
+        rej_counts[name] = (
+            spark.read.parquet(str(p)).count() if p.exists() else 0
+        )
+    assert rej_counts["ec2"] == 1
+    assert rej_counts["ecs"] == rej_counts["eks"] == rej_counts["lambda"] == 0

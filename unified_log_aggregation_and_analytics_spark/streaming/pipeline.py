@@ -184,12 +184,26 @@ class PipelineResult:
         self.query.awaitTermination()
 
 
-def dlq_split(batch_df: DataFrame, table_path: str, rejected_path: str) -> tuple[int, int]:
+def dlq_split(
+    batch_df: DataFrame,
+    table_path: str,
+    rejected_path: str,
+    source: str | None = None,
+) -> tuple[int, int]:
     """K3 — validation split for one micro-batch: rows with a parseable
     event time go to the table (partitioned by source/log_date), rows
     without go to the dead-letter path with an ``_error`` column.
     Mirrors s3BackupMode FailedDocumentsOnly (reference utils.ts:68).
-    """
+
+    With ``source`` set (run_pipeline passes it), the write targets
+    ``{table_path}/source={source}`` partitioned by log_date only:
+    each source's writer OWNS its partition subtree, so four
+    concurrently-triggering pipelines never share a Hadoop commit
+    ``_temporary`` staging dir at the table root — the failure mode of
+    concurrent appends to one path with the default committer, and
+    the Spark equivalent of the reference's one-index-per-stream
+    isolation (utils.ts:66). Partition discovery restores ``source``
+    as a column when the unified root is read."""
     # persist: the valid and rejected writes are two actions over the
     # same micro-batch — without it each one re-reads the source (2x
     # ingest cost and doubled numInputRows in progress metrics)
@@ -199,7 +213,17 @@ def dlq_split(batch_df: DataFrame, table_path: str, rejected_path: str) -> tuple
         invalid = batch_df.filter(F.col("ts").isNull()).withColumn(
             "_error", F.lit("unparseable event time")
         )
-        valid.write.mode("append").partitionBy("source", "log_date").parquet(table_path)
+        if source is not None:
+            (
+                valid.drop("source")
+                .write.mode("append")
+                .partitionBy("log_date")
+                .parquet(f"{table_path}/source={source}")
+            )
+        else:
+            valid.write.mode("append").partitionBy("source", "log_date").parquet(
+                table_path
+            )
         # count() on the lazily-built invalid side would rescan; write
         # unconditionally — an empty write is a cheap no-op.
         invalid.write.mode("append").parquet(rejected_path)
@@ -223,7 +247,7 @@ def run_pipeline(
     trigger = trigger or {"processingTime": "60 seconds"}
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        dlq_split(batch_df, table_path, rejected_path)
+        dlq_split(batch_df, table_path, rejected_path, source=source_name)
 
     q = (
         normalized.writeStream.foreachBatch(handle)
