@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -179,3 +181,34 @@ def test_png_image_stats_match_ppm(spark):
     png = MM.image_stats(MM.media_with_png(docs, 4, 4)).collect()
     assert sorted(map(tuple, png)) == sorted(map(tuple, ppm))
     assert len(png) == 40
+
+
+@pytest.mark.skipif(not MM._HAS_PIL, reason="Pillow not installed")
+def test_jpeg_image_stats_with_pillow(spark):
+    """Pillow-gated general decode (ADVICE r4 item 8): when Pillow is
+    present, image_stats and extract_features decode a real JPEG —
+    width/height from the codec, channel means matching Pillow's own
+    decode of the same bytes. Skipped (not silently faked) where
+    Pillow is absent."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (200, 30, 60)).save(buf, "JPEG", quality=95)
+    payload = buf.getvalue()
+    exp = np.asarray(
+        Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.float64
+    ).reshape(-1, 3).mean(axis=0)
+
+    rows = [(1, "image", payload, "image/jpeg", None, None, None)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    stats = MM.image_stats(media).collect()[0]
+    assert (stats.width, stats.height) == (8, 6)
+    assert abs(stats.mean_r - exp[0]) < 1e-9
+    assert abs(stats.mean_g - exp[1]) < 1e-9
+    assert abs(stats.mean_b - exp[2]) < 1e-9
+
+    feats = MM.extract_features(media).collect()[0].feature
+    assert feats[0] == 8.0 and feats[1] == 6.0
+    assert abs(feats[2] - exp[0]) < 1e-9

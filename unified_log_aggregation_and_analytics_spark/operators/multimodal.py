@@ -309,10 +309,14 @@ _IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Dispatch decode across the real codecs (PPM then PNG) to a
-    uniform (w, h, rgb-pixels) view; gray/alpha PNGs normalize to RGB
-    (gray broadcast across channels, alpha dropped) so the stats
-    schema is format-independent."""
+    """Dispatch decode across the real codecs (PPM then PNG, both
+    pure-stdlib) to a uniform (w, h, rgb-pixels) view; gray/alpha
+    PNGs normalize to RGB (gray broadcast across channels, alpha
+    dropped) so the stats schema is format-independent. When Pillow
+    is importable, any format it recognizes (JPEG, WEBP, ...) decodes
+    through it as the general fallback — gated, never silently
+    degraded: without Pillow those payloads simply return None
+    (non-decodable), as documented."""
     ppm = decode_ppm(payload)
     if ppm is not None:
         w, h, _, px = ppm
@@ -322,6 +326,14 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         w, h, c, px = png
         rgb = px[:, :, :3] if c >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
         return w, h, rgb
+    if _HAS_PIL:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        except Exception:
+            return None
+        return img.width, img.height, np.asarray(img, dtype=np.uint8)
     return None
 
 
