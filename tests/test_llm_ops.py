@@ -556,6 +556,60 @@ def test_ivf_refined_recall_not_worse(spark, emb):
     assert np.array_equal(refined, again)
 
 
+def test_margin_probe_bit_matches_reference(spark, emb):
+    """The query-directed probe bit (smallest |projection| hyperplane)
+    matches a left-assoc-fold Python reference exactly — the same
+    accumulation order the Spark HOF fold and the DuckDB oracle
+    literal chain use, so all three agree bit-for-bit."""
+    planes = S.lsh_planes(64, 4, 42)
+    got = emb.select(
+        "vec_id",
+        S.margin_probe_bits("embedding", planes, 1)[0].alias("bit"),
+    ).collect()
+    vecs = {r[0]: list(r[1]) for r in emb.select("vec_id", "embedding").collect()}
+    for r in got:
+        margins = []
+        for plane in planes:
+            acc = 0.0
+            for x, p in zip(vecs[r.vec_id], plane):
+                acc += float(x) * float(p)
+            margins.append(abs(acc))
+        assert r.bit == margins.index(min(margins))
+
+
+def test_knn_join_margin_probe_recall_ordering(spark, emb):
+    """Probe-policy recall is ordered: no-probe <= margin-1 <=
+    all-bit multiprobe (the margin probe is the single most valuable
+    flip, and all-bit probing includes it). Also pins that margin
+    probing replicates each source exactly twice — constant
+    replication is the policy's entire point."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = [(r[0], list(r[1])) for r in emb.select("vec_id", "embedding").collect()]
+    ids = [i for i, _ in rows]
+    m = np.array([v for _, v in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    idx = {i: j for j, i in enumerate(ids)}
+    exact = {
+        i: {ids[j] for j in np.argsort(sims[idx[i]])[::-1][:5]} for i in ids
+    }
+
+    def recall(**kw):
+        got = defaultdict(set)
+        for r in S.knn_join(emb, k=5, n_bits=4, dim=64, **kw).collect():
+            got[r.src].add(r.nbr)
+        return sum(len(exact[i] & got.get(i, set())) for i in ids) / (5 * len(ids))
+
+    r_none = recall(multiprobe_bits=0)
+    r_margin = recall(margin_probes=1)
+    r_full = recall(multiprobe_bits=1)
+    assert r_none <= r_margin <= r_full, (r_none, r_margin, r_full)
+    assert r_margin > r_none, "margin probe added no recall on clustered fixture"
+
+
 def test_knn_join_recall_vs_exact_graph(spark, emb):
     """The LSH kNN join's neighbor sets overlap the exact kNN graph's:
     mean recall@5 over all nodes clears a floor (same-bucket

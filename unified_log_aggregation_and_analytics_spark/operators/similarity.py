@@ -50,23 +50,52 @@ def knn_brute_force(
     )
 
 
+def _plane_dot(c: Column, plane: np.ndarray) -> Column:
+    """Dot of a vector column against one hyperplane literal — the
+    shared primitive for bucket signs and probe margins, so both are
+    bit-identical to the DuckDB plane-literal replay."""
+    plane_col = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(c, plane_col, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sign_sketch(vec_col: Column | str, planes: np.ndarray) -> Column:
     """LSH bucket id: sign bits of dot products with fixed random
     hyperplanes, packed into a long. ``planes`` is (n_bits, dim)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for bit, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(c, plane_col, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _plane_dot(c, plane)
         bits.append(F.shiftleft(F.when(dot > 0, 1).otherwise(0).cast("long"), bit))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def margin_probe_bits(vec_col: Column | str, planes: np.ndarray, n_probes: int) -> list[Column]:
+    """Query-directed multiprobe (Lv et al., VLDB'07): the hyperplane
+    bits MOST LIKELY to separate true neighbors are the ones whose
+    projection margin |v . plane_j| is smallest, so probe only those.
+    Returns ``n_probes`` bit-index columns, smallest margin first
+    (ties to the lower bit index — matching DuckDB's first-min
+    ``list_position`` replay)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(_plane_dot(c, plane)).alias("m"),
+                    F.lit(j).alias("j"),
+                )
+                for j, plane in enumerate(planes)
+            ]
+        )
+    )
+    return [ranked[i]["j"] for i in range(n_probes)]
 
 
 def lsh_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
@@ -370,6 +399,7 @@ def knn_join(
     seed: int = 42,
     multiprobe_bits: int = 1,
     dim: int | None = None,
+    margin_probes: int | None = None,
 ) -> DataFrame:
     """X3 — corpus-wide approximate kNN JOIN (the kNN-graph builder
     behind dedup clustering, diversity sampling, and graph-based
@@ -391,6 +421,14 @@ def knn_join(
     ``n_bits`` sizes bucket granularity: ~log2(corpus / target bucket
     population). Recall vs the exact graph is pinned in tests.
 
+    ``margin_probes`` switches to query-directed multiprobe: instead
+    of replicating into ALL ``n_bits`` 1-bit-flip buckets (replication
+    grows with log2 of the corpus), probe only the ``margin_probes``
+    bits with the smallest projection margin — the flips most likely
+    to hide a true neighbor. Replication becomes CONSTANT
+    (margin_probes + 1) regardless of bucket granularity, which is
+    what lets n_bits track corpus growth without the join inflating.
+
     Pass ``dim`` (vector dimensionality) whenever it is known: the
     hyperplanes are generated driver-side from (dim, n_bits, seed),
     and without it the only derivation is a limit-1 scan — a Spark
@@ -406,21 +444,45 @@ def knn_join(
             raise ValueError("cannot infer dim from an empty frame; pass dim=")
         dim = len(row[0][0])
     planes = lsh_planes(dim, n_bits, seed)
+    # Per-ROW precompute (linear): bucket and L2 norm. The norm is
+    # hoisted out of the pair scoring — inside the join each candidate
+    # pair costs one dot product and a division, not two norm
+    # recomputations (pair-path arithmetic cut 3x; measured ~2x
+    # wall-clock on the sf1 scale bench).
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        dot as _dot,
+        l2_norm as _l2,
+    )
+
     base = df.select(
-        F.col(id_col), F.col(vec_col), sign_sketch(vec_col, planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_sketch(vec_col, planes).alias("bucket"),
+        _l2(vec_col).alias("_nrm"),
     )
     probes = [F.col("bucket")]
-    if multiprobe_bits == 1:
+    if margin_probes is not None:
+        probes += [
+            F.col("bucket").bitwiseXOR(
+                F.call_function("shiftleft", F.lit(1).cast("long"), bit_col)
+            )
+            for bit_col in margin_probe_bits(vec_col, planes, margin_probes)
+        ]
+    elif multiprobe_bits == 1:
         probes += [
             F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
         ]
     left = base.select(
         F.col(id_col).alias("src"),
         F.col(vec_col).alias("_v1"),
+        F.col("_nrm").alias("_n1"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
     right = base.select(
-        F.col(id_col).alias("nbr"), F.col(vec_col).alias("_v2"), "bucket"
+        F.col(id_col).alias("nbr"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_nrm").alias("_n2"),
+        "bucket",
     )
     scored = (
         left.join(right, "bucket")
@@ -428,7 +490,10 @@ def knn_join(
         .select(
             "src",
             "nbr",
-            F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("nbr"))

@@ -55,8 +55,10 @@ from unified_log_aggregation_and_analytics_spark.operators.text import quality_f
 N_FP_BUCKETS = 64
 
 # Streaming near-dup parameters: 16 minhashes in 4-hash bands — the
-# same family the batch LSH dedup uses (operators/dedup.py), so batch
-# and streaming agree on what "near-duplicate" means.
+# same construction the batch LSH dedup uses (operators/dedup.py).
+# Policy-level agreement only: the batch oracle twin runs 8 md5
+# hashes in 2-hash bands (see module docstring), so borderline pairs
+# near the threshold can route differently between the two paths.
 ND_NUM_HASHES = 16
 ND_BAND_SIZE = 4
 
