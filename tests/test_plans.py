@@ -43,11 +43,46 @@ def test_q04_column_pruning(spark, qs):
     assert "p_retailprice" not in read_schema
 
 
-def test_tpch_q3_broadcasts_dimensions(spark, qs):
-    plan = _plan(spark, qs, "tpch_q3")
-    assert "BroadcastHashJoin" in plan
+def _hinted_broadcast_count(spark, qs, name):
+    """Count BroadcastHashJoins in the plan with auto-broadcast OFF —
+    what remains is hint-driven shape, the plan the query would keep
+    at 100 TB where no SF-growing side fits in memory."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, qs, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)), plan
+
+
+def test_tpch_q3_no_sf_growing_broadcast(spark, qs):
+    """Q3's only non-fact table is customer — O(rows/15), so nothing
+    may be hint-broadcast: every join sort-merges at scale (AQE
+    upgrades them at small SF)."""
+    n, plan = _hinted_broadcast_count(spark, qs, "tpch_q3")
+    assert n == 0, "q3 must not hint-broadcast any SF-growing table"
+    assert "SortMergeJoin" in plan
+
+
+def test_tpch_q5_broadcasts_constant_dims_only(spark, qs):
+    """Q5 hints exactly nation (25 rows) and region (5 rows);
+    customer and supplier joins must stay shuffle-planned."""
+    n, plan = _hinted_broadcast_count(spark, qs, "tpch_q5")
+    assert n == 2, "q5 may hint-broadcast only nation and region"
+    assert "SortMergeJoin" in plan
+
+
+def test_tpch_q18_broadcasts_qualifier_only(spark, qs):
+    """Q18 hints exactly the HAVING-qualifier orderkey set (small by
+    selectivity, not by SF); customer must stay shuffle-planned."""
+    n, plan = _hinted_broadcast_count(spark, qs, "tpch_q18")
+    assert n == 1, "q18 may hint-broadcast only the qualifier set"
+    assert "SortMergeJoin" in plan
 
 
 def test_tpch_q10_broadcasts_nation_only(spark, qs):

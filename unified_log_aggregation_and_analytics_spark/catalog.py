@@ -801,8 +801,11 @@ def q18_pivot(spark, sf_dir):
     """,
 )
 def tpch_q3(spark, sf_dir):
-    """TPC-H Q3 shape (shipping priority): broadcast customer filter,
-    fact-fact join orders x lineitem."""
+    """TPC-H Q3 shape (shipping priority): fact-fact join orders x
+    lineitem, then customer. customer is O(rows/15) — NOT hinted
+    broadcast (a multi-TB side at 100 TB); AQE upgrades the shuffle
+    join to broadcast at small SF where the filtered segment fits,
+    which is the scale-correct default for every SF-growing table."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -812,7 +815,7 @@ def tpch_q3(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
@@ -843,8 +846,11 @@ def tpch_q3(spark, sf_dir):
     """,
 )
 def tpch_q5(spark, sf_dir):
-    """TPC-H Q5 (local supplier volume): multi-way join; dims
-    broadcast, facts co-shuffled once on orderkey."""
+    """TPC-H Q5 (local supplier volume): multi-way join. Only the
+    CONSTANT-size dims (nation 25, region 5) are hinted broadcast;
+    customer and supplier grow with SF (rows/15 and rows/400 — both
+    multi-TB at 100 TB), so their joins are left to AQE: shuffle
+    plan at scale, runtime-upgraded to broadcast at small SF."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -856,9 +862,9 @@ def tpch_q5(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1536,7 +1542,9 @@ def tpch_q18(spark, sf_dir):
     the fact table, then semi-join back. The qualifier set is small
     (orders over the quantity threshold), so it broadcasts into a
     BroadcastHashJoin LeftSemi; the re-aggregation after the join is
-    one hash agg on the already-co-located orderkey."""
+    one hash agg on the already-co-located orderkey. customer is NOT
+    hinted broadcast (O(rows/15) — multi-TB at 100 TB); AQE upgrades
+    that join at small SF."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -1549,7 +1557,7 @@ def tpch_q18(spark, sf_dir):
     return (
         li.join(F.broadcast(big), "l_orderkey", "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
