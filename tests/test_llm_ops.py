@@ -354,6 +354,42 @@ def test_contamination_overlap_counts_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_rrf_hybrid_search_self_consistent(spark, docs, emb):
+    """Hybrid RRF fusion invariants on the fixtures: every fused hit
+    comes from one of the candidate lists, the fused score is exactly
+    the RRF formula over the returned ranks, and output order is
+    (score DESC, id)."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        relational as R,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        similarity as S,
+    )
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    terms = ["merge", "spark", "vector"]
+    out = R.rrf_hybrid_search(docs, corpus, terms, qv, k=10, n_candidates=20).collect()
+    assert out, "hybrid search returned nothing on the fixture"
+
+    lex_ids = [r[0] for r in R.bm25_search(docs, terms, k=20).collect()]
+    sem_ids = [r[0] for r in S.knn_brute_force(corpus, qv, k=20).collect()]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_ids)}
+    sem_rank = {d: i + 1 for i, d in enumerate(sem_ids)}
+    for r in out:
+        assert r.doc_id in lex_rank or r.doc_id in sem_rank
+        assert r.lex_rank == lex_rank.get(r.doc_id)
+        assert r.sem_rank == sem_rank.get(r.doc_id)
+        expect = round(
+            (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0)
+            + (1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0),
+            6,
+        )
+        assert r.rrf_score == expect
+    keys = [(-r.rrf_score, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+
+
 def test_tfidf_top_prefers_rare_terms(spark):
     from unified_log_aggregation_and_analytics_spark.operators.text import tfidf_top_terms
 

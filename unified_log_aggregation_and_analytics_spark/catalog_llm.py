@@ -1879,6 +1879,90 @@ def _knn_join_oracle(k: int = 5) -> str:
 """
 
 
+_HYBRID_RRF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('merge', 'spark', 'vector') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / avg_dl)))
+             ), 6) AS bm25
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM scored
+      ) WHERE lex_rank <= 50
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    semall AS (
+      SELECT e.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+             , 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+        FROM semall
+      ) WHERE sem_rank <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                   + COALESCE(1.0 / (60 + s.sem_rank), 0), 6) AS rrf_score,
+             l.lex_rank, s.sem_rank
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rrf_score, lex_rank, sem_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@_register("q02g_hybrid_rrf", _HYBRID_RRF_ORACLE)
+def q02g_hybrid_rrf(spark, sf_dir):
+    """Q2/X3 — hybrid retrieval: BM25 top-50 for 'merge spark vector'
+    fused with cosine-kNN top-50 for the query embedding by
+    reciprocal-rank fusion (relational.rrf_hybrid_search) — the
+    keyword-OR-vector question answered with both. Each retriever
+    runs its own scale path; the fusion is a k-sized plan tail."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        relational as R,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    return R.rrf_hybrid_search(docs, emb, ["merge", "spark", "vector"], list(qv))
+
+
 def _lsh_margin_bit_sql(ref: str = "e.embedding", n_bits: int = 4) -> str:
     """The query-directed probe bit as a DuckDB expression: index of
     the hyperplane with the smallest |projection|, identical plane

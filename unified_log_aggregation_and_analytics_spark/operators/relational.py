@@ -295,6 +295,64 @@ def bm25_search(
     )
 
 
+def rrf_hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Q2/X3 — HYBRID retrieval: fuse the lexical (BM25) and semantic
+    (cosine kNN) rankings by reciprocal-rank fusion,
+    ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))`` (Cormack et al.,
+    SIGIR'09) — the standard answer to "OpenSearch keyword search OR
+    vector store, why not both". A document missing from one list
+    contributes nothing for it.
+
+    Plan shape at scale: each retriever runs its own scale path
+    (BM25's term-filtered aggregation / the broadcast-query kNN scan
+    or an ANN index probe) and emits a TOP-``n_candidates`` list —
+    the fusion below operates on ≤ 2·n_candidates rows BY
+    CONSTRUCTION, so its single-task ranking windows and full-outer
+    join are k-sized plan nodes, not corpus-scale hazards. Ranks use
+    (score DESC, id) total order and the fused score is rounded to 6
+    decimals — deterministic and engine-portable."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    lexical = bm25_search(docs, terms, k=n_candidates, id_col=id_col)
+    semantic = knn_brute_force(emb, query_vec, k=n_candidates, id_col=vec_id_col)
+    # The constant partition key is honest: both inputs are LIMITed
+    # candidate lists, so one task ranks ≤ n_candidates rows.
+    wl = Window.partitionBy(F.lit(0)).orderBy(F.col("bm25").desc(), F.col(id_col))
+    ws = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cos_sim").desc(), F.col(vec_id_col)
+    )
+    lex = lexical.select(
+        F.col(id_col), F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    sem = semantic.select(
+        F.col(vec_id_col).alias(id_col),
+        F.row_number().over(ws).cast("long").alias("sem_rank"),
+    )
+    fused = lex.join(sem, id_col, "full_outer").select(
+        F.col(id_col),
+        F.round(
+            F.coalesce(F.lit(1.0) / (rrf_k + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (rrf_k + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
 def full_text_search(
     df: DataFrame, term: str, text_col: str = "message", tokenized: bool = False
 ) -> DataFrame:
