@@ -354,6 +354,49 @@ def test_contamination_overlap_counts_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bigram_lm_score_matches_python_reference(spark):
+    """Add-k bigram NLL on a tiny corpus vs a plain-Python model:
+    same counts, same smoothing, same mean (round-6). Also pins that
+    sub-2-token documents drop out and an external reference corpus
+    changes the model (unseen bigrams get the k/(k·V) floor)."""
+    import math
+
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "zz"),  # single token: no bigrams, must be absent
+        (4, "purple monkey dishwasher purple monkey"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert 3 not in got
+
+    # python reference
+    toks = {i: t.lower().split() for i, t in rows}
+    bigrams = {i: list(zip(ts, ts[1:])) for i, ts in toks.items() if len(ts) >= 2}
+    from collections import Counter
+
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    uc = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = len({t for ts in toks.values() for t in ts})
+    for i, bs in bigrams.items():
+        nll = [-math.log((bc[b] + 0.5) / (uc[b[0]] + 0.5 * vocab)) for b in bs]
+        assert got[i].n_bigrams == len(bs)
+        assert got[i].avg_nll == round(sum(nll) / len(nll), 6)
+
+    # external LM: doc 4's bigrams are unseen -> every one at the floor
+    lm = spark.createDataFrame(rows[:2], ["doc_id", "text"])
+    ext = {r.doc_id: r for r in bigram_lm_score(df, lm_df=lm).collect()}
+    lm_uc = Counter(b[0] for i in (1, 2) for b in bigrams[i])
+    lm_vocab = len({t for i in (1, 2) for t in toks[i]})
+    floor = -math.log(0.5 / (0.5 * lm_vocab))
+    assert ext[4].avg_nll == round(floor, 6)
+
+
 def test_rrf_hybrid_search_self_consistent(spark, docs, emb):
     """Hybrid RRF fusion invariants on the fixtures: every fused hit
     comes from one of the candidate lists, the fused score is exactly

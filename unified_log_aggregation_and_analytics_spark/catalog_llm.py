@@ -428,6 +428,46 @@ _LANGID_ORACLE = (
 )
 
 
+_LM_SCORE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+      FROM toks WHERE len(ts) >= 2
+    ),
+    bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+    uc AS (SELECT w1, COUNT(*) AS uc FROM bg GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM toks)
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(-ln((bc + 0.5) / (uc + 0.5 * v))), 6) AS avg_nll
+    FROM bg g
+    JOIN bc USING (w1, w2)
+    JOIN uc USING (w1)
+    CROSS JOIN vocab
+    GROUP BY g.doc_id
+"""
+
+
+@_register("text_lm_score", _LM_SCORE_ORACLE)
+def text_lm_score(spark, sf_dir):
+    """X4 — bigram-LM fluency score (text.bigram_lm_score): the
+    CCNet/perplexity-filter pipeline stage with the add-k bigram
+    model counted in-plan from the corpus itself. Count tables are
+    vocabulary-bounded hash aggs; scoring is one vocabulary-keyed
+    join + per-doc average. DuckDB replays counts, smoothing, and the
+    mean NLL exactly (round-6)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.bigram_lm_score(docs)
+
+
 @_register("text_langid", _LANGID_ORACLE)
 def text_langid(spark, sf_dir):
     """X4 — stopword-profile language ID with deterministic tie order

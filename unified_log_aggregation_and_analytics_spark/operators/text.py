@@ -323,6 +323,79 @@ def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """X4 — statistical-LM fluency score (the CCNet/perplexity-filter
+    stage of a training-data pipeline, with the n-gram LM trained
+    in-plan instead of shipping a KenLM binary): each document scores
+    the mean negative log-likelihood of its token bigrams under an
+    add-k-smoothed bigram model,
+    ``nll(w1 w2) = -ln((c(w1,w2)+k) / (c(w1·)+k·V))``.
+    Low = fluent/common text, high = gibberish or boilerplate-free
+    rare text — threshold or bucket it like any quality signal.
+
+    ``lm_df`` is the reference corpus the model is counted from
+    (CCNet uses curated text); default is ``df`` itself — self-scored
+    fluency, which is what the catalog entry certifies.
+
+    Plan shape at scale: bigram/context counts are explode → hash agg
+    with map-side partial combine (two corpus passes over the LM
+    side, output bounded by vocabulary² not corpus size); scoring
+    joins the document bigram stream to the count tables on the
+    bigram key — a vocabulary-keyed shuffle like the TF-IDF join,
+    with AQE handling stop-bigram skew — then one per-doc average.
+    The vocabulary size V is a broadcast scalar. No Python anywhere;
+    rounded to 6 decimals (sum-order noise lives far below)."""
+    lm = df if lm_df is None else lm_df
+
+    def tok_arr() -> Column:
+        return F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+
+    def bigram_rows(frame: DataFrame) -> DataFrame:
+        ts = tok_arr()
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        )
+        return (
+            frame.filter(F.size(ts) >= 2)
+            .select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, "p.w1", "p.w2")
+        )
+
+    lm_bigrams = bigram_rows(lm)
+    bc = lm_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    uc = lm_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = lm.select(F.explode(tok_arr()).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    return (
+        bigram_rows(df)
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
 def corpus_ngram_counts(
     df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
 ) -> DataFrame:
