@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "docs_corpus_ingest_nd",
     "knn_join_graph",
     "docs_temperature_sample",
+    # round-5 additions: hybrid lexical+semantic retrieval, bigram-LM
+    # fluency scoring, product-quantized ADC search
+    "q02g_hybrid_rrf",
+    "text_lm_score",
+    "knn_pq_adc",
 ]
 
 # Scale-stress section: the dedup/ANN/text families re-run at 10x rows
@@ -89,6 +94,8 @@ SCALE_QUERIES = [
     "docs_corpus_ingest_nd",
     "knn_cosine",
     "knn_batch",
+    "text_lm_score",
+    "knn_pq_adc_seeded",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Product quantization (operators/pq.py): encode-path parity,
+packing, training quality/determinism, and ADC recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF).filter(F.col("vec_id") != 0).cache()
+
+
+@pytest.fixture(scope="module")
+def seeded_cb():
+    return PQ.seeded_pq_codebooks(64, m=4, codes=8, seed=42)
+
+
+def test_encode_paths_agree(spark, emb, seeded_cb):
+    """The Arrow GEMM encoder and the JVM expression encoder assign
+    identical codes — the production path inherits the certification
+    path's oracle evidence."""
+    jvm = {
+        r.vec_id: list(r.codes)
+        for r in emb.select(
+            "vec_id", PQ.pq_code_expr("embedding", seeded_cb).alias("codes")
+        ).collect()
+    }
+    gemm = {r.vec_id: list(r.pq_codes) for r in PQ.pq_encode(emb, seeded_cb).collect()}
+    assert jvm == gemm
+
+
+def test_binary_packing_roundtrip(spark, emb, seeded_cb):
+    """pq_code is the m-byte packed form of pq_codes."""
+    for r in PQ.pq_encode(emb, seeded_cb).limit(50).collect():
+        assert list(r.pq_code) == list(r.pq_codes)
+        assert len(r.pq_code) == 4
+
+
+def test_encode_matches_numpy_reference(spark, emb, seeded_cb):
+    """Codes equal a straight numpy argmin over squared L2 distances
+    (no -2xc trick) — pins the GEMM rearrangement."""
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(25).collect()
+    got = {r.vec_id: list(r.pq_codes) for r in PQ.pq_encode(emb, seeded_cb).collect()}
+    for r in rows:
+        v = np.asarray(list(r.embedding), dtype=np.float64)
+        for mi in range(4):
+            sub = v[mi * 16 : (mi + 1) * 16]
+            d = ((sub[None, :] - seeded_cb[mi]) ** 2).sum(axis=1)
+            assert got[r.vec_id][mi] == int(d.argmin())
+
+
+def test_training_reduces_reconstruction_error(spark, emb, seeded_cb):
+    """Lloyd iterations must not hurt: trained codebooks reconstruct
+    at most the seeded error (they start from the seeded init), and
+    retraining is deterministic (rounded means)."""
+    trained = PQ.train_pq_codebooks(emb, 64, m=4, codes=8, n_iter=2)
+    again = PQ.train_pq_codebooks(emb, 64, m=4, codes=8, n_iter=2)
+    assert np.array_equal(trained, again)
+    e_seed = PQ.pq_reconstruction_error(emb, seeded_cb).first()
+    e_train = PQ.pq_reconstruction_error(emb, trained).first()
+    assert e_train.mean_sq_err < e_seed.mean_sq_err
+    assert e_train.n_vectors == e_seed.n_vectors == emb.count()
+
+
+def test_adc_recall_vs_exact(spark, emb):
+    """ADC top-10 over trained 4x8 codes (12 bits/vector!) must still
+    overlap the exact squared-L2 top-10 — the coarse-quantization
+    recall floor; and the ADC distances are monotone in rank."""
+    trained = PQ.train_pq_codebooks(emb, 64, m=4, codes=8, n_iter=2)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(list(r.embedding), dtype=np.float64) for r in rows])
+    q = M[0]  # use the first corpus vector as the probe
+    qid = int(ids[0])
+    d = ((M - q[None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d, kind="stable")
+    exact = [int(ids[i]) for i in order if int(ids[i]) != qid][:10]
+
+    codes_df = PQ.pq_encode(emb.filter(F.col("vec_id") != qid), trained)
+    got = PQ.pq_adc_topk(codes_df, trained, list(q), k=10).collect()
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+    recall = len(set(exact) & {r.vec_id for r in got}) / 10
+    assert recall >= 0.2, f"ADC recall {recall} below floor"

@@ -1919,6 +1919,108 @@ def _knn_join_oracle(k: int = 5) -> str:
 """
 
 
+def _pq_adc_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
+    """DuckDB twin of the seeded-codebook PQ ADC search: the codebook
+    embedded as a nested-list literal, per-subspace nearest-code
+    assignment replayed with the (dist, code) first-min tie rule the
+    Spark array_sort struct order uses, then the asymmetric distance
+    re-derived from the query and the chosen codewords. Squares are
+    spelled (d)*(d) on both sides — no pow() — for bit parity."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    cb = PQ.seeded_pq_codebooks(64, m=m, codes=codes, seed=42)
+    sd = 64 // m
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in cw) + "]" for cw in sub
+            )
+            + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    return f"""
+    WITH cbt AS (SELECT {cb_lit} AS cb),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sub AS (
+      SELECT e.vec_id, u.mi,
+             list_transform(range(1, {sd + 1}),
+                            j -> CAST(e.embedding[u.mi * {sd} + j] AS DOUBLE)) AS sv
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS mi) u
+      WHERE e.vec_id <> 0
+    ),
+    dists AS (
+      SELECT s.vec_id, s.mi, c.ci,
+             list_sum(list_transform(range(1, {sd + 1}),
+               j -> (s.sv[j] - cbt.cb[s.mi + 1][c.ci + 1][j])
+                    * (s.sv[j] - cbt.cb[s.mi + 1][c.ci + 1][j]))) AS dist
+      FROM sub s
+      CROSS JOIN (SELECT unnest(range(0, {codes})) AS ci) c
+      CROSS JOIN cbt
+    ),
+    best AS (
+      SELECT vec_id, mi, ci FROM (
+        SELECT vec_id, mi, ci,
+               row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, ci) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT b.vec_id,
+           round(SUM(
+             list_sum(list_transform(range(1, {sd + 1}),
+               j -> (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])
+                    * (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])))
+           ), 6) AS adc_dist
+    FROM best b CROSS JOIN q CROSS JOIN cbt
+    GROUP BY b.vec_id
+    ORDER BY adc_dist, b.vec_id
+    LIMIT {k}
+"""
+
+
+@_register("knn_pq_adc_seeded", _pq_adc_oracle())
+def knn_pq_adc_seeded(spark, sf_dir):
+    """X3 — product-quantized ADC search, certification path: encode
+    every vector to 4 subspace codes with the SEEDED (data-
+    independent) codebooks via pure JVM expressions, then answer the
+    query with asymmetric-distance lookups (operators/pq.py). The
+    whole pipeline — codebook, assignment tie rule, distance sums —
+    replays in DuckDB. The trained-codebook twin knn_pq_adc is the
+    quality path (rows-only; numpy-parity + recall pinned in
+    tests/test_pq.py)."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    cb = PQ.seeded_pq_codebooks(64, m=4, codes=8, seed=42)
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    codes_df = emb.select(
+        "vec_id", PQ.pq_code_expr("embedding", cb).alias("pq_codes")
+    )
+    qv = _query_vec(spark, sf_dir)
+    return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
+
+
+@_register("knn_pq_adc", None)  # trained codebooks: GEMM path, rows-only
+def knn_pq_adc(spark, sf_dir):
+    """X3 — product-quantized ADC search, production path: codebooks
+    Lloyd-trained in-plan (2 iterations, rounded means — only the
+    m x codes x sub_dim means reach the driver), vectors encoded by
+    the Arrow GEMM path into m-byte codes (64x compression at
+    dim=64/float32), query answered from the CODE table only. Encode
+    parity with the JVM expression path and recall vs exact search
+    are pinned in tests/test_pq.py."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    cb = PQ.train_pq_codebooks(emb, 64, m=4, codes=8, n_iter=2)
+    codes_df = PQ.pq_encode(emb, cb)
+    qv = _query_vec(spark, sf_dir)
+    return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
+
+
 _HYBRID_RRF_ORACLE = """
     WITH toks AS (
       SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
