@@ -196,6 +196,9 @@ SCALAR_BROADCAST_OK = {
     "knn_batch",
     "text_tfidf_top",
     "ann_recall_report",  # composes knn_cosine's 1-row query broadcast
+    "q02g_hybrid_rrf",  # composes bm25_search's 1-row corpus stats
+    "text_lm_score",  # 1-row vocabulary-size scalar
+    "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only
@@ -210,6 +213,14 @@ MULTI_SCAN_OK = {
     # pipeline persists the routed batch (corpus_ingest_batch), so the
     # duplication exists only in this one-shot certificate plan
     "docs_corpus_ingest_nd",
+    # composes bm25_search (q02c's whitelisted 3-scan shape); the
+    # persisted-index variant (bm25_search_indexed) is the scale path
+    "q02g_hybrid_rrf",
+    # one-shot train+score certificate: the bigram/context/vocab count
+    # subtrees each re-derive from the corpus in this single plan; at
+    # scale the count tables are materialized once (like the persisted
+    # token index) and scoring is the single vocabulary-keyed join
+    "text_lm_score",
 }
 
 

@@ -1563,3 +1563,293 @@ def tpch_q18(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@_register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): the EXISTS-subquery
+    pattern as a LEFT SEMI join with a mixed equi + non-equi
+    condition (orderkey match AND shipped after ordering — the -ish
+    schema's stand-in for the absent commit/receipt dates). The
+    orders side is date-pruned before the join; the semi join keeps
+    the fact table un-replicated."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    two-role dimension pattern — nation joins the pipeline TWICE
+    under different aliases (supplier side and customer side), with a
+    symmetric OR filter over the pair. Both nation copies broadcast
+    (constant 25 rows); customer/supplier stay shuffle-planned per
+    the SF-growing rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "tpch_q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): the
+    LEFT-OUTER join with an extra join-time predicate (priority
+    filter standing in for the absent o_comment pattern), keeping
+    zero-order customers, then a two-level aggregation — count per
+    customer, histogram over the counts. Both shuffles key on
+    uniform columns (custkey, then the small count domain)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "tpch_q17",
+    """
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+    lp AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN pk ON p_partkey = l_partkey
+    ),
+    avgq AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS threshold
+      FROM lp GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lp JOIN avgq USING (l_partkey)
+    WHERE l_quantity < threshold
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    scalar subquery (per-part average quantity) decorrelated into an
+    aggregate + self-join on the part key — the rewrite every
+    warehouse engine applies. The per-part averages are exact
+    (integral quantities sum exactly in doubles), so the threshold
+    compare is engine-portable. No broadcast hint on the part filter
+    (part is SF-growing); the avgq side is aggregated BEFORE the
+    join, so the shuffle moves one row per qualifying part."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = lp.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        lp.join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "tpch_q19",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    the OR-of-ANDs pattern mixing columns from BOTH join sides —
+    Catalyst pushes the single-side residuals (brand/size on part,
+    quantity on lineitem) below the join as a derived disjunction and
+    evaluates the cross-side conjuncts as a post-join filter, so the
+    join never sees rows no branch could accept."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(branch).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@_register(
+    "tpch_q22",
+    """
+    WITH st AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey % 7 AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, st
+    WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+      AND CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar aggregate
+    subquery (above-average balance) + NOT EXISTS as a LEFT ANTI
+    join. The country code is nationkey mod 7 (the -ish schema has no
+    phone column), and the anti join is against RECENT orders — this
+    testdata gives every customer at least one lifetime order, which
+    would make the spec's no-orders-ever predicate vacuously empty. The above-average compare is done EXACTLY as
+    ``bal * n > sum`` over decimals — dividing to a double average
+    first would make the threshold engine-dependent in the last bit
+    and flip borderline rows. The one-row stats frame broadcasts; the
+    anti join shuffles on the uniform custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    elig = (
+        c.withColumn("cntrycode", F.pmod(F.col("c_nationkey"), F.lit(7)))
+        .filter(F.col("cntrycode").isin(0, 1, 2, 3))
+        .crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("s"))
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        elig.join(recent, elig.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -350,7 +350,13 @@ def bigram_lm_score(
     bigram key — a vocabulary-keyed shuffle like the TF-IDF join,
     with AQE handling stop-bigram skew — then one per-doc average.
     The vocabulary size V is a broadcast scalar. No Python anywhere;
-    rounded to 6 decimals (sum-order noise lives far below)."""
+    rounded to 6 decimals (sum-order noise lives far below).
+
+    This one-shot form re-derives the count tables inside a single
+    plan (the oracle-certified shape); a production pipeline
+    materializes ``bc``/``uc``/``V`` once per reference corpus — like
+    the persisted token index — and scoring is then the single
+    vocabulary-keyed join per batch."""
     lm = df if lm_df is None else lm_df
 
     def tok_arr() -> Column:
