@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q02g_hybrid_rrf",
     "text_lm_score",
     "knn_pq_adc",
+    "knn_ivfpq_indexed",
 ]
 
 # Scale-stress section: the dedup/ANN/text families re-run at 10x rows

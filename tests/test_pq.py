@@ -70,6 +70,57 @@ def test_training_reduces_reconstruction_error(spark, emb, seeded_cb):
     assert e_train.n_vectors == e_seed.n_vectors == emb.count()
 
 
+def test_ivfpq_index_build_probe_append(spark, emb, tmp_path):
+    """The persisted IVF-PQ index: (a) stores ONLY codes — no float
+    vector column survives into the table; (b) probes with a
+    partition-pruned scan (PartitionFilters on cell); (c) probe
+    results overlap the exact L2 top-k; (d) appending a delta with
+    frozen quantizers adds exactly the delta rows and makes the new
+    ids findable; (e) the manifest records build then append."""
+    import io
+    from contextlib import redirect_stdout
+
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    base = emb.filter(F.col("vec_id") <= 300)
+    delta = emb.filter(F.col("vec_id") > 300)
+    path = str(tmp_path / "ivfpq")
+    A.build_ivfpq_index(base, path, n_centroids=8, m=4, codes=8)
+
+    idx = spark.read.parquet(f"{path}/table")
+    assert set(idx.columns) == {"vec_id", "pq_codes", "pq_code", "cell"}
+    n_base = base.count()
+    assert idx.count() == n_base
+
+    rows = base.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(list(r.embedding), dtype=np.float64) for r in rows])
+    q = M[0]
+    qid = int(ids[0])
+    d = ((M - q[None, :]) ** 2).sum(axis=1)
+    exact = [int(ids[i]) for i in np.argsort(d, kind="stable") if int(ids[i]) != qid][:10]
+
+    probe = A.ivfpq_probe(spark, path, list(q), k=10, n_probe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    got = [r.vec_id for r in probe.collect() if r.vec_id != qid]
+    overlap = len(set(exact) & set(got)) / 10
+    assert overlap >= 0.2, f"IVF-PQ recall {overlap} below floor"
+
+    A.append_ivfpq_index(delta, path)
+    idx2 = spark.read.parquet(f"{path}/table")
+    assert idx2.count() == n_base + delta.count()
+    dq = delta.select("embedding").first()[0]
+    hits = {r.vec_id for r in A.ivfpq_probe(spark, path, list(dq), k=5, n_probe=8).collect()}
+    assert hits & {r.vec_id for r in delta.select("vec_id").collect()}, (
+        "appended ids not findable"
+    )
+    ops = [v["op"] for v in A.read_manifest(path)]
+    assert ops == ["build", "append"]
+
+
 def test_adc_recall_vs_exact(spark, emb):
     """ADC top-10 over trained 4x8 codes (12 bits/vector!) must still
     overlap the exact squared-L2 top-10 — the coarse-quantization

@@ -1222,6 +1222,8 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_lsh_index(emb, str(path), n_bits=8, seed=42, dim=64)
         elif kind == "ivf16":
             A.build_ivf_index(emb, str(path), n_centroids=16)
+        elif kind == "ivfpq":
+            A.build_ivfpq_index(emb, str(path), n_centroids=16, m=4, codes=8)
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
@@ -1310,6 +1312,23 @@ def knn_ivf_indexed(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     path = _ann_index_path(spark, sf_dir, "ivf16")
     return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
+@_register("knn_ivfpq_indexed", None)  # trained quantizers + numpy cell ranking: rows-only
+def knn_ivfpq_indexed(spark, sf_dir):
+    """X3 — persisted IVF-PQ probe (the FAISS two-level shape): the
+    index stores m-byte PQ codes partitioned by IVF cell — no float
+    vectors at all, ~64x smaller than the raw IVF table. The probe
+    ranks the 16 persisted centroids driver-side, reads the 4 nearest
+    CODE partitions (PartitionFilters), and scores by asymmetric
+    distance entirely in whole-stage codegen. Recall vs exact,
+    codes-only schema, partition pruning, and append-with-frozen-
+    quantizers are pinned in tests/test_pq.py."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfpq")
+    return A.ivfpq_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
 _INC_FRESH: set[str] = set()

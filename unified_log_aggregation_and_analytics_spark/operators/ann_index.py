@@ -491,3 +491,152 @@ def ivf_probe_batch(
         .filter(F.col("rn") <= k)
         .select("q_id", id_col, "cos_sim")
     )
+
+
+# --- IVF-PQ: compressed cells (the FAISS IVFPQ architecture) ----------
+
+
+def _codebooks_path(path: str) -> str:
+    return f"{path}/codebooks"
+
+
+def load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    """Read the persisted PQ codebook artifact -> (m, codes, sub_dim)."""
+    rows = spark.read.parquet(_codebooks_path(path)).orderBy("mi", "ci").collect()
+    m = max(r["mi"] for r in rows) + 1
+    codes = max(r["ci"] for r in rows) + 1
+    sub_dim = len(rows[0]["codeword"])
+    out = np.zeros((m, codes, sub_dim), dtype=np.float64)
+    for r in rows:
+        out[r["mi"], r["ci"]] = list(r["codeword"])
+    return out
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    codes: int = 8,
+    train_iters: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ index build (the two-level FAISS shape, Jégou et al.
+    TPAMI'11): coarse IVF cells bound WHERE a probe reads, PQ codes
+    bound HOW MUCH it reads — the persisted table stores ONLY
+    ``(id, pq_codes, pq_code)`` partitioned by cell. At dim=64/float32
+    with m=4 that is a ~64x smaller index than the raw-vector IVF
+    table; a probe touches n_probe/n_centroids of it.
+
+    Build = one centroid pass (deterministic seed centroids), one PQ
+    training run (Lloyd via Spark aggs, rounded means), then a single
+    mapInPandas pass that assigns the cell AND encodes the codes per
+    Arrow batch. Centroids and codebooks persist as parquet
+    artifacts; probes load (n_centroids + m*codes) rows, never the
+    corpus."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+
+    centroids = deterministic_centroids(df, n_centroids, vec_col, id_col)
+    dim = centroids.shape[1]
+    codebooks = train_pq_codebooks(
+        df.select(id_col, vec_col), dim, m=m, codes=codes, n_iter=train_iters, seed=seed
+    )
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, schema=f"cell int, {vec_col} array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_centroids_path(path))
+    )
+    cb_rows = [
+        (mi, ci, [float(x) for x in codebooks[mi, ci]])
+        for mi in range(m)
+        for ci in range(codes)
+    ]
+    (
+        spark.createDataFrame(cb_rows, schema="mi int, ci int, codeword array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_codebooks_path(path))
+    )
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    (
+        pq_encode(assigned, codebooks, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_table_path(path))
+    )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(
+        path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
+    )
+
+
+def append_ivfpq_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF-PQ ingest: the delta is assigned and encoded
+    against the FROZEN persisted centroids and codebooks (recomputing
+    either would silently re-key existing rows) and appended into the
+    per-cell partitions — one Arrow pass over the delta. Quantizer
+    drift under heavy append is a rebuild decision; the manifest's
+    append/build ratio is the signal."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import pq_encode
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    if df_new.isEmpty():
+        return
+    spark = df_new.sparkSession
+    centroids = load_centroids(spark, path, vec_col)
+    codebooks = load_codebooks(spark, path)
+    assigned = ivf_assign(df_new.select(id_col, vec_col), centroids, vec_col)
+    (
+        pq_encode(assigned, codebooks, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_table_path(path))
+    )
+    _record_version(path, "append", df_new.count())
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: rank the persisted centroids driver-side, read
+    only the ``n_probe`` nearest CODE partitions (PartitionFilters on
+    ``cell``; the scan moves m bytes per row, never floats), and
+    score by asymmetric distance — the query's (m x codes) lookup
+    table embedded as literals, whole-stage codegen, top-k by
+    TakeOrderedAndProject. Returns approximate squared-L2 distances
+    (``adc_dist`` ascending)."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import pq_adc_topk
+
+    centroids = load_centroids(spark, path)
+    norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (norm @ qn).argsort()[::-1][:n_probe]]
+    codebooks = load_codebooks(spark, path)
+    idx = spark.read.parquet(_table_path(path))
+    cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
+    return pq_adc_topk(cand, codebooks, list(query_vec), k=k, id_col=id_col)

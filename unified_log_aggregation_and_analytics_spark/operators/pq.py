@@ -93,11 +93,14 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Throughput-path PQ encoding: ``(id, pq_codes array<int>,
-    pq_code binary)`` — the binary column is the storage format
-    (m bytes/vector; requires codes <= 256). One Arrow batch in, m
-    GEMMs, codes out; no shuffle (fused into the scan)."""
+    """Throughput-path PQ encoding: ``(id, *passthrough, pq_codes
+    array<int>, pq_code binary)`` — the binary column is the storage
+    format (m bytes/vector; requires codes <= 256). One Arrow batch
+    in, m GEMMs, codes out; no shuffle (fused into the scan).
+    ``passthrough`` columns (e.g. an IVF cell) are carried as-is so a
+    composed index needs no re-join."""
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
@@ -111,8 +114,9 @@ def pq_encode(
     if codes > 256:
         raise ValueError("binary packing requires codes <= 256")
     out_schema = StructType(
-        [
-            StructField(id_col, df.schema[id_col].dataType),
+        [StructField(id_col, df.schema[id_col].dataType)]
+        + [StructField(c, df.schema[c].dataType) for c in passthrough]
+        + [
             StructField("pq_codes", ArrayType(IntegerType())),
             StructField("pq_code", BinaryType()),
         ]
@@ -133,15 +137,14 @@ def pq_encode(
                 # constant per row, dropped from the argmin
                 d = sq[mi][None, :] - 2.0 * (sub @ cb[mi].T)
                 codes_out[:, mi] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "pq_codes": [list(map(int, r)) for r in codes_out],
-                    "pq_code": [bytes(r.astype(np.uint8)) for r in codes_out],
-                }
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            out["pq_codes"] = [list(map(int, r)) for r in codes_out]
+            out["pq_code"] = [bytes(r.astype(np.uint8)) for r in codes_out]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(enc, out_schema)
+    return df.select(id_col, *passthrough, vec_col).mapInPandas(enc, out_schema)
 
 
 def pq_adc_topk(
