@@ -76,13 +76,25 @@ BENCH_QUERIES = [
     "knn_ivfpq_indexed",
 ]
 
-# Scale-stress section: the dedup/ANN/text families re-run at 10x rows
-# (.scaledata/sf1, generated from the driver's sf0.1 tables by
-# tools/make_scale_data.py with structure-preserving perturbations).
-# Sub-second sf0.1 numbers can't show band-bucket skew or sidecar-join
-# degradation; the 10x ratio can. Every entry here reads only the
-# documents/embeddings tables. Disable with SPARK_GRAFT_SCALE=0.
+# Scale-stress section: the dedup/ANN/text/relational families re-run
+# at 10x rows (.scaledata/sf1, generated from the driver's sf0.1
+# tables by tools/make_scale_data.py with structure-preserving
+# perturbations — key-offset replicas keep TPC-H referential joins
+# intact). Sub-second sf0.1 numbers can't show band-bucket skew,
+# sidecar-join degradation, or join-shuffle growth; the 10x ratio
+# can. Disable with SPARK_GRAFT_SCALE=0.
 SCALE_QUERIES = [
+    # relational: joins/aggs over the 6M-row scaled lineitem
+    "q06_tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q22",
+    "q11_join_star_revenue",
     "dedup_exact",
     "dedup_chunks",
     "dedup_minhash_sig",

@@ -21,6 +21,11 @@ workload statistics of the original:
   positions — norm-preserving, deterministic, and far from the
   original in cosine, so ANN bucket populations grow ~linearly
   instead of stacking R copies in every bucket.
+- TPC-H tables (customer/orders/lineitem/supplier/part): replica k
+  offsets every key column by k * (max_key + 1) CONSISTENTLY across
+  tables, so referential joins stay intact and fact/dim populations
+  grow together — the same thing raising the TPC-H scale factor
+  does. nation/region are constant-size dims, copied as-is.
 
 Replica 0 is byte-identical to the source, so sf0.1 results embed in
 the scaled corpus. Pure DuckDB; runs in seconds at this size.
@@ -87,6 +92,50 @@ def generate(
     con.sql(
         f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"
     )
+
+    strides = {
+        key: con.sql(
+            f"SELECT MAX({key}) + 1 FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+        for key, table in [
+            ("o_orderkey", "orders"),
+            ("c_custkey", "customer"),
+            ("p_partkey", "part"),
+            ("s_suppkey", "supplier"),
+        ]
+    }
+    key_of = {
+        "customer": {"c_custkey": "c_custkey"},
+        "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+        "lineitem": {
+            "l_orderkey": "o_orderkey",
+            "l_partkey": "p_partkey",
+            "l_suppkey": "s_suppkey",
+        },
+        "part": {"p_partkey": "p_partkey"},
+        "supplier": {"s_suppkey": "s_suppkey"},
+    }
+    for table, keymap in key_of.items():
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'"
+            ).fetchall()
+        ]
+        parts = []
+        for k in range(replicas):
+            sel = ", ".join(
+                f"{c} + {k * strides[keymap[c]]} AS {c}" if c in keymap else c
+                for c in cols
+            )
+            parts.append(f"SELECT {sel} FROM '{src}/{table}.parquet'")
+        con.sql(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    for table in ("nation", "region"):
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{table}.parquet') TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
     con.close()
 
 
