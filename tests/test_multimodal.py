@@ -212,3 +212,64 @@ def test_jpeg_image_stats_with_pillow(spark):
     feats = MM.extract_features(media).collect()[0].feature
     assert feats[0] == 8.0 and feats[1] == 6.0
     assert abs(feats[2] - exp[0]) < 1e-9
+
+
+def test_dhash_matches_python_reference_and_invariances(spark):
+    """Spark's image_dhash equals the plain-Python dhash64 on real
+    decoded pixels; a +20 brightness shift moves zero bits (dHash
+    compares neighbors, not levels); heavy noise on one region moves
+    only a few bits; an unrelated image is far."""
+    docs = load_table(spark, "documents", SF).limit(12)
+    media = MM.media_with_ppm_groups(docs, width=16, height=16)
+    got = {r.media_id: r.dhash for r in MM.image_dhash(media).collect()}
+    for r in media.collect():
+        dec = MM._decode_rgb(bytes(r.payload))
+        assert got[r.media_id] == MM.dhash64(dec[2])
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+    h0 = MM.dhash64(base)
+    assert MM.dhash64(np.clip(base.astype(int) + 20, 0, 255).astype(np.uint8)) == h0
+    noisy = base.copy()
+    noisy[0, :4] = 255 - noisy[0, :4]
+    near = bin((MM.dhash64(noisy) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert 0 < near <= 6
+    other = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    far = bin((MM.dhash64(other) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert far > 12
+
+
+def test_image_near_dup_group_structure(spark):
+    """On the grouped fixture every within-group pair is found at the
+    loose radius (planted perturbations are small), pair hamming
+    values match a Python-reference recomputation, and identical
+    payloads always pair at hamming 0."""
+    docs = load_table(spark, "documents", SF).limit(24)
+    media = MM.media_with_ppm_groups(docs, group_size=4, width=16, height=16)
+    pairs = MM.image_near_dup(media, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    hashes = {r.media_id: r.dhash for r in MM.image_dhash(media).collect()}
+    for (a, b), hv in got.items():
+        assert a < b
+        ref = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        assert hv == ref <= 10
+    within = {(a, b) for (a, b) in got if a // 4 == b // 4}
+    all_within = {
+        (g * 4 + i, g * 4 + j)
+        for g in range(6)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    missed = {
+        p
+        for p in all_within - within
+        if bin((hashes[p[0]] ^ hashes[p[1]]) & ((1 << 64) - 1)).count("1") <= 10
+    }
+    assert not missed, f"banding missed within-radius pairs: {missed}"
+
+    # exact duplicates: same payload twice -> hamming 0 pair
+    dup = media.limit(1).union(
+        media.limit(1).withColumn("media_id", F.col("media_id") + 1000)
+    )
+    dpairs = MM.image_near_dup(dup, max_hamming=0).collect()
+    assert len(dpairs) == 1 and dpairs[0].hamming == 0

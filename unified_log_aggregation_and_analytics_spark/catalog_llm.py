@@ -567,6 +567,23 @@ def multimodal_image_stats_png(spark, sf_dir):
     return MM.image_stats(media)
 
 
+@_register("multimodal_image_near_dup", None)  # decode+perceptual hash: rows-only
+def multimodal_image_near_dup(spark, sf_dir):
+    """X5/X2 — IMAGE near-duplicate detection: real PPM decode →
+    dHash perceptual fingerprint → banded-hash candidate join →
+    bit_count verification (operators/multimodal.py image_near_dup)
+    over a deterministic fixture where same-group images share a base
+    picture with small per-member perturbations
+    (media_with_ppm_groups). The group-then-pair shape is the text
+    LSH's — never n^2. Deterministic closed-form fixture, so the
+    rows-only certificate is reproducible; pair-structure and
+    Python-reference hash parity are pinned in
+    tests/test_multimodal.py."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_ppm_groups(docs, group_size=4, width=16, height=16)
+    return MM.image_near_dup(media, max_hamming=6)
+
+
 @_register(
     "multimodal_audio_stats",
     """

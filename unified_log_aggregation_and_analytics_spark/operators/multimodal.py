@@ -679,3 +679,169 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+# --- image near-duplicate detection (dHash) ---------------------------
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash of an RGB pixel array (Krawetz's dHash): gray
+    via channel mean, area-downsample to an 8x9 block grid
+    (np.array_split — deterministic, no resampling library), one bit
+    per horizontal neighbor comparison, packed row-major into a
+    SIGNED 64-bit int (Spark LongType). Perceptual: small pixel
+    noise, brightness shifts, and re-encodes move few bits; different
+    images are ~32 bits apart. Pure numpy — the same function is the
+    Python reference in tests."""
+    g = px.astype(np.float64).mean(axis=2)
+    rows = np.array_split(g, 8, axis=0)
+    bits_val = 0
+    i = 0
+    for r in rows:
+        cols = [
+            (c.mean() if c.size else 0.0) for c in np.array_split(r, 9, axis=1)
+        ]
+        for a, b in zip(cols[:-1], cols[1:]):
+            if b > a:
+                bits_val |= 1 << i
+            i += 1
+    if bits_val >= 1 << 63:
+        bits_val -= 1 << 64
+    return bits_val
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """X5/X2 — per-image perceptual hash column ``(media_id, dhash)``:
+    decode (PPM/PNG stdlib, Pillow-gated rest) + dHash in one
+    mapInPandas pass, fused into the scan. Non-decodable payloads
+    drop out (inner dedup semantics: you can only compare what you
+    can see)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = _decode_rgb(p) if p is not None else None
+                if dec is None:
+                    continue
+                _, _, px = dec
+                ids.append(mid)
+                hashes.append(dhash64(px))
+            yield pd.DataFrame({"media_id": ids, "dhash": pd.Series(hashes, dtype="int64")})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """X5/X2 — image near-duplicate pairs by banded dHash: split each
+    64-bit hash into ``bands`` equal bit-bands; candidates share any
+    band (group-then-pair equi-join on (band_idx, band_value) — the
+    SimHash/LSH shape, never n^2); verification is
+    ``bit_count(xor) <= max_hamming`` JVM-side. Pigeonhole guarantee:
+    every pair within ``bands - 1`` differing bits shares at least
+    one band, so with the defaults recall is exact for
+    hamming <= 3; wider radii keep banding as a recall/cost knob.
+    Returns ``(id_a, id_b, hamming)`` distinct pairs.
+
+    At 100 TB the shuffle is keyed on the band value (uniform for
+    real image corpora); a pathological constant-background corpus
+    concentrates a band bucket — the standard valves (more bands,
+    AQE skew split) apply, as with the text LSH."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = image_dhash(df)
+    banded = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("media_id", "dhash", "bd.band_idx", "bd.band_val")
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash").alias("_ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash").alias("_hb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def media_with_ppm_groups(
+    docs: DataFrame,
+    group_size: int = 4,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Near-dup-structured image fixture: documents in the same group
+    (``doc_id // group_size``) share a base image (pixel byte i of
+    group g is ``(g*37 + 3*i*i + 11*i) % 256`` — quadratic in i, so
+    the dHash differences genuinely vary by group), and each member
+    ``m = doc_id % group_size`` perturbs one distinct pixel run —
+    a few dHash bits. Within-group pairs land a small Hamming
+    distance apart; cross-group pairs are far. Deterministic closed
+    form, so the rows-only catalog certificate is reproducible."""
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        i = np.arange(npx, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                g, m = int(d) // group_size, int(d) % group_size
+                px = (g * 37 + 3 * i * i + 11 * i) % 256
+                if m:
+                    lo = (m * 61) % (npx - 12)
+                    px = px.copy()
+                    px[lo : lo + 12] = 255 - px[lo : lo + 12]
+                payloads.append(header + px.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
