@@ -109,3 +109,16 @@ def test_gate_window_entries_carry_oracles():
     oracles = entry.oracle_sql()
     missing = [n for n in window if n not in oracles]
     assert not missing, f"gate-window entries without oracle SQL: {missing}"
+
+
+def test_bench_names_are_registered():
+    """bench.py runs unattended per round — a stale name would crash
+    the whole benchmark, not one entry. Every headline and scale name
+    must resolve in the catalog (scale extras are callables supplied
+    by bench itself)."""
+    import bench
+
+    names = set(entry.queries())
+    missing = [n for n in bench.BENCH_QUERIES + bench.SCALE_QUERIES if n not in names]
+    assert not missing, f"bench references unregistered queries: {missing}"
+    assert set(bench._scale_extra_queries()).isdisjoint(names)

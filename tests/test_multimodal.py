@@ -273,3 +273,40 @@ def test_image_near_dup_group_structure(spark):
     )
     dpairs = MM.image_near_dup(dup, max_hamming=0).collect()
     assert len(dpairs) == 1 and dpairs[0].hamming == 0
+
+
+def test_audio_fingerprint_reference_and_gain_invariance(spark):
+    """Spark's audio_hash equals the Python audio_fingerprint64 on
+    decoded mono samples; scaling amplitude moves zero bits (the
+    print compares energy transitions, not levels); a different tone
+    mixture is far."""
+    docs = load_table(spark, "documents", SF).limit(8)
+    media = MM.media_with_wav_groups(docs)
+    got = {r.media_id: r.afp for r in MM.audio_hash(media).collect()}
+    for r in media.collect():
+        _, ch, _, n_frames, arr = MM.decode_wav(bytes(r.payload))
+        mono = arr[: n_frames * ch].reshape(n_frames, ch).astype(np.float64).mean(axis=1)
+        assert got[r.media_id] == MM.audio_fingerprint64(mono)
+
+    i = np.arange(512, dtype=np.float64)
+    a = np.sin(2 * np.pi * 5 * i / 64) + 0.5 * np.sin(2 * np.pi * 17 * i / 64)
+    h0 = MM.audio_fingerprint64(a)
+    assert MM.audio_fingerprint64(a * 3.7) == h0
+    b = np.sin(2 * np.pi * 9 * i / 64) + 0.5 * np.sin(2 * np.pi * 29 * i / 64)
+    far = bin((MM.audio_fingerprint64(b) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert far > 10
+
+
+def test_audio_near_dup_group_separation(spark):
+    """On the grouped tone fixture the banded join returns only
+    same-group pairs at the certificate radius, with hamming values
+    matching a reference recomputation."""
+    docs = load_table(spark, "documents", SF).limit(24)
+    media = MM.media_with_wav_groups(docs, group_size=4)
+    pairs = MM.audio_near_dup(media, max_hamming=8).collect()
+    assert pairs, "no audio near-dups found on the planted fixture"
+    hashes = {r.media_id: r.afp for r in MM.audio_hash(media).collect()}
+    for r in pairs:
+        assert r.id_a // 4 == r.id_b // 4, "cross-group pair at tight radius"
+        ref = bin((hashes[r.id_a] ^ hashes[r.id_b]) & ((1 << 64) - 1)).count("1")
+        assert r.hamming == ref <= 8

@@ -584,6 +584,21 @@ def multimodal_image_near_dup(spark, sf_dir):
     return MM.image_near_dup(media, max_hamming=6)
 
 
+@_register("multimodal_audio_near_dup", None)  # decode+spectral hash: rows-only
+def multimodal_audio_near_dup(spark, sf_dir):
+    """X5/X2 — AUDIO near-duplicate detection: real WAV decode →
+    Haitsma-Kalker-style 64-bit spectral fingerprint (per-window band
+    energy transitions — gain-invariant) → the same banded Hamming
+    join the image path uses (multimodal.hamming_near_dup). Fixture
+    is grouped tone mixtures (media_with_wav_groups): same-group
+    clips differ by one small extra tone. Deterministic closed form;
+    fingerprint Python-reference parity and group separation pinned
+    in tests/test_multimodal.py."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav_groups(docs, group_size=4)
+    return MM.audio_near_dup(media, max_hamming=8)
+
+
 @_register(
     "multimodal_audio_stats",
     """

@@ -738,37 +738,39 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, schema)
 
 
-def image_near_dup(
-    df: DataFrame,
+def hamming_near_dup(
+    hash_df: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """X5/X2 — image near-duplicate pairs by banded dHash: split each
-    64-bit hash into ``bands`` equal bit-bands; candidates share any
+    """Banded Hamming near-dup join over any 64-bit fingerprint
+    column (dHash images, spectral audio prints, SimHash text): split
+    the hash into ``bands`` equal bit-bands; candidates share any
     band (group-then-pair equi-join on (band_idx, band_value) — the
     SimHash/LSH shape, never n^2); verification is
     ``bit_count(xor) <= max_hamming`` JVM-side. Pigeonhole guarantee:
     every pair within ``bands - 1`` differing bits shares at least
-    one band, so with the defaults recall is exact for
-    hamming <= 3; wider radii keep banding as a recall/cost knob.
-    Returns ``(id_a, id_b, hamming)`` distinct pairs.
+    one band, so with the defaults recall is exact for hamming <= 3;
+    wider radii keep banding as a recall/cost knob. Returns
+    ``(id_a, id_b, hamming)`` distinct pairs.
 
     At 100 TB the shuffle is keyed on the band value (uniform for
-    real image corpora); a pathological constant-background corpus
+    real media corpora); a pathological constant-content corpus
     concentrates a band bucket — the standard valves (more bands,
     AQE skew split) apply, as with the text LSH."""
     width = 64 // bands
     mask = (1 << width) - 1
-    h = image_dhash(df)
-    banded = h.select(
-        "media_id",
-        "dhash",
+    banded = hash_df.select(
+        id_col,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("dhash"), b * width)
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -776,16 +778,16 @@ def image_near_dup(
                 ]
             )
         ).alias("bd"),
-    ).select("media_id", "dhash", "bd.band_idx", "bd.band_val")
+    ).select(id_col, hash_col, "bd.band_idx", "bd.band_val")
     a = banded.select(
-        F.col("media_id").alias("id_a"),
-        F.col("dhash").alias("_ha"),
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("_ha"),
         "band_idx",
         "band_val",
     )
     b = banded.select(
-        F.col("media_id").alias("id_b"),
-        F.col("dhash").alias("_hb"),
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("_hb"),
         "band_idx",
         "band_val",
     )
@@ -799,6 +801,19 @@ def image_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """X5/X2 — image near-duplicate pairs: dHash fingerprints through
+    the banded Hamming join (see hamming_near_dup for the plan shape
+    and recall guarantee)."""
+    return hamming_near_dup(
+        image_dhash(df), "dhash", max_hamming=max_hamming, bands=bands
     )
 
 
@@ -838,6 +853,139 @@ def media_with_ppm_groups(
                     "modality": "image",
                     "payload": payloads,
                     "mime": "image/x-portable-pixmap",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint64(samples: np.ndarray, n_windows: int = 9, n_bands: int = 8) -> int:
+    """Haitsma–Kalker-style 64-bit spectral fingerprint: mono samples
+    split into ``n_windows`` time windows, per-window energy in
+    ``n_bands`` coarse rFFT magnitude bands, one bit per
+    (window, band) energy INCREASE vs the previous window —
+    8 band-columns x 8 window-transitions = 64 bits, packed into a
+    signed long. Robust to gain changes (comparisons, not levels)
+    and small edits; pure numpy, deterministic — the same function is
+    the Python reference in tests."""
+    x = samples.astype(np.float64)
+    if x.size < n_windows * 2:
+        x = np.pad(x, (0, n_windows * 2 - x.size))
+    wins = np.array_split(x, n_windows)
+    energies = []
+    for w in wins:
+        mag = np.abs(np.fft.rfft(w - w.mean()))
+        bands = [
+            float((b**2).sum()) if b.size else 0.0
+            for b in np.array_split(mag, n_bands)
+        ]
+        energies.append(bands)
+    E = np.asarray(energies)  # (n_windows, n_bands)
+    bits_val = 0
+    i = 0
+    for wi in range(1, n_windows):
+        for bi in range(n_bands):
+            if E[wi, bi] > E[wi - 1, bi]:
+                bits_val |= 1 << i
+            i += 1
+    if bits_val >= 1 << 63:
+        bits_val -= 1 << 64
+    return bits_val
+
+
+def audio_hash(df: DataFrame) -> DataFrame:
+    """X5/X2 — per-clip fingerprint column ``(media_id, afp)``: WAV
+    decode (channel-mean mono mix) + spectral fingerprint in one
+    mapInPandas pass. Non-decodable payloads drop out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prints = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                wav = decode_wav(p) if p is not None else None
+                if wav is None:
+                    continue
+                _, ch, _, n_frames, arr = wav
+                mono = (
+                    arr[: n_frames * ch]
+                    .reshape(n_frames, max(ch, 1))
+                    .astype(np.float64)
+                    .mean(axis=1)
+                )
+                ids.append(mid)
+                prints.append(audio_fingerprint64(mono))
+            yield pd.DataFrame({"media_id": ids, "afp": pd.Series(prints, dtype="int64")})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def audio_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """X5/X2 — audio near-duplicate pairs: spectral fingerprints
+    through the same banded Hamming join as images."""
+    return hamming_near_dup(
+        audio_hash(df), "afp", max_hamming=max_hamming, bands=bands
+    )
+
+
+def media_with_wav_groups(
+    docs: DataFrame,
+    group_size: int = 4,
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Near-dup-structured audio fixture: clips in the same group
+    (``doc_id // group_size``) share a base tone mixture whose
+    component frequencies derive from the group id; each member adds
+    a small extra tone — few fingerprint bits move within a group,
+    many across groups. Deterministic closed form (8-bit mono PCM)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.float64)
+        fmt = (
+            b"fmt \x10\x00\x00\x00"
+            + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+        )
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                g, m = int(d) // group_size, int(d) % group_size
+                base = (
+                    np.sin(2 * np.pi * (g % 7 + 2) * i / 64.0)
+                    + 0.5 * np.sin(2 * np.pi * (g % 11 + 13) * i / 64.0)
+                )
+                if m:
+                    base = base + 0.15 * np.sin(2 * np.pi * (m + 29) * i / 64.0)
+                data = (127.5 + 100.0 * base / np.abs(base).max()).astype(np.uint8)
+                body = (
+                    b"WAVE" + fmt + b"data"
+                    + len(data).to_bytes(4, "little") + data.tobytes()
+                )
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
                     "width": pd.Series([None] * len(ids), dtype="Int32"),
                     "height": pd.Series([None] * len(ids), dtype="Int32"),
                     "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
