@@ -835,6 +835,47 @@ def dedup_simhash_md5(spark, sf_dir):
     return D.simhash64(docs, hash_fn="md5", n_bits=60).select("doc_id", "simhash")
 
 
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS hv FROM tok
+    ), votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SIMHASH_VOTES}
+      FROM h GROUP BY doc_id
+    ), s AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark, sf_dir):
+    """X2 — SimHash NEAR-DUP PAIRS, oracle-certified end to end: the
+    md5 simhash twin's fingerprints through the banded Hamming join
+    (multimodal.hamming_near_dup — the shared text/image/audio
+    candidate machinery). At radius 3 with 4 bands the pigeonhole
+    guarantee makes banding recall EXACT, so the DuckDB twin can be
+    the O(n^2) mathematical form while Spark runs group-then-pair —
+    the certificate that the banded join loses nothing inside its
+    guaranteed radius."""
+    from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
+        hamming_near_dup,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sim = D.simhash64(docs, hash_fn="md5", n_bits=60).select("doc_id", "simhash")
+    return hamming_near_dup(
+        sim, "simhash", id_col="doc_id", max_hamming=3, bands=4
+    )
+
+
 def _lsh_bucket_sql(ref: str = "e.embedding", n_bits: int = 8) -> str:
     """The seeded-hyperplane sign-sketch bucket as a DuckDB expression:
     identical planes to similarity.lsh_planes(64, n_bits, 42), embedded
