@@ -599,6 +599,24 @@ def multimodal_audio_near_dup(spark, sf_dir):
     return MM.audio_near_dup(media, max_hamming=8)
 
 
+@_register("multimodal_dup_clusters", None)  # iterative fixpoint: rows-only
+def multimodal_dup_clusters(spark, sf_dir):
+    """X5/X2 — media dedup CLUSTER RESOLUTION: image near-dup pairs
+    (banded dHash) into connected components, returning
+    (media_id, cluster_id = min member) — keep-one-per-cluster is
+    then ``media_id == cluster_id``. Composes the shared Hamming join
+    with the text pipeline's min-label-propagation components
+    operator unchanged — pair graphs are modality-agnostic."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_ppm_groups(docs, group_size=4, width=16, height=16)
+    pairs = MM.image_near_dup(media, max_hamming=6)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 @_register(
     "multimodal_audio_stats",
     """
