@@ -1,0 +1,106 @@
+"""Streaming media ingest (streaming/media.py): decode gate, exact
+and perceptual dedup across micro-batches via sidecars."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators import multimodal as MM
+from unified_log_aggregation_and_analytics_spark.streaming import media as SM
+
+
+def _ppm_payload(group: int, member: int, width: int = 16, height: int = 16) -> bytes:
+    npx = width * height * 3
+    i = np.arange(npx, dtype=np.int64)
+    px = (group * 37 + 3 * i * i + 11 * i) % 256
+    if member:
+        lo = (member * 61) % (npx - 12)
+        px = px.copy()
+        px[lo : lo + 12] = 255 - px[lo : lo + 12]
+    return f"P6\n{width} {height}\n255\n".encode() + px.astype(np.uint8).tobytes()
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(
+        [(mid, "image", payload, "image/x-portable-pixmap", None, None, None) for mid, payload in rows],
+        MM.MEDIA_SCHEMA,
+    )
+
+
+def _run(spark, src, tmp, tag):
+    res = SM.run_media_pipeline(
+        spark,
+        str(src),
+        str(tmp / "media_table"),
+        str(tmp / "media_rejected"),
+        str(tmp / "media_ckpt"),
+        max_hamming=3,
+    )
+    res.query.awaitTermination(120)
+    return res
+
+
+def test_media_pipeline_two_batches(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    batch1 = [(g * 4 + m, _ppm_payload(g, m)) for g in range(3) for m in range(4)]
+    _media_rows(spark, batch1).write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b1")
+
+    table = spark.read.parquet(str(tmp_path / "media_table"))
+    ingested1 = {r.media_id for r in table.select("media_id").collect()}
+    # within-batch: group members may near-dup each other (keep-min);
+    # every group keeps at least its minimum member
+    assert {0, 4, 8} <= ingested1 <= set(range(12))
+
+    # batch 2: an exact duplicate, a perceptual near-dup, a fresh
+    # image, and garbage
+    base = _ppm_payload(0, 0)
+    perturbed = bytearray(base)
+    perturbed[100] = (perturbed[100] + 4) % 256  # one byte: dhash-invisible
+    dec_a = MM._decode_rgb(base)[2]
+    dec_b = MM._decode_rgb(bytes(perturbed))[2]
+    pre = bin((MM.dhash64(dec_a) ^ MM.dhash64(dec_b)) & ((1 << 64) - 1)).count("1")
+    assert pre <= 3, "test precondition: perturbation must stay in radius"
+
+    batch2 = [
+        (100, _ppm_payload(1, 0)),  # exact dup of id 4's payload
+        (101, bytes(perturbed)),  # near-dup of id 0
+        (102, _ppm_payload(50, 0)),  # fresh
+        (103, b"not an image"),  # undecodable
+    ]
+    _media_rows(spark, batch2).write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b2")
+
+    table = spark.read.parquet(str(tmp_path / "media_table"))
+    ingested = {r.media_id for r in table.select("media_id").collect()}
+    assert 102 in ingested
+    assert 100 not in ingested, "cross-batch exact duplicate ingested"
+    assert 101 not in ingested, "cross-batch perceptual near-dup ingested"
+    assert 103 not in ingested
+
+    rej = spark.read.parquet(str(tmp_path / "media_rejected"))
+    errs = {(r.media_id, r._error) for r in rej.select("media_id", "_error").collect()}
+    assert (103, "undecodable") in errs
+    assert (101, "near_duplicate") in errs
+
+    # sidecar/corpus consistency (the lineage-order invariant): one
+    # fingerprint row per ingested row, hashes and bands present
+    fps = spark.read.parquet(str(tmp_path / "media_table_payload_fps"))
+    assert fps.count() == len(ingested)
+    hashes = spark.read.parquet(str(tmp_path / "media_table_dhashes"))
+    assert {r.media_id for r in hashes.collect()} == ingested
+    bands = spark.read.parquet(str(tmp_path / "media_table_dhash_bands"))
+    assert bands.count() == len(ingested) * SM.HASH_BANDS
+
+    metrics = spark.read.parquet(str(tmp_path / "media_table_metrics"))
+    by_batch = {
+        (r.batch_id, r.outcome): r.n for r in metrics.collect()
+    }
+    assert by_batch[(1, "rejected:undecodable")] == 1
+    assert by_batch[(1, "duplicate")] == 1
+    assert by_batch[(1, "near_duplicate")] == 1
+    assert by_batch[(1, "ingested")] == 1

@@ -738,6 +738,38 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, schema)
 
 
+def hash_band_rows(
+    hash_df: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Band rows ``(id, hash, band_idx, band_val)`` for a 64-bit
+    fingerprint column — the shared key space for the batch Hamming
+    join below and the streaming media pipeline's band sidecar
+    (streaming/media.py), exactly as dedup.band_rows is for MinHash
+    signatures. Map-only."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return hash_df.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, hash_col, "bd.band_idx", "bd.band_val")
+
+
 def hamming_near_dup(
     hash_df: DataFrame,
     hash_col: str,
@@ -760,25 +792,7 @@ def hamming_near_dup(
     real media corpora); a pathological constant-content corpus
     concentrates a band bucket — the standard valves (more bands,
     AQE skew split) apply, as with the text LSH."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = hash_df.select(
-        id_col,
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned(F.col(hash_col), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select(id_col, hash_col, "bd.band_idx", "bd.band_val")
+    banded = hash_band_rows(hash_df, hash_col, id_col, bands)
     a = banded.select(
         F.col(id_col).alias("id_a"),
         F.col(hash_col).alias("_ha"),

@@ -1,0 +1,252 @@
+"""Streaming MEDIA ingest with online image dedup — the corpus
+pipeline (streaming/corpus.py) generalized to binary media columns:
+quality gate = "does it decode", exact dedup = payload fingerprint,
+near-dup = perceptual dHash through the banded Hamming machinery
+(operators/multimodal.py). Demonstrates that the sidecar
+architecture is content-type-agnostic.
+
+Sidecars (all bucket-partitioned, a few dozen bytes per row — the
+corpus payloads are never re-read for dedup):
+- ``<table>_payload_fps``: ``(fp, fp_bucket)`` — xxhash64 of the raw
+  payload, exact-dup anti-join key.
+- ``<table>_dhashes``: ``(media_id, dhash, id_bucket)`` — the
+  perceptual fingerprints, candidate-verification side.
+- ``<table>_dhash_bands``: ``(media_id, band_idx, band_val,
+  bv_bucket)`` — the candidate-generation key space
+  (multimodal.hash_band_rows).
+
+WRITE ORDER: the survivor frame's lineage reads all three sidecars
+(anti-joins); it is ``localCheckpoint``-ed BEFORE any sidecar append
+(appending to a parquet path invalidates and re-reads every cached
+plan scanning it — the lineage hazard documented in
+.claude/skills/verify and streaming/corpus.py), after which append
+order is free. Replay semantics match the corpus pipeline:
+at-least-once, with the fingerprint sidecars making a fully-completed
+batch's replay a no-op.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    hash_band_rows,
+    hamming_near_dup,
+    image_dhash,
+)
+
+N_BUCKETS = 64
+HASH_BANDS = 4
+
+
+def _fp_sidecar(table_path: str) -> str:
+    return f"{table_path}_payload_fps"
+
+
+def _hash_sidecar(table_path: str) -> str:
+    return f"{table_path}_dhashes"
+
+
+def _band_sidecar(table_path: str) -> str:
+    return f"{table_path}_dhash_bands"
+
+
+def _cross_batch_near_ids(
+    spark: SparkSession,
+    hashed: DataFrame,
+    table_path: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Batch ids whose dHash is within ``max_hamming`` of an
+    ALREADY-INGESTED image: the batch's band rows join the band
+    sidecar (bucket-bounded degree), candidates verify against the
+    hash sidecar with bit_count — per-trigger cost tracks the delta's
+    band collisions, never the corpus."""
+    try:
+        bands_old = spark.read.parquet(_band_sidecar(table_path))
+        hashes_old = spark.read.parquet(_hash_sidecar(table_path))
+    except Exception:
+        return hashed.select("media_id").limit(0)
+    cand = (
+        hash_band_rows(hashed, "dhash", bands=HASH_BANDS)
+        .join(
+            bands_old.select(
+                F.col("media_id").alias("old_id"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("media_id", "dhash", "old_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            hashes_old.select(
+                F.col("media_id").alias("old_id"), F.col("dhash").alias("_dh_old")
+            ),
+            "old_id",
+        )
+        .filter(
+            F.bit_count(F.col("dhash").bitwiseXOR(F.col("_dh_old"))) <= max_hamming
+        )
+        .select("media_id")
+        .distinct()
+    )
+
+
+def media_ingest_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    rejected_path: str,
+    max_hamming: int = 3,
+    batch_id: int | None = None,
+) -> None:
+    """Ingest ONE micro-batch of media rows:
+
+    1. decode gate: payloads the image decoder cannot read reject
+       with ``_error='undecodable'`` (the DLQ shape);
+    2. exact dedup: xxhash64(payload) — keep-min within the batch,
+       anti-join the fp sidecar across batches;
+    3. near-dup: banded dHash — within-batch pairs via
+       hamming_near_dup (keep-min), cross-batch vs the band + hash
+       sidecars; rejects carry ``_error='near_duplicate'``;
+    4. survivors append to ``table_path`` partitioned by modality;
+       fingerprints/hashes/bands append to the sidecars; with
+       ``batch_id``, outcome counts append to ``<table>_metrics`` as
+       the completion marker."""
+    spark = batch_df.sparkSession
+    hashed_all = image_dhash(batch_df)
+    scored = batch_df.withColumn("fp", F.xxhash64("payload")).withColumn(
+        "fp_bucket", F.pmod(F.col("fp"), F.lit(N_BUCKETS))
+    ).join(hashed_all, "media_id", "left")
+    scored.persist()
+    try:
+        (
+            scored.filter(F.col("dhash").isNull())
+            .drop("fp", "fp_bucket", "dhash")
+            .withColumn("_error", F.lit("undecodable"))
+            .write.mode("append")
+            .parquet(rejected_path)
+        )
+        kept = scored.filter(F.col("dhash").isNotNull())
+        first = kept.groupBy("fp").agg(F.min("media_id").alias("media_id"))
+        kept = kept.join(first, ["fp", "media_id"])
+        try:
+            seen = spark.read.parquet(_fp_sidecar(table_path))
+            kept = kept.join(seen, ["fp_bucket", "fp"], "left_anti")
+        except Exception:
+            pass  # first trigger: no sidecar yet
+        pre_nd = kept
+        pre_nd.persist()
+        within = hamming_near_dup(
+            pre_nd.select("media_id", "dhash"),
+            "dhash",
+            max_hamming=max_hamming,
+            bands=HASH_BANDS,
+        ).select(F.col("id_b").alias("media_id"))
+        cross = _cross_batch_near_ids(spark, pre_nd, table_path, max_hamming)
+        near_ids = within.union(cross).distinct()
+        (
+            kept.join(near_ids, "media_id")
+            .drop("fp", "fp_bucket", "dhash")
+            .withColumn("_error", F.lit("near_duplicate"))
+            .write.mode("append")
+            .parquet(rejected_path)
+        )
+        kept = kept.join(near_ids, "media_id", "left_anti")
+        # SEVER LINEAGE before the sidecar appends (see module
+        # docstring) — after this the append order below is free.
+        kept = kept.localCheckpoint()
+        metric_rows = None
+        if batch_id is not None:
+            n_in = scored.count()
+            n_undec = scored.filter(F.col("dhash").isNull()).count()
+            n_ing = kept.count()
+            n_near = pre_nd.count() - n_ing
+            n_dup = n_in - n_undec - n_near - n_ing
+            metric_rows = [
+                (int(batch_id), "ingested", n_ing),
+                (int(batch_id), "near_duplicate", n_near),
+                (int(batch_id), "duplicate", n_dup),
+                (int(batch_id), "rejected:undecodable", n_undec),
+            ]
+        (
+            kept.drop("fp", "fp_bucket", "dhash")
+            .write.mode("append")
+            .partitionBy("modality")
+            .parquet(table_path)
+        )
+        (
+            kept.select("fp", "fp_bucket")
+            .write.mode("append")
+            .partitionBy("fp_bucket")
+            .parquet(_fp_sidecar(table_path))
+        )
+        surv_hashes = kept.select(
+            "media_id",
+            "dhash",
+            F.pmod(F.xxhash64(F.col("media_id")), F.lit(N_BUCKETS)).alias("id_bucket"),
+        )
+        (
+            surv_hashes.write.mode("append")
+            .partitionBy("id_bucket")
+            .parquet(_hash_sidecar(table_path))
+        )
+        (
+            hash_band_rows(surv_hashes.drop("id_bucket"), "dhash", bands=HASH_BANDS)
+            .drop("dhash")
+            .withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(N_BUCKETS)))
+            .write.mode("append")
+            .partitionBy("bv_bucket")
+            .parquet(_band_sidecar(table_path))
+        )
+        if metric_rows is not None:
+            spark.createDataFrame(
+                metric_rows, "batch_id long, outcome string, n long"
+            ).write.mode("append").parquet(f"{table_path}_metrics")
+        pre_nd.unpersist()
+    finally:
+        scored.unpersist()
+
+
+@dataclass
+class MediaPipelineResult:
+    query: object
+    table_path: str
+    rejected_path: str
+
+
+def run_media_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    rejected_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    available_now: bool = True,
+) -> MediaPipelineResult:
+    """File-source streaming media ingest: parquet media batches land
+    in ``source_dir``; each micro-batch runs media_ingest_batch via
+    foreachBatch (checkpointed — replay semantics per the module
+    docstring). ``available_now`` drains what exists and stops — the
+    test/backfill trigger; production uses the default processing-
+    time trigger."""
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: media_ingest_batch(
+                df, table_path, rejected_path, max_hamming=max_hamming, batch_id=bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return MediaPipelineResult(query, table_path, rejected_path)
