@@ -778,8 +778,9 @@ def dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs)
 
 
-_LSH_MD5_ORACLE = """
-    WITH s AS (
+# Shared CTE chain for the md5 MinHash-LSH twins: shingles ->
+# 8-hash signature -> 2-hash bands -> distinct candidate pairs.
+_LSH_MD5_CTES = """s AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(str_split(text, ' ')) - 1, 2)),
@@ -802,11 +803,46 @@ _LSH_MD5_ORACLE = """
       UNION ALL SELECT doc_id, 1, md5(mh3 || '|' || mh4) FROM sig
       UNION ALL SELECT doc_id, 2, md5(mh5 || '|' || mh6) FROM sig
       UNION ALL SELECT doc_id, 3, md5(mh7 || '|' || mh8) FROM sig
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )"""
+
+_LSH_MD5_ORACLE = f"""
+    WITH {_LSH_MD5_CTES}
+    SELECT id_a, id_b FROM cand
 """
+
+_CLUSTERS_MD5_ORACLE = f"""
+    WITH RECURSIVE {_LSH_MD5_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@_register("dedup_clusters_md5", _CLUSTERS_MD5_ORACLE)
+def dedup_clusters_md5(spark, sf_dir):
+    """X2 — ORACLE-CHECKED dedup clustering: connected components
+    over the md5-LSH candidate-pair graph. Spark runs iterative
+    min-label propagation (bounded rounds, checkpoint-truncated
+    lineage); DuckDB computes the same components as a RECURSIVE CTE
+    transitive closure + min-reachable-id — two entirely different
+    fixpoint algorithms, one answer. Upgrades the cluster stage from
+    pytest-only (the xxhash64 twin dedup_clusters) to driver-gate
+    certified."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
+    return D.connected_components(pairs)
 
 
 @_register("dedup_minhash_lsh_md5", _LSH_MD5_ORACLE)
