@@ -104,3 +104,32 @@ def test_media_pipeline_two_batches(spark, tmp_path):
     assert by_batch[(1, "duplicate")] == 1
     assert by_batch[(1, "near_duplicate")] == 1
     assert by_batch[(1, "ingested")] == 1
+
+
+def test_media_sidecar_compaction_preserves_dedup(spark, tmp_path):
+    """Compacting the media sidecars changes file counts, not
+    content: a post-compaction batch still detects a cross-batch
+    exact duplicate and a perceptual near-dup."""
+    import glob
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    batch1 = [(g * 4 + m, _ppm_payload(g + 10, m)) for g in range(2) for m in range(2)]
+    _media_rows(spark, batch1).write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "c1")
+
+    fps = str(tmp_path / "media_table_payload_fps")
+    before = len(glob.glob(f"{fps}/*/*.parquet"))
+    SM.compact_media_sidecars(spark, str(tmp_path / "media_table"))
+    after = len(glob.glob(f"{fps}/*/*.parquet"))
+    assert after <= before
+
+    batch2 = [
+        (200, _ppm_payload(10, 0)),  # exact dup of id 0
+        (201, _ppm_payload(10, 1)),  # exact dup of id 1
+    ]
+    _media_rows(spark, batch2).write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "c2")
+    table = spark.read.parquet(str(tmp_path / "media_table"))
+    ingested = {r.media_id for r in table.select("media_id").collect()}
+    assert 200 not in ingested and 201 not in ingested

@@ -2089,7 +2089,25 @@ def _pq_adc_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
         + "]"
     )
     return f"""
-    WITH cbt AS (SELECT {cb_lit} AS cb),
+    WITH {_pq_adc_ctes(cb_lit, m, codes, sd)}
+    SELECT b.vec_id,
+           round(SUM(
+             list_sum(list_transform(range(1, {sd + 1}),
+               j -> (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])
+                    * (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])))
+           ), 6) AS adc_dist
+    FROM best b CROSS JOIN q CROSS JOIN cbt
+    GROUP BY b.vec_id
+    ORDER BY adc_dist, b.vec_id
+    LIMIT {k}
+"""
+
+
+def _pq_adc_ctes(cb_lit: str, m: int, codes: int, sd: int) -> str:
+    """The seeded-PQ encode replay as a reusable CTE chain: codebook
+    literal -> per-subspace subvectors -> per-code distances ->
+    first-min assignment (``best``)."""
+    return f"""cbt AS (SELECT {cb_lit} AS cb),
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     sub AS (
       SELECT e.vec_id, u.mi,
@@ -2114,18 +2132,83 @@ def _pq_adc_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
                row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, ci) AS rn
         FROM dists
       ) WHERE rn = 1
+    )"""
+
+
+def _pq_recall_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
+    """Recall@k certificate twin: the seeded-ADC top-k (same CTE
+    chain as _pq_adc_oracle) intersected with the EXACT squared-L2
+    top-k, both with (dist, id) tie order — one row
+    (k, recall_at_k)."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    cb = PQ.seeded_pq_codebooks(64, m=m, codes=codes, seed=42)
+    sd = 64 // m
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in cw) + "]" for cw in sub
+            )
+            + "]"
+            for sub in cb
+        )
+        + "]"
     )
-    SELECT b.vec_id,
-           round(SUM(
-             list_sum(list_transform(range(1, {sd + 1}),
-               j -> (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])
-                    * (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])))
-           ), 6) AS adc_dist
-    FROM best b CROSS JOIN q CROSS JOIN cbt
-    GROUP BY b.vec_id
-    ORDER BY adc_dist, b.vec_id
-    LIMIT {k}
+    return f"""
+    WITH {_pq_adc_ctes(cb_lit, m, codes, sd)},
+    adc AS (
+      SELECT b.vec_id,
+             round(SUM(
+               list_sum(list_transform(range(1, {sd + 1}),
+                 j -> (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])
+                      * (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])))
+             ), 6) AS adc_dist
+      FROM best b CROSS JOIN q CROSS JOIN cbt
+      GROUP BY b.vec_id
+      ORDER BY adc_dist, b.vec_id
+      LIMIT {k}
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE))
+                    * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE)))), 6)
+               AS l2_dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY l2_dist, e.vec_id
+      LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(COUNT(*) / {float(k)!r}, 6) AS recall_at_k
+    FROM adc JOIN exact USING (vec_id)
 """
+
+
+@_register("pq_recall_report", _pq_recall_oracle())
+def pq_recall_report(spark, sf_dir):
+    """X3 — PQ ADC recall certificate, oracle-checked IN-PLAN (the
+    PQ twin of ann_recall_report): overlap of the seeded-ADC top-10
+    with the exact squared-L2 top-10, both engines replaying encode,
+    lookup scoring, exact distances, and the tie order. One row
+    (k, recall_at_k) — the quantization-quality number a user checks
+    before trusting the code table."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    cb = PQ.seeded_pq_codebooks(64, m=4, codes=8, seed=42)
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    codes_df = emb.select(
+        "vec_id", PQ.pq_code_expr("embedding", cb).alias("pq_codes")
+    )
+    adc = PQ.pq_adc_topk(codes_df, cb, list(qv), k=10).select("vec_id")
+    exact = PQ.l2_topk(emb, list(qv), k=10).select("vec_id")
+    return adc.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
 
 
 @_register("knn_pq_adc_seeded", _pq_adc_oracle())

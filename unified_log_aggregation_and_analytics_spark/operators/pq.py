@@ -189,6 +189,30 @@ def pq_adc_topk(
     )
 
 
+def l2_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k against one query literal — the ground
+    truth ADC approximates. Scan + fold + TakeOrderedAndProject;
+    rounded with id tie-break like every retrieval kernel here."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    c = F.col(vec_col)
+    dist = F.aggregate(
+        F.zip_with(c, q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), F.round(dist, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def train_pq_codebooks(
     df: DataFrame,
     dim: int,

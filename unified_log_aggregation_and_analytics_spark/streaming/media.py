@@ -250,3 +250,32 @@ def run_media_pipeline(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return MediaPipelineResult(query, table_path, rejected_path)
+
+
+def compact_media_sidecars(
+    spark: SparkSession, table_path: str, files_per_partition: int = 1
+) -> None:
+    """Sidecar maintenance, identical contract to
+    corpus.compact_sidecars: fold the per-trigger small files in the
+    payload-fp / dhash / band sidecars back to ``files_per_partition``
+    per partition via pipeline.compact_dir — dedup state untouched,
+    routing decisions identical before and after."""
+    import os
+    import shutil
+
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        compact_dir,
+    )
+
+    sidecars = [
+        (_fp_sidecar(table_path), "fp_bucket"),
+        (_hash_sidecar(table_path), "id_bucket"),
+        (_band_sidecar(table_path), "bv_bucket"),
+    ]
+    for path, part_col in sidecars:
+        if not os.path.isdir(path):
+            continue
+        tmp = f"{path}__compact_tmp"
+        compact_dir(spark, path, tmp, [part_col], files_per_partition)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
