@@ -310,3 +310,19 @@ def test_audio_near_dup_group_separation(spark):
         assert r.id_a // 4 == r.id_b // 4, "cross-group pair at tight radius"
         ref = bin((hashes[r.id_a] ^ hashes[r.id_b]) & ((1 << 64) - 1)).count("1")
         assert r.hamming == ref <= 8
+
+
+def test_fingerprint_paths_never_crash_on_garbage(spark):
+    """Arbitrary bytes through the fingerprint operators: undecodable
+    payloads DROP (inner dedup semantics), they never raise — the
+    decode gate contract the streaming media pipeline relies on."""
+    import random
+
+    rng = random.Random(11)
+    junk = [bytes(rng.randrange(256) for _ in range(n)) for n in (0, 1, 7, 100, 4096)]
+    junk += [b"P6\n", b"P6\nbroken", b"RIFF1234WAVE", PNG_SIG_PREFIX := b"\x89PNG\r\n\x1a\n" + b"\x00" * 8]
+    rows = [(i, "image", p, None, None, None, None) for i, p in enumerate(junk)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    assert MM.image_dhash(media).count() == 0
+    assert MM.audio_hash(media).count() == 0
+    assert MM.image_near_dup(media).count() == 0

@@ -599,6 +599,33 @@ def multimodal_audio_near_dup(spark, sf_dir):
     return MM.audio_near_dup(media, max_hamming=8)
 
 
+@_register("multimodal_feature_knn", None)  # decode features + numpy-free kNN: rows-only
+def multimodal_feature_knn(spark, sf_dir):
+    """X5/X3 — media RETRIEVAL end to end: decode images to
+    fixed-size feature vectors (multimodal.extract_features), then
+    answer "most similar media to this one" with the same
+    brute-force cosine kernel the text embeddings use
+    (similarity.knn_brute_force over the 16-dim feature column) —
+    the media table and the vector stack compose without glue. Query
+    = media_id 0's feature vector; deterministic closed-form fixture,
+    so the rows-only certificate is reproducible."""
+    import numpy as np
+
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_ppm_groups(docs, group_size=4, width=16, height=16)
+    feats = MM.extract_features(media).filter(F.col("feature").isNotNull())
+    # query vector derived DRIVER-SIDE from the fixture's closed form
+    # (group 0, member 0) — no scan-first-row job at plan time
+    npx = 16 * 16 * 3
+    i = np.arange(npx, dtype=np.int64)
+    payload = b"P6\n16 16\n255\n" + ((3 * i * i + 11 * i) % 256).astype(np.uint8).tobytes()
+    qv = [float(x) for x in MM._decode_features(payload, "image/x-portable-pixmap")]
+    return S.knn_brute_force(
+        feats.filter(F.col("media_id") != 0), qv, k=10,
+        vec_col="feature", id_col="media_id",
+    )
+
+
 @_register("multimodal_dup_clusters", None)  # iterative fixpoint: rows-only
 def multimodal_dup_clusters(spark, sf_dir):
     """X5/X2 — media dedup CLUSTER RESOLUTION: image near-dup pairs

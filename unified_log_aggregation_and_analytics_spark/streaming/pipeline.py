@@ -311,6 +311,39 @@ def compact_partitions(
     )
 
 
+def expire_partitions(
+    spark,
+    table_path: str,
+    older_than: str,
+    date_col: str = "log_date",
+) -> list[str]:
+    """K2 operational companion — RETENTION: drop every
+    ``<date_col>=<value>`` partition directory older than the cutoff
+    date (ISO ``YYYY-MM-DD``), across all enclosing source
+    partitions. The reference's daily index rotation exists precisely
+    so old indexes can be dropped wholesale (delete index = delete
+    day); with date partitioning that is a directory remove — no
+    rewrite, no tombstones, data outside the cutoff untouched.
+    Returns the removed partition directories (relative), so the
+    caller can log/audit the retention action. Uses directory names
+    only — never lists file contents — so cost is O(partitions), not
+    O(data); on an object store the rmtree becomes a prefix delete."""
+    import os
+    import shutil
+
+    removed: list[str] = []
+    prefix = f"{date_col}="
+    for root, dirs, _files in os.walk(table_path):
+        for d in list(dirs):
+            if d.startswith(prefix) and d[len(prefix):] < older_than:
+                shutil.rmtree(os.path.join(root, d))
+                dirs.remove(d)
+                removed.append(
+                    os.path.relpath(os.path.join(root, d), table_path)
+                )
+    return sorted(removed)
+
+
 def streaming_hourly_counts(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """ST2+ST3 — watermarked tumbling-hour counts, the streaming form
     of the Discover date histogram. The same expression works under
