@@ -199,6 +199,8 @@ SCALAR_BROADCAST_OK = {
     "q02g_hybrid_rrf",  # composes bm25_search's 1-row corpus stats
     "text_lm_score",  # 1-row vocabulary-size scalar
     "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
+    "tpch_q11",  # 1-row global-total threshold scalar
+    "tpch_q15",  # 1-row max-revenue scalar
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only
@@ -454,3 +456,44 @@ def test_bucketed_join_no_exchange(spark, qs):
         assert "Exchange" in unb and "hashpartitioning" in unb
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_tpch_completion_hints_constant_dims_only(spark, qs):
+    """The eight queries completing the TPC-H suite may hint-broadcast
+    only constant-size dims (nation 25 rows, region 5) — never
+    supplier / customer / filtered part, which grow with SF. With
+    auto-broadcast off, the surviving BroadcastHashJoins are exactly
+    the hinted constant dims."""
+    # Counts are physical-plan node counts: a hinted dim inside a
+    # subtree that the query references twice (q2/q11 reuse their
+    # aggregation input for a join-back) appears once per reference.
+    expected = {
+        "tpch_q2": 4,   # (nation + region into supplier) x 2 subtree refs
+        "tpch_q8": 3,   # nation x2 roles + region
+        "tpch_q9": 1,   # nation into supplier
+        "tpch_q11": 2,  # nation filter into supplier, x 2 subtree refs
+        "tpch_q15": 1,  # the 1-row scalar-max equality joins as a
+                        # broadcast hash join — a 1-row build side
+        "tpch_q16": 0,
+        "tpch_q20": 1,  # nation semi-join
+        "tpch_q21": 0,
+    }
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bad = []
+    try:
+        for name, want in expected.items():
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                qs[name](spark, SF).explain("formatted")
+            plan = buf.getvalue()
+            got = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+            if got != want:
+                bad.append(f"{name}: {got} hinted broadcasts, want {want}")
+            if "CartesianProduct" in plan:
+                bad.append(f"{name}: CartesianProduct")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not bad, "; ".join(bad)

@@ -1853,3 +1853,535 @@ def tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# =======================================================================
+# TPC-H completion: q2 / q8 / q9 / q11 / q15 / q16 / q20 / q21
+# (adapted to the -ish schema: no partsupp table, no commit/receipt
+# dates, no comment/phone columns — each adaptation preserves the
+# query's canonical PLAN SHAPE, which is what the engine is exercising)
+# =======================================================================
+
+
+@_register(
+    "tpch_q2",
+    """
+    WITH rs AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM rs
+    JOIN part ON p_partkey = rs.l_partkey
+    JOIN supplier ON s_suppkey = rs.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size BETWEEN 1 AND 15
+      AND rs.price = (
+        SELECT MIN(rs2.price) FROM rs rs2 WHERE rs2.l_partkey = rs.l_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
+    MIN subquery over a region-restricted supply relation. The -ish
+    schema has no partsupp, so the supply relation is derived from
+    lineitem (supplier s supplied part p at price l_extendedprice) and
+    "cost" is the extended price — exact decimal, so the min-equality
+    join is engine-stable. Decorrelation: the per-part MIN is a
+    partkey-keyed aggregation joined back on (partkey, price) — two
+    shuffles on the uniform partkey, no window over the full relation.
+    Only the constant dims (nation 25 rows, region 5) carry broadcast
+    hints; supplier and the size-filtered part are SF-growing sides
+    and stay shuffle-planned (AQE upgrades them at small SF). At
+    100 TB lineitem is touched twice (agg + join-back), both
+    partkey-partitioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rs = li.join(sn, li.l_suppkey == sn.s_suppkey).select(
+        "l_partkey",
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        _dec("l_extendedprice").alias("price"),
+    )
+    pmin = rs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        rs.join(
+            pmin,
+            (rs.l_partkey == pmin.m_partkey) & (rs.price == pmin.min_price),
+        )
+        .join(p, rs.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                            AND TIMESTAMP '1996-12-31'
+    ) allv
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): the two-role dimension query
+    — nation joins once through the customer side (region restriction)
+    and once through the supplier side (the share nation). Numerator
+    and denominator are both EXACT decimal sums cast to double only
+    for the final division, so the ratio is bit-identical across
+    engines. Plan: lineitem⋈orders is the one fact-fact shuffle;
+    only the constant nation/region dims carry broadcast hints — part,
+    customer, and supplier are all SF-growing and join on uniform keys
+    as shuffle joins (AQE locally converts the small ones). Exact
+    decimal sums make the final double division engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = (
+        c.join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = s.join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey")).select(
+        "s_suppkey", F.col("n2.n_name").alias("nation")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    allv = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        allv.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "tpch_q9",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(0.1 AS DECIMAL(3,1))
+                 * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): profit by supplier nation and
+    order year over the 5-way join with a LIKE filter on part name.
+    The -ish schema has no partsupp.ps_supplycost, so unit cost is
+    modeled as 10% of p_retailprice — exact decimal arithmetic end to
+    end (the 0.1 factor is a DECIMAL(3,1) literal, never a double), so
+    sums match the oracle bit-for-bit. Plan: part carries the
+    selective LIKE but remains SF-growing, so it joins lineitem on the
+    uniform partkey as a shuffle join; lineitem⋈orders is the big
+    orderkey shuffle; only nation (25 rows) is hint-broadcast into
+    supplier. The year/nation group-by is 25 nations × 7 years — a
+    tiny final agg after map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * F.lit("0.1").cast("decimal(3,1)") * _dec("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_register(
+    "tpch_q11",
+    """
+    WITH sup AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_11')
+      GROUP BY l_partkey
+    ), tot AS (SELECT SUM(value) AS t FROM sup)
+    SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
+    FROM sup, tot
+    WHERE value * 1000 > t
+    ORDER BY value DESC, partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): per-part value for
+    a nation's suppliers, kept only where the part exceeds a FRACTION
+    of the global total — the grouped-agg + scalar-subquery-threshold
+    shape. The -ish schema has no partsupp, so value is the summed
+    extended price supplied by the nation's suppliers. The threshold
+    compare is ``value * 1000 > total`` in exact decimals (never
+    value > total * 0.001 in doubles) so borderline parts cannot flip
+    between engines. Plan: one partkey shuffle for the agg; the global
+    total is a single-row frame cross-joined (broadcast) into the
+    filter — the same evaluate-once scalar the spec's subquery
+    implies. The nation-restricted supplier set is SF-growing and
+    joins lineitem by shuffle on the uniform suppkey. At 100 TB the
+    partkey agg is the only big exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_11")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    sup = (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    tot = sup.agg(F.sum("value").alias("t"))
+    return (
+        sup.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") * F.lit(1000) > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@_register(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the view-plus-scalar-MAX shape — a
+    quarter's per-supplier revenue, returning the supplier(s) at the
+    exact maximum. Revenue stays decimal through the MAX comparison
+    (equality on exact decimals is engine-stable; a double max could
+    drop a tied supplier). Plan: one suppkey-keyed agg over the
+    date-pruned scan; the scalar max is a one-row broadcast cross
+    join; supplier is SF-growing and joins the (already tiny) winner
+    set by shuffle — AQE converts it locally. The revenue frame is
+    computed ONCE and reused for both the max and the equality (same
+    lineage, Catalyst reuses the exchange)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): how many DISTINCT
+    suppliers can supply each (brand, size) bucket, excluding
+    disqualified suppliers — the distinct-pair + NOT IN + grouped
+    count-distinct shape. The supply relation is the distinct
+    (partkey, suppkey) projection of lineitem (no partsupp in the -ish
+    schema) and "complaints" maps to negative account balance. Plan:
+    the distinct-pair agg is the one partkey-ish shuffle; the NOT IN
+    is a LEFT ANTI join (null-safe by construction — s_suppkey is a
+    key); both the disqualified-supplier set and the triple-filtered
+    part are SF-growing, so they stay shuffle-planned; the final
+    count-distinct groups a few dozen buckets. At 100 TB the
+    distinct-pair step is exactly the dedup-exact operator's plan —
+    partial agg first."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@_register(
+    "tpch_q20",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, SUM(qty) AS total FROM pq GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT pq.l_suppkey FROM pq
+        JOIN pt ON pq.l_partkey = pt.l_partkey
+        WHERE pq.qty * 2 > pt.total
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_2', 'NATION_9', 'NATION_17')
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): suppliers in given
+    nations who are DOMINANT suppliers (more than half the year's
+    shipped quantity) of some 'red' part — the nested-aggregate +
+    correlated-threshold + IN-chain shape. Without partsupp.availqty,
+    "excess stock" maps to per-(part,supplier) shipped quantity vs
+    half the part's total, compared as ``qty * 2 > total`` in exact
+    decimals. Plan: one (partkey,suppkey) agg, its partkey re-agg (a
+    re-aggregation of the SAME shuffle output — no second scan), a
+    partkey equi-join between the two, then a LEFT SEMI into supplier
+    (the dominant set shrinks with the threshold, so AQE broadcasts it
+    at runtime; only the 25-row nation dim is hint-broadcast). Every
+    key is uniform; nothing exceeds the first agg's exchange at
+    100 TB."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_9", "NATION_17")
+    )
+    pq = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    pt = pq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total")
+    )
+    dominant = (
+        pq.join(pt, pq.l_partkey == pt.t_partkey)
+        .filter(F.col("qty") * F.lit(2) > F.col("total"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q21",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), os AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nsupp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS numwait
+    FROM li
+    JOIN os ON li.l_orderkey = os.l_orderkey
+    JOIN supplier ON s_suppkey = li.l_suppkey
+    WHERE li.late AND os.nsupp > 1 AND os.nlate = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the
+    double-correlated EXISTS/NOT-EXISTS — a supplier counts only if
+    the order had OTHER suppliers (EXISTS) and NONE of the others was
+    also late (NOT EXISTS). Without commit/receipt dates, "late" is
+    shipping >90 days after the order date. Both correlated
+    quantifiers collapse into ONE orderkey-grouped aggregation
+    (distinct suppliers / distinct late suppliers per order) joined
+    back on orderkey — the decorrelation that turns the spec's two
+    extra lineitem scans into a re-read of the same shuffle. Plan:
+    lineitem⋈orders shuffles on orderkey, the per-order agg reuses
+    that partitioning, the join-back is orderkey-co-located; supplier
+    is SF-growing so its name join stays shuffle-planned. The final
+    per-supplier distinct-order count is a suppkey shuffle of
+    pre-shrunk data."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lio = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    os_agg = lio.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    return (
+        lio.filter(F.col("late"))
+        .join(
+            os_agg,
+            (lio.l_orderkey == os_agg.a_orderkey)
+            & (os_agg.nsupp > 1)
+            & (os_agg.nlate == 1),
+        )
+        .join(s, lio.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
