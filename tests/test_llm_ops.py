@@ -874,3 +874,75 @@ def test_mixture_drift_invariants(spark, docs):
     for lang in rows:
         assert generic[lang]["psi"] == rows[lang]["psi"]
         assert generic[lang]["share_a"] == rows[lang]["share_a"]
+
+
+def test_gopher_rules_attribution(spark):
+    """Each rule fires on a constructed violator and attribution names
+    the FIRST failing rule in the documented order."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the and of that have with be to " + "good word " * 20),  # clean
+        (2, "short text"),                                   # too_short
+        (3, " ".join(["a"] * 30)),                           # word_len_low (mwl=1)
+        (4, " ".join(["supercalifragilistic"] * 30)),        # word_len_high
+        (5, " ".join(["#tag"] * 10 + ["word"] * 20)),        # symbol_heavy
+        (6, " ".join(["123"] * 25 + ["word"] * 5)),          # non_alpha
+        (7, " ".join(["plain"] * 15 + ["words"] * 15)),      # few_stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["keep"] and got[1]["drop_reason"] is None
+    assert got[2]["drop_reason"] == "too_short"
+    assert got[3]["drop_reason"] == "word_len_low"
+    assert got[4]["drop_reason"] == "word_len_high"
+    assert got[5]["drop_reason"] == "symbol_heavy"
+    assert got[6]["drop_reason"] == "non_alpha"
+    assert got[7]["drop_reason"] == "few_stopwords"
+    # rule ORDER: doc 3 also has <2 stop hits, but word_len_low is
+    # earlier in the chain
+    assert got[3]["n_stop_hits"] < 2
+
+
+def test_chunk_text_windows_and_tails(spark):
+    """Chunk boundaries: full overlap math, short-doc single chunk,
+    sub-min_tail trailing fragments dropped, exact reconstruction of
+    the stride-aligned prefix."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import chunk_text
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "tiny doc"), (3, " ".join(words[:49]))],
+        ["doc_id", "text"],
+    )
+    out = chunk_text(df, chunk_tokens=32, stride=24, min_tail=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: starts 1,25,49,73,97 -> last has 4 tokens < 8 -> dropped
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk"].split(" ") == words[0:32]
+    assert c1[1]["chunk"].split(" ") == words[24:56]
+    assert c1[3]["n_chunk_tokens"] == 28  # 100 - 73 + 1
+    # doc2: single sub-min_tail chunk kept (sole chunk)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "tiny doc"
+    # doc3: 49 tokens -> starts 1,25,49; tail has 1 token -> dropped
+    assert [r["chunk_idx"] for r in sorted(by_doc[3], key=lambda r: r["chunk_idx"])] == [0, 1]
+
+
+def test_quality_classifier_monotone_in_stopwords(spark):
+    """More stopwords (higher stop_ratio) must raise the score, and
+    the keep flag follows the threshold."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        quality_classifier,
+    )
+
+    base = ["word" + str(i) for i in range(40)]
+    rich = ["the", "a", "of", "and", "to"] * 8
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(rich))], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    assert got[2]["clf_score"] > got[1]["clf_score"]
+    assert 0.0 <= got[1]["clf_score"] <= 1.0

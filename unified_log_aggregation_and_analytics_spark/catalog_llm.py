@@ -2506,3 +2506,134 @@ def docs_filter_drift(spark, sf_dir):
         X.quality_filter(docs).select("doc_id", "kept"), "doc_id"
     )
     return mixture_drift_flagged(scored, "kept", "lang")
+
+
+# =======================================================================
+# Round-5 additions: Gopher-rule filtering, RAG chunking, classifier
+# quality scoring
+# =======================================================================
+
+
+@_register(
+    "text_gopher_rules",
+    """
+    WITH sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(s) AS n_words,
+             CAST(list_aggregate(list_transform(s, t -> length(t)), 'sum')
+                  AS DOUBLE) / len(s) AS mean_word_len,
+             CAST(len(list_filter(s,
+                  t -> contains(t, '#') OR contains(t, '...')))
+                  AS DOUBLE) / len(s) AS symbol_ratio,
+             CAST(len(list_filter(s, t -> regexp_matches(t, '[a-zA-Z]')))
+                  AS DOUBLE) / len(s) AS alpha_ratio,
+             len(list_filter(list_distinct(s),
+                 t -> t IN ('the','be','to','of','and','that','have','with')))
+               AS n_stop_hits
+      FROM sp
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+           n_stop_hits,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN n_words > 100000 THEN 'too_long'
+                WHEN mean_word_len < 2.0 THEN 'word_len_low'
+                WHEN mean_word_len > 12.0 THEN 'word_len_high'
+                WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+                WHEN alpha_ratio < 0.8 THEN 'non_alpha'
+                WHEN n_stop_hits < 2 THEN 'few_stopwords'
+                ELSE NULL END AS drop_reason,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN n_words > 100000 THEN 'too_long'
+                WHEN mean_word_len < 2.0 THEN 'word_len_low'
+                WHEN mean_word_len > 12.0 THEN 'word_len_high'
+                WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+                WHEN alpha_ratio < 0.8 THEN 'non_alpha'
+                WHEN n_stop_hits < 2 THEN 'few_stopwords'
+                ELSE NULL END IS NULL AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher/C4 document-level rule filter (operators/text.py
+    gopher_rules): structural thresholds + first-failed-rule
+    attribution — the pre-model cleaning stage of a training
+    pipeline. Reference anchor: the filtering role OpenSearch ingest
+    pipelines play in the reference (README.md:33-41) — here it is a
+    scan-speed map stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.gopher_rules(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_ratio",
+        "n_stop_hits",
+        "drop_reason",
+        "keep",
+    )
+
+
+@_register(
+    "text_chunks_rag",
+    """
+    WITH sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents
+    ), st AS (
+      SELECT doc_id, s,
+             unnest(range(1, greatest(len(s), 1) + 1, 48)) AS start
+      FROM sp
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, len(s) - start + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(s[start : start + 63], ' ') AS chunk
+    FROM st
+    WHERE (start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8
+    """,
+)
+def text_chunks_rag(spark, sf_dir):
+    """Overlapping-window RAG chunker (operators/text.py chunk_text):
+    64-token windows, stride 48 (16-token overlap), sub-8-token tails
+    dropped unless sole chunk. sequence+transform+explode — per-row
+    JVM expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.chunk_text(docs, chunk_tokens=64, stride=48, min_tail=8)
+
+
+@_register(
+    "text_quality_clf",
+    """
+    WITH sp AS (
+      SELECT doc_id, text, str_split(text, ' ') AS s FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS ttr,
+             CAST(len(list_filter(s,
+                  t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                  AS DOUBLE) / len(s) AS stop_ratio,
+             CAST(length(text) - (len(s) - 1) AS DOUBLE) / len(s)
+               AS mean_tok_len,
+             ln(1.0 + CAST(len(s) AS DOUBLE)) AS ln_tokens
+      FROM sp
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-((((-2.0 + 1.5 * ttr)
+                 + 6.0 * stop_ratio) + 0.1 * mean_tok_len)
+                 + 0.35 * ln_tokens))), 6) AS clf_score,
+           round(1.0 / (1.0 + exp(-((((-2.0 + 1.5 * ttr)
+                 + 6.0 * stop_ratio) + 0.1 * mean_tok_len)
+                 + 0.35 * ln_tokens))), 6) >= 0.5 AS clf_keep
+    FROM f
+    """,
+)
+def text_quality_clf(spark, sf_dir):
+    """Classifier-based quality score (operators/text.py
+    quality_classifier): fixed-weight logistic model over structural
+    features — the CCNet/fasttext quality stage with a transparent,
+    oracle-replayable model. The oracle mirrors the exact
+    left-associated term order so the pre-round IEEE value is
+    bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_classifier(docs).select("doc_id", "clf_score", "clf_keep")

@@ -429,3 +429,165 @@ def corpus_ngram_counts(
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(k)
     )
+
+
+# Document-level quality rules in the style of the Gopher/MassiveText
+# filtering stage (Rae et al. 2021, public) and C4 (Raffel et al.
+# 2020): cheap deterministic structural thresholds that remove the
+# bulk of boilerplate before any model-based scoring. Line-level C4
+# rules (terminal punctuation, bullet ratios) degenerate on
+# single-line documents, so this operator applies the document-level
+# subset; every rule is a codegen string/array expression.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """X4 — Gopher-style document-quality rules: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio ('#'/'...'
+    carriers), fraction of words containing a letter, and a
+    distinct-stopword floor. Emits each measured quantity, the first
+    failed rule (``drop_reason``), and the conjunction ``keep``.
+
+    Map-only, one pass, no shuffle: every rule is an expression over
+    the same tokenization — at 100 TB this runs at scan speed and is
+    the FIRST stage of the training pipeline, shrinking everything
+    downstream. Exact integer counts; the two ratios are single IEEE
+    divisions (engine-stable)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_symbol = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    out = df.withColumns(
+        {
+            "n_words": n.cast("long"),
+            "mean_word_len": sum_len.cast("double") / n,
+            "symbol_ratio": n_symbol.cast("double") / n,
+            "alpha_ratio": n_alpha.cast("double") / n,
+            "n_stop_hits": n_stop.cast("long"),
+        }
+    )
+    rules = [
+        ("too_short", F.col("n_words") < min_words),
+        ("too_long", F.col("n_words") > max_words),
+        ("word_len_low", F.col("mean_word_len") < min_mean_word_len),
+        ("word_len_high", F.col("mean_word_len") > max_mean_word_len),
+        ("symbol_heavy", F.col("symbol_ratio") > max_symbol_ratio),
+        ("non_alpha", F.col("alpha_ratio") < min_alpha_ratio),
+        ("few_stopwords", F.col("n_stop_hits") < min_stop_hits),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return out.withColumns(
+        {"drop_reason": reason, "keep": reason.isNull()}
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    min_tail: int = 8,
+) -> DataFrame:
+    """X4 — overlapping-window chunker (the RAG/embedding-prep stage):
+    split each document into ``chunk_tokens``-token windows advancing
+    by ``stride`` tokens (overlap = chunk_tokens - stride), dropping
+    trailing fragments shorter than ``min_tail`` unless they are the
+    document's only chunk.
+
+    Plan: window starts come from one ``sequence`` per row and the
+    chunks from ``transform`` + ``explode`` — per-row JVM work linear
+    in document length, no shuffle, no Python. Output order keys
+    (id, chunk_idx) make the op deterministic; downstream embedding
+    jobs partition on doc_id so chunks of one document co-locate."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
+        ),
+    )
+    return (
+        df.select(id_col, F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.n_chunk_tokens", "c.chunk")
+        .filter(
+            (F.col("chunk_idx") == 0) | (F.col("n_chunk_tokens") >= min_tail)
+        )
+    )
+
+
+# Fixed public-style linear weights for the classifier-based quality
+# score (the fasttext-style stage of CCNet/C4 pipelines, reduced to a
+# transparent logistic model over the structural features this module
+# already computes). Ordering of the terms is part of the contract:
+# the oracle mirrors the exact association order so the IEEE result
+# is bit-identical before rounding.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -2.0,
+    "ttr": 1.5,
+    "stop_ratio": 6.0,
+    "mean_tok_len": 0.1,
+    "ln_tokens": 0.35,
+}
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """X4 — classifier-based quality scoring: a fixed-weight logistic
+    model over the structural features (type-token ratio, stopword
+    ratio, mean token length, log token count). Deterministic and
+    oracle-checkable — the model is literal weights, not an external
+    artifact; swap in a learned model by replacing the weight dict
+    (same plan shape). Map-only; the score is rounded to 6 places
+    AFTER the sigmoid so a sub-ulp libm difference cannot surface."""
+    w = QUALITY_CLF_WEIGHTS
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = n_stop.cast("double") / n
+    mean_tok_len = (F.length(text_col) - (n - 1)).cast("double") / n
+    ln_tokens = F.log(F.lit(1.0) + n.cast("double"))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["ttr"]) * ttr
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["mean_tok_len"]) * mean_tok_len
+        + F.lit(w["ln_tokens"]) * ln_tokens
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.withColumns(
+        {
+            "clf_score": prob,
+            "clf_keep": prob >= F.lit(threshold),
+        }
+    )
