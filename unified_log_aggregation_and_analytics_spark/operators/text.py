@@ -392,6 +392,28 @@ def bigram_lm_score(
         (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(k))
         / (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k) * F.col("v"))
     )
+    if lm_df is None:
+        # Self-scored: every scored bigram IS in the model (the score
+        # stream and the LM stream are the same relation), so the
+        # left-join fallback for unseen bigrams can never fire.
+        # Precompute the per-bigram nll on the COUNT table (bc⋈uc is
+        # vocabulary-sized, cheap) and join the document stream ONCE
+        # on the bigram key — one full-stream shuffle instead of two.
+        # Identical values; the oracle is unchanged.
+        model = (
+            bc.join(uc, ["w1"])
+            .crossJoin(F.broadcast(vocab))
+            .select("w1", "w2", nll.alias("nll"))
+        )
+        return (
+            bigram_rows(df)
+            .join(model, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg("nll"), 6).alias("avg_nll"),
+            )
+        )
     return (
         bigram_rows(df)
         .join(bc, ["w1", "w2"], "left")
