@@ -9,11 +9,15 @@ Two expression families:
   pair-scoring hot path (candidate join degree x dim element ops)
   they dominate runtime.
 - ``*_unrolled`` variants for a KNOWN dim: the loop is unrolled into
-  a flat GetArrayItem product-sum expression, which stays inside
-  whole-stage codegen (measured ~10x faster at dim=64 on the kNN-join
-  pair path). Term order is the same left-assoc fold as the HOF form,
-  so both produce bit-identical doubles — oracle twins hold across
-  either variant.
+  a flat GetArrayItem product-sum expression. Use these ONLY when one
+  side is a literal vector (query-vector paths): the per-element
+  literals constant-fold and the expression stays cheap. On a
+  column-column pair stream the 64-term flat expression splits across
+  generated methods and runs ~4x SLOWER than the single HOF fold
+  (measured 2.57s vs 0.66s over a 1.26M-pair sf0.1 kNN-graph join) —
+  keep the HOF form there. Term order is the same left-assoc fold in
+  both, so they produce bit-identical doubles — oracle twins hold
+  across either variant.
 """
 
 from __future__ import annotations

@@ -490,6 +490,12 @@ def knn_join(
         .select(
             "src",
             "nbr",
+            # HOF fold, NOT dot_unrolled: on a column-column pair
+            # stream the 64-term flat expression compiles into split
+            # codegen methods and runs ~4x SLOWER than the single
+            # interpreted fold (measured 2.57s vs 0.66s on the 1.26M-
+            # pair sf0.1 graph). The unrolled form wins only when one
+            # side is a literal that constant-folds per element.
             F.round(
                 _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
                 6,
