@@ -74,6 +74,14 @@ BENCH_QUERIES = [
     "text_lm_score",
     "knn_pq_adc",
     "knn_ivfpq_indexed",
+    # round-5 TPC-H completion (the four heaviest of the eight new
+    # shapes) + Gopher-rule filtering + RAG chunking
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q21",
+    "text_gopher_rules",
+    "text_chunks_rag",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -94,6 +102,9 @@ SCALE_QUERIES = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q21",
     "q11_join_star_revenue",
     "dedup_exact",
     "dedup_chunks",
@@ -103,6 +114,8 @@ SCALE_QUERIES = [
     "dedup_embedding_cosine",
     "text_repetition",
     "text_langid",
+    "text_gopher_rules",
+    "text_chunks_rag",
     "docs_training_pipeline",
     "docs_corpus_ingest_nd",
     "knn_cosine",
