@@ -946,3 +946,40 @@ def test_quality_classifier_monotone_in_stopwords(spark):
     got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
     assert got[2]["clf_score"] > got[1]["clf_score"]
     assert 0.0 <= got[1]["clf_score"] <= 1.0
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node cycle plus a dangling-in node: ranks match the closed
+    form computed by hand (uniform cycle stays uniform; node 4 feeds
+    rank in but is never emitted — the documented source-set
+    convention)."""
+    from unified_log_aggregation_and_analytics_spark.operators.graph import (
+        degree_profile,
+        pagerank,
+    )
+
+    # cycle 1->2->3->1 ; 4->1 (4 has out-degree but never receives)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], ["src", "nbr"]
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges, n_iter=2).collect()}
+    # N=4, d=0.85: r0 = 0.25 each.
+    # it1: in(2)=r(1)/1, in(3)=r(2)/1, in(1)=r(3)/1+r(4)/1
+    r0 = 0.25
+    base = 0.15 / 4
+    it1 = {
+        1: round(base + 0.85 * (r0 + r0), 9),
+        2: round(base + 0.85 * r0, 9),
+        3: round(base + 0.85 * r0, 9),
+        4: round(base + 0.85 * 0.0, 9),
+    }
+    it2 = {
+        1: round(base + 0.85 * (it1[3] + it1[4]), 9),
+        2: round(base + 0.85 * it1[1], 9),
+        3: round(base + 0.85 * it1[2], 9),
+        4: round(base + 0.85 * 0.0, 9),
+    }
+    assert got == it2
+    # degree profile: node 4 out-only, others 1/1; node 1 in-degree 2
+    deg = {r["id"]: (r["out_deg"], r["in_deg"]) for r in degree_profile(edges).collect()}
+    assert deg == {1: (1, 2), 2: (1, 1), 3: (1, 1), 4: (1, 0)}

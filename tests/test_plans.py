@@ -201,6 +201,7 @@ SCALAR_BROADCAST_OK = {
     "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
     "tpch_q11",  # 1-row global-total threshold scalar
     "tpch_q15",  # 1-row max-revenue scalar
+    "knn_graph_pagerank",  # 1-row node-count scalar per rank round
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

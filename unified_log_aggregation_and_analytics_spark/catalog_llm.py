@@ -2637,3 +2637,126 @@ def text_quality_clf(spark, sf_dir):
     bit-identical."""
     docs = _t(spark, sf_dir, "documents")
     return X.quality_classifier(docs).select("doc_id", "clf_score", "clf_keep")
+
+
+def _knn_pagerank_oracle(k: int = 5, n_iter: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of PageRank over the kNN graph: the knn-join CTE
+    (plane-literal buckets, Hamming<=1 pairs, rounded cosine, top-k)
+    builds the identical edge list, then ``n_iter`` chained CTEs
+    replay the power iterations with the same per-round 9-decimal
+    rounding the Spark operator applies — so the float fixpoint is
+    engine-exact, not merely close."""
+    cos = _PAIR_COS_SQL
+    head = f"""
+    WITH v AS (
+      SELECT vec_id, embedding, ({_lsh_bucket_sql('e.embedding', n_bits=4)}) AS bucket
+      FROM embeddings e
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, {cos} AS cos_sim
+      FROM v a JOIN v b
+        ON bit_count(CAST(xor(a.bucket, b.bucket) AS BIGINT)) <= 1
+       AND a.vec_id <> b.vec_id
+    ),
+    e AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr) AS rn
+        FROM p
+      ) WHERE rn <= {k}
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+    r0 AS (SELECT nodes.id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+    r{i} AS (
+      SELECT nodes.id,
+             round({1.0 - damping} / nn.n
+                   + {damping} * COALESCE(s.contrib, 0.0), 9) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.nbr AS id, SUM(r.rank / od.odeg) AS contrib
+        FROM e JOIN {prev} r ON e.src = r.id JOIN od ON e.src = od.src
+        GROUP BY e.nbr
+      ) s ON nodes.id = s.id
+    )""")
+        prev = f"r{i}"
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT id AS vec_id, rank FROM {prev}
+    ORDER BY vec_id"""
+    )
+
+
+@_register("knn_graph_pagerank", _knn_pagerank_oracle())
+def knn_graph_pagerank(spark, sf_dir):
+    """Graph-centrality curation signal (operators/graph.py pagerank):
+    3-round PageRank over the corpus kNN graph — high rank = dense
+    semantic neighborhood. The graph is materialized ONCE
+    (localCheckpoint, the in-session analog of the persisted
+    kNN-graph table a production pipeline would build) so the three
+    unrolled rank rounds re-read a 2-column edge list, not the
+    LSH join lineage. Per-round 9-decimal rounding makes the fixpoint
+    engine-exact; the oracle replays every round in chained CTEs."""
+    from unified_log_aggregation_and_analytics_spark.operators.graph import pagerank
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    edges = S.knn_join(emb, k=5, n_bits=4, dim=64).select("src", "nbr")
+    edges = edges.localCheckpoint(eager=True)
+    return pagerank(edges).orderBy("id").select(
+        F.col("id").alias("vec_id"), "rank"
+    )
+
+
+@_register(
+    "knn_graph_degrees",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding, ({{bucket}}) AS bucket
+      FROM embeddings e
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, {{cos}} AS cos_sim
+      FROM v a JOIN v b
+        ON bit_count(CAST(xor(a.bucket, b.bucket) AS BIGINT)) <= 1
+       AND a.vec_id <> b.vec_id
+    ),
+    e AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr) AS rn
+        FROM p
+      ) WHERE rn <= 5
+    ),
+    od AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    ind AS (SELECT nbr AS id, CAST(COUNT(*) AS BIGINT) AS in_deg FROM e GROUP BY nbr)
+    SELECT COALESCE(od.id, ind.id) AS vec_id,
+           COALESCE(out_deg, 0) AS out_deg,
+           COALESCE(in_deg, 0) AS in_deg
+    FROM od FULL OUTER JOIN ind ON od.id = ind.id
+    ORDER BY vec_id
+    """.format(
+        bucket=_lsh_bucket_sql("e.embedding", n_bits=4), cos=_PAIR_COS_SQL
+    ),
+)
+def knn_graph_degrees(spark, sf_dir):
+    """kNN-graph degree profile (operators/graph.py degree_profile):
+    out/in degree per node — isolation (in_deg 0) and hub/attractor
+    (high in_deg) detection, the structural health check run after
+    building the graph."""
+    from unified_log_aggregation_and_analytics_spark.operators.graph import (
+        degree_profile,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    edges = S.knn_join(emb, k=5, n_bits=4, dim=64).select("src", "nbr")
+    edges = edges.localCheckpoint(eager=True)
+    return degree_profile(edges).orderBy("id").select(
+        F.col("id").alias("vec_id"), "out_deg", "in_deg"
+    )

@@ -1,0 +1,105 @@
+"""Graph analytics over edge lists (X3 adjunct): bounded-round
+PageRank centrality and degree profiles for the kNN graph.
+
+Why here: once the corpus-wide kNN join (similarity.knn_join) has
+built a neighbor graph, centrality is the standard "how prototypical
+is this document" signal for graph-based curation — high-rank nodes
+sit in dense semantic regions (keep for coverage), low-rank nodes are
+isolated (candidates for either dedup-survivor boosting or noise
+review). Connected components (dedup.connected_components) answers
+"which cluster"; PageRank answers "how central inside the cluster
+structure".
+
+Scale shape: every round is one edge⋈rank equi-join on the uniform
+src key plus one nbr-keyed aggregation — two shuffles per round,
+bounded rounds (the operator UNROLLS the loop into the plan, it does
+not iterate driver-side over collected data). At 100 TB the edge list
+is the materialized kNN-graph table (built once, like the persisted
+ANN indexes); rank state is one slim (id, rank) frame. Per-iteration
+rounding (round_iter) makes the float fixpoint engine-reproducible —
+the same determinism rescue the k-means refinement uses
+(similarity.kmeans_refine round_means).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "nbr",
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_iter: int = 9,
+) -> DataFrame:
+    """Bounded-round PageRank over a directed edge list.
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_t(u)/outdeg(u)
+
+    The node set is the DISTINCT source set (every ranked node has at
+    least one out-edge, so no dangling-mass redistribution is needed;
+    nodes appearing only as destinations accumulate rank but are not
+    emitted — document the convention, don't hide it). Each round's
+    ranks are rounded to ``round_iter`` decimals so the result is
+    independent of aggregation order — exactly replayable by the
+    DuckDB chained-CTE oracle.
+
+    Returns (id, rank) with rank from the final round.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("id")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    eo = e.join(od, "src")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    base = (1.0 - damping)
+    for _ in range(n_iter):
+        contrib = (
+            eo.join(ranks, eo.src == ranks.id)
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib, F.col("id") == F.col("cid"), "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base) / F.col("n")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)),
+                    round_iter,
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def degree_profile(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "nbr"
+) -> DataFrame:
+    """Per-node out-degree / in-degree over a directed edge list —
+    the cheap structural health check for a built kNN graph (a node
+    with in-degree 0 is semantically isolated; unusually high
+    in-degree marks a hub/near-duplicate attractor). One aggregation
+    per direction, one full-outer join on the uniform id key."""
+    out_d = (
+        edges.groupBy(F.col(src_col).alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    )
+    in_d = (
+        edges.groupBy(F.col(dst_col).alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_deg"))
+    )
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
