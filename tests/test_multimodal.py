@@ -326,3 +326,64 @@ def test_fingerprint_paths_never_crash_on_garbage(spark):
     assert MM.image_dhash(media).count() == 0
     assert MM.audio_hash(media).count() == 0
     assert MM.image_near_dup(media).count() == 0
+
+
+def test_y4m_roundtrip_and_colorspaces():
+    """encode_y4m -> decode_y4m reconstructs exact luma frames; the
+    parser also handles 422/444/mono chroma layouts and a non-default
+    frame rate."""
+    frames = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    w, h, fn, fd, fr = MM.decode_y4m(MM.encode_y4m(frames, fps_num=30, fps_den=1))
+    assert (w, h, fn, fd) == (6, 4, 30, 1)
+    assert len(fr) == 2 and all((fr[i] == frames[i]).all() for i in range(2))
+
+    # hand-built streams in other colorspaces
+    luma = bytes(range(16))
+    for cs, chroma_n in (("422", 16), ("444", 32), ("mono", 0)):
+        raw = (
+            f"YUV4MPEG2 W4 H4 F24:1 C{cs}\n".encode()
+            + b"FRAME\n"
+            + luma
+            + bytes(chroma_n)
+        )
+        dec = MM.decode_y4m(raw)
+        assert dec is not None, cs
+        assert dec[4][0].tobytes() == luma
+
+
+def test_y4m_decode_gate_malformed():
+    """The decode gate: truncated payloads, wrong magic, and missing
+    FRAME markers yield None (and null stats downstream), never an
+    exception."""
+    good = MM.encode_y4m(np.zeros((1, 4, 4), dtype=np.uint8))
+    assert MM.decode_y4m(good) is not None
+    assert MM.decode_y4m(b"") is None
+    assert MM.decode_y4m(b"RIFF" + good[4:]) is None
+    assert MM.decode_y4m(good[:-3]) is None  # truncated chroma
+    assert MM.decode_y4m(good.replace(b"FRAME", b"FRAMX")) is None
+    assert MM.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cbogus\nFRAME\n" + bytes(24)) is None
+
+
+def test_video_stats_null_for_non_y4m(spark):
+    """video_stats emits null stats for undecodable payloads and real
+    stats for Y4M rows in the same frame — the decode-gate
+    convention."""
+    import pandas as pd
+
+    y4m = MM.encode_y4m(np.full((2, 4, 4), 7, dtype=np.uint8))
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "modality": ["video", "video"],
+            "payload": [y4m, b"\x00\x01garbage"],
+            "mime": ["video/x-yuv4mpeg", "video/mp4"],
+            "width": pd.Series([None, None], dtype="Int32"),
+            "height": pd.Series([None, None], dtype="Int32"),
+            "duration_ms": pd.Series([80, 80], dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MM.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in MM.video_stats(df).collect()}
+    assert rows[1]["n_frames"] == 2 and rows[1]["mean_luma"] == 7.0
+    assert rows[1]["width"] == 4 and rows[1]["fps_num"] == 25
+    assert rows[2]["n_frames"] is None and rows[2]["mean_luma"] is None

@@ -2760,3 +2760,78 @@ def knn_graph_degrees(spark, sf_dir):
     return degree_profile(edges).orderBy("id").select(
         F.col("id").alias("vec_id"), "out_deg", "in_deg"
     )
+
+
+# Analytic twins for the REAL Y4M video decode: the fixture's luma
+# pixel p of frame f of document d is (d*31 + f*7 + p*p) % 256 over a
+# 4x4 frame, so every decoded statistic is predictable in SQL without
+# a video decoder — decode proof, not decode trust (same pattern as
+# the PPM/PNG/WAV twins).
+_Y4M_LUMA_SQL = """
+         list_sum(list_transform(range(0, 16),
+           p -> CAST((media_id * 31 + {f} * 7 + p * p) % 256 AS DOUBLE))) / 16.0
+"""
+
+
+@_register(
+    "multimodal_video_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS n_frames FROM documents
+    ), fr AS (
+      SELECT media_id, n_frames, unnest(range(0, n_frames)) AS fi FROM d
+    ), fm AS (
+      SELECT media_id, n_frames, fi,
+             {_Y4M_LUMA_SQL.format(f='fi')} AS luma
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+           CAST(n_frames AS INT) AS n_frames,
+           round(SUM(luma) / n_frames, 6) AS mean_luma
+    FROM fm
+    GROUP BY media_id, n_frames
+    """,
+)
+def multimodal_video_stats(spark, sf_dir):
+    """X5 — REAL video decode, value-matched: genuine YUV4MPEG2
+    payloads (stream header + FRAME markers + planar 420 YUV,
+    operators/multimodal.py encode_y4m) parsed by the pure-stdlib
+    decoder, per-video geometry / frame-rate / frame-count / mean
+    luma. The oracle predicts every statistic from the closed-form
+    fixture — a hash match proves the parser reconstructs the exact
+    frames. Compressed codecs stay behind the ffmpeg gate; the
+    CONTAINER path is now real, completing image (PPM/PNG), audio
+    (WAV), and video (Y4M) native decodes."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    return MM.video_stats(media)
+
+
+@_register(
+    "multimodal_video_frames",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS n_frames FROM documents
+    ), ks AS (
+      SELECT media_id, n_frames, unnest(range(0, 8)) AS k FROM d
+    ), s AS (
+      SELECT media_id, CAST(k * 2 AS INT) AS frame_idx,
+             CAST(k * 80 AS BIGINT) AS frame_ts_ms
+      FROM ks WHERE k * 2 < n_frames
+    )
+    SELECT media_id, frame_idx, frame_ts_ms,
+           round({_Y4M_LUMA_SQL.format(f='frame_idx')}, 6) AS luma_mean
+    FROM s
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """X5 — REAL frame sampling: decode Y4M, take the frame under
+    each 80 ms grid point (frame_idx = ts*fps//1000, integer
+    arithmetic), emit per-frame luma means — the 1-to-N fan-out of
+    sample_frames with decoded content instead of payload slices.
+    Oracle replays grid, cap, and per-frame means analytically."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    return MM.frame_luma_stats(media, every_ms=80, max_frames=8)

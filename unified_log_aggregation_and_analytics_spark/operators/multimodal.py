@@ -1007,3 +1007,237 @@ def media_with_wav_groups(
             )
 
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# REAL video decode: YUV4MPEG2 (Y4M) — the public uncompressed video
+# interchange format (plain-text stream header, per-frame FRAME
+# marker, raw planar YUV). A pure-stdlib parser covers it completely,
+# which upgrades the video path from "stubbed plumbing" to the same
+# contract the image/audio paths have: decode REAL bytes of a REAL
+# format, with an analytic oracle predicting the decoded statistics.
+# Compressed codecs (H.264 etc.) remain behind the ffmpeg gate.
+# --------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+_Y4M_CHROMA_RATIO = {
+    # chroma bytes per luma byte for the common colorspaces
+    "420": 0.5,
+    "420jpeg": 0.5,
+    "420mpeg2": 0.5,
+    "420paldv": 0.5,
+    "422": 1.0,
+    "444": 2.0,
+    "mono": 0.0,
+}
+
+
+def decode_y4m(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[np.ndarray]] | None:
+    """Parse a YUV4MPEG2 stream: returns (width, height, fps_num,
+    fps_den, [luma planes as (h, w) uint8 arrays]). Chroma planes are
+    skipped (stats and fingerprints here are luma-based, like dHash).
+    None for anything that is not a well-formed Y4M payload."""
+    if not payload or not payload.startswith(Y4M_MAGIC):
+        return None
+    try:
+        nl = payload.index(b"\n")
+    except ValueError:
+        return None
+    w = h = None
+    fn, fd = 25, 1
+    cs = "420"
+    for tok in payload[len(Y4M_MAGIC) : nl].split(b" "):
+        tok = tok.decode("ascii", "replace")
+        if not tok:
+            continue
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F" and ":" in tok:
+            fn, fd = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            cs = tok[1:]
+    if not w or not h or cs not in _Y4M_CHROMA_RATIO:
+        return None
+    luma_n = w * h
+    chroma_n = int(luma_n * _Y4M_CHROMA_RATIO[cs])
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            return None
+        try:
+            fnl = payload.index(b"\n", pos)
+        except ValueError:
+            return None
+        start = fnl + 1
+        end = start + luma_n
+        if end + chroma_n > len(payload):
+            return None
+        frames.append(
+            np.frombuffer(payload[start:end], dtype=np.uint8).reshape(h, w)
+        )
+        pos = end + chroma_n
+    return w, h, fn, fd, frames
+
+
+def encode_y4m(
+    frames: np.ndarray, fps_num: int = 25, fps_den: int = 1
+) -> bytes:
+    """Encode (n, h, w) uint8 luma frames as a real YUV4MPEG2 420
+    stream (neutral chroma). The inverse contract of decode_y4m —
+    round-trip pinned in tests."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420jpeg\n".encode()
+    chroma = bytes([128]) * ((w // 2) * (h // 2))
+    parts = [head]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+_VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps_num", T.IntegerType(), True),
+        T.StructField("fps_den", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def video_stats(df: DataFrame) -> DataFrame:
+    """X5 — per-video statistics from REAL Y4M decode: container
+    geometry, frame rate, frame count, and mean luma over all frames.
+    Arrow-batched mapInPandas, one decode per payload; accumulation
+    is SEQUENTIAL python-float summation so the oracle's AVG replays
+    the same association order (the same determinism contract the
+    image/audio stats keep). Non-Y4M or undecodable videos emit null
+    stats instead of being dropped — the decode-gate convention."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["modality"] == "video"]
+            out = {k.name: [] for k in _VIDEO_STATS_SCHEMA.fields}
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                dec = decode_y4m(payload) if payload is not None else None
+                out["media_id"].append(int(mid))
+                if dec is None:
+                    for k in ("width", "height", "fps_num", "fps_den", "n_frames"):
+                        out[k].append(None)
+                    out["mean_luma"].append(None)
+                    continue
+                w, h, fn, fd, frames = dec
+                means = [float(f.astype(np.float64).sum()) / (w * h) for f in frames]
+                acc = 0.0
+                for m in means:
+                    acc += m
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps_num"].append(fn)
+                out["fps_den"].append(fd)
+                out["n_frames"].append(len(frames))
+                out["mean_luma"].append(
+                    round(acc / len(frames), 6) if frames else None
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_VIDEO_STATS_SCHEMA)
+
+
+_FRAME_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("luma_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def frame_luma_stats(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """X5 — REAL frame sampling: decode Y4M, pick the frame under
+    each ``every_ms`` grid point (frame_idx = ts*fps//1000, integer
+    arithmetic — engine-replayable), cap at ``max_frames``, emit per-
+    frame luma means. This is the genuine form of the sample_frames
+    plumbing stub: 1-to-N fan-out with decoded content."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["modality"] == "video"]
+            out = {k.name: [] for k in _FRAME_LUMA_SCHEMA.fields}
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                dec = decode_y4m(payload) if payload is not None else None
+                if dec is None:
+                    continue
+                w, h, fn, fd, frames = dec
+                for k in range(max_frames):
+                    ts = k * every_ms
+                    idx = ts * fn // (1000 * fd)
+                    if idx >= len(frames):
+                        break
+                    f = frames[idx]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(int(idx))
+                    out["frame_ts_ms"].append(int(ts))
+                    out["luma_mean"].append(
+                        round(float(f.astype(np.float64).sum()) / (w * h), 6)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_FRAME_LUMA_SCHEMA)
+
+
+def media_with_y4m(
+    docs: DataFrame, width: int = 4, height: int = 4, fps_num: int = 25
+) -> DataFrame:
+    """Media table with REAL Y4M video payloads, deterministically
+    synthesized: document d gets ``1 + d % 4`` frames; luma pixel p of
+    frame f is ``(d*31 + f*7 + p*p) % 256``. The closed form lets the
+    DuckDB oracle predict every decoded statistic without a decoder —
+    same proof pattern as the PPM/PNG/WAV fixtures."""
+    npx = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(npx, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            durs = []
+            for d in ids:
+                n = 1 + int(d) % 4
+                frames = np.stack(
+                    [
+                        ((int(d) * 31 + f * 7 + p * p) % 256)
+                        .astype(np.uint8)
+                        .reshape(height, width)
+                        for f in range(n)
+                    ]
+                )
+                payloads.append(encode_y4m(frames, fps_num=fps_num))
+                durs.append(n * 1000 // fps_num)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/x-yuv4mpeg",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series(durs, dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
