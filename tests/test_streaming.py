@@ -867,3 +867,53 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert days == {"2026-01-03"}  # partition values infer as dates
     # idempotent: nothing left to expire
     assert expire_partitions(spark, table, older_than="2026-01-03") == []
+
+
+def test_streaming_heavy_hitters_state_accumulates(spark, tmp_path):
+    """Streaming Misra-Gries: per-shard counters persist across
+    micro-batches — a key that is heavy ACROSS batches (but not within
+    any single one) is captured with its estimate honoring the
+    n/(capacity+1) bound over the whole history."""
+    import json as _json
+
+    from unified_log_aggregation_and_analytics_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    src_dir = tmp_path / "hh"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(keys, name):
+        (src_dir / f"{name}.json").write_text(
+            "\n".join(_json.dumps({"k": k}) for k in keys) + "\n"
+        )
+        stream = spark.readStream.schema("k string").json(str(src_dir))
+        rows = []
+
+        def sink(bdf, _bid):
+            rows.extend(bdf.collect())
+
+        q = (
+            heavy_hitters_stream(stream, "k", capacity=4, n_shards=1)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["k"]: r for r in rows}
+
+    # batch 1: hot appears 5x among 12 distinct fillers (overflows cap=4)
+    b1 = run_batch(["hot"] * 5 + [f"x{i}" for i in range(12)], "b1")
+    # batch 2: hot appears 5x more + new fillers
+    b2 = run_batch(["hot"] * 5 + [f"y{i}" for i in range(12)], "b2")
+    assert "hot" in b2, "cross-batch heavy key must survive in state"
+    est, n = b2["hot"]["est"], b2["hot"]["shard_n"]
+    true = 10
+    assert n == 34
+    assert est <= true <= est + n // (4 + 1)
+    # state really accumulated: batch-2 estimate exceeds any single
+    # batch's possible count minus bound
+    assert est > b1.get("hot", {"est": 0})["est"] if "hot" in b1 else True

@@ -2385,3 +2385,41 @@ def tpch_q21(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@_register(
+    "q07e_heavy_hitters",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN user_id < 90 THEN CAST(user_id % 6 AS VARCHAR)
+                  ELSE 't' || CAST(event_id AS VARCHAR) END AS k
+      FROM events
+    ), exact AS (
+      SELECT k, COUNT(*) AS true_cnt FROM keyed GROUP BY k
+    ), n AS (SELECT SUM(true_cnt) AS n FROM exact)
+    SELECT k, true_cnt, TRUE AS captured, TRUE AS within_bound
+    FROM exact CROSS JOIN n
+    WHERE true_cnt * 33 > n
+    ORDER BY k
+    """,
+)
+def q07e_heavy_hitters(spark, sf_dir):
+    """Q7 heavy-hitter path — bounded-memory Misra-Gries summary
+    (operators/sketches.py misra_gries_summary) over a deliberately
+    heavy-tailed key (6 hot routes carrying ~60% of events + a
+    per-event singleton tail, the production id-distribution shape): counters per shard never
+    exceed capacity=32 while exact counting would hold one counter
+    per key. INVARIANT CERTIFICATE like q07b: every true heavy hitter
+    (freq > n/(capacity+1), computable exactly by any engine) must be
+    captured within the MG error bound — booleans guaranteed TRUE by
+    the charging argument; the oracle emits literal TRUE."""
+    from unified_log_aggregation_and_analytics_spark.operators.sketches import (
+        heavy_hitters_certificate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") < 90, (F.col("user_id") % 6).cast("string"))
+        .otherwise(F.concat(F.lit("t"), F.col("event_id").cast("string")))
+        .alias("hh_key")
+    )
+    return heavy_hitters_certificate(ev, "hh_key", capacity=32, n_shards=8)

@@ -65,3 +65,125 @@ def sketch_distinct(
     if keys:
         return cube.groupBy(*keys).agg(agg)
     return cube.agg(agg)
+
+
+# --------------------------------------------------------------------
+# Heavy hitters: distributed Misra-Gries summaries.
+# --------------------------------------------------------------------
+
+def misra_gries_summary(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 64,
+    n_shards: int = 16,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Bounded-memory heavy-hitter summary (Misra-Gries / mergeable
+    summaries, Agarwal et al. PODS'12): per shard, counters over at
+    most ``capacity`` keys; whenever the counter set overflows, every
+    counter drops by the (capacity+1)-th largest value and non-positive
+    counters evict.
+
+    Guarantees (per shard of n rows, proven by the standard charging
+    argument; every key lives wholly in one shard because sharding is
+    BY KEY HASH):
+      * est <= true  (counts only ever undercount)
+      * true - est <= n_shard / (capacity + 1)
+      * every key with true > n_shard/(capacity+1) IS in the summary
+
+    Plan: one hash-shard shuffle, then applyInPandas per shard —
+    Arrow batches stream through a chunked value_counts merge (numpy
+    counting, dict of at most ~capacity + chunk-distinct entries), so
+    memory is bounded regardless of shard size: exactly the regime
+    where exact groupBy counting would blow the executor at 100 TB of
+    high-cardinality keys. Output: (key, est, shard, shard_n).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("est", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("shard_n", LongType()),
+        ]
+    )
+
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def mg(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(pdf["shard"].iloc[0])
+        arr = pdf["k"].to_numpy()
+        n = len(arr)
+        counts: dict[str, int] = {}
+        for start in range(0, n, chunk):
+            vc = pd.Series(arr[start : start + chunk]).value_counts()
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > capacity:
+                dec = sorted(counts.values(), reverse=True)[capacity]
+                counts = {key: c - dec for key, c in counts.items() if c > dec}
+        return pd.DataFrame(
+            {
+                "k": list(counts.keys()),
+                "est": list(counts.values()),
+                "shard": shard,
+                "shard_n": n,
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandas(mg, schema=out_schema)
+
+
+def heavy_hitters_certificate(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 64,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Oracle-checkable certificate for the MG summary (the approx-
+    family pattern, like q07b): emit every TRUE heavy hitter (global
+    frequency > n/(capacity+1) — a condition an independent engine
+    can compute exactly) with booleans asserting the summary captured
+    it and its estimate honored the MG error bound. Guaranteed TRUE
+    by theory; any implementation bug flips a flag and fails the hash
+    match. The exact side here is one groupBy — affordable at test
+    scale; at 100 TB only the summary runs."""
+    summary = misra_gries_summary(df, key_col, capacity, n_shards)
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    total = exact.agg(F.sum("true_cnt").alias("n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("true_cnt") * (capacity + 1) > F.col("n"))
+    )
+    j = heavy.join(summary, "k", "left")
+    return j.select(
+        "k",
+        "true_cnt",
+        F.col("est").isNotNull().alias("captured"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("true_cnt"))
+            & (
+                (F.col("true_cnt") - F.col("est")) * (capacity + 1)
+                <= F.col("shard_n")
+            )
+        ).alias("within_bound"),
+    ).orderBy("k")

@@ -112,3 +112,99 @@ def error_burst_alerts(
         outputMode="append",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+# --------------------------------------------------------------------
+# Streaming heavy hitters: per-shard Misra-Gries state across batches.
+# --------------------------------------------------------------------
+
+HH_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("k", StringType()),
+        StructField("est", LongType()),
+        StructField("shard_n", LongType()),
+    ]
+)
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    key_col: str = "k",
+    capacity: int = 64,
+    n_shards: int = 16,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: the batch summary
+    (operators/sketches.py misra_gries_summary) lifted into
+    applyInPandasWithState — per-shard counter state (at most
+    ``capacity`` keys + the cumulative row count) persists across
+    micro-batches, so the top-talker board is continuously maintained
+    without ever holding per-key exact counts.
+
+    Guarantees are the batch operator's, applied to the shard's
+    WHOLE HISTORY (merging MG summaries batch-by-batch preserves the
+    n/(capacity+1) error bound — the mergeable-summaries result).
+    Each batch emits the shard's full current summary; downstream
+    takes the latest batch per shard (or unions shards — keys are
+    hash-disjoint across shards by construction).
+
+    State bytes per shard: capacity keys + counts — KBs, bounded
+    regardless of stream cardinality; exactly what a 100 TB/day
+    top-talkers pipeline can afford."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        shard = int(key[0])
+        if state.exists:
+            keys, counts, n = state.get
+            cdict = dict(zip(keys, map(int, counts)))
+            n = int(n)
+        else:
+            cdict, n = {}, 0
+        for pdf in pdfs:
+            arr = pdf["k"].to_numpy()
+            n += len(arr)
+            for start in range(0, len(arr), chunk):
+                vc = pd.Series(arr[start : start + chunk]).value_counts()
+                for kk, c in vc.items():
+                    cdict[kk] = cdict.get(kk, 0) + int(c)
+                if len(cdict) > capacity:
+                    dec = sorted(cdict.values(), reverse=True)[capacity]
+                    cdict = {kk: c - dec for kk, c in cdict.items() if c > dec}
+        state.update((list(cdict.keys()), [int(c) for c in cdict.values()], n))
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "k": list(cdict.keys()),
+                "est": [int(c) for c in cdict.values()],
+                "shard_n": n,
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        HH_SCHEMA,
+        _HH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
