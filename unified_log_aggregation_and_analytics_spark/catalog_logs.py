@@ -307,3 +307,199 @@ def logs_envelope_roundtrip(spark, sf_dir):
         F.base64(F.col("text").cast("binary")).alias("data"),
     )
     return firehose_ec2_transform(docs)
+
+
+# --- Product-analytics views over the event stream ---------------------
+# (the alerting/BI layer the reference delegates to OpenSearch
+# Dashboards — funnels, retention, and log templating are the three
+# queries every log-analytics user builds first)
+
+
+@_register(
+    "logs_funnel",
+    """
+    WITH us AS (
+      SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+      FROM events
+    ), v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM us
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT us.user_id, MIN(us.ts) AS t2
+      FROM us JOIN v ON us.user_id = v.user_id AND us.ts > v.t1
+      WHERE us.event_type = 'click' GROUP BY us.user_id
+    ), p AS (
+      SELECT us.user_id, MIN(us.ts) AS t3
+      FROM us JOIN c ON us.user_id = c.user_id AND us.ts > c.t2
+      WHERE us.event_type = 'purchase' GROUP BY us.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ORDER BY stage
+    """,
+)
+def logs_funnel(spark, sf_dir):
+    """Ordered funnel conversion (view → click → purchase): each stage
+    is the user's FIRST qualifying event strictly after the previous
+    stage's timestamp — the sequence-match semantics dashboards call a
+    funnel. Decorrelated to three per-user min aggregations chained by
+    user-keyed joins: every shuffle is on the uniform user key, the
+    per-stage frames shrink monotonically, and nothing is
+    order-sensitive (MIN, not window-walk) — at 100 TB this is three
+    cheap agg+join rounds, not a per-user event sort."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+@_register(
+    "logs_retention_cohorts",
+    """
+    WITH us AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+    ), f AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM us GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+           CAST((epoch_us(us.ts) - epoch_us(f.first_ts))
+                // 604800000000 AS INT) AS week_k,
+           CAST(COUNT(DISTINCT us.user_id) AS BIGINT) AS n_users
+    FROM us JOIN f ON us.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def logs_retention_cohorts(spark, sf_dir):
+    """Retention-cohort triangle: users grouped by first-seen week,
+    counted distinct in each subsequent week offset — THE engagement
+    view of product analytics. week_k is integer microsecond
+    arithmetic ((ts - first_ts) // week), immune to calendar/timezone
+    edge cases; the cohort label is the ISO week of first activity.
+    Two user-keyed shuffles (first-seen agg, cohort re-join) + one
+    grouped count-distinct over a few dozen cells."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    week_us = 7 * 24 * 3600 * 1000000
+    return (
+        ev.join(f, "user_id")
+        .groupBy(
+            F.to_date(F.date_trunc("week", F.col("first_ts"))).alias("cohort_week"),
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("first_ts").cast("timestamp"))
+                )
+                / F.lit(week_us)
+            )
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+@_register(
+    "logs_templates",
+    r"""
+    WITH lines AS (
+      SELECT printf('%s - user%d [%s +0000] "%s /%s/%d HTTP/1.1" %d %d "-" "agent/%d"',
+                    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR),
+                    user_id,
+                    strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+                    CASE WHEN event_type IN ('click','purchase','signup')
+                         THEN 'POST' ELSE 'GET' END,
+                    event_type,
+                    event_id % 50,
+                    ([200,301,404,500,503])[CAST(event_id % 5 AS INT) + 1],
+                    CAST(floor(value * 1000) AS BIGINT),
+                    user_id % 7) AS line
+      FROM events
+    )
+    SELECT regexp_replace(line, '[0-9]+', '<N>', 'g') AS template,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lines
+    GROUP BY 1
+    ORDER BY n DESC, template
+    LIMIT 20
+    """,
+)
+def logs_templates(spark, sf_dir):
+    """Log-template mining (the Drain-style first pass): mask every
+    digit run to <N> and count the resulting structural templates —
+    collapsing millions of raw lines into the handful of message
+    shapes that generated them. Pure regexp_replace + hash agg: one
+    shuffle keyed by template (low cardinality by construction),
+    top-20 as TakeOrderedAndProject. Input lines are the same
+    synthesized Apache stream the T9 parse oracle round-trips; method
+    and path word vary with event_type so distinct structural
+    templates survive the digit masking."""
+    ev = _spread(_t(spark, sf_dir, "events"))
+    status = F.element_at(
+        F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(500), F.lit(503)),
+        (F.col("event_id") % 5).cast("int") + 1,
+    )
+    method = F.when(
+        F.col("event_type").isin("click", "purchase", "signup"), F.lit("POST")
+    ).otherwise(F.lit("GET"))
+    lines = ev.select(
+        F.format_string(
+            '%s - user%d [%s +0000] "%s /%s/%d HTTP/1.1" %d %d "-" "agent/%d"',
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                F.lit("0"),
+                (F.col("user_id") % 256).cast("string"),
+                (F.col("event_id") % 256).cast("string"),
+            ),
+            F.col("user_id"),
+            F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+            method,
+            F.col("event_type"),
+            F.col("event_id") % 50,
+            status,
+            F.floor(F.col("value") * 1000),
+            F.col("user_id") % 7,
+        ).alias("value"),
+    )
+    return (
+        lines.select(
+            F.regexp_replace(F.col("value"), "[0-9]+", "<N>").alias("template")
+        )
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "template")
+        .limit(20)
+    )
