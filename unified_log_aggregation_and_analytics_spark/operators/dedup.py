@@ -90,14 +90,22 @@ def chunk_dedup(
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
     toks = tokens(text_col) if tokens_col is None else tokens_col
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # Barrier: materialize the token array ONCE per doc behind a
+    # Generate before chunking — inside the transform lambda the
+    # captured `toks` expression tree is re-evaluated per CHUNK by the
+    # interpreted HOF path, turning a linear split into
+    # O(n_chunks x doc_len) re-tokenization (same fix family as
+    # repetition_stats / shingles).
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    tc = F.col("_toks")
+    n_chunks = F.ceil(F.size(tc) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
         lambda i: F.concat_ws(
-            " ", F.slice(toks, (i - F.lit(1)) * chunk_tokens + F.lit(1), chunk_tokens)
+            " ", F.slice(tc, (i - F.lit(1)) * chunk_tokens + F.lit(1), chunk_tokens)
         ),
     )
-    exploded = df.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    exploded = base.select(F.col(id_col), F.explode(chunks).alias("chunk"))
     return exploded.groupBy(
         F.md5(F.col("chunk").cast("binary")).alias("chunk_hash")
     ).agg(
