@@ -983,3 +983,59 @@ def test_pagerank_hand_computed(spark):
     # degree profile: node 4 out-only, others 1/1; node 1 in-degree 2
     deg = {r["id"]: (r["out_deg"], r["in_deg"]) for r in degree_profile(edges).collect()}
     assert deg == {1: (1, 2), 2: (1, 1), 3: (1, 1), 4: (1, 0)}
+
+
+def test_quantile_cube_bound_merge_and_append(spark, tmp_path):
+    """The persisted fixed-bin quantile cube (a) brackets the true
+    k-th smallest value within one bin for every probed quantile, (b)
+    merges exactly — summing day cells equals building on the raw
+    union (integer histogram addition), and (c) is incremental:
+    appending a second batch of day cells changes nothing vs a
+    one-shot build."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.sketches import (
+        build_quantile_cube,
+        quantile_from_cube,
+    )
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", SF).select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    cube = str(tmp_path / "qcube")
+    build_quantile_cube(ev, cube, ["event_type", "day"], "value", 0.0, 1024.0, 256)
+
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    for q in (0.5, 0.9, 0.99):
+        row = quantile_from_cube(spark, cube, q=q).collect()[0]
+        kth = vals[max(0, math.ceil(q * len(vals)) - 1)]
+        assert row["bin_lo"] <= kth < row["bin_hi"], (q, kth, row.asDict())
+        assert row["bin_hi"] - row["bin_lo"] == 4.0
+
+    # mergeability: day-cell merge == build over the raw union
+    flat = str(tmp_path / "qcube_flat")
+    build_quantile_cube(ev, flat, ["event_type"], "value", 0.0, 1024.0, 256)
+    merged = quantile_from_cube(spark, cube, q=0.9, group_by=["event_type"])
+    direct = quantile_from_cube(spark, flat, q=0.9, group_by=["event_type"])
+    got_m = {r["event_type"]: (r["bin"], r["n"]) for r in merged.collect()}
+    got_d = {r["event_type"]: (r["bin"], r["n"]) for r in direct.collect()}
+    assert got_m == got_d
+
+    # incremental: two day-partitioned appends == one-shot build
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    split_day = days[len(days) // 2]
+    inc = str(tmp_path / "qcube_inc")
+    build_quantile_cube(
+        ev.filter(F.col("day") <= F.lit(split_day)), inc,
+        ["event_type", "day"], "value", 0.0, 1024.0, 256,
+    )
+    build_quantile_cube(
+        ev.filter(F.col("day") > F.lit(split_day)), inc,
+        ["event_type", "day"], "value", 0.0, 1024.0, 256,
+    )
+    inc_q = quantile_from_cube(spark, inc, q=0.9, group_by=["event_type"])
+    got_i = {r["event_type"]: (r["bin"], r["n"]) for r in inc_q.collect()}
+    assert got_i == got_m

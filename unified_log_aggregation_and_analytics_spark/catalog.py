@@ -77,7 +77,7 @@ GATE_CERTIFIED: set[str] = {
     "q05_union_sources", "q06_tpch_q1", "q06b_percentiles",
     "q06c_approx_percentiles", "q07_distinct_users",
     "q07b_approx_distinct", "q07c_skew_distinct", "q08_hourly_histogram",
-    "q08b_sliding_window", "q08c_anomaly_mad", "q09_sort_orders",
+    "q08b_sliding_window", "q08c_anomaly_zscore", "q09_sort_orders",
     "q10_topk", "q10b_topk_per_group", "q11_join_star_revenue",
     "q11b_broadcast_join", "q11c_salted_join", "q12_semi_join",
     "q12b_anti_join", "q13_asof_join", "q13b_range_join",
@@ -1359,6 +1359,121 @@ def _sketch_cube_path(spark, sf_dir) -> str:
         build_distinct_sketch_cube(ev, key, ["event_type", "day"], "user_id")
     _SKETCH_FRESH.add(key)
     return key
+
+
+def _quantile_cube_path(spark, sf_dir) -> str:
+    """Session-scoped persisted quantile cube over events: (event_type,
+    day) cells holding fixed-bin histograms of ``value`` (lo=0, hi=1024,
+    256 bins — width 4). Built once per sf_dir; percentile slices merge
+    bin counts and never re-read raw events."""
+    from pathlib import Path
+
+    from unified_log_aggregation_and_analytics_spark.operators.sketches import (
+        build_quantile_cube,
+    )
+
+    repo = Path(__file__).resolve().parents[1]
+    path = repo / ".sketch_cube" / Path(str(sf_dir).rstrip("/")).name / "events_value_q"
+    key = str(path)
+    if key in _SKETCH_FRESH:
+        return key
+    if not (path / "_SUCCESS").exists():
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", F.to_date("ts").alias("day"), "value"
+        )
+        build_quantile_cube(
+            ev, key, ["event_type", "day"], "value", lo=0.0, hi=1024.0, n_bins=256
+        )
+    _SKETCH_FRESH.add(key)
+    return key
+
+
+@_register(
+    "q06d_quantile_cube",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(least(greatest(floor(((value - 0.0) * 256) / 1024.0), 0), 255) AS INT) AS bin
+      FROM events
+    ), m AS (
+      SELECT event_type, bin, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM m
+    ), hit AS (
+      SELECT event_type, bin, total,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+      FROM c WHERE cum >= CAST(ceil(0.95 * total) AS BIGINT)
+    ), kth AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rkv,
+             COUNT(*) OVER (PARTITION BY event_type) AS nn
+      FROM events
+    )
+    SELECT h.event_type, CAST(0.95 AS DOUBLE) AS q,
+           CAST(h.total AS BIGINT) AS n, h.bin,
+           0.0 + h.bin * 4.0 AS bin_lo,
+           0.0 + (h.bin + 1) * 4.0 AS bin_hi,
+           0.0 + (h.bin + 0.5) * 4.0 AS est,
+           (k.value >= 0.0 + h.bin * 4.0 AND k.value < 0.0 + (h.bin + 1) * 4.0)
+             AS contains_exact
+    FROM hit h
+    JOIN kth k ON k.event_type = h.event_type
+              AND k.rkv = CAST(ceil(0.95 * k.nn) AS BIGINT)
+    WHERE h.rk = 1
+    """,
+)
+def q06d_quantile_cube(spark, sf_dir):
+    """Q6 warehouse-scale percentiles — p95 of ``value`` per event type
+    answered from the PERSISTED mergeable quantile cube
+    (operators/sketches.py build_quantile_cube): the cube holds
+    (event_type, day, bin) counts; this slice merges the day cells by
+    summing bin counts and walks the cumulative histogram — raw events
+    are never re-scanned, and any date-range slice reads only its
+    cells. Unlike the HLL cube the whole sketch is engine-portable
+    integer counting, so the DuckDB twin replays the binning,
+    cumulative walk, and bin selection EXACTLY — plus both engines
+    locate the true k-th smallest raw value (k = ceil(0.95 n), the
+    one-time scan the cube exists to avoid — fine at gate SF) and
+    certify it falls inside the reported bin: the one-bin-width error
+    bound, hash-proved."""
+    from unified_log_aggregation_and_analytics_spark.operators.sketches import (
+        quantile_from_cube,
+    )
+
+    path = _quantile_cube_path(spark, sf_dir)
+    est = quantile_from_cube(spark, path, q=0.95, group_by=["event_type"])
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    kth = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(wv).alias("rkv"),
+            F.count(F.lit(1)).over(wn).alias("nn"),
+        )
+        .filter(F.col("rkv") == F.ceil(F.lit(0.95) * F.col("nn")).cast("long"))
+        .select("event_type", F.col("value").alias("kth_value"))
+    )
+    return est.join(kth, "event_type").select(
+        "event_type",
+        "q",
+        "n",
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        "est",
+        (
+            (F.col("kth_value") >= F.col("bin_lo"))
+            & (F.col("kth_value") < F.col("bin_hi"))
+        ).alias("contains_exact"),
+    )
 
 
 @_register(

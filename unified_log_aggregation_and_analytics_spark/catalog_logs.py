@@ -503,3 +503,88 @@ def logs_templates(spark, sf_dir):
         .orderBy(F.col("n").desc(), "template")
         .limit(20)
     )
+
+
+@_register(
+    "logs_ewma_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), contrib AS (
+      SELECT d.event_type,
+             d.day + CAST(o.i AS INTEGER) AS tday,
+             d.n * CAST(power(0.5, o.i) AS DECIMAL(8,6)) AS wn,
+             CAST(power(0.5, o.i) AS DECIMAL(8,6)) AS w
+      FROM d, (SELECT unnest(range(0, 7)) AS i) o
+    ), sm AS (
+      SELECT d.event_type, d.day, d.n,
+             round(CAST(SUM(c.wn) AS DOUBLE) / CAST(SUM(c.w) AS DOUBLE), 6)
+               AS ewma
+      FROM d JOIN contrib c
+        ON c.event_type = d.event_type AND c.tday = d.day
+      GROUP BY d.event_type, d.day, d.n
+    )
+    SELECT event_type, day, n, ewma,
+           round(n / ewma, 6) AS ratio,
+           (n / ewma > 1.5 OR n / ewma < 0.5) AS is_anomaly
+    FROM sm
+    """,
+)
+def logs_ewma_anomaly(spark, sf_dir):
+    """EWMA volume-anomaly detection: per-type daily counts smoothed
+    by a 7-day finite-window exponential moving average (alpha=0.5),
+    each day scored as the ratio of its count to the smoothed level —
+    the adaptive-baseline alert the z-score view (q08c) can't give
+    when traffic trends.
+
+    Exact cross-engine: the weights 0.5^i (i<7) are exact binary
+    fractions carried as DECIMAL(8,6), so the weighted sums are exact
+    in both engines; only the final division goes through double
+    (rounded to 6 dp). Partial windows at series start renormalize by
+    the sum of PRESENT weights — no warm-up NULLs.
+
+    Plan shape at scale: no range join and no ordered window walk —
+    each daily count replicates to the <=7 target days it contributes
+    to (map-side explode of a 7-element sequence), then ONE equi-join
+    on (type, day) + hash agg. Day-partitionable, skew-free (keys are
+    (type, day) cells), and the window width is a constant factor on
+    a relation that is already ~|types| x |days| tiny relative to the
+    raw events."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = F.pow(F.lit(0.5), F.col("i")).cast("decimal(8,6)")
+    contrib = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        F.col("event_type").alias("c_type"),
+        F.date_add("day", F.col("i")).alias("tday"),
+        (F.col("n") * w).alias("wn"),
+        w.alias("w"),
+    )
+    sm = (
+        d.join(
+            contrib,
+            (F.col("c_type") == F.col("event_type")) & (F.col("tday") == F.col("day")),
+        )
+        .groupBy("event_type", "day", "n")
+        .agg(
+            F.round(
+                F.sum("wn").cast("double") / F.sum("w").cast("double"), 6
+            ).alias("ewma")
+        )
+    )
+    ratio = F.col("n") / F.col("ewma")
+    return sm.select(
+        "event_type",
+        "day",
+        "n",
+        "ewma",
+        F.round(ratio, 6).alias("ratio"),
+        ((ratio > 1.5) | (ratio < 0.5)).alias("is_anomaly"),
+    )

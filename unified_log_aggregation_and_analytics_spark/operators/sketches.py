@@ -187,3 +187,107 @@ def heavy_hitters_certificate(
             )
         ).alias("within_bound"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------
+# Mergeable quantile cube: fixed-bin histogram sketches.
+# --------------------------------------------------------------------
+
+def build_quantile_cube(
+    df: DataFrame,
+    path: str,
+    dims: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> None:
+    """Materialize per-cell QUANTILE sketches as fixed-bin histograms:
+    one row per (dims..., bin) carrying the bin population. The bin
+    edges are FIXED at build time (``lo``/``hi``/``n_bins`` stored in
+    the cube), which is what makes cells mergeable: any slice/rollup
+    of the cube sums bin counts — union of histograms IS the histogram
+    of the union, exactly (integer addition, no estimator drift; the
+    t-digest/KLL trade of adaptive bins for tighter tails is
+    deliberately not taken so merges stay exact and engine-portable).
+
+    Percentile answers from the merged histogram are exact to within
+    one bin width ((hi-lo)/n_bins) — the certificate entry pins that
+    bound against an independent exact engine. Out-of-range values
+    clamp into the edge bins (their quantile contribution stays
+    correct; only their position error exceeds a bin width).
+
+    One hash aggregation, map-side combined; output |cells| x n_bins
+    rows of three integers — a day of raw events answers any later
+    percentile slice from KBs."""
+    span = hi - lo
+    b = F.floor(((F.col(value_col) - F.lit(lo)) * F.lit(n_bins)) / F.lit(span))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    (
+        df.groupBy(*dims, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumns(
+            {
+                "lo": F.lit(float(lo)),
+                "hi": F.lit(float(hi)),
+                "n_bins": F.lit(n_bins),
+            }
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def quantile_from_cube(
+    spark: SparkSession,
+    path: str,
+    q: float,
+    group_by: list[str] | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """Answer a percentile over any slice/rollup of the cube: filter
+    cells, sum bin counts, walk the cumulative histogram to the first
+    bin whose cumulative population reaches ceil(q * total), and
+    report that bin's bounds plus midpoint estimate. The window walk
+    runs over <= n_bins rows per group — query cost is |matching
+    cells|, independent of raw volume.
+
+    Count-based quantile semantics (the k-th smallest value, k =
+    ceil(q*n)): the true k-th value lies in [bin_lo, bin_hi) of the
+    reported bin by construction."""
+    from pyspark.sql import Window
+
+    cube = spark.read.parquet(path)
+    if where:
+        cube = cube.filter(where)
+    keys = group_by or []
+    merged = cube.groupBy(*keys, "bin", "lo", "hi", "n_bins").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*keys)
+    cum = merged.withColumns(
+        {
+            "cum": F.sum("cnt").over(w),
+            "total": F.sum("cnt").over(wt),
+        }
+    )
+    k = F.ceil(F.lit(q) * F.col("total")).cast("long")
+    hit = cum.filter(F.col("cum") >= k)
+    first = Window.partitionBy(*keys).orderBy("bin")
+    width = (F.col("hi") - F.col("lo")) / F.col("n_bins")
+    return (
+        hit.withColumn("_rk", F.row_number().over(first))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *keys,
+            F.lit(q).alias("q"),
+            F.col("total").cast("long").alias("n"),
+            F.col("bin"),
+            (F.col("lo") + F.col("bin") * width).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1) * width).alias("bin_hi"),
+            (F.col("lo") + (F.col("bin") + F.lit(0.5)) * width).alias("est"),
+        )
+    )
