@@ -917,3 +917,50 @@ def test_streaming_heavy_hitters_state_accumulates(spark, tmp_path):
     # state really accumulated: batch-2 estimate exceeds any single
     # batch's possible count minus bound
     assert est > b1.get("hot", {"est": 0})["est"] if "hot" in b1 else True
+
+
+def test_csv_source_corrupt_record_dlq(spark, tmp_path):
+    """CSV export ingestion is poison-proof: well-formed rows parse to
+    the declared schema, malformed lines (wrong arity / bad types)
+    land in the DLQ with the raw line intact for replay — never a job
+    failure, never a silent drop (the batch analog of the streaming
+    DLQ split)."""
+    from pyspark.sql import types as T
+
+    from unified_log_aggregation_and_analytics_spark.sources.logs import (
+        csv_dlq_split,
+        read_csv_logs,
+    )
+
+    p = tmp_path / "elb.csv"
+    p.write_text(
+        "2024-01-01T00:00:00,GET,/index.html,200,123\n"
+        "2024-01-01T00:00:01,POST,/api/login,401,87\n"
+        "this line is not a csv record at all\n"
+        "2024-01-01T00:00:02,GET,/health,200,notanumber\n"
+        "2024-01-01T00:00:03,GET,/metrics,200,55\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("method", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("bytes", T.LongType()),
+        ]
+    )
+    df = read_csv_logs(spark, str(p), schema)
+    clean, dlq = csv_dlq_split(df)
+    clean_rows = clean.collect()
+    dlq_rows = [r["raw"] for r in dlq.collect()]
+
+    assert len(clean_rows) == 3
+    assert {r["path"] for r in clean_rows} == {"/index.html", "/api/login", "/metrics"}
+    assert all(isinstance(r["bytes"], int) for r in clean_rows)
+    assert len(dlq_rows) == 2
+    assert any("not a csv record" in r for r in dlq_rows)
+    assert any("notanumber" in r for r in dlq_rows)
+    # DLQ rows carry their source file for replay
+    assert all(r["src_file"].endswith("elb.csv") for r in dlq.collect())
+    # clean frame no longer carries the corrupt column
+    assert "_corrupt_record" not in clean.columns

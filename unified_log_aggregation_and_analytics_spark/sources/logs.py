@@ -149,3 +149,58 @@ def stream_kinesis(
             "Kinesis connector not on classpath; use stream_text_logs/"
             "stream_json_logs file sources locally"
         ) from exc
+
+
+def read_csv_logs(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Batch read of CSV/TSV log exports (ELB access logs, CloudFront
+    logs, and billing exports arrive this way) with POISON-PROOF
+    parsing: PERMISSIVE mode plus ``columnNameOfCorruptRecord`` keeps
+    every malformed line as a ``_corrupt_record`` row instead of
+    failing the job or silently dropping it — the same
+    no-poisoning-the-batch stance the streaming DLQ split takes
+    (reference's Firehose transformer would fail the whole batch,
+    SURVEY §2.3 T8).
+
+    The returned frame carries the declared columns plus
+    ``_corrupt_record``; route with :func:`csv_dlq_split`. Schema is
+    always declared — inference costs a full pre-scan and can flip
+    types between days at scale.
+    """
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(out_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def csv_dlq_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a ``read_csv_logs`` frame into (clean, dead-letter):
+    clean rows drop the corrupt column; DLQ rows keep the full
+    (null-parsed) row, the raw line, and the source file for replay
+    after a parser fix. Map-only, no shuffle. (The DLQ branch keeps
+    every schema column deliberately: Spark disallows plans that prune
+    a raw CSV scan down to ``_corrupt_record`` alone, and the
+    null-parsed columns show a replayer exactly which fields failed.)
+    """
+    from pyspark.sql import functions as F
+
+    corrupt = F.col("_corrupt_record").isNotNull()
+    clean = df.filter(~corrupt).drop("_corrupt_record")
+    dlq = (
+        df.filter(corrupt)
+        .withColumnRenamed("_corrupt_record", "raw")
+        .withColumn("src_file", F.input_file_name())
+    )
+    return clean, dlq
