@@ -1039,3 +1039,32 @@ def test_quantile_cube_bound_merge_and_append(spark, tmp_path):
     inc_q = quantile_from_cube(spark, inc, q=0.9, group_by=["event_type"])
     got_i = {r["event_type"]: (r["bin"], r["n"]) for r in inc_q.collect()}
     assert got_i == got_m
+
+
+def test_semantic_dedup_idempotent_and_keep_rule(spark, emb):
+    """SemDeDup invariants: (a) every dropped id has a lower-id
+    >=threshold partner in its own cell; (b) survivors are pairwise
+    non-similar within cells, so a second pass drops nothing."""
+    cent = S.deterministic_centroids(emb, n_centroids=8)
+    kept = D.semantic_dedup(emb, cent, threshold=0.3)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept_ids <= all_ids and len(kept_ids) < len(all_ids)
+
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, cent)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dup(
+            assigned, block_col="cell", threshold=0.3
+        ).collect()
+    }
+    dropped = all_ids - kept_ids
+    assert dropped == {b for (_, b) in pairs}  # exactly the pair losers
+    # survivors pairwise non-similar -> idempotent
+    assert not any(a in kept_ids and b in kept_ids for (a, b) in pairs)
+    kept2 = D.semantic_dedup(
+        emb.join(kept.select("vec_id"), "vec_id"), cent, threshold=0.3
+    )
+    assert {r.vec_id for r in kept2.collect()} == kept_ids

@@ -202,6 +202,8 @@ SCALAR_BROADCAST_OK = {
     "tpch_q11",  # 1-row global-total threshold scalar
     "tpch_q15",  # 1-row max-revenue scalar
     "knn_graph_pagerank",  # 1-row node-count scalar per rank round
+    "q07e_heavy_hitters",  # 1-row total-n threshold scalar (from the
+    #   bounded persisted MG summary, not a corpus re-scan)
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

@@ -2835,3 +2835,44 @@ def multimodal_video_frames(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_with_y4m(docs, width=4, height=4)
     return MM.frame_luma_stats(media, every_ms=80, max_frames=8)
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id BETWEEN 0 AND 15),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             round({_cos_raw('e.embedding', 'c.ce')}, 6) AS csim,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c
+    ),
+    m AS (SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell,
+                 csim AS centroid_sim
+          FROM a WHERE rn = 1),
+    p AS (
+      SELECT y.vec_id AS id_b
+      FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round({_cos_raw('x.embedding', 'y.embedding')}, 6) >= 0.35
+    )
+    SELECT vec_id, cell, centroid_sim FROM m
+    WHERE vec_id NOT IN (SELECT id_b FROM p)
+"""
+
+
+@_register("dedup_semantic", _SEMANTIC_DEDUP_ORACLE)
+def dedup_semantic(spark, sf_dir):
+    """X2 — SemDeDup (Abbas et al. 2023): k-means cells over the
+    embedding space (seed centroids = 16 lowest-id vectors, the
+    deterministic_centroids pick), then drop every vector with a
+    lower-id >=0.35-cosine neighbor INSIDE its cell. Survivors carry
+    (cell, centroid_sim) — the curation signal the paper ranks by.
+    The oracle replays seed assignment (argmax cosine, ties -> lowest
+    ordinal), the within-cell pair sweep as a literal O(cell^2) join,
+    and the min-id keep rule; the Spark plan is the cell-blocked GEMM
+    — same answer, never n^2 across the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = S.deterministic_centroids(emb, n_centroids=16)
+    return D.semantic_dedup(emb, cent, threshold=0.35)

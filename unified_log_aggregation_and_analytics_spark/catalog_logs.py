@@ -345,43 +345,51 @@ def logs_funnel(spark, sf_dir):
     """Ordered funnel conversion (view → click → purchase): each stage
     is the user's FIRST qualifying event strictly after the previous
     stage's timestamp — the sequence-match semantics dashboards call a
-    funnel. Decorrelated to three per-user min aggregations chained by
-    user-keyed joins: every shuffle is on the uniform user key, the
-    per-stage frames shrink monotonically, and nothing is
-    order-sensitive (MIN, not window-walk) — at 100 TB this is three
-    cheap agg+join rounds, not a per-user event sort."""
+    funnel. Expressed as three stacked whole-partition window minima
+    over the SAME user-id partitioning: t1 = min(view ts), t2 =
+    min(click ts > t1), t3 = min(purchase ts > t2) — each window sees
+    the previous stage's column, so the strict ordering decorrelates
+    without any self-join. ONE scan of the event table and ONE
+    user-keyed exchange (Catalyst reuses the partitioning across the
+    stacked windows and the per-user collapse); the earlier
+    agg-and-join-per-stage form re-scanned the table six times. The
+    1-row stage-count frame then unpivots via stack()."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def stage(df, name):
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
         )
-
-    return (
-        stage(v, "1_view")
-        .unionAll(stage(c, "2_click"))
-        .unionAll(stage(p, "3_purchase"))
-        .orderBy("stage")
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)"
+        ).alias("stage", "n_users")
+    ).orderBy("stage")
 
 
 @_register(

@@ -558,3 +558,68 @@ def contamination_overlap(
         n_overlap.alias("n_overlap"),
         F.round(n_overlap.cast("double") / n_shingles, 6).alias("contamination"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X2 — SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the embedding space,
+    then drop every vector that has a semantically near-identical
+    lower-id neighbor WITHIN its cluster. Returns the survivors as
+    ``(id, cell, centroid_sim)`` — the pruned corpus plus the cluster
+    geometry a curation report wants.
+
+    The clustering IS the blocking key: pairwise cosine is only ever
+    computed inside a cell (``embedding_near_dup`` per-cell GEMM), so
+    the pair count is bounded by cell population — never n^2 across
+    the corpus, which is the entire point of the SemDeDup design at
+    100 TB (cluster count scales with the corpus; cells stay
+    executor-sized; skewed cells sub-shard by adding LSH bits to the
+    block key, same valve as embedding_near_dup).
+
+    Keep rule: min-id per similar pair (every pair drops its higher
+    id) — deterministic, idempotent (survivors are pairwise
+    non-similar, so a second pass drops nothing; asserted in tests).
+    The paper keeps a random member; min-id is the reproducible
+    variant of the same policy, as elsewhere in this module.
+
+    ``centroid_sim`` (cosine to the assigned centroid, rounded to 6
+    decimals) is the SemDeDup curation signal: the paper ranks
+    within-cluster keeps by centroid distance, and downstream quota /
+    mixture sampling can reuse the column directly.
+
+    Plan shape: a map-only mapInPandas GEMM stage for assignment
+    (C-way argmax per row; re-evaluated on the pairs and anti-join
+    branches — persist the assigned frame upstream for a strict
+    one-pass run at scale), one broadcast join against the C-row
+    centroid table for the JVM-side unrolled cosine, one cell-keyed
+    applyInPandas GEMM for pairs, one left-anti join to drop losers.
+    The corpus shuffles on the cell key only; centroids never exceed
+    C x dim floats.
+    """
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import ivf_assign
+
+    dim = int(centroids.shape[1])
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, _centroid array<double>")
+    scored = assigned.join(F.broadcast(cent_df), "cell").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_centroid"), dim=dim), 6).alias(
+            "centroid_sim"
+        ),
+    )
+    pairs = embedding_near_dup(
+        scored, id_col=id_col, vec_col=vec_col, block_col="cell", threshold=threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return scored.join(losers, id_col, "left_anti").select(id_col, "cell", "centroid_sim")

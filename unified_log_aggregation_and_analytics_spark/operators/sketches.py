@@ -161,14 +161,27 @@ def heavy_hitters_certificate(
     it and its estimate honored the MG error bound. Guaranteed TRUE
     by theory; any implementation bug flips a flag and fails the hash
     match. The exact side here is one groupBy — affordable at test
-    scale; at 100 TB only the summary runs."""
-    summary = misra_gries_summary(df, key_col, capacity, n_shards)
+    scale; at 100 TB only the summary runs.
+
+    The summary frame is persisted: it is BOUNDED by construction
+    (<= capacity x n_shards rows), and the certificate references it
+    twice (total-n derivation + the capture join) — caching a few
+    hundred rows beats recomputing the corpus pass, at any scale. The
+    global n comes from the summary's own per-shard ``shard_n``
+    (sum over distinct shards) — an MG summary carries its stream
+    length as part of the mergeable-summary contract, and using it
+    here means the oracle's exact n cross-checks shard_n through the
+    heavy-set membership: a miscounted shard shifts the threshold and
+    fails the hash match."""
+    summary = misra_gries_summary(df, key_col, capacity, n_shards).persist()
     exact = (
         df.select(F.col(key_col).cast("string").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
     )
-    total = exact.agg(F.sum("true_cnt").alias("n"))
+    total = (
+        summary.select("shard", "shard_n").distinct().agg(F.sum("shard_n").alias("n"))
+    )
     heavy = (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("true_cnt") * (capacity + 1) > F.col("n"))
