@@ -1068,3 +1068,22 @@ def test_semantic_dedup_idempotent_and_keep_rule(spark, emb):
         emb.join(kept.select("vec_id"), "vec_id"), cent, threshold=0.3
     )
     assert {r.vec_id for r in kept2.collect()} == kept_ids
+
+
+def test_dsir_select_prefers_target_distribution(spark, docs):
+    """DSIR invariants: the selection is exactly n rows; every score is
+    finite; and the selected set is enriched in the target slice
+    relative to the corpus (the whole point of importance reweighting
+    — target-like n-gram distributions score higher)."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import dsir_select
+
+    n_docs = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    picked = dsir_select(docs, target=F.col("lang") == "en", n_select=40).collect()
+    assert len(picked) == 40
+    assert all(r.dsir_logweight == r.dsir_logweight for r in picked)  # no NaN
+    en_frac_sel = sum(1 for r in picked if r.lang == "en") / 40
+    assert en_frac_sel > n_en / n_docs  # enrichment
+    # determinism: a second run returns the identical ranked list
+    again = dsir_select(docs, target=F.col("lang") == "en", n_select=40).collect()
+    assert [r.doc_id for r in picked] == [r.doc_id for r in again]

@@ -204,6 +204,8 @@ SCALAR_BROADCAST_OK = {
     "knn_graph_pagerank",  # 1-row node-count scalar per rank round
     "q07e_heavy_hitters",  # 1-row total-n threshold scalar (from the
     #   bounded persisted MG summary, not a corpus re-scan)
+    "docs_dsir_sample",  # 1-row corpus/target gram-total scalars over
+    #   the B-row bucket marginals of the persisted feature frame
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

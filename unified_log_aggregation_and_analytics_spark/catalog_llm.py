@@ -2876,3 +2876,55 @@ def dedup_semantic(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cent = S.deterministic_centroids(emb, n_centroids=16)
     return D.semantic_dedup(emb, cent, threshold=0.35)
+
+
+_DSIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, source, (lang = 'en') AS is_tgt,
+             regexp_split_to_array(text, '\\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, source, is_tgt, unnest(tk) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang, source, is_tgt,
+             unnest(list_transform(range(1, greatest(len(tk), 2)),
+                    i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g
+      FROM toks
+    ), f AS (
+      SELECT doc_id, lang, source, is_tgt,
+             CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) % 256 AS BIGINT) AS bk,
+             COUNT(*) AS c
+      FROM g GROUP BY ALL
+    ), raw AS (SELECT bk, SUM(c) AS rc FROM f GROUP BY bk),
+    tgt AS (SELECT bk, SUM(c) AS tc FROM f WHERE is_tgt GROUP BY bk),
+    tot AS (SELECT (SELECT SUM(rc) FROM raw) AS rn,
+                   (SELECT SUM(tc) FROM tgt) AS tn),
+    lam AS (
+      SELECT raw.bk,
+             CAST(round((ln((coalesce(tc, 0) + 1.0) / (tn + 256.0))
+                       - ln((rc + 1.0) / (rn + 256.0))) * 1e9) AS BIGINT) AS lam
+      FROM raw LEFT JOIN tgt ON raw.bk = tgt.bk CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, lang, source, SUM(c * lam) AS w
+      FROM f JOIN lam ON f.bk = lam.bk
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, source,
+           round(CAST(w AS DOUBLE) / 1e9, 6) AS dsir_logweight
+    FROM w ORDER BY w DESC, doc_id LIMIT 100
+"""
+
+
+@_register("docs_dsir_sample", _DSIR_ORACLE)
+def docs_dsir_sample(spark, sf_dir):
+    """Training-pipeline data selection — DSIR importance resampling
+    (operators/sampling.py dsir_select): hashed unigram+bigram
+    likelihood ratios against an English-slice target distribution,
+    top-100 by exact int64 nano-unit score. The oracle replays the
+    md5 bucket hashing, add-1 smoothing, 9-decimal lambda rounding,
+    and the integer dot product — both engines rank on identical
+    int64 scores, so the top-k boundary cannot drift."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, target=F.col("lang") == "en", n_select=100)

@@ -309,3 +309,115 @@ def write_training_shards(
         .partitionBy(split_col)
         .parquet(path)
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    n_select: int,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al.
+    2023, arXiv:2302.03169, public): score every document by how much
+    more likely its hashed n-gram features are under a TARGET
+    distribution (the rows matching ``target``, e.g. a trusted
+    high-quality slice) than under the raw corpus, and keep the
+    ``n_select`` highest scorers. This is the standard
+    pretraining-data selection stage: cheap bag-of-hashed-ngrams
+    likelihood ratios instead of a model forward pass.
+
+    Features are unigrams + bigrams of the whitespace tokenization,
+    hashed into ``n_buckets`` buckets via md5 (engine-portable, like
+    every hash in this package). Per-bucket add-``alpha`` smoothed
+    log-likelihood ratios:
+
+        lambda_b = ln((tgt_b + a)/(tgt_n + a*B)) - ln((raw_b + a)/(raw_n + a*B))
+
+    and a document's score is sum over its feature occurrences of
+    lambda_b. The paper then Gumbel-resamples; top-k by score with an
+    id tie-break is the reproducible variant, consistent with the
+    rest of this module (hash-based, never RNG).
+
+    Engine portability: each lambda_b is rounded to an INTEGER number
+    of nano-units (round(lambda*1e9) as int64), so the per-doc score
+    is an exact int64 dot product — no float summation order anywhere
+    between the two engines; the reported ``dsir_logweight`` divides
+    back to a double at the end.
+
+    Plan shape / scale: the corpus is featurized ONCE into a persisted
+    (doc, bucket, count) frame — the DSIR architecture's "featurize
+    then weigh" split; at 100 TB this frame is what you would write to
+    parquet. Everything downstream is bounded by B: raw/target bucket
+    marginals are two aggregations OF THAT FRAME (B rows out), the
+    lambda table is B rows broadcast back onto it, and the final score
+    is one doc-keyed sum + TakeOrderedAndProject(n_select). The 1-row
+    corpus/target totals ride the same scalar-broadcast idiom as the
+    TPC-H threshold queries.
+    """
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
+
+    toks = tokens(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    grams = F.concat(toks, bigrams)
+    bk = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    feats = (
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            target.alias("_is_tgt"),
+            F.explode(grams).alias("_g"),
+        )
+        .select(id_col, *carry_cols, "_is_tgt", bk.alias("_bk"))
+        .groupBy(id_col, *carry_cols, "_is_tgt", "_bk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    raw = feats.groupBy("_bk").agg(F.sum("_c").alias("_rc"))
+    tgt = feats.filter(F.col("_is_tgt")).groupBy("_bk").agg(F.sum("_c").alias("_tc"))
+    totals = raw.agg(F.sum("_rc").alias("_rn")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("_tc").alias("_tn")))
+    )
+    aB = float(alpha) * n_buckets
+    lam = (
+        raw.join(tgt, "_bk", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_bk",
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(float(alpha)))
+                          / (F.col("_tn") + F.lit(aB)))
+                    - F.log((F.col("_rc") + F.lit(float(alpha)))
+                            / (F.col("_rn") + F.lit(aB)))
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("_lam"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "_bk")
+        .groupBy(id_col, *carry_cols)
+        .agg(F.sum(F.col("_c") * F.col("_lam")).alias("_w"))
+    )
+    return (
+        scored.orderBy(F.col("_w").desc(), id_col)
+        .limit(n_select)
+        .select(
+            id_col,
+            *carry_cols,
+            F.round(F.col("_w") / F.lit(1e9), 6).alias("dsir_logweight"),
+        )
+    )
