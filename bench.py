@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "tpch_q21",
     "text_gopher_rules",
     "text_chunks_rag",
+    # round-5 curation additions: semantic dedup over embedding cells,
+    # DSIR hashed-ngram importance selection
+    "dedup_semantic",
+    "docs_dsir_sample",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -122,6 +126,8 @@ SCALE_QUERIES = [
     "knn_batch",
     "text_lm_score",
     "knn_pq_adc_seeded",
+    "dedup_semantic",
+    "docs_dsir_sample",
 ]
 
 

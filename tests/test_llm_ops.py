@@ -1087,3 +1087,30 @@ def test_dsir_select_prefers_target_distribution(spark, docs):
     # determinism: a second run returns the identical ranked list
     again = dsir_select(docs, target=F.col("lang") == "en", n_select=40).collect()
     assert [r.doc_id for r in picked] == [r.doc_id for r in again]
+
+
+def test_epoch_repeat_sample_copy_counts(spark, docs):
+    """Every src0 doc appears floor(2.5)=2 or 3 times with contiguous
+    epoch ordinals; src1 exactly once; unlisted strata are dropped;
+    membership of the extra copy is deterministic."""
+    from collections import Counter
+
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        epoch_repeat_sample,
+    )
+
+    out = epoch_repeat_sample(docs, {"src0": 2.5, "src1": 1.0}).collect()
+    assert {r.source for r in out} == {"src0", "src1"}
+    per_doc = Counter((r.doc_id, r.source) for r in out)
+    epochs_seen: dict[int, set] = {}
+    for r in out:
+        epochs_seen.setdefault(r.doc_id, set()).add(r.epoch)
+    for (doc_id, src), k in per_doc.items():
+        assert k in (2, 3) if src == "src0" else k == 1
+        assert epochs_seen[doc_id] == set(range(k))  # contiguous ordinals
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert sum(1 for (_, s), k in per_doc.items() if s == "src0") == n_src0
+    again = epoch_repeat_sample(docs, {"src0": 2.5, "src1": 1.0}).collect()
+    assert Counter((r.doc_id, r.epoch) for r in again) == Counter(
+        (r.doc_id, r.epoch) for r in out
+    )

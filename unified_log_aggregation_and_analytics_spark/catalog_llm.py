@@ -2928,3 +2928,38 @@ def docs_dsir_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_select(docs, target=F.col("lang") == "en", n_select=100)
+
+
+_EPOCH_REPEAT_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, source,
+             CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                              WHEN 'src2' THEN 0.4 END AS DOUBLE) AS e,
+             (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 1000000000 AS DOUBLE) + 0.5) / 1e9 AS u
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source,
+             CAST(floor(e) AS INT)
+               + (CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END) AS n
+      FROM p WHERE e IS NOT NULL
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n)) AS INT) AS epoch FROM k
+"""
+
+
+@_register("docs_epoch_repeat", _EPOCH_REPEAT_ORACLE)
+def docs_epoch_repeat(spark, sf_dir):
+    """Training-pipeline repeat mixing (operators/sampling.py
+    epoch_repeat_sample): src0 runs 2.5 epochs (every doc twice, the
+    hash-selected half a third time), src1 one epoch, src2 0.4
+    epochs, everything else dropped — fractional epochs realized
+    deterministically per document, each copy tagged with its epoch
+    ordinal. Map-only plan: the oracle replays the md5 u-value,
+    floor/frac split, and the 0..k-1 fan-out."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        epoch_repeat_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_repeat_sample(docs, {"src0": 2.5, "src1": 1.0, "src2": 0.4})

@@ -421,3 +421,50 @@ def dsir_select(
             F.round(F.col("_w") / F.lit(1e9), 6).alias("dsir_logweight"),
         )
     )
+
+
+def epoch_repeat_sample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fractional-epoch repeat mixing: emit each document of stratum
+    ``s`` exactly ``floor(e_s)`` times, plus one extra copy for the
+    hash-selected ``frac(e_s)`` fraction of its documents — so the
+    stratum contributes ``e_s`` epochs in expectation and EXACTLY
+    deterministically per document. This is the up-sampling half of
+    data mixing (the published pretraining recipes that repeat
+    high-quality sources 2-5 epochs while larger corpora run under
+    one); ``mixture_sample``/``temperature_mixture_sample`` only ever
+    downsample.
+
+    Each copy carries an ``epoch`` ordinal (0..k-1): downstream shard
+    writing salts layout by it so repeats of a document land in
+    different training shards rather than adjacent rows.
+
+    Strata absent from ``epochs`` are dropped (same contract as
+    mixture_sample). Membership of the extra copy reuses the module's
+    9-digit md5 u-value — a pure function of the id, identical on
+    every engine and retry.
+
+    Plan shape: map-only. No shuffle, no aggregation, no join — the
+    epochs map is a literal CASE expression and the copy fan-out is
+    explode(sequence(0, k-1)) fused into the scan's codegen stage. At
+    100 TB this costs exactly the output volume, nothing else.
+    """
+    if not epochs or any(e < 0 for e in epochs.values()):
+        raise ValueError("epoch factors must be >= 0")
+    m = F.create_map(*[F.lit(x) for kv in epochs.items() for x in kv])
+    e = m[F.col(stratum_col)].cast("double")
+    u = (hash_bucket(id_col, 1_000_000_000).cast("double") + 0.5) / 1_000_000_000.0
+    n_copies = (
+        F.floor(e) + F.when(u < e - F.floor(e), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.filter(e.isNotNull())
+        .select(F.col(id_col), F.col(stratum_col), F.explode(copies).alias("epoch"))
+    )
