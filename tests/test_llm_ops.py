@@ -1114,3 +1114,17 @@ def test_epoch_repeat_sample_copy_counts(spark, docs):
     assert Counter((r.doc_id, r.epoch) for r in again) == Counter(
         (r.doc_id, r.epoch) for r in out
     )
+
+
+def test_fuzzy_search_matches_typos(spark):
+    """Edit-distance-1 query catches typo'd and inflected tokens but
+    not distance-2 ones."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, "the tble holds rows"), (2, "a table of contents"),
+         (3, "tablet computers"), (4, "nothing relevant here")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.token, r.dist) for r in R.fuzzy_search(df, "table", 1).collect()}
+    assert got == {(1, "tble", 1), (2, "table", 0), (3, "tablet", 1)}

@@ -2538,3 +2538,25 @@ def q07e_heavy_hitters(spark, sf_dir):
         .alias("hh_key")
     )
     return heavy_hitters_certificate(ev, "hh_key", capacity=32, n_shards=8)
+
+
+@_register(
+    "q02h_fuzzy_search",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM documents
+    )
+    SELECT doc_id, token, CAST(levenshtein(token, 'part') AS INT) AS dist
+    FROM tok WHERE levenshtein(token, 'part') <= 2
+    """,
+)
+def q02h_fuzzy_search(spark, sf_dir):
+    """Q2 — OpenSearch-style fuzzy term query (fuzziness=2 on 'part'):
+    vocabulary-first Levenshtein (operators/relational.py
+    fuzzy_search) — the dictionary pays the edit-distance work, the
+    corpus pays one scan; the oracle recomputes the distance per
+    exploded token, same answer."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.fuzzy_search(docs, "part", max_edits=2, text_col="text")
