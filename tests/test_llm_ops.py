@@ -1128,3 +1128,17 @@ def test_fuzzy_search_matches_typos(spark):
     )
     got = {(r.doc_id, r.token, r.dist) for r in R.fuzzy_search(df, "table", 1).collect()}
     assert got == {(1, "tble", 1), (2, "table", 0), (3, "tablet", 1)}
+
+
+def test_phrase_search_requires_adjacency(spark):
+    """Phrase match means consecutive tokens: intervening words or
+    reversed order don't match; repeats are counted."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, "fast table scan"), (2, "fast little table"),
+         (3, "table fast"), (4, "fast table fast table")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.n_matches) for r in R.phrase_search(df, "fast table").collect()}
+    assert got == {(1, 1), (4, 2)}

@@ -2560,3 +2560,30 @@ def q02h_fuzzy_search(spark, sf_dir):
     exploded token, same answer."""
     docs = _t(spark, sf_dir, "documents")
     return R.fuzzy_search(docs, "part", max_edits=2, text_col="text")
+
+
+@_register(
+    "q02i_phrase_search",
+    """
+    WITH g AS (
+      SELECT doc_id, lang, source,
+             list_transform(range(1, greatest(len(str_split(lower(text), ' ')), 2)),
+                 i -> array_to_string(list_slice(str_split(lower(text), ' '), i, i + 1), ' ')
+             ) AS grams
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(len(list_filter(grams, x -> x = 'fast table')) AS INT) AS n_matches
+    FROM g
+    WHERE len(list_filter(grams, x -> x = 'fast table')) > 0
+    """,
+)
+def q02i_phrase_search(spark, sf_dir):
+    """Q2 — OpenSearch match_phrase ('fast table'): consecutive-token
+    positional match with occurrence counts, computed as a per-row
+    array expression — one scan, zero shuffle (operators/relational.py
+    phrase_search). The oracle rebuilds the same bigram stream."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.phrase_search(docs, "fast table", text_col="text").select(
+        "doc_id", "lang", "source", "n_matches"
+    )

@@ -645,3 +645,37 @@ def fuzzy_search(
         "token", F.levenshtein(F.col("token"), F.lit(term.lower())).alias("dist")
     ).filter(F.col("dist") <= max_edits)
     return toks.join(F.broadcast(matched), "token").select(id_col, "token", "dist")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 — match_phrase: documents containing the query tokens as a
+    CONSECUTIVE sequence (OpenSearch's positional phrase query), with
+    the occurrence count. ``full_text_search`` substring matching
+    can't distinguish token adjacency from substring accidents; this
+    checks real token positions.
+
+    Plan shape: zero shuffle. The n-gram stream of each row is built
+    and filtered per-row with array expressions fused into the scan
+    stage — phrase matching costs one corpus scan exactly, like any
+    predicate filter, and composes with partition pruning/pushdown.
+    The indexed upgrade path is positional postings (token, id, pos)
+    with an (id, pos+k) chain join — the OpenSearch layout — worth it
+    only once query volume amortizes the index build.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    n = len(terms)
+    if n == 0:
+        raise ValueError("empty phrase")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    target = " ".join(terms)
+    n_matches = F.size(F.filter(grams, lambda g: g == F.lit(target)))
+    return df.withColumn("n_matches", n_matches).filter(F.col("n_matches") > 0)
