@@ -1142,3 +1142,24 @@ def test_phrase_search_requires_adjacency(spark):
     )
     got = {(r.doc_id, r.n_matches) for r in R.phrase_search(df, "fast table").collect()}
     assert got == {(1, 1), (4, 2)}
+
+
+def test_phrase_search_indexed_equals_scan(spark, tmp_path):
+    """3-term phrase via the positional index == the scan-time count
+    (exercises the multi-offset position chain)."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(1, "big fast table scan now"), (2, "big fast little table"),
+         (3, "big fast table and big fast table again"), (4, "fast table big")],
+        ["doc_id", "text"],
+    )
+    name = "pos_idx_ut"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    R.build_positional_index_table(df, name)
+    scan = {(r.doc_id, r.n_matches) for r in R.phrase_search(df, "big fast table").collect()}
+    idx = {
+        (r.doc_id, r.n_matches)
+        for r in R.phrase_search_indexed(spark, df, name, "big fast table").collect()
+    }
+    assert scan == idx == {(1, 1), (3, 2)}

@@ -2587,3 +2587,34 @@ def q02i_phrase_search(spark, sf_dir):
     return R.phrase_search(docs, "fast table", text_col="text").select(
         "doc_id", "lang", "source", "n_matches"
     )
+
+
+def _positional_index_table(spark, sf_dir) -> str:
+    """Session-scoped persisted positional index (token -> doc ->
+    sorted positions), the _token_index_table lifecycle applied to the
+    phrase-query layout."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    name = "pos_idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    if not spark.catalog.tableExists(name):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        leftover = Path(wh) / name.lower()
+        if leftover.exists():
+            shutil.rmtree(leftover)
+        R.build_positional_index_table(_t(spark, sf_dir, "documents"), name)
+    return name
+
+
+@_register("q02j_phrase_search_indexed", QUERIES["q02i_phrase_search"].oracle)
+def q02j_phrase_search_indexed(spark, sf_dir):
+    """Q2 persisted-positional-index path — match_phrase resolved from
+    (token, doc, positions) postings: per-term pruned posting reads,
+    doc-keyed equi-joins, per-row position-array intersection. Must
+    equal the scan-time q02i result, hence shares its oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    name = _positional_index_table(spark, sf_dir)
+    return R.phrase_search_indexed(spark, docs, name, "fast table").select(
+        "doc_id", "lang", "source", "n_matches"
+    )

@@ -685,3 +685,78 @@ def phrase_search(
     target = " ".join(terms)
     n_matches = F.size(F.filter(grams, lambda g: g == F.lit(target)))
     return df.withColumn("n_matches", n_matches).filter(F.col("n_matches") > 0)
+
+
+def build_positional_index_table(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = TOKEN_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Q2 persisted POSITIONAL index — the OpenSearch posting layout
+    that makes phrase queries index-resolvable: one row per (token,
+    doc) carrying the SORTED array of token positions, bucketed and
+    sorted by token like the tf index (hash(term) bucket pruning,
+    SelectedBucketsCount). Build cost is one posexplode + one
+    grouped collect over the corpus; storage is the token stream
+    re-grouped, same order of magnitude as the tf index plus the
+    position ints."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    postings = pos.groupBy("token", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    (
+        postings.write.bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def phrase_search_indexed(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_name: str,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 — indexed match_phrase: resolve a consecutive-token phrase
+    from the positional index WITHOUT scanning the corpus. Each query
+    term reads only its posting bucket (pruned scan); the n posting
+    frames equi-join on the doc id (each is one term's postings —
+    corpus-frequency-bounded, never corpus-sized); the position
+    arrays then intersect per row: an occurrence is a position p of
+    term 0 with p+i present in term i's array for every i — a per-row
+    array expression, no further shuffle. Equals the scan-time
+    ``phrase_search`` count (they share an oracle), at the cost of
+    |phrase| posting-list reads instead of a corpus scan."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    postings = spark.table(table_name)
+    cur = (
+        postings.filter(F.col("token") == terms[0])
+        .select(F.col(id_col), F.col("positions").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], 1):
+        nxt = postings.filter(F.col("token") == t).select(
+            F.col(id_col), F.col("positions").alias(f"_p{i}")
+        )
+        cur = cur.join(nxt, id_col)
+    match = F.col("_p0")
+
+    def _chain(i: int):
+        # closure factory: F.filter inspects lambda arity, so a
+        # default-arg second parameter would bind the ARRAY INDEX
+        return lambda p: F.array_contains(F.col(f"_p{i}"), p + i)
+
+    for i in range(1, len(terms)):
+        match = F.filter(match, _chain(i))
+    hits = cur.select(F.col(id_col), F.size(match).alias("n_matches")).filter(
+        F.col("n_matches") > 0
+    )
+    return docs.join(hits, id_col)
