@@ -1,0 +1,215 @@
+"""Streaming semantic dedup — online SemDeDup over an embedding
+stream (the streaming counterpart of operators/dedup.semantic_dedup,
+completing the online-dedup family: exact fingerprints in
+streaming/corpus.py, MinHash bands ibid., perceptual hashes in
+streaming/media.py, embedding cosine HERE).
+
+Architecture mirrors the sidecar pattern those pipelines share:
+centroids are FROZEN at pipeline start (trained offline with
+similarity.kmeans_refine — the frozen-quantizer contract the
+persisted IVF/PQ indexes already use, so assignment is stable across
+batches and engines), and the corpus state lives in ONE sidecar
+``<table>_cells`` partitioned by cell: (vec_id, cell, embedding).
+Each micro-batch:
+
+1. assigns cells (mapInPandas GEMM, map-only);
+2. runs ONE applyInPandas pass PER CELL over the batch rows plus the
+   sidecar rows of the same cells: a new row drops if it has cosine
+   >= threshold to any already-ingested row of its cell, or to a
+   smaller-id row of the same batch (the within-batch keep-min rule)
+   — both checks come out of the same two GEMMs, so per-trigger cost
+   tracks the delta's cell populations, never the corpus text;
+3. survivors append to the table and the cell sidecar; rejects
+   dead-letter with ``_error='semantic_duplicate'``; with a batch_id,
+   outcome counts append to ``<table>_metrics`` as the completion
+   marker.
+
+WRITE ORDER: the survivor frame's lineage reads the cell sidecar (the
+cross-batch check), so it is ``localCheckpoint``-ed BEFORE the sidecar
+append — appending to a parquet path invalidates and re-reads every
+cached plan over it (see .claude/skills/verify and streaming/corpus.py
+for the incident this guards against). Delivery is at-least-once; a
+batch that completed through the sidecar append replays idempotently
+for the corpus table (its rows are their own semantic duplicates).
+
+At 100 TB: per-cell state grows with the corpus; the valve is the
+same as batch SemDeDup — more centroids (cells stay executor-sized)
+— plus sidecar compaction (compact_cell_sidecar) to fold the
+per-trigger small files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.operators.similarity import ivf_assign
+
+
+def _cell_sidecar(table_path: str) -> str:
+    return f"{table_path}_cells"
+
+
+def _semantic_drop_ids(
+    new_assigned: DataFrame,
+    old_cells: DataFrame | None,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids of NEW rows to drop: cosine >= threshold to any old row of
+    the same cell, or to a smaller-id new row of the same cell. One
+    grouped Arrow pass per cell; two GEMMs per group."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    new_side = new_assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell",
+        F.lit(False).alias("_old"),
+    )
+    if old_cells is not None:
+        old_side = old_cells.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell",
+            F.lit(True).alias("_old"),
+        )
+        both = new_side.unionByName(old_side)
+    else:
+        both = new_side
+    out_schema = StructType([StructField("drop_id", LongType())])
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf[~pdf["_old"]]
+        if len(new) == 0:
+            return pd.DataFrame({"drop_id": []}).astype({"drop_id": "int64"})
+        n = np.stack(new["_v"].to_numpy()).astype(np.float64)
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        ids = new["_id"].to_numpy()
+        drop = np.zeros(len(new), dtype=bool)
+        old = pdf[pdf["_old"]]
+        if len(old) > 0:
+            o = np.stack(old["_v"].to_numpy()).astype(np.float64)
+            o /= np.maximum(np.linalg.norm(o, axis=1, keepdims=True), 1e-12)
+            drop |= (np.round(n @ o.T, 6) >= threshold).any(axis=1)
+        sims = np.round(n @ n.T, 6)
+        smaller = ids[None, :] < ids[:, None]  # [i, j]: id_j < id_i
+        drop |= ((sims >= threshold) & smaller).any(axis=1)
+        return pd.DataFrame({"drop_id": ids[drop].astype("int64")})
+
+    return both.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+
+
+def semantic_ingest_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    rejected_path: str,
+    centroids: np.ndarray,
+    threshold: float = 0.35,
+    batch_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest ONE micro-batch of embedding rows (see module
+    docstring for the architecture and write-order contract)."""
+    spark = batch_df.sparkSession
+    assigned = ivf_assign(batch_df, centroids, vec_col=vec_col)
+    assigned.persist()
+    try:
+        try:
+            old = spark.read.parquet(_cell_sidecar(table_path))
+        except Exception:
+            old = None  # first trigger: no sidecar yet
+        drops = _semantic_drop_ids(
+            assigned, old, threshold, id_col=id_col, vec_col=vec_col
+        ).withColumnRenamed("drop_id", id_col)
+        (
+            assigned.join(drops, id_col)
+            .drop("cell")
+            .withColumn("_error", F.lit("semantic_duplicate"))
+            .write.mode("append")
+            .parquet(rejected_path)
+        )
+        kept = assigned.join(drops, id_col, "left_anti")
+        # SEVER LINEAGE before the sidecar append (module docstring).
+        kept = kept.localCheckpoint()
+        metric_rows = None
+        if batch_id is not None:
+            n_in = assigned.count()
+            n_ing = kept.count()
+            metric_rows = [
+                (int(batch_id), "ingested", n_ing),
+                (int(batch_id), "semantic_duplicate", n_in - n_ing),
+            ]
+        kept.drop("cell").write.mode("append").parquet(table_path)
+        (
+            kept.select(id_col, "cell", vec_col)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(_cell_sidecar(table_path))
+        )
+        if metric_rows is not None:
+            spark.createDataFrame(
+                metric_rows, "batch_id long, outcome string, n long"
+            ).write.mode("append").parquet(f"{table_path}_metrics")
+    finally:
+        assigned.unpersist()
+
+
+@dataclass
+class SemanticPipelineResult:
+    query: object
+    table_path: str
+    rejected_path: str
+
+
+def run_semantic_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    rejected_path: str,
+    checkpoint: str,
+    centroids: np.ndarray,
+    threshold: float = 0.35,
+    trigger: dict | None = None,
+) -> SemanticPipelineResult:
+    """Wire the online semantic dedup end-to-end: parquet readStream
+    of embedding rows -> foreachBatch(semantic_ingest_batch) with the
+    frozen centroids. Trigger defaults to the reference's 60 s
+    buffering hint (utils.ts:46); tests pass ``availableNow=True``."""
+    trigger = trigger or {"processingTime": "60 seconds"}
+    stream = spark.readStream.schema(
+        spark.read.parquet(source_dir).schema
+    ).parquet(source_dir)
+
+    def handle(df: DataFrame, bid: int) -> None:
+        semantic_ingest_batch(
+            df, table_path, rejected_path, centroids,
+            threshold=threshold, batch_id=bid,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+    return SemanticPipelineResult(q, table_path, rejected_path)
+
+
+def compact_cell_sidecar(spark: SparkSession, table_path: str) -> None:
+    """Fold the per-trigger small files of the cell sidecar into one
+    file per cell partition (same maintenance contract as the corpus
+    and media sidecar compactors): read, repartition by cell, rewrite
+    to a temp path, swap."""
+    import shutil
+    from pathlib import Path
+
+    side = _cell_sidecar(table_path)
+    tmp = side + "_compact_tmp"
+    df = spark.read.parquet(side)
+    df.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    shutil.rmtree(side)
+    Path(tmp).rename(side)
