@@ -1163,3 +1163,16 @@ def test_phrase_search_indexed_equals_scan(spark, tmp_path):
         for r in R.phrase_search_indexed(spark, df, name, "big fast table").collect()
     }
     assert scan == idx == {(1, 1), (3, 2)}
+
+
+def test_significant_terms_surfaces_slice_specific_vocab(spark):
+    """A term present in every foreground doc but rare in background
+    tops the list; corpus-uniform terms score ~0 or drop out."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+
+    rows = [(i, "common filler " + ("signal " if i < 5 else "noise "), i < 5)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, fg boolean")
+    got = R.significant_terms(df, F.col("fg"), k=5).collect()
+    assert got[0].token == "signal" and got[0].fg_df == 5 and got[0].bg_df == 5
+    assert all(r.token != "noise" for r in got)  # under-represented in fg

@@ -206,6 +206,7 @@ SCALAR_BROADCAST_OK = {
     #   bounded persisted MG summary, not a corpus re-scan)
     "docs_dsir_sample",  # 1-row corpus/target gram-total scalars over
     #   the B-row bucket marginals of the persisted feature frame
+    "q06e_significant_terms",  # 1-row fg/bg doc-total scalar
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

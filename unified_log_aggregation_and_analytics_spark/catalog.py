@@ -2618,3 +2618,37 @@ def q02j_phrase_search_indexed(spark, sf_dir):
     return R.phrase_search_indexed(spark, docs, name, "fast table").select(
         "doc_id", "lang", "source", "n_matches"
     )
+
+
+@_register(
+    "q06e_significant_terms",
+    """
+    WITH tok AS (
+      SELECT (lang = 'de') AS fg,
+             unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM documents
+    ), freqs AS (
+      SELECT token, COUNT(*) AS bg_df,
+             COUNT(*) FILTER (fg) AS fg_df
+      FROM tok WHERE token <> '' GROUP BY token
+    ), tot AS (
+      SELECT COUNT(*) AS n_bg, COUNT(*) FILTER (lang = 'de') AS n_fg
+      FROM documents
+    )
+    SELECT token, fg_df, bg_df,
+           round((fg_df / CAST(n_fg AS DOUBLE) - bg_df / CAST(n_bg AS DOUBLE))
+                 * ((fg_df / CAST(n_fg AS DOUBLE)) / (bg_df / CAST(n_bg AS DOUBLE))), 6)
+             AS jlh
+    FROM freqs CROSS JOIN tot
+    WHERE fg_df > 0
+      AND fg_df / CAST(n_fg AS DOUBLE) > bg_df / CAST(n_bg AS DOUBLE)
+    ORDER BY jlh DESC, token LIMIT 20
+    """,
+)
+def q06e_significant_terms(spark, sf_dir):
+    """Q6/Q10 — OpenSearch significant_terms ('what is different about
+    the German slice'): JLH-scored over-representation of per-doc
+    token frequencies, one conditional agg + 1-row totals scalar
+    (operators/relational.py significant_terms)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.significant_terms(docs, F.col("lang") == "de", k=20, text_col="text")

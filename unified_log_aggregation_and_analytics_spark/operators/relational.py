@@ -760,3 +760,57 @@ def phrase_search_indexed(
         F.col("n_matches") > 0
     )
     return docs.join(hits, id_col)
+
+
+def significant_terms(
+    df: DataFrame,
+    foreground: Column,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q6/Q10 — the OpenSearch ``significant_terms`` aggregation:
+    terms OVER-REPRESENTED in a foreground slice relative to the
+    background corpus, ranked by the JLH score
+    ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` over per-document
+    frequencies — "what is different about these documents", the
+    Discover drill-down OpenSearch ships natively.
+
+    Plan shape: the corpus explodes its per-doc DISTINCT tokens once,
+    each posting tagged with the foreground flag, and ONE conditional
+    hash aggregation produces both document frequencies per term
+    (vocab-bounded output). The two corpus totals ride a 1-row scalar
+    broadcast (the TPC-H threshold idiom), the score is arithmetic
+    over the vocab rows, and the top-k is TakeOrderedAndProject on
+    the 6-decimal-rounded score with a term tie-break — deterministic
+    and engine-portable. Two corpus scans (postings + doc totals),
+    never more; at 100 TB the posting explode is the cost, identical
+    to one scan-time token search."""
+    tok = df.select(
+        foreground.alias("_fg"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    freqs = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("bg_df"),
+        F.count(F.when(F.col("_fg"), F.lit(1))).alias("fg_df"),
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("_n_bg"),
+        F.count(F.when(foreground, F.lit(1))).alias("_n_fg"),
+    )
+    fg_rate = F.col("fg_df") / F.col("_n_fg")
+    bg_rate = F.col("bg_df") / F.col("_n_bg")
+    return (
+        freqs.crossJoin(F.broadcast(totals))
+        .filter((F.col("fg_df") > 0) & (fg_rate > bg_rate))
+        .select(
+            "token",
+            "fg_df",
+            "bg_df",
+            F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6).alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), "token")
+        .limit(k)
+    )
