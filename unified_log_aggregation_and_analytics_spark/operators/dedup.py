@@ -593,33 +593,51 @@ def semantic_dedup(
     within-cluster keeps by centroid distance, and downstream quota /
     mixture sampling can reuse the column directly.
 
-    Plan shape: a map-only mapInPandas GEMM stage for assignment
-    (C-way argmax per row; re-evaluated on the pairs and anti-join
-    branches — persist the assigned frame upstream for a strict
-    one-pass run at scale), one broadcast join against the C-row
-    centroid table for the JVM-side unrolled cosine, one cell-keyed
-    applyInPandas GEMM for pairs, one left-anti join to drop losers.
-    The corpus shuffles on the cell key only; centroids never exceed
-    C x dim floats.
+    Plan shape: ONE corpus scan, ONE shuffle. The map-only mapInPandas
+    assignment stage (C-way argmax GEMM per Arrow batch) feeds a
+    single cell-keyed applyInPandas pass whose one normalized GEMM
+    per cell yields BOTH the pairwise drop decisions and the
+    centroid similarities — survivors stream straight out of the
+    grouped pass, no join-back, no second evaluation of the
+    assignment. Centroids never exceed C x dim floats (closure-
+    shipped to the tasks).
     """
-    from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     from unified_log_aggregation_and_analytics_spark.operators.similarity import ivf_assign
 
-    dim = int(centroids.shape[1])
-    assigned = ivf_assign(df, centroids, vec_col=vec_col)
-    spark = df.sparkSession
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cent_df = spark.createDataFrame(cent_rows, "cell int, _centroid array<double>")
-    scored = assigned.join(F.broadcast(cent_df), "cell").select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell").cast("long").alias("cell"),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_centroid"), dim=dim), 6).alias(
-            "centroid_sim"
-        ),
+    assigned = ivf_assign(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell"
     )
-    pairs = embedding_near_dup(
-        scored, id_col=id_col, vec_col=vec_col, block_col="cell", threshold=threshold
+    norm_c = np.asarray(centroids, dtype=np.float64)
+    norm_c /= np.linalg.norm(norm_c, axis=1, keepdims=True)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cell", LongType()),
+            StructField("centroid_sim", DoubleType()),
+        ]
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return scored.join(losers, id_col, "left_anti").select(id_col, "cell", "centroid_sim")
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        ids = pdf["_id"].to_numpy()
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        mn = m / norms
+        sims = np.round(mn @ mn.T, 6)
+        smaller = ids[None, :] < ids[:, None]  # [i, j]: id_j < id_i
+        drop = ((sims >= threshold) & smaller).any(axis=1)
+        keep = ~drop
+        csim = np.round(mn[keep] @ norm_c[cell], 6)
+        return pd.DataFrame(
+            {
+                id_col: ids[keep].astype("int64"),
+                "cell": np.full(int(keep.sum()), cell, dtype="int64"),
+                "centroid_sim": csim,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
