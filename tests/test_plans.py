@@ -207,6 +207,7 @@ SCALAR_BROADCAST_OK = {
     "docs_dsir_sample",  # 1-row corpus/target gram-total scalars over
     #   the B-row bucket marginals of the persisted feature frame
     "q06e_significant_terms",  # 1-row fg/bg doc-total scalar
+    "q02k_more_like_this",  # 1-row (n_docs, avg_dl) corpus scalars
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only
@@ -229,6 +230,10 @@ MULTI_SCAN_OK = {
     # scale the count tables are materialized once (like the persisted
     # token index) and scoring is the single vocabulary-keyed join
     "text_lm_score",
+    # composes the tfidf seed-term extraction over bm25_search's
+    # whitelisted shape; at scale both halves read the persisted
+    # token index (tf/df/doclen/stats ARE the index tables)
+    "q02k_more_like_this",
 }
 
 

@@ -2652,3 +2652,55 @@ def q06e_significant_terms(spark, sf_dir):
     (operators/relational.py significant_terms)."""
     docs = _t(spark, sf_dir, "documents")
     return R.significant_terms(docs, F.col("lang") == "de", k=20, text_col="text")
+
+
+@_register(
+    "q02k_more_like_this",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tfa AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfa AS (SELECT token, COUNT(*) AS df FROM tfa GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    seed AS (
+      SELECT token FROM (
+        SELECT tfa.token,
+               row_number() OVER (
+                 ORDER BY tfa.tf * ln(CAST(n.n_docs AS DOUBLE) / dfa.df) DESC,
+                          tfa.token
+               ) AS rn
+        FROM tfa JOIN dfa USING (token) CROSS JOIN n
+        WHERE tfa.doc_id = 0
+      ) WHERE rn <= 3
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN (SELECT token FROM seed) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln((stats.n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / avg_dl)))
+             ), 6) AS mlt_score
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id <> 0 GROUP BY 1
+    )
+    SELECT doc_id, mlt_score FROM scored ORDER BY mlt_score DESC, doc_id LIMIT 10
+    """,
+)
+def q02k_more_like_this(spark, sf_dir):
+    """Q2 — OpenSearch more_like_this (seed doc 0): top-3 TF-IDF seed
+    terms extracted in-plan, BM25 over the corpus with them, seed
+    excluded, top-10 (operators/relational.py more_like_this)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.more_like_this(docs, like_id=0, k=10, n_terms=3, text_col="text")

@@ -814,3 +814,74 @@ def significant_terms(
         .orderBy(F.col("jlh").desc(), "token")
         .limit(k)
     )
+
+
+def more_like_this(
+    df: DataFrame,
+    like_id: int,
+    k: int = 10,
+    n_terms: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Q2 — the OpenSearch ``more_like_this`` query: find documents
+    similar to a SEED DOCUMENT by extracting its most salient terms
+    and relevance-ranking the corpus with them. Both halves are the
+    engine's certified primitives composed in-plan: TF-IDF picks the
+    seed's top ``n_terms`` (text.tfidf_top_terms ordering), BM25
+    scores the corpus with those terms (bm25_search formula), the
+    seed itself is excluded, top-k out.
+
+    The seed's term list is a ``n_terms``-row FRAME broadcast into
+    the tf aggregation — never a driver-side collect, so the whole
+    query is one lazy plan a scheduler can cache or index-rewrite.
+    At scale both halves read the persisted token index instead of
+    the corpus (tf/df/doclen/stats are exactly the index tables
+    build_token_index_table materializes); this scan-time form is the
+    certificate the index variant must equal."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import tfidf_top_terms
+
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
+    seed_terms = (
+        tfidf_top_terms(lowered, text_col=text_col, id_col=id_col, k=n_terms)
+        .filter(F.col(id_col) == like_id)
+        .select("term")
+    )
+    token_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    doclen = df.select(F.col(id_col), F.size(token_arr).alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    tf = (
+        toks.join(F.broadcast(seed_terms), F.col("token") == F.col("term"))
+        .drop("term")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avg_dl")))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col(id_col) != like_id)
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("mlt_score"))
+        .orderBy(F.col("mlt_score").desc(), F.col(id_col))
+        .limit(k)
+    )
