@@ -2704,3 +2704,32 @@ def q02k_more_like_this(spark, sf_dir):
     excluded, top-10 (operators/relational.py more_like_this)."""
     docs = _t(spark, sf_dir, "documents")
     return R.more_like_this(docs, like_id=0, k=10, n_terms=3, text_col="text")
+
+
+@_register(
+    "q02l_search_highlights",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id, tk,
+             unnest(list_filter(
+               list_transform(range(1, len(tk) + 1),
+                              i -> CASE WHEN tk[i] = 'spark' THEN i END),
+               x -> x IS NOT NULL)) AS p
+      FROM t
+    )
+    SELECT doc_id, CAST(p AS INT) AS pos,
+           array_to_string(
+             list_slice(tk, greatest(p - 3, 1), least(p + 3, len(tk))), ' '
+           ) AS snippet
+    FROM m
+    """,
+)
+def q02l_search_highlights(spark, sf_dir):
+    """Q2 — Discover highlight fragments for 'spark': one row per
+    occurrence with the ±3-token context window, all per-row array
+    expressions (operators/relational.py search_snippets)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.search_snippets(docs, "spark", n_words=3, text_col="text")

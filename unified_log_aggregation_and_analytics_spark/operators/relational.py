@@ -885,3 +885,39 @@ def more_like_this(
         .orderBy(F.col("mlt_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def search_snippets(
+    df: DataFrame,
+    term: str,
+    n_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 — highlight fragments, Discover's matched-context display:
+    for every occurrence of ``term`` as a token, emit the surrounding
+    ±``n_words`` token window with its 1-based match position.
+
+    Plan shape: zero shuffle — match positions and window slices are
+    per-row array expressions fused into the scan; output volume is
+    one row per occurrence, exactly the highlight payload a search UI
+    pages through. Compose downstream of any search predicate (the
+    filter prunes first, snippets render the survivors)."""
+    t = term.lower()
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    positions = F.filter(
+        F.transform(toks, lambda tok, i: F.when(tok == t, i + 1)),
+        lambda x: x.isNotNull(),
+    )
+    lo = F.greatest(F.col("pos") - n_words, F.lit(1))
+    hi = F.least(F.col("pos") + n_words, F.size(F.col("_tk")))
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"), F.explode(positions).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("_tk"), lo, hi - lo + F.lit(1))).alias(
+                "snippet"
+            ),
+        )
+    )
