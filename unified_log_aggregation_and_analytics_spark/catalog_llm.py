@@ -2963,3 +2963,49 @@ def docs_epoch_repeat(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return epoch_repeat_sample(docs, {"src0": 2.5, "src1": 1.0, "src2": 0.4})
+
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+    WITH {_LSH_MD5_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) % 100 AS BIGINT) < 80 THEN 'train'
+                  WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b, a.split AS split_a, b.split AS split_b
+    FROM cand c
+    JOIN sp a ON c.id_a = a.doc_id
+    JOIN sp b ON c.id_b = b.doc_id
+    WHERE a.split <> b.split
+"""
+
+
+@_register("docs_split_leakage", _SPLIT_LEAKAGE_ORACLE)
+def docs_split_leakage(spark, sf_dir):
+    """Training-hygiene certificate — cross-split near-dup leakage:
+    MinHash-LSH candidate pairs whose members land in DIFFERENT
+    train/val/test splits (the contamination a random split of a
+    deduplicated-but-not-clustered corpus silently ships; the fix is
+    split-by-cluster, this query is the audit that catches the need).
+    Composes two certified primitives: the md5 LSH banding of
+    dedup_minhash_lsh_md5 and the md5-bucket split of docs_hash_split
+    — one band-keyed pair pass, one broadcast-sized split map joined
+    twice, corpus never goes n^2."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import hash_split
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
+    splits = hash_split(docs).select("doc_id", "split")
+    a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
