@@ -1176,3 +1176,33 @@ def test_significant_terms_surfaces_slice_specific_vocab(spark):
     got = R.significant_terms(df, F.col("fg"), k=5).collect()
     assert got[0].token == "signal" and got[0].fg_df == 5 and got[0].bg_df == 5
     assert all(r.token != "noise" for r in got)  # under-represented in fg
+
+
+def test_cluster_split_eliminates_leakage(spark, docs):
+    """After cluster-aware splitting, NO near-dup candidate pair
+    straddles a split boundary (the property the by-doc split
+    violates on the same corpus)."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import cluster_split
+
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    pairs = D.minhash_lsh_candidates(
+        sig, num_hashes=8, band_size=2, band_hash_fn="md5"
+    )
+    comp = D.connected_components(pairs)
+
+    def leaked(split_df):
+        a = split_df.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+        )
+        b = split_df.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+        )
+        return (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    assert leaked(cluster_split(docs, comp)) == 0
+    # sanity: the corpus genuinely has pairs, so zero is meaningful
+    assert pairs.count() > 0

@@ -3009,3 +3009,49 @@ def docs_split_leakage(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b")
     )
+
+
+_CLUSTER_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {_LSH_MD5_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    k AS (
+      SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    )
+    SELECT doc_id, cluster_key,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_key,
+             CAST(CAST(('0x' || substr(md5(CAST(cluster_key AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100 AS BIGINT) AS b
+      FROM k
+    )
+"""
+
+
+@_register("docs_cluster_split", _CLUSTER_SPLIT_ORACLE)
+def docs_cluster_split(spark, sf_dir):
+    """Training-hygiene FIX for docs_split_leakage — cluster-aware
+    splitting (operators/sampling.py cluster_split): near-dup
+    clusters (certified connected components over the md5-LSH pair
+    graph) hash into splits as UNITS, so no near-dup pair can
+    straddle train/test. The oracle replays components (recursive
+    CTE), the singleton fallback, and the md5-bucket rule; the
+    zero-leakage property is pinned in tests."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import cluster_split
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
+    comp = D.connected_components(pairs)
+    return cluster_split(docs, comp).select("doc_id", "cluster_key", "split")

@@ -468,3 +468,35 @@ def epoch_repeat_sample(
         df.filter(e.isNotNull())
         .select(F.col(id_col), F.col(stratum_col), F.explode(copies).alias("epoch"))
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    splits: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free dataset splitting: split membership is a hash of
+    the CLUSTER id (near-dup clusters from ``dedup.connected_
+    components``; singletons fall back to their own id), so every
+    near-duplicate group lands WHOLLY inside one split — the fix for
+    the contamination ``docs_split_leakage`` audits (a random by-doc
+    split of an unclustered corpus puts ~2·p·(1-p) of every dup pair
+    across the train/test boundary).
+
+    Plan shape: the cluster map is |clustered docs| rows (bounded by
+    the pair graph, far below corpus size) joined once onto the
+    corpus; the split itself stays the map-only md5-bucket rule of
+    ``hash_split``, just keyed by ``cluster_key``. Deterministic on
+    any engine, any retry — and stable under corpus growth as long
+    as cluster ids are (min-id labels are, for stable doc ids).
+    """
+    c = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )
+    keyed = docs.join(c, id_col, "left").withColumn(
+        "cluster_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return hash_split(keyed, id_col="cluster_key", splits=splits).select(
+        id_col, "cluster_key", "split"
+    )
