@@ -122,3 +122,51 @@ def test_real_hf_tokenizer_path(spark, docs, tmp_path):  # pragma: no cover
     tok.save(path)
     got = token_stats(docs, tokenizer=TK.load_tokenizer(path)).collect()
     assert all(r["n_subwords"] > 0 for r in got if r["n_tokens"] > 0)
+
+
+def test_train_bpe_hand_computed_merges():
+    """ab x5 + abc x3: pair (a,b) count 8 wins round 1; (ab,c) count 3
+    wins round 2 — the classic Sennrich walk, hand-verified."""
+    from unified_log_aggregation_and_analytics_spark.operators.tokenizer import (
+        BPETokenizer,
+        train_bpe,
+    )
+
+    merges = train_bpe([("ab", 5), ("abc", 3)], n_merges=5)
+    assert merges == [("a", "b"), ("ab", "c")]  # exhausts at 2
+    enc = BPETokenizer(merges).encode_batch(["abcab zq"])[0]
+    assert enc.tokens == ["abc", "ab", "z", "q"]
+
+
+def test_train_bpe_corpus_roundtrip_and_compression(spark):
+    """Trained-BPE tokens concatenate back to their words, and more
+    merges never increase the token count."""
+    from unified_log_aggregation_and_analytics_spark.operators import tokenizer as TK
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(50)
+    wf = TK.word_frequencies(docs)
+    m5 = TK.train_bpe(wf, n_merges=5)
+    m30 = TK.train_bpe(wf, n_merges=30)
+    assert m30[:5] == m5  # prefix-stable: training is deterministic
+    bpe = TK.BPETokenizer(m30)
+    for r in docs.select("text").collect()[:10]:
+        toks = bpe.encode_batch([r.text])[0].tokens
+        import re as _re
+        assert "".join(toks) == "".join(_re.split(r"\s+", r.text.lower()))
+    n5 = sum(len(TK.BPETokenizer(m5).encode_batch([r.text])[0].tokens)
+             for r in docs.select("text").collect()[:10])
+    n30 = sum(len(bpe.encode_batch([r.text])[0].tokens)
+              for r in docs.select("text").collect()[:10])
+    assert n30 <= n5
+
+
+def test_bpe_plugs_into_subword_seam(spark):
+    """The trained encoder flows through with_subword_tokens exactly
+    like the other backends (Arrow-batched pandas UDF)."""
+    from unified_log_aggregation_and_analytics_spark.operators import tokenizer as TK
+
+    df = spark.createDataFrame([(1, "ab ab abc")], ["doc_id", "text"])
+    merges = TK.train_bpe([("ab", 5), ("abc", 3)], n_merges=2)
+    out = TK.with_subword_tokens(df, tokenizer=TK.ArrowTokenizer(TK.BPETokenizer(merges)))
+    assert out.collect()[0]["_subword_tokens"] == ["ab", "ab", "abc"]

@@ -3055,3 +3055,34 @@ def docs_cluster_split(spark, sf_dir):
     pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
     comp = D.connected_components(pairs)
     return cluster_split(docs, comp).select("doc_id", "cluster_key", "split")
+
+
+@_register("text_bpe_tokens", None)  # iterative driver-side merge training: no SQL oracle; pytest pins hand-computed merges
+def text_bpe_tokens(spark, sf_dir):
+    """X4 — tokenizer TRAINING end to end: the corpus reduces to its
+    word-frequency table in one pass (tokenizer.word_frequencies),
+    BPE merges train driver-side over that bounded table
+    (train_bpe — the IVF-centroid bounded-model-state pattern), and
+    the trained encoder runs Arrow-batched through the SAME pluggable
+    seam every other tokenizer backend uses. Output: top-50 trained-
+    BPE token frequencies. Rows-only: merge training is an inherently
+    sequential argmax loop no SQL replays; determinism and
+    hand-computed merges are pinned in tests."""
+    from unified_log_aggregation_and_analytics_spark.operators.tokenizer import (
+        ArrowTokenizer,
+        BPETokenizer,
+        train_bpe,
+        word_frequencies,
+        with_subword_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), n_merges=30)
+    toked = with_subword_tokens(docs, tokenizer=ArrowTokenizer(BPETokenizer(merges)))
+    return (
+        toked.select(F.explode("_subword_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )

@@ -122,3 +122,113 @@ def with_subword_tokens(
     point for downstream operators (chunk dedup on subword
     granularity, token-budget packing on real counts)."""
     return df.withColumn(out_col, subword_tokens(text_col, tokenizer))
+
+
+# --- BPE training (the tokenizer-TRAINING stage of the pipeline) -----
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE corpus pass reducing the text to the vocabulary-sized
+    ``(word, n)`` table BPE training actually needs (Sennrich et al.
+    2016: merge statistics are a pure function of word frequencies,
+    so the corpus is never re-read during training). Explode +
+    map-side-combining hash agg; output cardinality is |vocab|."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe(word_freqs, n_merges: int = 50) -> list[tuple[str, str]]:
+    """Train BPE merges from a word-frequency table (DataFrame with
+    ``word``/``n`` columns, or an iterable of (word, count)).
+
+    This is the bounded-model-state pattern the IVF centroids use:
+    the DISTRIBUTED work is the one-pass word_frequencies aggregation;
+    training then iterates driver-side over the vocabulary-sized
+    table (|vocab| rows — thousands, not corpus-scale), because each
+    merge step needs global argmax over pair counts, an inherently
+    sequential O(n_merges) loop no engine parallelizes usefully.
+
+    Deterministic: ties on pair count break lexicographically, so the
+    merge list is a pure function of the frequency table — identical
+    across engines, retries, and partitionings. Symbols start as
+    characters (no end-of-word marker; words never merge across
+    whitespace by construction)."""
+    from collections import Counter
+
+    if isinstance(word_freqs, DataFrame):
+        rows = word_freqs.collect()
+        vocab = {tuple(r["word"]): int(r["n"]) for r in rows}
+    else:
+        vocab = {tuple(w): int(n) for w, n in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = "".join(best)
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+class BPETokenizer:
+    """Greedy rank-order BPE encoder over trained merges, implementing
+    the ``encode_batch`` interface — a drop-in backend for
+    ArrowTokenizer / with_subword_tokens, so trained-BPE token counts
+    flow through the exact plumbing the regex fallback and the
+    HuggingFace backend use (Arrow-batched, never per-row Python)."""
+
+    class _Enc:
+        __slots__ = ("tokens",)
+
+        def __init__(self, tokens: list[str]) -> None:
+            self.tokens = tokens
+
+    def __init__(self, merges: list[tuple[str, str]]) -> None:
+        self._ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def _encode_word(self, word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = self._ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def encode_batch(self, texts: list[str]) -> list["BPETokenizer._Enc"]:
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in re.split(r"\s+", t.lower()):
+                if w:
+                    toks.extend(self._encode_word(w))
+            out.append(BPETokenizer._Enc(toks))
+        return out
