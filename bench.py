@@ -210,6 +210,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        # Operators that persist bounded internal frames (DSIR feature
+        # table, MG summaries) cache per CALL; drop them between
+        # queries so caches can't accumulate across the session and
+        # pressure later entries' timings. (Within a query the warmup
+        # run still populates the cache its timed runs reuse — the
+        # resident-engine steady state being measured.)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -242,6 +249,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             scale_timings[name] = round(min(runs), 3)
+            spark.catalog.clearCache()  # same cross-query cache hygiene
         out["scale"] = {
             "sf": 1.0,
             "replicas": 10,

@@ -964,3 +964,24 @@ def test_csv_source_corrupt_record_dlq(spark, tmp_path):
     assert all(r["src_file"].endswith("elb.csv") for r in dlq.collect())
     # clean frame no longer carries the corrupt column
     assert "_corrupt_record" not in clean.columns
+
+
+def test_misra_gries_summary_keeps_stream_length_on_full_eviction(spark):
+    """capacity+1 equal-count keys evict EVERY counter in the final
+    overflow; the shard must still report its stream length via a
+    null-key sentinel row, or the certificate's global n undercounts
+    and false heavy hitters pass the threshold."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.sketches import (
+        heavy_hitters_certificate,
+        misra_gries_summary,
+    )
+
+    df = spark.createDataFrame([(k,) for k in "abcde"], ["k"])
+    summary = misra_gries_summary(df, "k", capacity=4, n_shards=1).collect()
+    assert len(summary) == 1 and summary[0].k is None
+    assert summary[0].est == 0 and summary[0].shard_n == 5
+    # certificate: no key exceeds n/(capacity+1)=1, so no heavy hitters
+    cert = heavy_hitters_certificate(df, "k", capacity=4, n_shards=1)
+    assert cert.count() == 0

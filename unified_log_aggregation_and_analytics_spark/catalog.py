@@ -2565,12 +2565,16 @@ def q02h_fuzzy_search(spark, sf_dir):
 @_register(
     "q02i_phrase_search",
     """
-    WITH g AS (
+    WITH tk AS (
       SELECT doc_id, lang, source,
-             list_transform(range(1, greatest(len(str_split(lower(text), ' ')), 2)),
-                 i -> array_to_string(list_slice(str_split(lower(text), ' '), i, i + 1), ' ')
-             ) AS grams
+             regexp_split_to_array(lower(text), '\\s+') AS t
       FROM documents
+    ), g AS (
+      SELECT doc_id, lang, source,
+             list_transform(range(1, greatest(len(t), 2)),
+                 i -> array_to_string(list_slice(t, i, i + 1), ' ')
+             ) AS grams
+      FROM tk
     )
     SELECT doc_id, lang, source,
            CAST(len(list_filter(grams, x -> x = 'fast table')) AS INT) AS n_matches

@@ -40,15 +40,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     pads the shorter shifted slices with null and concat_ws drops
     nulls, so sub-n-token texts produce the same single short shingle
     as the old form — bit-identical outputs, all oracles unchanged."""
-    toks = tokens(text)
+    return F.array_distinct(token_ngrams(tokens(text), n))
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Every ``n``-token gram of a token-array column, order-preserving
+    and NOT distinct — the shared primitive under shingles (distinct),
+    DSIR featurization, and phrase matching. Built as arrays_zip of
+    ``n`` shifted slices: n slice kernels total, where the indexed
+    ``transform(sequence, i -> slice(toks, i, n))`` form re-walks the
+    array per gram (measured 3x slower at 10x corpus — see shingles).
+    arrays_zip pads the shorter shifted slices with null and concat_ws
+    drops nulls, so sub-n-token arrays yield the same single short
+    gram as the indexed form — bit-identical outputs."""
     width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(n)]
     )
-    return F.array_distinct(
-        F.transform(
-            zipped, lambda p: F.concat_ws(" ", *[p[f"t{i}"] for i in range(n)])
-        )
+    return F.transform(
+        zipped, lambda p: F.concat_ws(" ", *[p[f"t{i}"] for i in range(n)])
     )
 
 

@@ -677,11 +677,10 @@ def phrase_search(
     n = len(terms)
     if n == 0:
         raise ValueError("empty phrase")
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import token_ngrams
+
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = token_ngrams(toks, n)
     target = " ".join(terms)
     n_matches = F.size(F.filter(grams, lambda g: g == F.lit(target)))
     return df.withColumn("n_matches", n_matches).filter(F.col("n_matches") > 0)

@@ -358,14 +358,13 @@ def dsir_select(
     corpus/target totals ride the same scalar-broadcast idiom as the
     TPC-H threshold queries.
     """
-    from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        token_ngrams,
+        tokens,
+    )
 
     toks = tokens(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
-    grams = F.concat(toks, bigrams)
+    grams = F.concat(toks, token_ngrams(toks, 2))
     bk = F.pmod(
         F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15), 16, 10).cast("long"),
         F.lit(n_buckets),

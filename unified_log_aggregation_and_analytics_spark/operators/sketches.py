@@ -136,6 +136,16 @@ def misra_gries_summary(
             if len(counts) > capacity:
                 dec = sorted(counts.values(), reverse=True)[capacity]
                 counts = {key: c - dec for key, c in counts.items() if c > dec}
+        if not counts:
+            # A final overflow can evict EVERY counter (capacity+1
+            # equal-count keys -> dec equals them all). The summary
+            # must still report its stream length — shard_n is part of
+            # the mergeable-summary contract and feeds the
+            # certificate's global n — so emit one null-key sentinel
+            # row (downstream equi-joins on k skip nulls).
+            return pd.DataFrame(
+                {"k": [None], "est": [0], "shard": [shard], "shard_n": [n]}
+            )
         return pd.DataFrame(
             {
                 "k": list(counts.keys()),

@@ -439,11 +439,9 @@ def corpus_ngram_counts(
     shuffle) → global top-k as TakeOrderedAndProject — only k rows per
     partition cross the final merge, never the n-gram stream.
     """
-    toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import token_ngrams
+
+    grams = token_ngrams(tokens(text_col), n)
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")

@@ -114,17 +114,28 @@ def semantic_ingest_batch(
 ) -> None:
     """Ingest ONE micro-batch of embedding rows (see module
     docstring for the architecture and write-order contract)."""
+    import os
+
     spark = batch_df.sparkSession
     assigned = ivf_assign(batch_df, centroids, vec_col=vec_col)
     assigned.persist()
+    drops = None
     try:
-        try:
-            old = spark.read.parquet(_cell_sidecar(table_path))
-        except Exception:
-            old = None  # first trigger: no sidecar yet
-        drops = _semantic_drop_ids(
-            assigned, old, threshold, id_col=id_col, vec_col=vec_col
-        ).withColumnRenamed("drop_id", id_col)
+        # Explicit existence check, not a broad except: ANY other read
+        # failure (corrupt footer, permissions, a compactor's swap
+        # window) must FAIL the batch — treating it as "first trigger"
+        # would silently disable cross-batch dedup and permanently
+        # ingest duplicates. (Compaction is an offline maintenance op;
+        # don't run compact_cell_sidecar against a live stream.)
+        side = _cell_sidecar(table_path)
+        old = spark.read.parquet(side) if os.path.isdir(side) else None
+        drops = (
+            _semantic_drop_ids(assigned, old, threshold, id_col=id_col, vec_col=vec_col)
+            .withColumnRenamed("drop_id", id_col)
+            .persist()  # referenced by the reject write AND the
+            # anti-join: without this the sidecar scan + both GEMMs
+            # run twice per trigger
+        )
         (
             assigned.join(drops, id_col)
             .drop("cell")
@@ -156,6 +167,8 @@ def semantic_ingest_batch(
             ).write.mode("append").parquet(f"{table_path}_metrics")
     finally:
         assigned.unpersist()
+        if drops is not None:
+            drops.unpersist()
 
 
 @dataclass
@@ -199,17 +212,26 @@ def run_semantic_pipeline(
     return SemanticPipelineResult(q, table_path, rejected_path)
 
 
-def compact_cell_sidecar(spark: SparkSession, table_path: str) -> None:
-    """Fold the per-trigger small files of the cell sidecar into one
-    file per cell partition (same maintenance contract as the corpus
-    and media sidecar compactors): read, repartition by cell, rewrite
-    to a temp path, swap."""
+def compact_cell_sidecar(
+    spark: SparkSession, table_path: str, files_per_partition: int = 1
+) -> None:
+    """Fold the per-trigger small files of the cell sidecar back to
+    ``files_per_partition`` per cell — same contract and SAME
+    implementation as the corpus/media sidecar compactors
+    (pipeline.compact_dir + directory swap; one compaction codepath,
+    not three drifting copies). Offline maintenance: do not run
+    against a live stream (the swap window is not atomic)."""
+    import os
     import shutil
-    from pathlib import Path
+
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        compact_dir,
+    )
 
     side = _cell_sidecar(table_path)
-    tmp = side + "_compact_tmp"
-    df = spark.read.parquet(side)
-    df.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    if not os.path.isdir(side):
+        return
+    tmp = f"{side}__compact_tmp"
+    compact_dir(spark, side, tmp, ["cell"], files_per_partition)
     shutil.rmtree(side)
-    Path(tmp).rename(side)
+    os.rename(tmp, side)
