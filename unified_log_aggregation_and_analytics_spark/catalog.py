@@ -2737,3 +2737,37 @@ def q02l_search_highlights(spark, sf_dir):
     expressions (operators/relational.py search_snippets)."""
     docs = _t(spark, sf_dir, "documents")
     return R.search_snippets(docs, "spark", n_words=3, text_col="text")
+
+
+def _positional_index_table_appended(spark, sf_dir) -> str:
+    """Incrementally-built twin of _positional_index_table: base build
+    over the odd doc_ids, append the even ones — proving positional
+    append ≡ full rebuild (the index-maintenance lifecycle the tf and
+    ANN indexes already certify)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    name = "pos_idxinc_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    if not spark.catalog.tableExists(name):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        leftover = Path(wh) / name.lower()
+        if leftover.exists():
+            shutil.rmtree(leftover)
+        docs = _t(spark, sf_dir, "documents")
+        R.build_positional_index_table(docs.filter(F.col("doc_id") % 2 == 1), name)
+        R.append_positional_index_table(docs.filter(F.col("doc_id") % 2 == 0), name)
+    return name
+
+
+@_register("q02m_phrase_indexed_appended", QUERIES["q02i_phrase_search"].oracle)
+def q02m_phrase_indexed_appended(spark, sf_dir):
+    """Q2 incremental-maintenance certificate for the positional
+    index: phrase resolution over a base+append build must equal the
+    scan-time q02i result (shared oracle), proving append ≡ rebuild
+    for phrase queries too."""
+    docs = _t(spark, sf_dir, "documents")
+    name = _positional_index_table_appended(spark, sf_dir)
+    return R.phrase_search_indexed(spark, docs, name, "fast table").select(
+        "doc_id", "lang", "source", "n_matches"
+    )

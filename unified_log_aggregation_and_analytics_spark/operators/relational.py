@@ -920,3 +920,32 @@ def search_snippets(
             ),
         )
     )
+
+
+def append_positional_index_table(
+    df_new: DataFrame,
+    table_name: str,
+    n_buckets: int = TOKEN_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance for the positional index — the same
+    contract as append_token_index_table: the delta's (token, doc,
+    positions) postings append into the bucketed layout (Spark
+    validates the bucket spec, so hash(term) pruning spans base +
+    delta files). Positions are per-document, so appending NEW
+    documents never touches existing rows; the id-disjointness caller
+    contract is identical to the tf index's."""
+    pos = df_new.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    postings = pos.groupBy("token", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    (
+        postings.write.bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .mode("append")
+        .saveAsTable(table_name)
+    )
