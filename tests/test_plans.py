@@ -508,3 +508,35 @@ def test_tpch_completion_hints_constant_dims_only(spark, qs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert not bad, "; ".join(bad)
+
+
+def test_positional_index_bucket_pruned(spark):
+    """Phrase resolution from the positional index must read only the
+    phrase terms' buckets (one SelectedBucketsCount==1 scan per term),
+    and equal the scan-time phrase count."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    spark.sql("DROP TABLE IF EXISTS pos_idx_plan_test")
+    docs = load_table(spark, "documents", SF)
+    R.build_positional_index_table(docs, "pos_idx_plan_test")
+    try:
+        out = R.phrase_search_indexed(spark, docs, "pos_idx_plan_test", "fast table")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        import re
+
+        sels = [
+            int(m)
+            for m in re.findall(r"SelectedBucketsCount: (\d+) out of \d+", buf.getvalue())
+        ]
+        assert len(sels) == 2 and all(n == 1 for n in sels)  # one bucket per term
+        scan = {
+            (r.doc_id, r.n_matches)
+            for r in R.phrase_search(docs, "fast table").collect()
+        }
+        idx = {(r.doc_id, r.n_matches) for r in out.collect()}
+        assert idx == scan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pos_idx_plan_test")

@@ -736,6 +736,11 @@ def phrase_search_indexed(
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("empty phrase")
+    # keep the bucketed layout for the pure per-term filters (the
+    # planner only auto-enables bucketed scans for joins/aggs) — same
+    # switch token_postings flips; without it every term reads all 64
+    # buckets instead of hash(term)'s one (plan-guarded in tests)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     postings = spark.table(table_name)
     cur = (
         postings.filter(F.col("token") == terms[0])
