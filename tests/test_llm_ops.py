@@ -1156,6 +1156,16 @@ def test_phrase_search_indexed_equals_scan(spark, tmp_path):
     )
     name = "pos_idx_ut"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previous SESSION's managed files survive the in-memory
+    # catalog; saveAsTable refuses to create over them (the
+    # _positional_index_table helper handles the same gotcha)
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    leftover = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path) / name
+    if leftover.exists():
+        shutil.rmtree(leftover)
     R.build_positional_index_table(df, name)
     scan = {(r.doc_id, r.n_matches) for r in R.phrase_search(df, "big fast table").collect()}
     idx = {
