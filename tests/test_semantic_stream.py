@@ -118,3 +118,26 @@ def test_semantic_stream_agrees_with_batch_on_chain_free_input(spark, tmp_path):
         ).collect()
     }
     assert stream_ids == batch_ids
+
+
+def test_semantic_ingest_empty_batch_is_noop(spark, tmp_path):
+    """An idle-trigger empty micro-batch must no-op cleanly (no
+    crash, no rows, sidecar untouched) — the empty-delta failure mode
+    the index-append paths guard against."""
+    b1 = [(1, [0.99, 0.01, 0.0, 0.0])]
+    table = str(tmp_path / "t")
+    SS.semantic_ingest_batch(
+        _rows(spark, b1), table, str(tmp_path / "r"), CENTROIDS,
+        threshold=0.95, batch_id=0,
+    )
+    empty = _rows(spark, b1).limit(0)
+    SS.semantic_ingest_batch(
+        empty, table, str(tmp_path / "r"), CENTROIDS, threshold=0.95, batch_id=1,
+    )
+    assert spark.read.parquet(table).count() == 1
+    assert spark.read.parquet(table + "_cells").count() == 1
+    metrics = {
+        (r.batch_id, r.outcome): r.n
+        for r in spark.read.parquet(table + "_metrics").collect()
+    }
+    assert metrics[(1, "ingested")] == 0
