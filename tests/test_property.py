@@ -217,3 +217,39 @@ def test_png_codec_roundtrip_property(w, h, c, f, seed):
     gw, gh, gc, out = decode_png(encode_png(px, filter_type=f))
     assert (gw, gh, gc) == (w, h, c)
     assert np.array_equal(out, px)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0, max_size=9,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_token_ngrams_zip_equals_indexed_form(spark, texts, n):
+    """The arrays_zip n-gram kernel (token_ngrams) is bit-identical to
+    the indexed transform(sequence, i -> slice) form it replaced — for
+    every text shape including sub-n-token rows — so the refactor of
+    shingles/DSIR/phrase/bigrams onto one kernel changed no value."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        token_ngrams,
+        tokens,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    toks = tokens("text")
+    indexed = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    rows = df.select(
+        token_ngrams(toks, n).alias("zipped"), indexed.alias("indexed")
+    ).collect()
+    for r in rows:
+        assert r.zipped == r.indexed
