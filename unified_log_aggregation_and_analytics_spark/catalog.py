@@ -2771,3 +2771,23 @@ def q02m_phrase_indexed_appended(spark, sf_dir):
     return R.phrase_search_indexed(spark, docs, name, "fast table").select(
         "doc_id", "lang", "source", "n_matches"
     )
+
+
+@_register(
+    "q02n_prefix_suggest",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tok WHERE token LIKE 's%' AND token <> ''
+    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 10
+    """,
+)
+def q02n_prefix_suggest(spark, sf_dir):
+    """Q2 — OpenSearch completion suggester ('s...'): prefix-matched
+    vocabulary ranked by occurrence (operators/relational.py
+    prefix_suggest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.prefix_suggest(docs, "s", k=10, text_col="text")

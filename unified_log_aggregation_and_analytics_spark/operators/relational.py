@@ -954,3 +954,27 @@ def append_positional_index_table(
         .mode("append")
         .saveAsTable(table_name)
     )
+
+
+def prefix_suggest(
+    df: DataFrame,
+    prefix: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Q2 — completion suggester (OpenSearch prefix/suggest queries):
+    vocabulary terms starting with ``prefix``, ranked by corpus
+    occurrence count. Vocabulary-first like fuzzy_search: one explode
+    + vocab-bounded agg, prefix filter over |vocab| rows, top-k — the
+    corpus pays one scan, the suggestion set is dictionary work."""
+    p = prefix.lower()
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+        )
+        .filter(F.col("token").startswith(p) & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )
