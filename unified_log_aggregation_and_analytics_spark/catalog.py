@@ -2791,3 +2791,43 @@ def q02n_prefix_suggest(spark, sf_dir):
     prefix_suggest)."""
     docs = _t(spark, sf_dir, "documents")
     return R.prefix_suggest(docs, "s", k=10, text_col="text")
+
+
+@_register(
+    "q02o_percolate",
+    """
+    WITH q(query_id, terms) AS (VALUES
+      ('alert_spark_vector', ['spark', 'vector']),
+      ('alert_merge_batch',  ['merge', 'batch']),
+      ('alert_customer',     ['customer'])
+    ),
+    qt AS (
+      SELECT query_id, unnest(terms) AS token, len(terms) AS nq FROM q
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM documents
+    )
+    SELECT tok.doc_id, qt.query_id
+    FROM tok JOIN qt USING (token)
+    GROUP BY tok.doc_id, qt.query_id, qt.nq
+    HAVING COUNT(*) = qt.nq
+    """,
+)
+def q02o_percolate(spark, sf_dir):
+    """Q2/ST — OpenSearch percolate (saved searches in reverse): three
+    stored AND-of-terms alert conditions matched against every
+    document; a condition fires when all its terms appear
+    (operators/relational.py percolate — broadcast stored queries,
+    one corpus explode)."""
+    docs = _t(spark, sf_dir, "documents")
+    stored = spark.createDataFrame(
+        [
+            ("alert_spark_vector", ["spark", "vector"]),
+            ("alert_merge_batch", ["merge", "batch"]),
+            ("alert_customer", ["customer"]),
+        ],
+        "query_id string, terms array<string>",
+    )
+    return R.percolate(docs, stored, text_col="text")

@@ -978,3 +978,42 @@ def prefix_suggest(
         .orderBy(F.col("n_occurrences").desc(), "token")
         .limit(k)
     )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2/ST — the OpenSearch percolate query, i.e. saved searches run
+    in REVERSE: a table of stored AND-of-terms queries ``(query_id,
+    terms array<string>)`` is matched against incoming documents; a
+    query fires when every one of its terms appears in the document.
+    This is the alerting/saved-search primitive the reference's
+    Dashboards users build on: new log batches percolate through the
+    stored alert conditions.
+
+    Plan shape: the query table explodes to (query_id, term) postings
+    and BROADCASTS (stored searches are human-authored — thousands at
+    most); the corpus explodes its per-doc distinct tokens once; one
+    broadcast equi-join on the term + a (doc, query)-keyed count==n
+    check. Corpus cost is one scan + one explode regardless of query
+    count; per-batch in a foreachBatch this is the streaming alert
+    evaluator."""
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("token"), F.size("terms").alias("_nq")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    return (
+        toks.join(F.broadcast(qterms), "token")
+        .groupBy(id_col, "query_id", "_nq")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == F.col("_nq"))
+        .select(id_col, "query_id")
+    )
