@@ -985,3 +985,40 @@ def test_misra_gries_summary_keeps_stream_length_on_full_eviction(spark):
     # certificate: no key exceeds n/(capacity+1)=1, so no heavy hitters
     cert = heavy_hitters_certificate(df, "k", capacity=4, n_shards=1)
     assert cert.count() == 0
+
+
+def test_percolate_as_streaming_alert_evaluator(spark, tmp_path):
+    """percolate inside foreachBatch: stored alert conditions fire on
+    the micro-batches that contain matching documents — the
+    saved-search alerting loop."""
+    from unified_log_aggregation_and_analytics_spark.operators.relational import percolate
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "spark vector merge"), (2, "customer order"), (3, "nothing here")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(src))
+
+    stored = spark.createDataFrame(
+        [("a_sv", ["spark", "vector"]), ("a_cust", ["customer"])],
+        "query_id string, terms array<string>",
+    )
+    alerts_path = str(tmp_path / "alerts")
+
+    def evaluate(batch_df, bid):
+        percolate(batch_df, stored).withColumn(
+            "batch_id", F.lit(int(bid))
+        ).write.mode("append").parquet(alerts_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src))
+        .writeStream.foreachBatch(evaluate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fired = {(r.doc_id, r.query_id) for r in spark.read.parquet(alerts_path).collect()}
+    assert fired == {(1, "a_sv"), (2, "a_cust")}
