@@ -3086,3 +3086,65 @@ def text_bpe_tokens(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
     )
+
+
+_DEDUP_REPORT_ORACLE = f"""
+    WITH {_LSH_MD5_CTES},
+    near AS (
+      SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand
+    ),
+    keep AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1
+    ),
+    flags AS (
+      SELECT d.source,
+             CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS ex,
+             CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nr
+      FROM documents d
+      JOIN keep k ON md5(d.text) = k.h
+      LEFT JOIN near n ON d.doc_id = n.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ex) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(nr) AS BIGINT) AS n_near_cand
+    FROM flags GROUP BY source ORDER BY source
+"""
+
+
+@_register("docs_dedup_report", _DEDUP_REPORT_ORACLE)
+def docs_dedup_report(spark, sf_dir):
+    """Dataset-card dedup census — the summary a curator reads before
+    any dedup run: per source, document count, exact-duplicate count
+    (md5 keep-min rule), and near-dup-candidate count (any md5-LSH
+    banding partner). Composes the certified exact_dedup and banding
+    primitives; the flags attach via one hash-keyed join and one
+    id-keyed left join, then a source-keyed aggregation — no n^2
+    anywhere, same plan family as the underlying dedup ops."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    keep = D.exact_dedup(docs)  # (text_hash, keep_id, n_copies)
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
+    near = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    flagged = (
+        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .join(keep.select("text_hash", "keep_id"), "text_hash")
+        .join(near, "doc_id", "left")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+            ).cast("long").alias("n_exact_dup"),
+            F.sum(F.when(F.col("_near").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_cand"),
+        )
+        .orderBy("source")
+    )
