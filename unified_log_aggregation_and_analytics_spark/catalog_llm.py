@@ -3148,3 +3148,30 @@ def docs_dedup_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "text_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, lang,
+             list_filter(str_split(text, ''), x -> x <> '') AS cs
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN len(cs) > 0 THEN round(
+             -list_sum(list_transform(
+                list_distinct(cs),
+                d -> (len(list_filter(cs, x -> x = d)) / CAST(len(cs) AS DOUBLE))
+                     * ln(len(list_filter(cs, x -> x = d)) / CAST(len(cs) AS DOUBLE))
+             )), 6)
+           ELSE 0.0 END AS char_entropy
+    FROM ch
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """X4 — per-document character-distribution Shannon entropy
+    (operators/text.py char_entropy): the low-entropy degenerate-text
+    filter, all per-row array expressions — one scan, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.char_entropy("text").alias("char_entropy"))

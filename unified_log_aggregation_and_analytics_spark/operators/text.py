@@ -611,3 +611,29 @@ def quality_classifier(
             "clf_keep": prob >= F.lit(threshold),
         }
     )
+
+
+def char_entropy(text_col: Column | str = "text") -> Column:
+    """X4 quality signal — Shannon entropy of the character
+    distribution (nats, rounded to 6): near-zero for degenerate
+    repeated-character text, ~3 for natural language — the cheap
+    low-entropy filter pretraining pipelines run before any
+    model-based scoring (a pure-expression stand-in for the
+    compression-ratio test).
+
+    Per-row array expressions only (split to chars, distinct, count
+    occurrences per distinct char, -sum p ln p) — fused into the
+    scan, no shuffle, no UDF. Cost is O(len * distinct_chars) per
+    row; distinct chars are alphabet-bounded (<~100), so this stays
+    linear in text size."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda x: x == d)) / n,
+    )
+    ent = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
