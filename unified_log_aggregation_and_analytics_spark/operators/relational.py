@@ -1002,7 +1002,9 @@ def percolate(
     count; per-batch in a foreachBatch this is the streaming alert
     evaluator."""
     qterms = queries.select(
-        "query_id", F.explode("terms").alias("token"), F.size("terms").alias("_nq")
+        "query_id",
+        F.lower(F.explode("terms")).alias("token"),  # fold like the docs
+        F.size("terms").alias("_nq"),
     )
     toks = docs.select(
         F.col(id_col),
