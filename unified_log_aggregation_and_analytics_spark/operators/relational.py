@@ -1002,9 +1002,9 @@ def percolate(
     count; per-batch in a foreachBatch this is the streaming alert
     evaluator."""
     qterms = queries.select(
-        "query_id",
-        F.lower(F.explode("terms")).alias("token"),  # fold like the docs
-        F.size("terms").alias("_nq"),
+        "query_id", F.explode("terms").alias("_t"), F.size("terms").alias("_nq")
+    ).select(  # fold stored terms like the docs (explode can't nest)
+        "query_id", F.lower(F.col("_t")).alias("token"), "_nq"
     )
     toks = docs.select(
         F.col(id_col),
