@@ -3172,6 +3172,8 @@ def docs_dedup_report(spark, sf_dir):
 def text_entropy(spark, sf_dir):
     """X4 — per-document character-distribution Shannon entropy
     (operators/text.py char_entropy): the low-entropy degenerate-text
-    filter, all per-row array expressions — one scan, zero shuffle."""
+    filter as two codegen hash aggregations over the exploded char
+    stream (H = ln n - sum(c ln c)/n); the per-row nested-HOF form
+    this replaced was 50x slower at 50x corpus."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", X.char_entropy("text").alias("char_entropy"))
+    return X.char_entropy(docs).select("doc_id", "lang", "char_entropy")

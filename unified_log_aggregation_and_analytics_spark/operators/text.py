@@ -613,27 +613,47 @@ def quality_classifier(
     )
 
 
-def char_entropy(text_col: Column | str = "text") -> Column:
-    """X4 quality signal — Shannon entropy of the character
-    distribution (nats, rounded to 6): near-zero for degenerate
-    repeated-character text, ~3 for natural language — the cheap
-    low-entropy filter pretraining pipelines run before any
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X4 quality signal — Shannon entropy of each document's
+    character distribution (nats, rounded to 6): near-zero for
+    degenerate repeated-character text, ~3 for natural language — the
+    cheap low-entropy filter pretraining pipelines run before any
     model-based scoring (a pure-expression stand-in for the
-    compression-ratio test).
+    compression-ratio test). Adds ``char_entropy`` to ``df``.
 
-    Per-row array expressions only (split to chars, distinct, count
-    occurrences per distinct char, -sum p ln p) — fused into the
-    scan, no shuffle, no UDF. Cost is O(len * distinct_chars) per
-    row; distinct chars are alphabet-bounded (<~100), so this stays
-    linear in text size."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    chars = F.filter(F.split(c, ""), lambda x: x != "")
-    n = F.size(chars)
-    probs = F.transform(
-        F.array_distinct(chars),
-        lambda d: F.size(F.filter(chars, lambda x: x == d)) / n,
+    Plan shape: explode to characters, ONE (doc, char)-keyed hash
+    aggregation (map-side partial combine collapses each partition's
+    repeats before the shuffle), one doc-keyed aggregation using the
+    algebraic identity ``H = ln n - (sum c*ln c)/n`` — whole-stage
+    codegen end to end. A first version computed this as per-row
+    nested higher-order lambdas (count each distinct char by
+    re-filtering the char array); those are INTERPRETED, and at 50x
+    corpus it ran 196 s vs ~4 s for this relational form — the
+    textbook case for preferring shuffle-and-agg over clever per-row
+    expressions when the inner loop isn't codegen."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), ""), lambda x: x != "")).alias(
+            "_c"
+        ),
     )
-    ent = -F.aggregate(
-        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    per_doc = (
+        chars.groupBy(id_col, "_c")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("_n"),
+            F.sum(F.col("_cnt") * F.log(F.col("_cnt"))).alias("_clnc"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("_n")) - F.col("_clnc") / F.col("_n"), 6
+            ).alias("char_entropy"),
+        )
     )
-    return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
+    return df.join(per_doc, id_col, "left").withColumn(
+        "char_entropy", F.coalesce(F.col("char_entropy"), F.lit(0.0))
+    )
