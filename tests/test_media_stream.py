@@ -133,3 +133,77 @@ def test_media_sidecar_compaction_preserves_dedup(spark, tmp_path):
     table = spark.read.parquet(str(tmp_path / "media_table"))
     ingested = {r.media_id for r in table.select("media_id").collect()}
     assert 200 not in ingested and 201 not in ingested
+
+
+def _wav_payload(seed: int, n: int = 256) -> bytes:
+    import numpy as np
+
+    samples = (
+        (np.sin(np.arange(n) * (0.05 + 0.01 * seed)) * 1000)
+        .astype(np.int16)
+        .tobytes()
+    )
+    fmt = (
+        b"fmt \x10\x00\x00\x00" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(samples).to_bytes(4, "little") + samples
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _y4m_payload() -> bytes:
+    return b"YUV4MPEG2 W4 H4 F25:1 C420\n" + b"FRAME\n" + bytes(24)
+
+
+def test_media_pipeline_routes_every_modality(spark, tmp_path):
+    """The decode gate dispatches per modality: valid audio and video
+    ingest (audio with a spectral fingerprint in the sidecar, video
+    with exact dedup only), garbage of any modality dead-letters, and
+    a cross-batch audio near-dup is caught through the
+    modality-qualified band join."""
+    rows1 = [
+        (1, "image", _ppm_payload(0, 0), "image/x-portable-pixmap"),
+        (2, "audio", _wav_payload(3), "audio/wav"),
+        (3, "video", _y4m_payload(), "video/x-yuv4mpeg"),
+        (4, "audio", b"RIFF garbage not wav", "audio/wav"),
+    ]
+    df1 = spark.createDataFrame(
+        [(m, mod, p, mt, None, None, None) for m, mod, p, mt in rows1],
+        MM.MEDIA_SCHEMA,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    df1.write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b1")
+
+    table = spark.read.parquet(str(tmp_path / "media_table"))
+    assert {(r.media_id, r.modality) for r in table.collect()} == {
+        (1, "image"), (2, "audio"), (3, "video")
+    }
+    rej = {r.media_id: r._error
+           for r in spark.read.parquet(str(tmp_path / "media_rejected")).collect()}
+    assert rej == {4: "undecodable"}
+    hashes = spark.read.parquet(str(tmp_path / "media_table_dhashes"))
+    assert {(r.media_id, r.modality) for r in hashes.collect()} == {
+        (1, "image"), (2, "audio")
+    }  # video carries no perceptual fingerprint
+
+    # batch 2: same audio content (identical samples -> identical
+    # spectral print, but different payload bytes via an appended
+    # ignored trailer would change fp; use an exact re-synthesis with
+    # one sample nudged so fp differs but the fingerprint matches)
+    import numpy as np
+
+    base = _wav_payload(3)
+    nudged = bytearray(base)
+    nudged[-1] ^= 0x01  # flip one low bit of the last sample
+    df2 = spark.createDataFrame(
+        [(10, "audio", bytes(nudged), "audio/wav", None, None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    df2.write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b2")
+    rej2 = {r.media_id: r._error
+            for r in spark.read.parquet(str(tmp_path / "media_rejected")).collect()}
+    assert rej2[10] == "near_duplicate"  # cross-batch, same modality

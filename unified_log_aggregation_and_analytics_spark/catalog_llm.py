@@ -2590,7 +2590,8 @@ def text_gopher_rules(spark, sf_dir):
            CAST(least(64, len(s) - start + 1) AS BIGINT) AS n_chunk_tokens,
            array_to_string(s[start : start + 63], ' ') AS chunk
     FROM st
-    WHERE (start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8
+    WHERE NOT (start > 1 AND start - 48 + 63 >= len(s))
+      AND ((start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8)
     """,
 )
 def text_chunks_rag(spark, sf_dir):
@@ -2613,7 +2614,7 @@ def text_chunks_rag(spark, sf_dir):
              CAST(len(list_filter(s,
                   t -> t IN ('the', 'a', 'of', 'and', 'to')))
                   AS DOUBLE) / len(s) AS stop_ratio,
-             CAST(length(text) - (len(s) - 1) AS DOUBLE) / len(s)
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(s)
                AS mean_tok_len,
              ln(1.0 + CAST(len(s) AS DOUBLE)) AS ln_tokens
       FROM sp

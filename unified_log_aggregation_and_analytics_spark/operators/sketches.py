@@ -71,6 +71,27 @@ def sketch_distinct(
 # Heavy hitters: distributed Misra-Gries summaries.
 # --------------------------------------------------------------------
 
+def mg_update(counts: dict, arr, capacity: int, chunk: int) -> None:
+    """ONE Misra-Gries accumulation step over a key array: chunked
+    value_counts merge, then (capacity+1)-th-largest decrement with
+    eviction whenever the counter set overflows. The decrement rule
+    both certified error bounds depend on lives in exactly this one
+    place — the batch summary and the streaming state update share it
+    (a divergent copy would silently break the documented
+    streaming ≡ batch-summary-lifted-into-state equivalence)."""
+    import pandas as pd
+
+    for start in range(0, len(arr), chunk):
+        vc = pd.Series(arr[start : start + chunk]).value_counts()
+        for key, c in vc.items():
+            counts[key] = counts.get(key, 0) + int(c)
+        if len(counts) > capacity:
+            dec = sorted(counts.values(), reverse=True)[capacity]
+            kept = {key: c - dec for key, c in counts.items() if c > dec}
+            counts.clear()
+            counts.update(kept)
+
+
 def misra_gries_summary(
     df: DataFrame,
     key_col: str,
@@ -86,17 +107,23 @@ def misra_gries_summary(
 
     Guarantees (per shard of n rows, proven by the standard charging
     argument; every key lives wholly in one shard because sharding is
-    BY KEY HASH):
+    BY KEY HASH, and any chunking/interleaving of the updates
+    preserves the bound — the mergeable-summaries result):
       * est <= true  (counts only ever undercount)
       * true - est <= n_shard / (capacity + 1)
       * every key with true > n_shard/(capacity+1) IS in the summary
 
-    Plan: one hash-shard shuffle, then applyInPandas per shard —
-    Arrow batches stream through a chunked value_counts merge (numpy
-    counting, dict of at most ~capacity + chunk-distinct entries), so
-    memory is bounded regardless of shard size: exactly the regime
-    where exact groupBy counting would blow the executor at 100 TB of
-    high-cardinality keys. Output: (key, est, shard, shard_n).
+    Plan: repartition ON THE SHARD KEY, then ``mapInPandas`` — the
+    Arrow batches of each partition STREAM through per-shard MG
+    states (``mg_update``, shared with the streaming operator), so
+    peak memory is one Arrow batch + the bounded counter dicts.
+    ``groupBy().applyInPandas`` would be wrong here: it materializes
+    an entire shard as one pandas frame, O(shard rows) memory —
+    precisely the blow-up this operator exists to avoid at 100 TB of
+    high-cardinality keys. Output: (key, est, shard, shard_n); a
+    shard whose final overflow evicted every counter still reports
+    its stream length via one null-key sentinel row (shard_n is part
+    of the summary contract and feeds the certificate's global n).
     """
     import pandas as pd
 
@@ -122,40 +149,33 @@ def misra_gries_summary(
         F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
-    )
+    ).repartition(n_shards, "shard")
 
-    def mg(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        shard = int(pdf["shard"].iloc[0])
-        arr = pdf["k"].to_numpy()
-        n = len(arr)
-        counts: dict[str, int] = {}
-        for start in range(0, n, chunk):
-            vc = pd.Series(arr[start : start + chunk]).value_counts()
-            for key, c in vc.items():
-                counts[key] = counts.get(key, 0) + int(c)
-            if len(counts) > capacity:
-                dec = sorted(counts.values(), reverse=True)[capacity]
-                counts = {key: c - dec for key, c in counts.items() if c > dec}
-        if not counts:
-            # A final overflow can evict EVERY counter (capacity+1
-            # equal-count keys -> dec equals them all). The summary
-            # must still report its stream length — shard_n is part of
-            # the mergeable-summary contract and feeds the
-            # certificate's global n — so emit one null-key sentinel
-            # row (downstream equi-joins on k skip nulls).
-            return pd.DataFrame(
-                {"k": [None], "est": [0], "shard": [shard], "shard_n": [n]}
+    def mg(batches):
+        states: dict[int, dict] = {}
+        ns: dict[int, int] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby("shard"):
+                s = int(shard)
+                arr = grp["k"].to_numpy()
+                ns[s] = ns.get(s, 0) + len(arr)
+                mg_update(states.setdefault(s, {}), arr, capacity, chunk)
+        for shard, counts in states.items():
+            if not counts:
+                yield pd.DataFrame(
+                    {"k": [None], "est": [0], "shard": [shard], "shard_n": [ns[shard]]}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "k": list(counts.keys()),
+                    "est": list(counts.values()),
+                    "shard": shard,
+                    "shard_n": ns[shard],
+                }
             )
-        return pd.DataFrame(
-            {
-                "k": list(counts.keys()),
-                "est": list(counts.values()),
-                "shard": shard,
-                "shard_n": n,
-            }
-        )
 
-    return keyed.groupBy("shard").applyInPandas(mg, schema=out_schema)
+    return keyed.mapInPandas(mg, schema=out_schema)
 
 
 def heavy_hitters_certificate(
@@ -277,12 +297,26 @@ def quantile_from_cube(
 
     Count-based quantile semantics (the k-th smallest value, k =
     ceil(q*n)): the true k-th value lies in [bin_lo, bin_hi) of the
-    reported bin by construction."""
+    reported bin by construction.
+
+    Fails fast on a cube holding MIXED bin configurations: merging is
+    only exact because every cell shares (lo, hi, n_bins) — two
+    builds with different ranges appended to one path would interleave
+    incompatible bins through the cumulative walk and report garbage
+    silently. The config check reads the few distinct config rows,
+    never the cell population."""
     from pyspark.sql import Window
 
     cube = spark.read.parquet(path)
     if where:
         cube = cube.filter(where)
+    cfgs = cube.select("lo", "hi", "n_bins").distinct().limit(3).collect()
+    if len(cfgs) > 1:
+        raise ValueError(
+            f"cube at {path} holds mixed bin configs {sorted(map(tuple, cfgs))}; "
+            "histograms are only mergeable within one (lo, hi, n_bins) — "
+            "rebuild, or filter to a single config with `where`"
+        )
     keys = group_by or []
     merged = cube.groupBy(*keys, "bin", "lo", "hi", "n_bins").agg(
         F.sum("cnt").alias("cnt")

@@ -534,7 +534,12 @@ def chunk_text(
     split each document into ``chunk_tokens``-token windows advancing
     by ``stride`` tokens (overlap = chunk_tokens - stride), dropping
     trailing fragments shorter than ``min_tail`` unless they are the
-    document's only chunk.
+    document's only chunk. A window whose PREDECESSOR already reached
+    the document end is dropped too: it would be a strict subset of
+    the previous chunk (e.g. 64/48 defaults on a 60-token doc — the
+    whole doc is chunk 0, and the 12-token tail window repeats its
+    last tokens verbatim), and subset chunks embed and store
+    duplicate content in the RAG index for zero retrieval value.
 
     Plan: window starts come from one ``sequence`` per row and the
     chunks from ``transform`` + ``explode`` — per-row JVM work linear
@@ -551,11 +556,15 @@ def chunk_text(
             F.least(F.lit(chunk_tokens), n - s + 1).cast("long").alias(
                 "n_chunk_tokens"
             ),
+            # predecessor window [1+(i-1)*stride, (i-1)*stride+chunk]
+            # already covered the doc -> this window adds nothing
+            ((i > 0) & ((i - 1) * stride + chunk_tokens >= n)).alias("_redundant"),
             F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
         ),
     )
     return (
         df.select(id_col, F.explode(chunks).alias("c"))
+        .filter(~F.col("c._redundant"))
         .select(id_col, "c.chunk_idx", "c.n_chunk_tokens", "c.chunk")
         .filter(
             (F.col("chunk_idx") == 0) | (F.col("n_chunk_tokens") >= min_tail)
@@ -595,7 +604,13 @@ def quality_classifier(
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
     stop_ratio = n_stop.cast("double") / n
-    mean_tok_len = (F.length(text_col) - (n - 1)).cast("double") / n
+    # sum of token lengths == non-whitespace char count — exact for
+    # the \s+ tokenizer on ANY whitespace shape; the earlier
+    # length - (n-1) form assumed exactly one single-space separator
+    # and diverged from the oracle on consecutive/mixed whitespace
+    mean_tok_len = (
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).cast("double") / n
+    )
     ln_tokens = F.log(F.lit(1.0) + n.cast("double"))
     z = (
         F.lit(w["bias"])

@@ -1,9 +1,13 @@
-"""Streaming MEDIA ingest with online image dedup — the corpus
+"""Streaming MEDIA ingest with online perceptual dedup — the corpus
 pipeline (streaming/corpus.py) generalized to binary media columns:
-quality gate = "does it decode", exact dedup = payload fingerprint,
-near-dup = perceptual dHash through the banded Hamming machinery
-(operators/multimodal.py). Demonstrates that the sidecar
-architecture is content-type-agnostic.
+quality gate = "does it decode UNDER ITS OWN MODALITY's decoder"
+(image PPM/PNG, audio PCM-WAV, video Y4M —
+multimodal.media_gate_hash), exact dedup = payload fingerprint for
+every modality, perceptual near-dup = 64-bit fingerprints (image
+dHash, audio spectral prints) through the banded Hamming machinery,
+with the MODALITY riding every candidate join so the incompatible
+hash families never cross. Video rows pass the gate and dedup
+exactly; frame-level fingerprints are the documented extension.
 
 Sidecars (all bucket-partitioned, a few dozen bytes per row — the
 corpus payloads are never re-read for dedup):
@@ -36,8 +40,15 @@ from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     hash_band_rows,
     hamming_near_dup,
-    image_dhash,
+    media_gate_hash,
 )
+
+# Modalities whose perceptual near-dup runs through the banded
+# Hamming machinery (64-bit fingerprint families). Video passes the
+# decode gate but only exact-payload dedup applies until frame-level
+# fingerprints land. Hash families are INCOMPATIBLE across
+# modalities, so every candidate join below keys on modality too.
+PERCEPTUAL_MODALITIES = ("image", "audio")
 
 N_BUCKETS = 64
 HASH_BANDS = 4
@@ -61,23 +72,32 @@ def _cross_batch_near_ids(
     table_path: str,
     max_hamming: int,
 ) -> DataFrame:
-    """Batch ids whose dHash is within ``max_hamming`` of an
-    ALREADY-INGESTED image: the batch's band rows join the band
-    sidecar (bucket-bounded degree), candidates verify against the
-    hash sidecar with bit_count — per-trigger cost tracks the delta's
-    band collisions, never the corpus."""
-    try:
-        bands_old = spark.read.parquet(_band_sidecar(table_path))
-        hashes_old = spark.read.parquet(_hash_sidecar(table_path))
-    except Exception:
-        return hashed.select("media_id").limit(0)
+    """Batch ids whose fingerprint is within ``max_hamming`` of an
+    ALREADY-INGESTED item OF THE SAME MODALITY: the batch's band rows
+    join the band sidecar (bucket-bounded degree), candidates verify
+    against the hash sidecar with bit_count — per-trigger cost tracks
+    the delta's band collisions, never the corpus. Modality rides
+    every join key: image dHashes and audio spectral prints are
+    different hash families, and a cross-family band collision must
+    not produce a candidate."""
+    import os
+
+    if not (
+        os.path.isdir(_band_sidecar(table_path))
+        and os.path.isdir(_hash_sidecar(table_path))
+    ):
+        return hashed.select("media_id").limit(0)  # first trigger
+    bands_old = spark.read.parquet(_band_sidecar(table_path))
+    hashes_old = spark.read.parquet(_hash_sidecar(table_path))
+    banded = hash_band_rows(
+        hashed.select("media_id", "dhash"), "dhash", bands=HASH_BANDS
+    ).join(hashed.select("media_id", "modality"), "media_id")
     cand = (
-        hash_band_rows(hashed, "dhash", bands=HASH_BANDS)
-        .join(
+        banded.join(
             bands_old.select(
-                F.col("media_id").alias("old_id"), "band_idx", "band_val"
+                F.col("media_id").alias("old_id"), "modality", "band_idx", "band_val"
             ),
-            ["band_idx", "band_val"],
+            ["modality", "band_idx", "band_val"],
         )
         .select("media_id", "dhash", "old_id")
         .distinct()
@@ -118,20 +138,20 @@ def media_ingest_batch(
        ``batch_id``, outcome counts append to ``<table>_metrics`` as
        the completion marker."""
     spark = batch_df.sparkSession
-    hashed_all = image_dhash(batch_df)
+    gate = media_gate_hash(batch_df)
     scored = batch_df.withColumn("fp", F.xxhash64("payload")).withColumn(
         "fp_bucket", F.pmod(F.col("fp"), F.lit(N_BUCKETS))
-    ).join(hashed_all, "media_id", "left")
+    ).join(gate, "media_id", "left")
     scored.persist()
     try:
         (
-            scored.filter(F.col("dhash").isNull())
-            .drop("fp", "fp_bucket", "dhash")
+            scored.filter(~F.coalesce(F.col("decode_ok"), F.lit(False)))
+            .drop("fp", "fp_bucket", "dhash", "decode_ok")
             .withColumn("_error", F.lit("undecodable"))
             .write.mode("append")
             .parquet(rejected_path)
         )
-        kept = scored.filter(F.col("dhash").isNotNull())
+        kept = scored.filter(F.col("decode_ok"))
         first = kept.groupBy("fp").agg(F.min("media_id").alias("media_id"))
         kept = kept.join(first, ["fp", "media_id"])
         try:
@@ -141,13 +161,29 @@ def media_ingest_batch(
             pass  # first trigger: no sidecar yet
         pre_nd = kept
         pre_nd.persist()
-        within = hamming_near_dup(
-            pre_nd.select("media_id", "dhash"),
-            "dhash",
-            max_hamming=max_hamming,
-            bands=HASH_BANDS,
-        ).select(F.col("id_b").alias("media_id"))
-        cross = _cross_batch_near_ids(spark, pre_nd, table_path, max_hamming)
+        # within-batch perceptual pairs PER MODALITY (the hash
+        # families are incompatible; a bounded two-entry loop, never
+        # data-dependent)
+        within_frames = [
+            hamming_near_dup(
+                pre_nd.filter(
+                    (F.col("modality") == mod) & F.col("dhash").isNotNull()
+                ).select("media_id", "dhash"),
+                "dhash",
+                max_hamming=max_hamming,
+                bands=HASH_BANDS,
+            ).select(F.col("id_b").alias("media_id"))
+            for mod in PERCEPTUAL_MODALITIES
+        ]
+        within = within_frames[0]
+        for f_ in within_frames[1:]:
+            within = within.union(f_)
+        cross = _cross_batch_near_ids(
+            spark,
+            pre_nd.filter(F.col("dhash").isNotNull()),
+            table_path,
+            max_hamming,
+        )
         near_ids = within.union(cross).distinct()
         (
             kept.join(near_ids, "media_id")
@@ -163,7 +199,9 @@ def media_ingest_batch(
         metric_rows = None
         if batch_id is not None:
             n_in = scored.count()
-            n_undec = scored.filter(F.col("dhash").isNull()).count()
+            n_undec = scored.filter(
+                ~F.coalesce(F.col("decode_ok"), F.lit(False))
+            ).count()
             n_ing = kept.count()
             n_near = pre_nd.count() - n_ing
             n_dup = n_in - n_undec - n_near - n_ing
@@ -174,7 +212,7 @@ def media_ingest_batch(
                 (int(batch_id), "rejected:undecodable", n_undec),
             ]
         (
-            kept.drop("fp", "fp_bucket", "dhash")
+            kept.drop("fp", "fp_bucket", "dhash", "decode_ok")
             .write.mode("append")
             .partitionBy("modality")
             .parquet(table_path)
@@ -185,8 +223,12 @@ def media_ingest_batch(
             .partitionBy("fp_bucket")
             .parquet(_fp_sidecar(table_path))
         )
-        surv_hashes = kept.select(
+        # perceptual sidecars: only fingerprinted modalities, and the
+        # modality column rides along so future candidate joins never
+        # cross hash families
+        surv_hashes = kept.filter(F.col("dhash").isNotNull()).select(
             "media_id",
+            "modality",
             "dhash",
             F.pmod(F.xxhash64(F.col("media_id")), F.lit(N_BUCKETS)).alias("id_bucket"),
         )
@@ -196,7 +238,8 @@ def media_ingest_batch(
             .parquet(_hash_sidecar(table_path))
         )
         (
-            hash_band_rows(surv_hashes.drop("id_bucket"), "dhash", bands=HASH_BANDS)
+            hash_band_rows(surv_hashes.drop("id_bucket", "modality"), "dhash", bands=HASH_BANDS)
+            .join(surv_hashes.select("media_id", "modality"), "media_id")
             .drop("dhash")
             .withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(N_BUCKETS)))
             .write.mode("append")

@@ -181,16 +181,15 @@ def heavy_hitters_stream(
             n = int(n)
         else:
             cdict, n = {}, 0
+        from unified_log_aggregation_and_analytics_spark.operators.sketches import mg_update
+
         for pdf in pdfs:
             arr = pdf["k"].to_numpy()
             n += len(arr)
-            for start in range(0, len(arr), chunk):
-                vc = pd.Series(arr[start : start + chunk]).value_counts()
-                for kk, c in vc.items():
-                    cdict[kk] = cdict.get(kk, 0) + int(c)
-                if len(cdict) > capacity:
-                    dec = sorted(cdict.values(), reverse=True)[capacity]
-                    cdict = {kk: c - dec for kk, c in cdict.items() if c > dec}
+            # the decrement rule is the SHARED helper — batch and
+            # streaming must evict identically or the documented
+            # equivalence (and both error bounds) silently breaks
+            mg_update(cdict, arr, capacity, chunk)
         state.update((list(cdict.keys()), [int(c) for c in cdict.values()], n))
         yield pd.DataFrame(
             {
