@@ -1154,18 +1154,13 @@ def test_phrase_search_indexed_equals_scan(spark, tmp_path):
          (3, "big fast table and big fast table again"), (4, "fast table big")],
         ["doc_id", "text"],
     )
+    from unified_log_aggregation_and_analytics_spark.catalog import (
+        _drop_stale_warehouse_dirs,
+    )
+
     name = "pos_idx_ut"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # a previous SESSION's managed files survive the in-memory
-    # catalog; saveAsTable refuses to create over them (the
-    # _positional_index_table helper handles the same gotcha)
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
-
-    leftover = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path) / name
-    if leftover.exists():
-        shutil.rmtree(leftover)
+    _drop_stale_warehouse_dirs(spark, name)
     R.build_positional_index_table(df, name)
     scan = {(r.doc_id, r.n_matches) for r in R.phrase_search(df, "big fast table").collect()}
     idx = {
@@ -1216,3 +1211,20 @@ def test_cluster_split_eliminates_leakage(spark, docs):
     assert leaked(cluster_split(docs, comp)) == 0
     # sanity: the corpus genuinely has pairs, so zero is meaningful
     assert pairs.count() > 0
+
+
+def test_percolate_empty_condition_fires_on_all_docs(spark):
+    """A stored query with no terms is a vacuous AND (OpenSearch
+    match_all percolation) — it fires on every document instead of
+    silently never firing."""
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], ["doc_id", "text"]
+    )
+    stored = spark.createDataFrame(
+        [("q_all", []), ("q_alpha", ["alpha"])],
+        "query_id string, terms array<string>",
+    )
+    got = {(r.doc_id, r.query_id) for r in R.percolate(docs, stored).collect()}
+    assert got == {(1, "q_all"), (2, "q_all"), (1, "q_alpha")}

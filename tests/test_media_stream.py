@@ -207,3 +207,52 @@ def test_media_pipeline_routes_every_modality(spark, tmp_path):
     rej2 = {r.media_id: r._error
             for r in spark.read.parquet(str(tmp_path / "media_rejected")).collect()}
     assert rej2[10] == "near_duplicate"  # cross-batch, same modality
+
+
+def test_media_gate_poison_payloads_dead_letter_not_crash(spark, tmp_path):
+    """Malformed-but-magic-valid payloads (odd-length PCM data, garbage
+    Y4M geometry) must dead-letter as undecodable — a decoder
+    exception would poison the micro-batch and wedge the checkpointed
+    stream forever."""
+    odd_pcm = _wav_payload(1)[:-1]  # truncate: data chunk length lies
+    bad_y4m = b"YUV4MPEG2 W4x H4 F25:1 C420\nFRAME\n" + bytes(24)
+    rows = [
+        (1, "image", _ppm_payload(0, 0), "image/x-portable-pixmap"),
+        (2, "audio", odd_pcm, "audio/wav"),
+        (3, "video", bad_y4m, "video/x-yuv4mpeg"),
+    ]
+    df = spark.createDataFrame(
+        [(m, mod, p, mt, None, None, None) for m, mod, p, mt in rows],
+        MM.MEDIA_SCHEMA,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    df.write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b1")
+    table = {r.media_id for r in spark.read.parquet(str(tmp_path / "media_table")).collect()}
+    rej = {r.media_id: r._error
+           for r in spark.read.parquet(str(tmp_path / "media_rejected")).collect()}
+    assert table == {1}
+    assert rej == {2: "undecodable", 3: "undecodable"}
+
+
+def test_media_pipeline_survives_hashless_first_batch(spark, tmp_path):
+    """A first batch with only video rows writes perceptual sidecars
+    with no part files; the next batch's cross-batch probe must treat
+    that as 'no fingerprints yet', not crash on schema inference."""
+    df1 = spark.createDataFrame(
+        [(1, "video", _y4m_payload(), "video/x-yuv4mpeg", None, None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    df1.write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b1")
+    df2 = spark.createDataFrame(
+        [(2, "image", _ppm_payload(1, 0), "image/x-portable-pixmap", None, None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    df2.write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path, "b2")
+    table = {r.media_id for r in spark.read.parquet(str(tmp_path / "media_table")).collect()}
+    assert table == {1, 2}

@@ -1058,6 +1058,25 @@ def q02c_ranked_search(spark, sf_dir):
     return R.bm25_search(docs, ["merge", "spark", "vector"], k=10)
 
 
+def _drop_stale_warehouse_dirs(spark, name: str, suffixes=("",)) -> None:
+    """Remove leftover MANAGED-table directories from a previous
+    session: the default in-memory catalog forgets a table on
+    restart but its files survive under spark-warehouse/, and
+    saveAsTable refuses to create over an existing location. One
+    helper — the gotcha has one fix, not a copy per index builder."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in suffixes:
+        if spark.catalog.tableExists(name + suffix):
+            continue
+        leftover = Path(wh) / (name + suffix).lower()
+        if leftover.exists():
+            shutil.rmtree(leftover)
+
+
 def _token_index_table(spark, sf_dir) -> str:
     """Session-scoped persisted token index for sf_dir: built once per
     session (amortized over every indexed query), files land under
@@ -1066,17 +1085,9 @@ def _token_index_table(spark, sf_dir) -> str:
     the table but its managed location survives on disk, so a rebuild
     must clear the leftover directories first (saveAsTable refuses to
     create over an existing location)."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
-
     name = "tok_idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     if not spark.catalog.tableExists(name):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for suffix in ("", "_doclen", "_stats"):
-            leftover = Path(wh) / (name + suffix).lower()
-            if leftover.exists() and not spark.catalog.tableExists(name + suffix):
-                shutil.rmtree(leftover)
+        _drop_stale_warehouse_dirs(spark, name, ("", "_doclen", "_stats"))
         R.build_token_index_table(_t(spark, sf_dir, "documents"), name)
     return name
 
@@ -1109,17 +1120,9 @@ def _token_index_table_appended(spark, sf_dir) -> str:
     persisted-index maintenance lifecycle. Queries over it share the
     scan-time oracles, so a green row proves base+append ≡ full
     rebuild."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
-
     name = "tok_idxinc_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     if not spark.catalog.tableExists(name):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for suffix in ("", "_doclen", "_stats"):
-            leftover = Path(wh) / (name + suffix).lower()
-            if leftover.exists() and not spark.catalog.tableExists(name + suffix):
-                shutil.rmtree(leftover)
+        _drop_stale_warehouse_dirs(spark, name, ("", "_doclen", "_stats"))
         docs = _t(spark, sf_dir, "documents")
         R.build_token_index_table(docs.filter(F.col("doc_id") % 2 == 1), name)
         R.append_token_index_table(docs.filter(F.col("doc_id") % 2 == 0), name)
@@ -2603,10 +2606,7 @@ def _positional_index_table(spark, sf_dir) -> str:
 
     name = "pos_idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     if not spark.catalog.tableExists(name):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        leftover = Path(wh) / name.lower()
-        if leftover.exists():
-            shutil.rmtree(leftover)
+        _drop_stale_warehouse_dirs(spark, name)
         R.build_positional_index_table(_t(spark, sf_dir, "documents"), name)
     return name
 
@@ -2744,16 +2744,9 @@ def _positional_index_table_appended(spark, sf_dir) -> str:
     over the odd doc_ids, append the even ones — proving positional
     append ≡ full rebuild (the index-maintenance lifecycle the tf and
     ANN indexes already certify)."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
-
     name = "pos_idxinc_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     if not spark.catalog.tableExists(name):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        leftover = Path(wh) / name.lower()
-        if leftover.exists():
-            shutil.rmtree(leftover)
+        _drop_stale_warehouse_dirs(spark, name)
         docs = _t(spark, sf_dir, "documents")
         R.build_positional_index_table(docs.filter(F.col("doc_id") % 2 == 1), name)
         R.append_positional_index_table(docs.filter(F.col("doc_id") % 2 == 0), name)

@@ -2994,19 +2994,18 @@ def docs_split_leakage(spark, sf_dir):
     split-by-cluster, this query is the audit that catches the need).
     Composes two certified primitives: the md5 LSH banding of
     dedup_minhash_lsh_md5 and the md5-bucket split of docs_hash_split
-    — one band-keyed pair pass, one broadcast-sized split map joined
-    twice, corpus never goes n^2."""
-    from unified_log_aggregation_and_analytics_spark.operators.sampling import hash_split
+    — one band-keyed pair pass; split labels attach as PURE
+    EXPRESSIONS on the pair endpoints (split is a function of the id,
+    operators/sampling.py split_column), so the corpus is scanned
+    exactly once for the signatures and never goes n^2."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import split_column
 
     docs = _spread(_t(spark, sf_dir, "documents"))
     sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
     pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
-    splits = hash_split(docs).select("doc_id", "split")
-    a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
-    b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.withColumn("split_a", split_column("id_a"))
+        .withColumn("split_b", split_column("id_b"))
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b")
     )
@@ -3117,23 +3116,29 @@ def docs_dedup_report(spark, sf_dir):
     """Dataset-card dedup census — the summary a curator reads before
     any dedup run: per source, document count, exact-duplicate count
     (md5 keep-min rule), and near-dup-candidate count (any md5-LSH
-    banding partner). Composes the certified exact_dedup and banding
-    primitives; the flags attach via one hash-keyed join and one
-    id-keyed left join, then a source-keyed aggregation — no n^2
-    anywhere, same plan family as the underlying dedup ops."""
+    banding partner). Composes the certified banding primitive; the
+    exact-dup flag is a keyed window (min id over the fingerprint
+    group — no keep-table join, no second corpus scan), near ids
+    come from ONE pass over the pair graph (explode of both
+    endpoints), then a source-keyed aggregation — scan count matches
+    the banding certificate's own plan plus the one flag scan."""
+    from pyspark.sql import Window
+
     docs = _spread(_t(spark, sf_dir, "documents"))
-    keep = D.exact_dedup(docs)  # (text_hash, keep_id, n_copies)
     sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
     pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
     near = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+        )
         .distinct()
         .withColumn("_near", F.lit(1))
     )
     flagged = (
         docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
-        .join(keep.select("text_hash", "keep_id"), "text_hash")
+        .withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+        )
         .join(near, "doc_id", "left")
     )
     return (

@@ -910,6 +910,18 @@ def audio_fingerprint64(samples: np.ndarray, n_windows: int = 9, n_bands: int = 
     return bits_val
 
 
+def _wav_mono(wav: tuple) -> np.ndarray | None:
+    """Channel-mean mono mix of a decode_wav result — the ONE copy of
+    the reshape both the batch fingerprint op and the streaming gate
+    use (a divergent copy here would split their fingerprints).
+    None for degenerate decodes (zero channels/frames) instead of a
+    reshape crash."""
+    _, ch, _, n_frames, arr = wav
+    if ch <= 0 or n_frames <= 0 or arr.size < n_frames * ch:
+        return None
+    return arr[: n_frames * ch].reshape(n_frames, ch).astype(np.float64).mean(axis=1)
+
+
 def audio_hash(df: DataFrame) -> DataFrame:
     """X5/X2 — per-clip fingerprint column ``(media_id, afp)``: WAV
     decode (channel-mean mono mix) + spectral fingerprint in one
@@ -920,15 +932,9 @@ def audio_hash(df: DataFrame) -> DataFrame:
             ids, prints = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 wav = decode_wav(p) if p is not None else None
-                if wav is None:
+                mono = _wav_mono(wav) if wav is not None else None
+                if mono is None:
                     continue
-                _, ch, _, n_frames, arr = wav
-                mono = (
-                    arr[: n_frames * ch]
-                    .reshape(n_frames, max(ch, 1))
-                    .astype(np.float64)
-                    .mean(axis=1)
-                )
                 ids.append(mid)
                 prints.append(audio_fingerprint64(mono))
             yield pd.DataFrame({"media_id": ids, "afp": pd.Series(prints, dtype="int64")})
@@ -1263,24 +1269,27 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
             ids, oks, hashes = [], [], []
             for mid, mod, p in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
                 ok, ph = False, None
-                if p is not None:
-                    if mod == "image":
-                        dec = _decode_rgb(p)
-                        if dec is not None:
-                            ok, ph = True, dhash64(dec[2])
-                    elif mod == "audio":
-                        wav = decode_wav(p)
-                        if wav is not None:
-                            _, ch, _, n_frames, arr = wav
-                            mono = (
-                                arr[: n_frames * ch]
-                                .reshape(n_frames, max(ch, 1))
-                                .astype(np.float64)
-                                .mean(axis=1)
-                            )
-                            ok, ph = True, audio_fingerprint64(mono)
-                    elif mod == "video":
-                        ok = decode_y4m(p) is not None
+                # A decoder EXCEPTION is a failed gate, never a failed
+                # batch: a malformed-but-magic-valid payload (odd-length
+                # PCM data, zero-channel fmt chunk, garbage Y4M header
+                # numbers) must dead-letter like any undecodable row —
+                # a raised error here poisons the micro-batch and the
+                # checkpoint replays it forever.
+                try:
+                    if p is not None:
+                        if mod == "image":
+                            dec = _decode_rgb(p)
+                            if dec is not None:
+                                ok, ph = True, dhash64(dec[2])
+                        elif mod == "audio":
+                            wav = decode_wav(p)
+                            mono = _wav_mono(wav) if wav is not None else None
+                            if mono is not None:
+                                ok, ph = True, audio_fingerprint64(mono)
+                        elif mod == "video":
+                            ok = decode_y4m(p) is not None
+                except Exception:
+                    ok, ph = False, None
                 ids.append(mid)
                 oks.append(ok)
                 hashes.append(ph)

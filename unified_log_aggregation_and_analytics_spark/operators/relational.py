@@ -167,11 +167,25 @@ def append_token_index_table(
     )
 
 
-def token_postings(spark, table_name: str, terms: list[str]) -> DataFrame:
-    """Bucket-pruned posting-list read for a term set. Requires
-    autoBucketedScan off so the planner keeps the bucketed layout for
-    a pure filter (it only auto-enables it for joins/aggs)."""
+def _keep_bucketed_layout(spark) -> None:
+    """Disable autoBucketedScan so pure per-term FILTERS keep the
+    bucketed layout and its hash(term) pruning (the planner only
+    auto-enables the bucketed scan for joins/aggregations). This is a
+    SESSION-LEVEL setting by necessity, not sloppiness: the rule is
+    consulted when the returned lazy plan is EXECUTED, so a
+    set-then-restore around the read would undo itself before any
+    action runs. Cost of leaving it off for the session: plain scans
+    of bucketed tables lose the option of ignoring bucketing for
+    extra parallelism — and the index tables this module builds are
+    the engine's only bucketed tables, always read through pruned
+    filters or bucket-colocated joins, where the layout only helps."""
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+
+def token_postings(spark, table_name: str, terms: list[str]) -> DataFrame:
+    """Bucket-pruned posting-list read for a term set (see
+    _keep_bucketed_layout for why the switch is session-level)."""
+    _keep_bucketed_layout(spark)
     return spark.table(table_name).filter(F.col("token").isin([t.lower() for t in terms]))
 
 
@@ -736,11 +750,10 @@ def phrase_search_indexed(
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("empty phrase")
-    # keep the bucketed layout for the pure per-term filters (the
-    # planner only auto-enables bucketed scans for joins/aggs) — same
-    # switch token_postings flips; without it every term reads all 64
-    # buckets instead of hash(term)'s one (plan-guarded in tests)
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # without this every term reads all 64 buckets instead of
+    # hash(term)'s one (plan-guarded in tests); see the helper for
+    # why the switch is session-level
+    _keep_bucketed_layout(spark)
     postings = spark.table(table_name)
     cur = (
         postings.filter(F.col("token") == terms[0])
@@ -1000,8 +1013,14 @@ def percolate(
     broadcast equi-join on the term + a (doc, query)-keyed count==n
     check. Corpus cost is one scan + one explode regardless of query
     count; per-batch in a foreachBatch this is the streaming alert
-    evaluator."""
-    qterms = queries.select(
+    evaluator.
+
+    An EMPTY-terms condition is a vacuous AND and fires on every
+    document (OpenSearch percolating a match_all query matches
+    everything) — a dedicated broadcast branch handles it, because
+    explode would otherwise silently drop the query and an authored
+    alert would simply never fire with no diagnostic."""
+    qterms = queries.filter(F.size("terms") > 0).select(
         "query_id", F.explode("terms").alias("_t"), F.size("terms").alias("_nq")
     ).select(  # fold stored terms like the docs (explode can't nest)
         "query_id", F.lower(F.col("_t")).alias("token"), "_nq"
@@ -1012,10 +1031,14 @@ def percolate(
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
         ).alias("token"),
     )
-    return (
+    matched = (
         toks.join(F.broadcast(qterms), "token")
         .groupBy(id_col, "query_id", "_nq")
         .agg(F.count(F.lit(1)).alias("_hits"))
         .filter(F.col("_hits") == F.col("_nq"))
         .select(id_col, "query_id")
     )
+    match_all = docs.select(F.col(id_col)).crossJoin(
+        F.broadcast(queries.filter(F.size("terms") == 0).select("query_id"))
+    )
+    return matched.unionByName(match_all)

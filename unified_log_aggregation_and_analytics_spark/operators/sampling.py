@@ -50,15 +50,15 @@ def weighted_priority_sample(
     )
 
 
-def hash_split(
-    df: DataFrame,
-    id_col: str = "doc_id",
+def split_column(
+    id_col: Column | str = "doc_id",
     splits: dict[str, int] | None = None,
-) -> DataFrame:
-    """Assign a ``split`` column from integer percentage weights, e.g.
-    ``{"train": 80, "val": 10, "test": 10}`` (must sum to 100).
-    Cumulative bucket ranges: train=[0,80), val=[80,90), test=[90,100).
-    """
+) -> Column:
+    """The split-membership EXPRESSION: md5 bucket of the id mapped
+    through cumulative percentage ranges. Split is a pure function of
+    the id, so any query needing a split label derives it in place —
+    no join against a split table, no extra scan (the leakage audit
+    attaches labels to both pair endpoints this way)."""
     splits = splits or {"train": 80, "val": 10, "test": 10}
     if sum(splits.values()) != 100:
         raise ValueError("split weights must sum to 100")
@@ -69,7 +69,19 @@ def hash_split(
         hi += weight
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return df.withColumn("split", expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Assign a ``split`` column from integer percentage weights, e.g.
+    ``{"train": 80, "val": 10, "test": 10}`` (must sum to 100).
+    Cumulative bucket ranges: train=[0,80), val=[80,90), test=[90,100).
+    """
+    return df.withColumn("split", split_column(id_col, splits))
 
 
 def pack_contiguous(

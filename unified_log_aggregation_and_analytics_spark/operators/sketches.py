@@ -144,7 +144,12 @@ def misra_gries_summary(
         ]
     )
 
-    keyed = df.select(
+    # NULL keys are excluded by contract (xxhash64(null) is null, so
+    # they have no shard; pandas would also silently drop the NA
+    # group, miscounting shard_n). The certificate's exact side
+    # applies the same filter, keeping both sides of the bound in
+    # agreement; count nulls upstream if they matter.
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("k"),
         F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
         .cast("int")
@@ -205,7 +210,9 @@ def heavy_hitters_certificate(
     fails the hash match."""
     summary = misra_gries_summary(df, key_col, capacity, n_shards).persist()
     exact = (
-        df.select(F.col(key_col).cast("string").alias("k"))
+        df.filter(F.col(key_col).isNotNull())  # the summary's null-
+        # exclusion contract, mirrored so n and the heavy set agree
+        .select(F.col(key_col).cast("string").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
     )

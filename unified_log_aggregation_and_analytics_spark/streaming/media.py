@@ -80,15 +80,19 @@ def _cross_batch_near_ids(
     every join key: image dHashes and audio spectral prints are
     different hash families, and a cross-family band collision must
     not produce a candidate."""
-    import os
+    from pyspark.errors import AnalysisException
 
-    if not (
-        os.path.isdir(_band_sidecar(table_path))
-        and os.path.isdir(_hash_sidecar(table_path))
-    ):
-        return hashed.select("media_id").limit(0)  # first trigger
-    bands_old = spark.read.parquet(_band_sidecar(table_path))
-    hashes_old = spark.read.parquet(_hash_sidecar(table_path))
+    try:
+        bands_old = spark.read.parquet(_band_sidecar(table_path))
+        hashes_old = spark.read.parquet(_hash_sidecar(table_path))
+    except AnalysisException:
+        # AnalysisException only: missing path (first trigger) or a
+        # schema-less directory (an earlier batch with no fingerprinted
+        # survivors writes _SUCCESS and no part files). Any OTHER
+        # failure must fail the batch — a broad except here would
+        # silently disable cross-batch dedup. Works on any Hadoop
+        # filesystem, unlike a local isdir probe.
+        return hashed.select("media_id").limit(0)
     banded = hash_band_rows(
         hashed.select("media_id", "dhash"), "dhash", bands=HASH_BANDS
     ).join(hashed.select("media_id", "modality"), "media_id")

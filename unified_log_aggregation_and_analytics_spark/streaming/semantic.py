@@ -114,21 +114,26 @@ def semantic_ingest_batch(
 ) -> None:
     """Ingest ONE micro-batch of embedding rows (see module
     docstring for the architecture and write-order contract)."""
-    import os
+    from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
     assigned = ivf_assign(batch_df, centroids, vec_col=vec_col)
     assigned.persist()
     drops = None
     try:
-        # Explicit existence check, not a broad except: ANY other read
-        # failure (corrupt footer, permissions, a compactor's swap
-        # window) must FAIL the batch — treating it as "first trigger"
-        # would silently disable cross-batch dedup and permanently
-        # ingest duplicates. (Compaction is an offline maintenance op;
-        # don't run compact_cell_sidecar against a live stream.)
-        side = _cell_sidecar(table_path)
-        old = spark.read.parquet(side) if os.path.isdir(side) else None
+        # AnalysisException ONLY covers "no sidecar yet": a missing
+        # path (first trigger) or a schema-less directory (an earlier
+        # batch whose survivors were all dropped writes _SUCCESS and
+        # no part files). Any other failure (corrupt footer at
+        # execution, permissions, a compactor's swap window) surfaces
+        # and FAILS the batch — a broad except would silently disable
+        # cross-batch dedup and permanently ingest duplicates.
+        # (Compaction stays an offline maintenance op.) Read-probe,
+        # not isdir: works on any Hadoop filesystem.
+        try:
+            old = spark.read.parquet(_cell_sidecar(table_path))
+        except AnalysisException:
+            old = None
         drops = (
             _semantic_drop_ids(assigned, old, threshold, id_col=id_col, vec_col=vec_col)
             .withColumnRenamed("drop_id", id_col)

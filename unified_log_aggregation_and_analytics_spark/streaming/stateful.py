@@ -166,7 +166,9 @@ def heavy_hitters_stream(
 
     from pyspark.sql import functions as F
 
-    keyed = df.select(
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        # null keys excluded — the batch summary's contract
+        # (operators/sketches.py misra_gries_summary), mirrored
         F.col(key_col).cast("string").alias("k"),
         F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
         .cast("int")
