@@ -2600,10 +2600,6 @@ def _positional_index_table(spark, sf_dir) -> str:
     """Session-scoped persisted positional index (token -> doc ->
     sorted positions), the _token_index_table lifecycle applied to the
     phrase-query layout."""
-    import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
-
     name = "pos_idx_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     if not spark.catalog.tableExists(name):
         _drop_stale_warehouse_dirs(spark, name)

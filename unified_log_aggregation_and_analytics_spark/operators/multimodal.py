@@ -496,6 +496,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
     if rate is None or samples is None:
         return None
     dtype = np.uint8 if bits == 8 else np.int16
+    # malformed chunk data (a 16-bit data chunk with an odd byte
+    # length — truncated payload, lying header) means "not decodable",
+    # same as a non-RIFF payload — a raised ValueError here would
+    # crash every batch operator whose contract says undecodable
+    # payloads drop out
+    if len(samples) % np.dtype(dtype).itemsize:
+        return None
     arr = np.frombuffer(samples, dtype=dtype)
     n_frames = len(arr) // max(channels, 1)
     return rate, channels, bits, n_frames, arr
@@ -1055,18 +1062,21 @@ def decode_y4m(
     w = h = None
     fn, fd = 25, 1
     cs = "420"
-    for tok in payload[len(Y4M_MAGIC) : nl].split(b" "):
-        tok = tok.decode("ascii", "replace")
-        if not tok:
-            continue
-        if tok[0] == "W":
-            w = int(tok[1:])
-        elif tok[0] == "H":
-            h = int(tok[1:])
-        elif tok[0] == "F" and ":" in tok:
-            fn, fd = (int(x) for x in tok[1:].split(":"))
-        elif tok[0] == "C":
-            cs = tok[1:]
+    try:  # garbage header numbers ("W4x") mean undecodable, not a crash
+        for tok in payload[len(Y4M_MAGIC) : nl].split(b" "):
+            tok = tok.decode("ascii", "replace")
+            if not tok:
+                continue
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F" and ":" in tok:
+                fn, fd = (int(x) for x in tok[1:].split(":"))
+            elif tok[0] == "C":
+                cs = tok[1:]
+    except ValueError:
+        return None
     if not w or not h or cs not in _Y4M_CHROMA_RATIO:
         return None
     luma_n = w * h

@@ -1011,16 +1011,18 @@ def percolate(
     and BROADCASTS (stored searches are human-authored — thousands at
     most); the corpus explodes its per-doc distinct tokens once; one
     broadcast equi-join on the term + a (doc, query)-keyed count==n
-    check. Corpus cost is one scan + one explode regardless of query
-    count; per-batch in a foreachBatch this is the streaming alert
-    evaluator.
+    check. Corpus cost is one full scan + one explode regardless of
+    query count, plus an id-column-only pruned scan feeding the
+    match-all branch; per-batch in a foreachBatch this is the
+    streaming alert evaluator.
 
     An EMPTY-terms condition is a vacuous AND and fires on every
     document (OpenSearch percolating a match_all query matches
     everything) — a dedicated broadcast branch handles it, because
     explode would otherwise silently drop the query and an authored
     alert would simply never fire with no diagnostic."""
-    qterms = queries.filter(F.size("terms") > 0).select(
+    n_terms = F.coalesce(F.size("terms"), F.lit(0))  # NULL == empty
+    qterms = queries.filter(n_terms > 0).select(
         "query_id", F.explode("terms").alias("_t"), F.size("terms").alias("_nq")
     ).select(  # fold stored terms like the docs (explode can't nest)
         "query_id", F.lower(F.col("_t")).alias("token"), "_nq"
@@ -1039,6 +1041,6 @@ def percolate(
         .select(id_col, "query_id")
     )
     match_all = docs.select(F.col(id_col)).crossJoin(
-        F.broadcast(queries.filter(F.size("terms") == 0).select("query_id"))
+        F.broadcast(queries.filter(n_terms == 0).select("query_id"))
     )
     return matched.unionByName(match_all)

@@ -144,9 +144,11 @@ def misra_gries_summary(
         ]
     )
 
-    # NULL keys are excluded by contract (xxhash64(null) is null, so
-    # they have no shard; pandas would also silently drop the NA
-    # group, miscounting shard_n). The certificate's exact side
+    # NULL keys are excluded by contract: they WOULD hash to a valid
+    # shard (xxhash64(null) returns the seed), but value_counts drops
+    # NaN keys silently — miscounting shard_n — and a genuine
+    # null-key counter row would be indistinguishable from the
+    # full-eviction sentinel below. The certificate's exact side
     # applies the same filter, keeping both sides of the bound in
     # agreement; count nulls upstream if they matter.
     keyed = df.filter(F.col(key_col).isNotNull()).select(

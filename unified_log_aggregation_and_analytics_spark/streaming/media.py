@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,8 +81,6 @@ def _cross_batch_near_ids(
     every join key: image dHashes and audio spectral prints are
     different hash families, and a cross-family band collision must
     not produce a candidate."""
-    from pyspark.errors import AnalysisException
-
     try:
         bands_old = spark.read.parquet(_band_sidecar(table_path))
         hashes_old = spark.read.parquet(_hash_sidecar(table_path))
@@ -161,8 +160,10 @@ def media_ingest_batch(
         try:
             seen = spark.read.parquet(_fp_sidecar(table_path))
             kept = kept.join(seen, ["fp_bucket", "fp"], "left_anti")
-        except Exception:
-            pass  # first trigger: no sidecar yet
+        except AnalysisException:
+            pass  # no sidecar yet (first trigger / schema-less dir);
+            # any OTHER failure fails the batch — a broad except
+            # would silently disable cross-batch exact dedup
         pre_nd = kept
         pre_nd.persist()
         # within-batch perceptual pairs PER MODALITY (the hash
