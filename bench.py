@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     # DSIR hashed-ngram importance selection
     "dedup_semantic",
     "docs_dsir_sample",
+    # round-5 search/report additions: seed-doc similarity, stored
+    # saved-search evaluation, per-source dedup census, epoch mixing
+    "q02k_more_like_this",
+    "q02o_percolate",
+    "docs_dedup_report",
+    "docs_epoch_repeat",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
