@@ -129,13 +129,15 @@ def media_ingest_batch(
 ) -> None:
     """Ingest ONE micro-batch of media rows:
 
-    1. decode gate: payloads the image decoder cannot read reject
-       with ``_error='undecodable'`` (the DLQ shape);
+    1. decode gate: payloads THEIR OWN MODALITY's decoder cannot read
+       reject with ``_error='undecodable'`` (the DLQ shape;
+       multimodal.media_gate_hash);
     2. exact dedup: xxhash64(payload) — keep-min within the batch,
-       anti-join the fp sidecar across batches;
-    3. near-dup: banded dHash — within-batch pairs via
-       hamming_near_dup (keep-min), cross-batch vs the band + hash
-       sidecars; rejects carry ``_error='near_duplicate'``;
+       anti-join the fp sidecar across batches (every modality);
+    3. near-dup: banded 64-bit fingerprints (image dHash / audio
+       spectral) — within-batch pairs via hamming_near_dup per
+       modality (keep-min), cross-batch vs the modality-qualified
+       band + hash sidecars; rejects carry ``_error='near_duplicate'``;
     4. survivors append to ``table_path`` partitioned by modality;
        fingerprints/hashes/bands append to the sidecars; with
        ``batch_id``, outcome counts append to ``<table>_metrics`` as
