@@ -208,6 +208,7 @@ SCALAR_BROADCAST_OK = {
     #   the B-row bucket marginals of the persisted feature frame
     "q06e_significant_terms",  # 1-row fg/bg doc-total scalar
     "q02k_more_like_this",  # 1-row (n_docs, avg_dl) corpus scalars
+    "q10c_trending",  # 1-row latest-hour scalar over hour-x-type cells
     "q02o_percolate",  # match-all branch: build side = stored queries
     #   with EMPTY terms (vacuous AND fires on every doc) — a
     #   human-authored list, almost always empty

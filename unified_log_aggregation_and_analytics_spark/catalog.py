@@ -2820,3 +2820,53 @@ def q02o_percolate(spark, sf_dir):
         "query_id string, terms array<string>",
     )
     return R.percolate(docs, stored, text_col="text")
+
+
+@_register(
+    "q10c_trending",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT h, event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n
+      FROM hourly
+    ), mx AS (SELECT MAX(h) AS maxh FROM hourly)
+    SELECT event_type, CAST(n AS BIGINT) AS n_cur,
+           CAST(coalesce(prev_n, 0) AS BIGINT) AS n_prev,
+           round((n + 1.0) / (coalesce(prev_n, 0) + 1.0), 6) AS growth
+    FROM lagged CROSS JOIN mx
+    WHERE h = maxh
+    ORDER BY growth DESC, event_type LIMIT 5
+    """,
+)
+def q10c_trending(spark, sf_dir):
+    """Q10 — trending event types (the Discover "what is spiking"
+    view): latest-hour counts vs the previous hour per type,
+    add-1-smoothed growth ratio, top-5. One grouped aggregation of
+    the event stream (hour x type cells — tiny), a type-keyed lag
+    window over those cells, and a 1-row latest-hour scalar via the
+    standard broadcast idiom; the raw stream is scanned once for the
+    cells, never sorted."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.withColumn("prev_n", F.lag("n").over(w))
+    mx = hourly.agg(F.max("h").alias("maxh"))
+    return (
+        lagged.crossJoin(F.broadcast(mx))
+        .filter(F.col("h") == F.col("maxh"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_cur"),
+            F.coalesce(F.col("prev_n"), F.lit(0)).alias("n_prev"),
+            F.round(
+                (F.col("n") + 1.0) / (F.coalesce(F.col("prev_n"), F.lit(0)) + 1.0), 6
+            ).alias("growth"),
+        )
+        .orderBy(F.col("growth").desc(), "event_type")
+        .limit(5)
+    )
