@@ -122,3 +122,21 @@ def test_bench_names_are_registered():
     missing = [n for n in bench.BENCH_QUERIES + bench.SCALE_QUERIES if n not in names]
     assert not missing, f"bench references unregistered queries: {missing}"
     assert set(bench._scale_extra_queries()).isdisjoint(names)
+
+
+def test_gate_certified_matches_ledger():
+    """GATE_CERTIFIED must be EXACTLY the union of green driver rows
+    (rows+schema+hash true, no err) across CORRECTNESS_r*.json — the
+    round-5 bookkeeping bug put two never-green entries (their only
+    rows were ``err: no_oracle``) in the set, permanently retiring
+    them from rotation without a real certification."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from gen_gate_certified import green_union
+
+    ledger = green_union()
+    extra = sorted(_cat.GATE_CERTIFIED - ledger)
+    stale = sorted(ledger - _cat.GATE_CERTIFIED)
+    assert not extra, f"GATE_CERTIFIED entries with no green driver row: {extra}"
+    assert not stale, f"green driver rows missing from GATE_CERTIFIED: {stale}"

@@ -21,6 +21,69 @@ from unified_log_aggregation_and_analytics_spark.session import get_spark
 from unified_log_aggregation_and_analytics_spark.schemas import TESTDATA_TABLES
 
 
+_SPARK_CANON = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "boolean": "bool", "string": "string", "binary": "binary",
+    "date": "date",
+}
+
+_DUCK_CANON = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128", "UTINYINT": "uint8",
+    "USMALLINT": "uint16", "UINTEGER": "uint32", "UBIGINT": "uint64",
+    "FLOAT": "float32", "DOUBLE": "float64", "BOOLEAN": "bool",
+    "VARCHAR": "string", "BLOB": "binary", "DATE": "date",
+}
+
+
+def _canon_spark_type(s: str) -> str:
+    """Spark dtype simpleString -> canonical width-aware type tag."""
+    if s in _SPARK_CANON:
+        return _SPARK_CANON[s]
+    if s.startswith("decimal"):
+        return s.replace(" ", "")
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("array<") and s.endswith(">"):
+        return f"list<{_canon_spark_type(s[6:-1])}>"
+    return s
+
+
+def _canon_duck_type(s: str) -> str:
+    """DuckDB DESCRIBE column_type -> canonical width-aware tag."""
+    s = s.strip()
+    if s.endswith("[]"):
+        return f"list<{_canon_duck_type(s[:-2])}>"
+    u = s.upper()
+    if u in _DUCK_CANON:
+        return _DUCK_CANON[u]
+    if u.startswith("DECIMAL"):
+        return u.replace("DECIMAL", "decimal").replace(" ", "")
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    return u.lower()
+
+
+def _type_drift(sdf, con, sql) -> list[str]:
+    """Width-strict type comparison: the driver's value hash
+    canonicalizes e.g. DuckDB HUGEINT (int128) differently from Spark
+    bigint even when every value is equal (the round-5
+    docs_pack_contiguous red row), so Python-int equality is not
+    enough. DESCRIBE costs a plan, not an execution."""
+    duck = {
+        r[0]: _canon_duck_type(r[1])
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    drift = []
+    for name, dt in sdf.dtypes:
+        st = _canon_spark_type(dt)
+        ot = duck.get(name)
+        if ot is not None and ot != st:
+            drift.append(f"{name}: spark={st} duck={ot}")
+    return drift
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -85,6 +148,10 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            drift = _type_drift(sdf, con, oracles[name])
+            if drift:
+                problems.append(f"type drift: {'; '.join(drift)}")
         if not problems:
             sk, dk = _rows_key(scols, srows), _rows_key(dcols, drows)
             if sk != dk:

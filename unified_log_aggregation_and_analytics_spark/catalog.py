@@ -68,99 +68,116 @@ def _register(name: str, oracle: str | None):
 # that every window entry carries an oracle.
 GATE_WINDOW = 50
 
-# Entries with a green row in CORRECTNESS_r01..r04 (driver-certified).
-# Updated each round from the union of prior CORRECTNESS_r*.json keys;
-# drives the rotation above.
+# Entries with a green driver row (rows+schema+hash all true, no err)
+# in the union of CORRECTNESS_r01..r05 — regenerated each round from
+# the literal ledger files (tools/gen_gate_certified.py); the registry
+# test test_gate_certified_matches_ledger pins this set to the ledger
+# so a never-green entry can no longer be wrongly retired from the
+# rotation (the round-5 q07b/q06c bookkeeping bug).
 GATE_CERTIFIED: set[str] = {
+    "ann_lsh_index_stats", "ann_recall_report", "dedup_chunks",
+    "dedup_contamination", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh_md5", "dedup_minhash_sig", "dedup_ngram_jaccard",
+    "dedup_prefix_cluster", "dedup_simhash_md5", "docs_corpus_ingest",
+    "docs_corpus_ingest_nd", "docs_filter_drift", "docs_hash_split",
+    "docs_mixture_sample", "docs_profile", "docs_quota_sample",
+    "docs_stratified_sample", "docs_temperature_sample",
+    "docs_training_pipeline", "docs_weighted_sample", "emb_norm_stats",
+    "emb_quantize_int8", "knn_ann_lsh_appended", "knn_ann_lsh_indexed",
+    "knn_batch_ann_indexed", "knn_batch_ivf_indexed", "knn_cosine",
+    "knn_ivf_appended", "knn_ivf_indexed", "knn_ivf_refined",
+    "knn_join_graph", "langid_accuracy_report", "logs_apache_parse",
+    "logs_envelope_roundtrip", "logs_error_parse", "logs_error_rate",
+    "logs_json_props", "logs_sessionize", "logs_tab_parse",
+    "multimodal_audio_stats", "multimodal_image_stats",
+    "multimodal_image_stats_png", "multimodal_join",
     "q01_filter_predicates", "q02_fulltext_search",
-    "q02f_indexed_bm25_appended", "q03_time_range", "q04_projection",
-    "q05_union_sources", "q06_tpch_q1", "q06b_percentiles",
-    "q06c_approx_percentiles", "q07_distinct_users",
-    "q07b_approx_distinct", "q07c_skew_distinct", "q08_hourly_histogram",
-    "q08b_sliding_window", "q08c_anomaly_zscore", "q09_sort_orders",
-    "q10_topk", "q10b_topk_per_group", "q11_join_star_revenue",
-    "q11b_broadcast_join", "q11c_salted_join", "q12_semi_join",
-    "q12b_anti_join", "q13_asof_join", "q13b_range_join",
-    "q14_window_funcs", "q15_intersect", "q15b_except", "q16_rollup",
+    "q02b_token_index_search", "q02c_ranked_search", "q02d_indexed_search",
+    "q02e_indexed_bm25", "q02f_indexed_bm25_appended", "q03_time_range",
+    "q04_projection", "q05_union_sources", "q06_tpch_q1",
+    "q06b_percentiles", "q07_distinct_users", "q07c_skew_distinct",
+    "q08_hourly_histogram", "q08b_sliding_window", "q08c_anomaly_zscore",
+    "q09_sort_orders", "q10_topk_users", "q10b_topk_per_group",
+    "q11_join_star_revenue", "q11b_join_left_orders", "q11c_salted_join",
+    "q11d_bucketed_join", "q12_semi_join", "q12b_anti_join",
+    "q13_asof_join", "q13b_range_join_binned", "q14_window_funcs",
+    "q14b_moving_avg", "q15_intersect", "q15b_except", "q16_rollup",
     "q16b_cube", "q16c_grouping_sets", "q17_dedup_distinct", "q18_pivot",
-    "tpch_q3", "tpch_q5", "tpch_q6", "logs_error_rate",
-    "logs_sessionize", "logs_apache_parse", "logs_error_parse",
-    "logs_tab_parse", "logs_json_props", "logs_envelope_roundtrip",
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5", "dedup_ngram_jaccard", "dedup_chunks",
-    "dedup_embedding_cosine", "knn_exact", "knn_join_graph",
-    "knn_ivf_appended", "knn_ann_lsh_appended", "knn_batch_ann_indexed",
-    "ann_recall_report", "text_langid", "text_quality_filter",
-    "text_tfidf_top", "docs_corpus_ingest_nd", "docs_mixture_sample",
-    "docs_training_pipeline", "docs_sample_split",
-    "docs_pack_sequences", "multimodal_image_stats_png",
-    "multimodal_audio_stats",
+    "text_corpus_bigrams", "text_fingerprint", "text_lang_profile",
+    "text_langid", "text_langid_ngram", "text_pii_scrub", "text_quality",
+    "text_quality_filter", "text_repetition", "text_tfidf_top",
+    "text_token_stats", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
+    "tpch_q3", "tpch_q5", "tpch_q6",
 }
 
 GATE_ORDER: list[str] = [
-    # ---- never-driver-sampled in r1–r4: rotated IN this round ----
-    # relational
-    "q11d_bucketed_join",       # zero-Exchange bucketed join
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q18",
-    # similarity / embeddings
-    "emb_norm_stats",
-    "emb_quantize_int8",
-    "knn_ann_lsh_indexed",
-    "knn_ivf_indexed",
-    "knn_ivf_refined",          # k-means-refined IVF cells
-    "knn_batch_ivf_indexed",
-    "ann_lsh_index_stats",
-    # text analysis
-    "text_token_stats",
-    "text_lang_profile",
-    "text_quality",
-    "text_repetition",
-    "text_fingerprint",
-    "text_langid_ngram",
-    "text_pii_scrub",
-    "text_corpus_bigrams",
-    "langid_accuracy_report",
-    # sampling / training pipeline
-    "docs_hash_split",
-    "docs_weighted_sample",
-    "docs_stratified_sample",
-    "docs_quota_sample",
-    "docs_temperature_sample",
-    "docs_pack_contiguous",
-    "docs_profile",
-    "docs_filter_drift",
-    "docs_corpus_ingest",
+    # ---- pending driver certification (no green row in r1–r5):
+    #      48 of the 59-entry queue rotate IN this round; the 11
+    #      deferred (q06d/q06e/q07d/q07e + tpch q8/q9/q11/q15/q16/
+    #      q19/q20) complete the queue in round 7 ----
+    # relational: round-5 search surface
+    "q02g_hybrid_rrf",
+    "q02h_fuzzy_search",
+    "q02i_phrase_search",
+    "q02j_phrase_search_indexed",
+    "q02k_more_like_this",
+    "q02l_search_highlights",
+    "q02m_phrase_indexed_appended",
+    "q02n_prefix_suggest",
+    "q02o_percolate",
+    # relational: sampled in r1–r3 as no_oracle only, now oracle-bound
+    "q06c_approx_percentiles",
+    "q07b_approx_distinct",
+    # relational: trending (lag-vs-literal-previous-hour fixed r6)
+    "q10c_trending",
+    # relational: TPC-H completion shapes (7 of 14; rest r7)
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
+    # logs
+    "logs_funnel",
+    "logs_retention_cohorts",
+    "logs_templates",
+    "logs_ewma_anomaly",
     # dedup
-    "dedup_contamination",
+    "dedup_clusters_md5",
+    "dedup_semantic",
+    "dedup_simhash_pairs",
+    # similarity / embeddings / graph
+    "knn_ann_lsh",
+    "knn_ann_lsh_oracle",
+    "knn_batch",
+    "knn_ivf",
+    "knn_join_graph_mp",
+    "knn_pq_adc_seeded",
+    "pq_recall_report",
+    "knn_graph_degrees",
+    "knn_graph_pagerank",
+    # text
+    "text_chunks_rag",
+    "text_entropy",
+    "text_gopher_rules",
+    "text_lm_score",
+    "text_quality_clf",
+    # sampling / training pipeline
+    "docs_cluster_split",
+    "docs_dedup_report",
+    "docs_dsir_sample",
+    "docs_epoch_repeat",
+    "docs_pack_contiguous",
+    "docs_split_leakage",
     # multimodal
-    "multimodal_join",
-    "multimodal_image_stats",
-    # ---- certified anchors (driver-green in r1–r4): kept to satisfy
-    #      per-family window minimums; each exercises a distinct
-    #      physical strategy ----
-    # relational (10)
-    "q01_filter_predicates",    # pushed-filter scan
-    "q02f_indexed_bm25_appended",  # token index + incremental append
-    "q06_tpch_q1",              # wide grouped agg
-    "q07c_skew_distinct",       # two-phase skew distinct
-    "q08_hourly_histogram",     # date histogram
-    "q10b_topk_per_group",      # per-group window rank
-    "q11_join_star_revenue",    # broadcast star join
-    "q13_asof_join",            # as-of join
-    "q14_window_funcs",         # window functions
-    "q16c_grouping_sets",       # grouping sets
-    # logs (3, certified r1–r3 only — refreshed this round)
-    "logs_error_parse",
-    "logs_tab_parse",
-    "logs_json_props",
-    # dedup (4)
-    "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard",
-    "dedup_chunks",
-    "dedup_embedding_cosine",
+    "multimodal_video_frames",
+    "multimodal_video_stats",
+    # ---- certified anchors: dedup family window-minimum is 5 and
+    #      only 3 pending entries remain, so two driver-green anchors
+    #      (distinct physical strategies) fill the window ----
+    "dedup_minhash_lsh_md5",    # banded LSH equi-join
+    "dedup_embedding_cosine",   # blocked GEMM near-dup
 ]
 
 
@@ -1420,9 +1437,9 @@ def _quantile_cube_path(spark, sf_dir) -> str:
     )
     SELECT h.event_type, CAST(0.95 AS DOUBLE) AS q,
            CAST(h.total AS BIGINT) AS n, h.bin,
-           0.0 + h.bin * 4.0 AS bin_lo,
-           0.0 + (h.bin + 1) * 4.0 AS bin_hi,
-           0.0 + (h.bin + 0.5) * 4.0 AS est,
+           CAST(0.0 + h.bin * 4.0 AS DOUBLE) AS bin_lo,
+           CAST(0.0 + (h.bin + 1) * 4.0 AS DOUBLE) AS bin_hi,
+           CAST(0.0 + (h.bin + 0.5) * 4.0 AS DOUBLE) AS est,
            (k.value >= 0.0 + h.bin * 4.0 AND k.value < 0.0 + (h.bin + 1) * 4.0)
              AS contains_exact
     FROM hit h
@@ -2828,43 +2845,57 @@ def q02o_percolate(spark, sf_dir):
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2
-    ), lagged AS (
-      SELECT h, event_type, n,
-             lag(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n
-      FROM hourly
-    ), mx AS (SELECT MAX(h) AS maxh FROM hourly)
-    SELECT event_type, CAST(n AS BIGINT) AS n_cur,
+    ), mx AS (SELECT MAX(h) AS maxh FROM hourly),
+    agg AS (
+      SELECT event_type,
+             SUM(CASE WHEN h = maxh THEN n END) AS cur_n,
+             SUM(CASE WHEN h = maxh - INTERVAL 1 HOUR THEN n END) AS prev_n
+      FROM hourly CROSS JOIN mx
+      WHERE h >= maxh - INTERVAL 1 HOUR
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(cur_n AS BIGINT) AS n_cur,
            CAST(coalesce(prev_n, 0) AS BIGINT) AS n_prev,
-           round((n + 1.0) / (coalesce(prev_n, 0) + 1.0), 6) AS growth
-    FROM lagged CROSS JOIN mx
-    WHERE h = maxh
+           round((cur_n + 1.0) / (coalesce(prev_n, 0) + 1.0), 6) AS growth
+    FROM agg
+    WHERE cur_n IS NOT NULL
     ORDER BY growth DESC, event_type LIMIT 5
     """,
 )
 def q10c_trending(spark, sf_dir):
     """Q10 — trending event types (the Discover "what is spiking"
-    view): latest-hour counts vs the previous hour per type,
+    view): latest-hour counts vs the LITERAL previous hour per type
+    (a type with no events in maxh-1h compares against 0, not against
+    its last observed hour — the round-5 ADVICE lag() semantics bug),
     add-1-smoothed growth ratio, top-5. One grouped aggregation of
-    the event stream (hour x type cells — tiny), a type-keyed lag
-    window over those cells, and a 1-row latest-hour scalar via the
-    standard broadcast idiom; the raw stream is scanned once for the
-    cells, never sorted."""
+    the event stream (hour x type cells — tiny), a broadcast latest-
+    hour scalar, then a conditional re-aggregation of just the last
+    two hour-cells per type — the raw stream is scanned twice (cells
+    + scalar), never sorted, and never joined against itself."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("event_type").orderBy("h")
-    lagged = hourly.withColumn("prev_n", F.lag("n").over(w))
     mx = hourly.agg(F.max("h").alias("maxh"))
+    prev_h = F.col("maxh") - F.expr("INTERVAL 1 HOUR")
+    agg = (
+        hourly.crossJoin(F.broadcast(mx))
+        .filter(F.col("h") >= prev_h)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("h") == F.col("maxh"), F.col("n"))).alias("cur_n"),
+            F.sum(F.when(F.col("h") == prev_h, F.col("n"))).alias("prev_n"),
+        )
+    )
     return (
-        lagged.crossJoin(F.broadcast(mx))
-        .filter(F.col("h") == F.col("maxh"))
+        agg.filter(F.col("cur_n").isNotNull())
         .select(
             "event_type",
-            F.col("n").alias("n_cur"),
+            F.col("cur_n").alias("n_cur"),
             F.coalesce(F.col("prev_n"), F.lit(0)).alias("n_prev"),
             F.round(
-                (F.col("n") + 1.0) / (F.coalesce(F.col("prev_n"), F.lit(0)) + 1.0), 6
+                (F.col("cur_n") + 1.0) / (F.coalesce(F.col("prev_n"), F.lit(0)) + 1.0),
+                6,
             ).alias("growth"),
         )
         .orderBy(F.col("growth").desc(), "event_type")

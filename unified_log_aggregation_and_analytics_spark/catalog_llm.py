@@ -418,7 +418,7 @@ _LANGID_HITS = {
 _LANGID_ORACLE = (
     "WITH h AS (SELECT doc_id, lang, "
     + ", ".join(
-        f"len(list_filter(list_distinct(str_split(text, ' ')), t -> t IN {words})) AS hits_{lang}"
+        f"CAST(len(list_filter(list_distinct(str_split(text, ' ')), t -> t IN {words})) AS INTEGER) AS hits_{lang}"
         for lang, words in _LANGID_HITS.items()
     )
     + " FROM documents) SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, "
@@ -1076,9 +1076,11 @@ def text_tfidf_top(spark, sf_dir):
     "text_pii_scrub",
     """
     SELECT doc_id,
-           len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '[0-9]{3,}')) AS n_nums,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3,}'))
+             AS INTEGER) AS n_nums,
            md5(regexp_replace(
                  regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -1102,10 +1104,10 @@ def text_pii_scrub(spark, sf_dir):
     ),
     c AS (
       SELECT doc_id, source, tok_est,
-             SUM(tok_est) OVER (
+             CAST(SUM(tok_est) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT doc_id, source, tok_est, cum_tokens,

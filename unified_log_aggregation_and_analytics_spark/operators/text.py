@@ -298,6 +298,12 @@ QF_MAX_DUP_WORD_FRAC = 0.7
 QF_MAX_TOP_WORD_FRAC = 0.2
 QF_MAX_DUP_BIGRAM_FRAC = 0.6
 
+# The closed set of reject verdicts quality_filter can emit, in CASE
+# order. Streaming metrics observe() per-verdict counts against this
+# list — a new rule added to quality_filter must be appended here (the
+# agreement is pinned by tests/test_streaming.py).
+QF_REJECT_VERDICTS = ("too_short", "dup_words", "top_word", "dup_bigrams")
+
 
 def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """X4 — composite keep/drop verdict (C4/Gopher-flavored): combines

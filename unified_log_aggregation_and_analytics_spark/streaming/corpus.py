@@ -237,9 +237,16 @@ def corpus_ingest_batch(
     ``(batch_id, outcome, n)`` rows, the corpus twin of the log
     pipeline's K5 self-metrics: an operator watches per-rule rejection
     and dedup rates per trigger without scanning the corpus. Counts
-    come from the already-persisted frames (three cheap count jobs),
-    and the metrics write is the last append, so it doubles as the
-    batch's completion marker."""
+    ride the write jobs as ``observe()`` aggregates (zero dedicated
+    count jobs per trigger — the round-5 verdict item), and the
+    metrics write is the last append, so it doubles as the batch's
+    completion marker."""
+    from pyspark.sql import Observation
+
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        QF_REJECT_VERDICTS,
+    )
+
     spark = batch_df.sparkSession
     scored = (
         batch_df.join(
@@ -248,6 +255,22 @@ def corpus_ingest_batch(
         .withColumn("fp", doc_fingerprint())
         .withColumn("fp_bucket", F.pmod(F.col("fp"), F.lit(N_FP_BUCKETS)))
     )
+    # Batch-size + per-verdict reject counts ride the FIRST action over
+    # `scored` (the reject write below) as observed metrics; the
+    # verdict set is closed (QF_REJECT_VERDICTS), so per-rule counts
+    # are conditional sums, not a groupBy job.
+    in_obs = Observation() if batch_id is not None else None
+    if in_obs is not None:
+        scored = scored.observe(
+            in_obs,
+            F.count(F.lit(1)).alias("n_in"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("verdict") == v, F.lit(1))), F.lit(0)
+                ).cast("long").alias(f"rej_{v}")
+                for v in QF_REJECT_VERDICTS
+            ],
+        )
     scored.persist()
     try:
         (
@@ -279,17 +302,22 @@ def corpus_ingest_batch(
             pass  # sidecar absent: nothing ingested yet
         sigs = None
         pre_nd = None
+        near_obs = None
         if near_dup:
             pre_nd = kept
             pre_nd.persist()
             near_ids, sigs = _near_dup_ids(spark, kept, table_path, jaccard_threshold)
-            (
+            near_rejects = (
                 kept.join(near_ids, "doc_id")
                 .drop("fp", "fp_bucket")
                 .withColumn("_error", F.lit("near_duplicate"))
-                .write.mode("append")
-                .parquet(rejected_path)
             )
+            if batch_id is not None:
+                near_obs = Observation()
+                near_rejects = near_rejects.observe(
+                    near_obs, F.count(F.lit(1)).alias("n")
+                )
+            near_rejects.write.mode("append").parquet(rejected_path)
             kept = kept.join(near_ids, "doc_id", "left_anti")
             # SEVER LINEAGE before any sidecar append: kept's plan
             # reads the fp/band/sig sidecars (through the anti-joins
@@ -304,29 +332,6 @@ def corpus_ingest_batch(
             kept = kept.localCheckpoint()
         kept.persist()
         try:
-            # Metrics COUNTS must come before any sidecar append (the
-            # appends below invalidate every cached plan reading those
-            # paths — see WRITE ORDER note); the rows are plain driver
-            # values, written as the final append.
-            metric_rows = None
-            if batch_id is not None:
-                n_in = scored.count()
-                rej = {
-                    r["verdict"]: r["n"]
-                    for r in scored.filter(~F.col("kept"))
-                    .groupBy("verdict")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                n_ing = kept.count()
-                n_near = (pre_nd.count() - n_ing) if pre_nd is not None else 0
-                n_dup = n_in - sum(rej.values()) - n_near - n_ing
-                metric_rows = (
-                    [(int(batch_id), "ingested", n_ing)]
-                    + ([(int(batch_id), "near_duplicate", n_near)] if near_dup else [])
-                    + [(int(batch_id), "duplicate", n_dup)]
-                    + [(int(batch_id), f"rejected:{v}", n) for v, n in sorted(rej.items())]
-                )
             # WRITE ORDER MATTERS: appending to a parquet path
             # invalidates (and recaches by re-reading) every cached
             # plan whose lineage scans that path. `kept` reads the fp
@@ -335,12 +340,38 @@ def corpus_ingest_batch(
             # plan reads it — fp last, sig before band's re-derivation
             # is harmless (band candidates key on the band sidecar,
             # still untouched).
+            ing_obs = Observation() if batch_id is not None else None
+            out = kept.drop("fp", "fp_bucket")
+            if ing_obs is not None:
+                out = out.observe(ing_obs, F.count(F.lit(1)).alias("n"))
             (
-                kept.drop("fp", "fp_bucket")
-                .write.mode("append")
+                out.write.mode("append")
                 .partitionBy(stratum_col)
                 .parquet(table_path)
             )
+            # Metric values were captured DURING the writes above
+            # (observe() side-channels on jobs that run anyway);
+            # reading them here blocks only until those jobs finish,
+            # and crucially needs no new action after the sidecar
+            # appends below invalidate the cached plans.
+            metric_rows = None
+            if batch_id is not None:
+                vals = in_obs.get
+                n_in = int(vals["n_in"])
+                rej = {
+                    v: int(vals[f"rej_{v}"])
+                    for v in QF_REJECT_VERDICTS
+                    if int(vals[f"rej_{v}"])
+                }
+                n_ing = int(ing_obs.get["n"])
+                n_near = int(near_obs.get["n"]) if near_obs is not None else 0
+                n_dup = n_in - sum(rej.values()) - n_near - n_ing
+                metric_rows = (
+                    [(int(batch_id), "ingested", n_ing)]
+                    + ([(int(batch_id), "near_duplicate", n_near)] if near_dup else [])
+                    + [(int(batch_id), "duplicate", n_dup)]
+                    + [(int(batch_id), f"rejected:{v}", n) for v, n in sorted(rej.items())]
+                )
             if near_dup:
                 from unified_log_aggregation_and_analytics_spark.operators.dedup import (
                     band_rows,

@@ -147,6 +147,26 @@ def media_ingest_batch(
     scored = batch_df.withColumn("fp", F.xxhash64("payload")).withColumn(
         "fp_bucket", F.pmod(F.col("fp"), F.lit(N_BUCKETS))
     ).join(gate, "media_id", "left")
+    # Batch-size + undecodable counts ride the first action over
+    # `scored` (the reject write) as observe() aggregates instead of
+    # dedicated count jobs (round-5 verdict item; same pattern as
+    # streaming/corpus.py).
+    from pyspark.sql import Observation
+
+    in_obs = Observation() if batch_id is not None else None
+    if in_obs is not None:
+        scored = scored.observe(
+            in_obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.col("decode_ok"), F.lit(False)), F.lit(1)
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_undec"),
+        )
     scored.persist()
     try:
         (
@@ -192,25 +212,37 @@ def media_ingest_batch(
             max_hamming,
         )
         near_ids = within.union(cross).distinct()
-        (
+        near_obs = Observation() if batch_id is not None else None
+        near_rejects = (
             kept.join(near_ids, "media_id")
             .drop("fp", "fp_bucket", "dhash")
             .withColumn("_error", F.lit("near_duplicate"))
-            .write.mode("append")
-            .parquet(rejected_path)
         )
+        if near_obs is not None:
+            near_rejects = near_rejects.observe(
+                near_obs, F.count(F.lit(1)).alias("n")
+            )
+        near_rejects.write.mode("append").parquet(rejected_path)
         kept = kept.join(near_ids, "media_id", "left_anti")
         # SEVER LINEAGE before the sidecar appends (see module
         # docstring) — after this the append order below is free.
         kept = kept.localCheckpoint()
+        ing_obs = Observation() if batch_id is not None else None
+        out = kept.drop("fp", "fp_bucket", "dhash", "decode_ok")
+        if ing_obs is not None:
+            out = out.observe(ing_obs, F.count(F.lit(1)).alias("n"))
+        (
+            out.write.mode("append")
+            .partitionBy("modality")
+            .parquet(table_path)
+        )
         metric_rows = None
         if batch_id is not None:
-            n_in = scored.count()
-            n_undec = scored.filter(
-                ~F.coalesce(F.col("decode_ok"), F.lit(False))
-            ).count()
-            n_ing = kept.count()
-            n_near = pre_nd.count() - n_ing
+            vals = in_obs.get
+            n_in = int(vals["n_in"])
+            n_undec = int(vals["n_undec"])
+            n_ing = int(ing_obs.get["n"])
+            n_near = int(near_obs.get["n"])
             n_dup = n_in - n_undec - n_near - n_ing
             metric_rows = [
                 (int(batch_id), "ingested", n_ing),
@@ -218,12 +250,6 @@ def media_ingest_batch(
                 (int(batch_id), "duplicate", n_dup),
                 (int(batch_id), "rejected:undecodable", n_undec),
             ]
-        (
-            kept.drop("fp", "fp_bucket", "dhash", "decode_ok")
-            .write.mode("append")
-            .partitionBy("modality")
-            .parquet(table_path)
-        )
         (
             kept.select("fp", "fp_bucket")
             .write.mode("append")
