@@ -564,3 +564,73 @@ def test_streaming_maintained_token_index(spark, docs, tmp_path):
         tuple(r) for r in R.bm25_search_indexed(spark, "tok_stream_ref", terms, k=10).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_vs_batch_banding_agreement(spark):
+    """Quantifies how far the streaming near-dup S-curve (16 xxhash64
+    minhashes, 4-hash bands) and the oracle-checked batch twin's
+    (8 md5 minhashes, 2-hash bands — DuckDB-replayable) may diverge:
+    on a 41-pair corpus spanning true Jaccard 0.18-0.97 at threshold
+    0.6, routing must agree EXACTLY away from the threshold (J <= 0.35
+    never flagged, J >= 0.85 always flagged, by BOTH paths) and on
+    >= 26/41 pairs overall. Both hash families are deterministic, so
+    the measurement is exact and stable; a parameter or kernel change
+    that widens the divergence fails here."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    rows, true_j = [], {}
+    for i in range(41):
+        m = 20 + i  # shared token prefix out of 60
+        base = [f"p{i}w{j}" for j in range(60)]
+        alt = base[:m] + [f"p{i}x{j}" for j in range(60 - m)]
+        a_id, b_id = 1000 + 2 * i, 1001 + 2 * i
+        rows += [(a_id, " ".join(base)), (b_id, " ".join(alt))]
+        shared = max(m - 2, 0)  # trigram shingles shared
+        true_j[b_id] = shared / (2 * 58 - shared)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def flagged(num_hashes, band_size, hash_fn):
+        sigs = minhash_signature(docs, num_hashes=num_hashes, hash_fn=hash_fn)
+        pairs = minhash_lsh_candidates(
+            sigs, num_hashes=num_hashes, band_size=band_size, band_hash_fn=hash_fn
+        )
+        mh = [f"mh{k}" for k in range(1, num_hashes + 1)]
+        sa = sigs.select(
+            F.col("doc_id").alias("id_a"), *[F.col(m).alias(m + "a") for m in mh]
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("id_b"), *[F.col(m).alias(m + "b") for m in mh]
+        )
+        est = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "ej",
+                sum(
+                    F.when(F.col(m + "a") == F.col(m + "b"), 1).otherwise(0)
+                    for m in mh
+                )
+                / float(num_hashes),
+            )
+        )
+        return {
+            r["id_b"]
+            for r in est.filter(F.col("ej") >= 0.6).select("id_b").distinct().collect()
+        }
+
+    stream_f = flagged(16, 4, "xxhash64")  # streaming path params
+    batch_f = flagged(8, 2, "md5")  # oracle-twin params
+    agree = sum((b in stream_f) == (b in batch_f) for b in true_j)
+    assert agree >= 26, f"paths agree on only {agree}/41 pairs"
+    for b, tj in true_j.items():
+        if tj <= 0.35:
+            assert b not in stream_f and b not in batch_f, (
+                f"pair {b} (true J={tj:.2f}) flagged below the agreement band"
+            )
+        if tj >= 0.85:
+            assert b in stream_f and b in batch_f, (
+                f"pair {b} (true J={tj:.2f}) missed above the agreement band"
+            )

@@ -1319,3 +1319,123 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
         ]
     )
     return df.select("media_id", "modality", "payload").mapInPandas(batches, schema)
+
+
+def media_routing_fixture(
+    docs: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Routing-structured image fixture: each id-contiguous group of 4
+    documents becomes (base, exact copy, near variant, corrupt):
+
+    - ``m = doc_id % 4 == 0``: base PPM — pixel byte i of group
+      ``g = doc_id // 4`` is bits 16-23 of the Knuth multiplicative
+      hash ``((g * npx + i) * 2654435761) mod 2^32`` (per-BYTE
+      avalanche — a per-group constant shift/mask would leave
+      neighbor-order comparisons, and so dHash, correlated across
+      groups; measured: cross-group dHash distances land ~Binomial(64,
+      1/2), so a <=3-bit collision among 10^7 group pairs has
+      probability ~2e-8);
+    - ``m == 1``: byte-identical copy of the base (exact duplicate);
+    - ``m == 2``: base with ONE pixel inverted — at most one 8x9 grid
+      cell moves, flipping <=2 dHash comparisons, inside the
+      bands=4 pigeonhole-exact radius (hamming <= 3), so the
+      perceptual stage MUST catch it;
+    - ``m == 3``: payload truncated mid-raster (undecodable).
+
+    Every outcome of media_ingest_report is therefore id-arithmetic —
+    the DuckDB oracle predicts the full routing without a decoder,
+    and any decode/fingerprint/banding/precedence bug breaks the
+    match (the same analytic-oracle pattern as media_with_ppm)."""
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        i = np.arange(npx, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                g, m = int(d) // 4, int(d) % 4
+                px = (((g * npx + i) * 2654435761) & 0xFFFFFFFF) >> 16 & 0xFF
+                if m == 2:
+                    px = px.copy()
+                    px[51:54] = 255 - px[51:54]  # pixel 17: one grid cell
+                body = px.astype(np.uint8).tobytes()
+                if m == 3:
+                    body = body[: npx // 2]  # mid-raster truncation
+                payloads.append(header + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_ingest_report(
+    media: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """X5 — per-item routing census ``(media_id, outcome)``: the
+    oracle-checkable BATCH twin of the streaming media pipeline's
+    routing (streaming/media.py media_ingest_batch), with the same
+    precedence: ``undecodable`` (modality-aware decode gate) >
+    ``duplicate`` (exact payload fp, keep-min id) > ``near_duplicate``
+    (banded perceptual Hamming per modality, keep-min id) >
+    ``ingested`` — the way ingest_report/docs_corpus_ingest certify
+    the text path.
+
+    Plan shape: ONE Arrow decode pass produces the per-item metadata
+    frame (id, modality, fp, decode_ok, dhash — ~40 B/row, the same
+    working set the streaming sidecars persist), which is
+    localCheckpoint-materialized so the payload scan and Python
+    decode run exactly once; everything downstream (dedup window,
+    banded Hamming self-join, routing projection) runs on the narrow
+    frame. At 100 TB of media the checkpoint is ~40 GB cluster-wide
+    — the honest cost of decoding each payload once."""
+    from pyspark.sql import Window
+
+    gate = media_gate_hash(media)
+    meta = (
+        media.select("media_id", "modality", F.xxhash64("payload").alias("fp"))
+        .join(gate, "media_id", "left")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("fp").orderBy("media_id")
+    ranked = meta.withColumn(
+        "_rk",
+        F.when(F.col("decode_ok"), F.row_number().over(w)).otherwise(F.lit(None)),
+    )
+    survivors = ranked.filter(F.col("decode_ok") & (F.col("_rk") == 1))
+    near_frames = [
+        hamming_near_dup(
+            survivors.filter(
+                (F.col("modality") == mod) & F.col("dhash").isNotNull()
+            ).select("media_id", "dhash"),
+            "dhash",
+            max_hamming=max_hamming,
+            bands=bands,
+        ).select(F.col("id_b").alias("media_id"))
+        for mod in ("image", "audio")
+    ]
+    near = near_frames[0]
+    for f_ in near_frames[1:]:
+        near = near.union(f_)
+    near = near.distinct().withColumn("_near", F.lit(True))
+    return (
+        ranked.join(near, "media_id", "left")
+        .select(
+            "media_id",
+            F.when(~F.col("decode_ok"), F.lit("undecodable"))
+            .when(F.col("_rk") > 1, F.lit("duplicate"))
+            .when(F.coalesce(F.col("_near"), F.lit(False)), F.lit("near_duplicate"))
+            .otherwise(F.lit("ingested"))
+            .alias("outcome"),
+        )
+    )
