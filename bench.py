@@ -172,6 +172,38 @@ def _scale_extra_queries():
     }
 
 
+# Entries whose catalog builder MATERIALIZES at construction time
+# (eager-by-contract operators: dsir_select localCheckpoints its
+# bounded selection before returning so it can drop the featurization
+# cache). Timing only actions on the returned frame would measure a
+# scan of the checkpointed result, not the operator (round-6 verdict:
+# docs_dsir_sample "improved" 1.996s -> 0.013s purely because the cost
+# moved out of the timed region). PROTOCOL RULE: for these entries
+# every timed run re-invokes the builder, so construction + action is
+# inside the clock; any new eager-by-contract catalog entry that joins
+# the bench lists must be added here.
+EAGER_QUERIES = {"docs_dsir_sample"}
+
+
+def _time_query(qs, name, spark, sf_dir, n_runs):
+    """One unmeasured warmup (Janino codegen compile), then min of
+    n_runs. Eager entries rebuild the DataFrame inside the clock."""
+    eager = name in EAGER_QUERIES
+
+    def run():
+        d = qs[name](spark, sf_dir) if eager else df
+        d.write.format("noop").mode("overwrite").save()
+
+    df = None if eager else qs[name](spark, sf_dir)
+    run()
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        run()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -208,14 +240,7 @@ def main() -> None:
     # session); the minimum is the standard noise-robust estimator.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+        timings[name] = _time_query(qs, name, spark, sf_dir, n_runs=3)
         # Operators that persist bounded internal frames (DSIR feature
         # table, MG summaries) cache per CALL; drop them between
         # queries so caches can't accumulate across the session and
@@ -247,14 +272,9 @@ def main() -> None:
         scale_qs.update(extra)
         scale_timings: dict[str, float] = {}
         for name in SCALE_QUERIES + list(extra):
-            df = scale_qs[name](spark, scale_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs = []
-            for _ in range(2):
-                t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
-            scale_timings[name] = round(min(runs), 3)
+            scale_timings[name] = _time_query(
+                scale_qs, name, spark, scale_dir, n_runs=2
+            )
             spark.catalog.clearCache()  # same cross-query cache hygiene
         out["scale"] = {
             "sf": 1.0,

@@ -387,3 +387,79 @@ def test_video_stats_null_for_non_y4m(spark):
     assert rows[1]["n_frames"] == 2 and rows[1]["mean_luma"] == 7.0
     assert rows[1]["width"] == 4 and rows[1]["fps_num"] == 25
     assert rows[2]["n_frames"] is None and rows[2]["mean_luma"] is None
+
+
+# --- media routing certificate (multimodal_ingest_report) -------------
+
+
+def _fixture_base_px(g: int, width: int = 16, height: int = 16) -> np.ndarray:
+    npx = width * height * 3
+    i = np.arange(npx, dtype=np.uint64)
+    return (
+        (MM._splitmix64(np.uint64(g * npx) + i) >> np.uint64(32))
+        & np.uint64(0xFF)
+    ).astype(np.uint8)
+
+
+def test_routing_fixture_distance_distribution():
+    """Pin the fixture's two design claims EMPIRICALLY (round 6 shipped
+    them as unverified docstring assertions and both were false):
+    (a) every near variant sits at dHash Hamming 1-2 from its base —
+    nonzero (so the banded perceptual stage, not exact-hash equality,
+    must catch it) and inside the bands=4 pigeonhole radius (<=3);
+    (b) cross-group base distances behave ~Binomial(64,1/2): at the
+    sf0.1 gate scale (1250 groups, ~780k pairs) the minimum pairwise
+    distance clears the blocking radius with a wide margin."""
+    width = height = 16
+    G = 1250  # sf0.1: 5000 docs / 4
+    row_g = np.array_split(np.arange(height), 8)[3]
+    col_left = np.array_split(np.arange(width), 9)[3]
+    col_cell = np.array_split(np.arange(width), 9)[4]
+
+    def cell_idx(cols):
+        yy, xx = np.meshgrid(row_g, cols, indexing="ij")
+        base = (yy.ravel() * width + xx.ravel()) * 3
+        return np.concatenate([base, base + 1, base + 2])
+
+    idx_left, idx_cell = cell_idx(col_left), cell_idx(col_cell)
+
+    hashes = np.empty(G, dtype=np.uint64)
+    near_d = np.empty(G, dtype=np.int64)
+    for g in range(G):
+        px = _fixture_base_px(g, width, height)
+        h = MM.dhash64(px.reshape(height, width, 3))
+        hashes[g] = np.uint64(h & 0xFFFFFFFFFFFFFFFF)
+        near = px.copy()
+        bit = near[idx_cell].mean() > near[idx_left].mean()
+        near[idx_cell] = 0 if bit else 255
+        h2 = MM.dhash64(near.reshape(height, width, 3))
+        near_d[g] = bin((h ^ h2) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert near_d.min() >= 1 and near_d.max() <= 2, (
+        f"near-variant distances outside [1,2]: {np.bincount(near_d)}"
+    )
+    # vectorized pairwise popcount via byte-level unpack
+    xor = hashes[:, None] ^ hashes[None, :]
+    bits = np.unpackbits(xor.view(np.uint8).reshape(G, G, 8), axis=2)
+    d = bits.sum(axis=2)
+    iu = np.triu_indices(G, 1)
+    pd_ = d[iu]
+    assert pd_.min() > 8, f"cross-group min distance {pd_.min()} too close to radius 3"
+    assert 28 <= pd_.mean() <= 36, f"mean {pd_.mean():.1f} not ~Binomial(64,1/2)"
+
+
+def test_media_ingest_report_routing_census(spark):
+    """End-to-end routing certificate on 20 groups: every outcome is
+    id-arithmetic (base=ingested, copy=duplicate, near=near_duplicate,
+    truncated=undecodable) and the census is exactly 20/20/20/20."""
+    docs = load_table(spark, "documents", SF).filter(F.col("doc_id") < 80)
+    media = MM.media_routing_fixture(docs, width=16, height=16)
+    rows = MM.media_ingest_report(media).collect()
+    assert len(rows) == 80
+    expect = {0: "ingested", 1: "duplicate", 2: "near_duplicate", 3: "undecodable"}
+    bad = [
+        (r["media_id"], r["outcome"])
+        for r in rows
+        if r["outcome"] != expect[r["media_id"] % 4]
+    ]
+    assert not bad, f"mis-routed: {bad[:10]}"

@@ -282,7 +282,14 @@ def test_token_index_bucket_pruned(spark, qs):
     docs = load_table(spark, "documents", SF)
     R.build_token_index_table(docs, "tok_idx_plan_test")
     try:
+        # Engine sessions pin autoBucketedScan=false at build
+        # (session.py) so the indexed read path never mutates session
+        # state the user set — assert both the default and the
+        # no-mutation contract around the call.
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        assert spark.conf.get(key) == "false"
         postings = R.token_postings(spark, "tok_idx_plan_test", ["spark", "vector"])
+        assert spark.conf.get(key) == "false"
         buf = io.StringIO()
         with redirect_stdout(buf):
             postings.explain("formatted")

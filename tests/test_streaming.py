@@ -668,29 +668,63 @@ def test_kinesis_contract_config_and_decode_boundary(spark, tmp_path):
         dlq_split,
     )
 
-    # option-map contract: exact keys/values the connector receives
+    # option-map contract, pinned to the public awslabs
+    # spark-sql-kinesis-connector spec: format 'aws-kinesis', every
+    # option under the 'kinesis.' prefix (Spark option lookup is
+    # case-insensitive, so the prefix+spelling are the contract, not
+    # the casing), consumerType one of GetRecords/SubscribeToShard,
+    # startingPosition one of the connector's documented positions.
+    from unified_log_aggregation_and_analytics_spark.sources.logs import (
+        KINESIS_FORMAT,
+    )
+
+    assert KINESIS_FORMAT == "aws-kinesis"
     assert kinesis_source_config("app-logs", region="eu-west-1") == {
-        "streamName": "app-logs",
-        "region": "eu-west-1",
-        "startingPosition": "LATEST",
+        "kinesis.streamName": "app-logs",
+        "kinesis.region": "eu-west-1",
+        "kinesis.consumerType": "GetRecords",
+        "kinesis.startingPosition": "LATEST",
     }
     cfg = kinesis_source_config(
         "s", starting_position="trim_horizon", endpoint_url="http://localstack:4566"
     )
-    assert cfg["startingPosition"] == "TRIM_HORIZON"
-    assert cfg["endpointUrl"] == "http://localstack:4566"
+    assert cfg["kinesis.startingPosition"] == "TRIM_HORIZON"
+    assert cfg["kinesis.endpointUrl"] == "http://localstack:4566"
+    # EARLIEST is the Kinesis-API synonym; the connector documents
+    # TRIM_HORIZON — config normalizes rather than shipping a value
+    # the connector would reject at stream start
+    assert (
+        kinesis_source_config("s", starting_position="earliest")[
+            "kinesis.startingPosition"
+        ]
+        == "TRIM_HORIZON"
+    )
+    assert (
+        kinesis_source_config("s", consumer_type="SubscribeToShard")[
+            "kinesis.consumerType"
+        ]
+        == "SubscribeToShard"
+    )
+    # every emitted option sits under the connector's prefix
+    for cfg_keys in (
+        kinesis_source_config("s"),
+        kinesis_source_config("s", endpoint_url="http://localstack:4566"),
+    ):
+        assert all(k.startswith("kinesis.") for k in cfg_keys)
     with pytest.raises(ValueError, match="non-empty"):
         kinesis_source_config("  ")
     with pytest.raises(ValueError, match="starting_position"):
         kinesis_source_config("s", starting_position="YESTERDAY")
+    with pytest.raises(ValueError, match="consumer_type"):
+        kinesis_source_config("s", consumer_type="Polling")
 
     # decode boundary: documented record schema -> value lines -> the
     # identical EC2 normalize/DLQ path the file-tail source feeds
     now = datetime(2021, 7, 29, 15, 0, 0)
     records = spark.createDataFrame(
         [
-            (GOOD_LINES[0].encode(), "pk-1", "seq-1", now),
-            (BAD_LINES[0].encode(), "pk-1", "seq-2", now),
+            (GOOD_LINES[0].encode(), "app-logs", "pk-1", "seq-1", now),
+            (BAD_LINES[0].encode(), "app-logs", "pk-1", "seq-2", now),
         ],
         KINESIS_RECORD_SCHEMA,
     )

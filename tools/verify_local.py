@@ -37,8 +37,12 @@ _DUCK_CANON = {
 }
 
 
-def _canon_spark_type(s: str) -> str:
-    """Spark dtype simpleString -> canonical width-aware type tag."""
+def _canon_spark_type(s: str) -> str | None:
+    """Spark dtype simpleString -> canonical width-aware type tag, or
+    None when the type is outside the canonicalizers' vocabulary
+    (MAP/STRUCT/...): drift checking is skipped for such columns
+    rather than raw-string-comparing 'map<string,bigint>' against
+    DuckDB's 'MAP(VARCHAR, BIGINT)' and reporting spurious drift."""
     if s in _SPARK_CANON:
         return _SPARK_CANON[s]
     if s.startswith("decimal"):
@@ -46,15 +50,18 @@ def _canon_spark_type(s: str) -> str:
     if s.startswith("timestamp"):
         return "timestamp"
     if s.startswith("array<") and s.endswith(">"):
-        return f"list<{_canon_spark_type(s[6:-1])}>"
-    return s
+        inner = _canon_spark_type(s[6:-1])
+        return None if inner is None else f"list<{inner}>"
+    return None
 
 
-def _canon_duck_type(s: str) -> str:
-    """DuckDB DESCRIBE column_type -> canonical width-aware tag."""
+def _canon_duck_type(s: str) -> str | None:
+    """DuckDB DESCRIBE column_type -> canonical width-aware tag, or
+    None outside the vocabulary (see _canon_spark_type)."""
     s = s.strip()
     if s.endswith("[]"):
-        return f"list<{_canon_duck_type(s[:-2])}>"
+        inner = _canon_duck_type(s[:-2])
+        return None if inner is None else f"list<{inner}>"
     u = s.upper()
     if u in _DUCK_CANON:
         return _DUCK_CANON[u]
@@ -62,7 +69,7 @@ def _canon_duck_type(s: str) -> str:
         return u.replace("DECIMAL", "decimal").replace(" ", "")
     if u.startswith("TIMESTAMP"):
         return "timestamp"
-    return u.lower()
+    return None
 
 
 def _type_drift(sdf, con, sql) -> list[str]:
@@ -79,7 +86,10 @@ def _type_drift(sdf, con, sql) -> list[str]:
     for name, dt in sdf.dtypes:
         st = _canon_spark_type(dt)
         ot = duck.get(name)
-        if ot is not None and ot != st:
+        # None on either side = type outside the canonical vocabulary
+        # (MAP/STRUCT/...): value comparison still applies, but
+        # width-drift reporting would be raw-string noise — skip it.
+        if st is not None and ot is not None and ot != st:
             drift.append(f"{name}: spark={st} duck={ot}")
     return drift
 

@@ -76,108 +76,124 @@ GATE_WINDOW = 50
 # rotation (the round-5 q07b/q06c bookkeeping bug).
 GATE_CERTIFIED: set[str] = {
     "ann_lsh_index_stats", "ann_recall_report", "dedup_chunks",
-    "dedup_contamination", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh_md5", "dedup_minhash_sig", "dedup_ngram_jaccard",
-    "dedup_prefix_cluster", "dedup_simhash_md5", "docs_corpus_ingest",
-    "docs_corpus_ingest_nd", "docs_filter_drift", "docs_hash_split",
-    "docs_mixture_sample", "docs_profile", "docs_quota_sample",
+    "dedup_clusters_md5", "dedup_contamination", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh_md5", "dedup_minhash_sig",
+    "dedup_ngram_jaccard", "dedup_prefix_cluster", "dedup_semantic",
+    "dedup_simhash_md5", "dedup_simhash_pairs", "docs_cluster_split",
+    "docs_corpus_ingest", "docs_corpus_ingest_nd", "docs_dedup_report",
+    "docs_dsir_sample", "docs_epoch_repeat", "docs_filter_drift",
+    "docs_hash_split", "docs_mixture_sample", "docs_pack_contiguous",
+    "docs_profile", "docs_quota_sample", "docs_split_leakage",
     "docs_stratified_sample", "docs_temperature_sample",
     "docs_training_pipeline", "docs_weighted_sample", "emb_norm_stats",
-    "emb_quantize_int8", "knn_ann_lsh_appended", "knn_ann_lsh_indexed",
+    "emb_quantize_int8", "knn_ann_lsh", "knn_ann_lsh_appended",
+    "knn_ann_lsh_indexed", "knn_ann_lsh_oracle", "knn_batch",
     "knn_batch_ann_indexed", "knn_batch_ivf_indexed", "knn_cosine",
+    "knn_graph_degrees", "knn_graph_pagerank", "knn_ivf",
     "knn_ivf_appended", "knn_ivf_indexed", "knn_ivf_refined",
-    "knn_join_graph", "langid_accuracy_report", "logs_apache_parse",
+    "knn_join_graph", "knn_join_graph_mp", "knn_pq_adc_seeded",
+    "langid_accuracy_report", "logs_apache_parse",
     "logs_envelope_roundtrip", "logs_error_parse", "logs_error_rate",
-    "logs_json_props", "logs_sessionize", "logs_tab_parse",
-    "multimodal_audio_stats", "multimodal_image_stats",
+    "logs_ewma_anomaly", "logs_funnel", "logs_json_props",
+    "logs_retention_cohorts", "logs_sessionize", "logs_tab_parse",
+    "logs_templates", "multimodal_audio_stats", "multimodal_image_stats",
     "multimodal_image_stats_png", "multimodal_join",
-    "q01_filter_predicates", "q02_fulltext_search",
+    "multimodal_video_frames", "multimodal_video_stats",
+    "pq_recall_report", "q01_filter_predicates", "q02_fulltext_search",
     "q02b_token_index_search", "q02c_ranked_search", "q02d_indexed_search",
-    "q02e_indexed_bm25", "q02f_indexed_bm25_appended", "q03_time_range",
+    "q02e_indexed_bm25", "q02f_indexed_bm25_appended", "q02g_hybrid_rrf",
+    "q02h_fuzzy_search", "q02i_phrase_search",
+    "q02j_phrase_search_indexed", "q02k_more_like_this",
+    "q02l_search_highlights", "q02m_phrase_indexed_appended",
+    "q02n_prefix_suggest", "q02o_percolate", "q03_time_range",
     "q04_projection", "q05_union_sources", "q06_tpch_q1",
-    "q06b_percentiles", "q07_distinct_users", "q07c_skew_distinct",
-    "q08_hourly_histogram", "q08b_sliding_window", "q08c_anomaly_zscore",
-    "q09_sort_orders", "q10_topk_users", "q10b_topk_per_group",
+    "q06b_percentiles", "q06c_approx_percentiles", "q07_distinct_users",
+    "q07b_approx_distinct", "q07c_skew_distinct", "q08_hourly_histogram",
+    "q08b_sliding_window", "q08c_anomaly_zscore", "q09_sort_orders",
+    "q10_topk_users", "q10b_topk_per_group", "q10c_trending",
     "q11_join_star_revenue", "q11b_join_left_orders", "q11c_salted_join",
     "q11d_bucketed_join", "q12_semi_join", "q12b_anti_join",
     "q13_asof_join", "q13b_range_join_binned", "q14_window_funcs",
     "q14b_moving_avg", "q15_intersect", "q15b_except", "q16_rollup",
     "q16b_cube", "q16c_grouping_sets", "q17_dedup_distinct", "q18_pivot",
-    "text_corpus_bigrams", "text_fingerprint", "text_lang_profile",
-    "text_langid", "text_langid_ngram", "text_pii_scrub", "text_quality",
-    "text_quality_filter", "text_repetition", "text_tfidf_top",
-    "text_token_stats", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
-    "tpch_q3", "tpch_q5", "tpch_q6",
+    "text_chunks_rag", "text_corpus_bigrams", "text_entropy",
+    "text_fingerprint", "text_gopher_rules", "text_lang_profile",
+    "text_langid", "text_langid_ngram", "text_lm_score", "text_pii_scrub",
+    "text_quality", "text_quality_clf", "text_quality_filter",
+    "text_repetition", "text_tfidf_top", "text_token_stats", "tpch_q10",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q2",
+    "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7",
 }
 
 GATE_ORDER: list[str] = [
-    # ---- pending driver certification (no green row in r1–r5):
-    #      48 of the 59-entry queue rotate IN this round; the 11
-    #      deferred (q06d/q06e/q07d/q07e + tpch q8/q9/q11/q15/q16/
-    #      q19/q20) complete the queue in round 7 ----
-    # relational: round-5 search surface
-    "q02g_hybrid_rrf",
-    "q02h_fuzzy_search",
-    "q02i_phrase_search",
-    "q02j_phrase_search_indexed",
-    "q02k_more_like_this",
-    "q02l_search_highlights",
-    "q02m_phrase_indexed_appended",
-    "q02n_prefix_suggest",
-    "q02o_percolate",
-    # relational: sampled in r1–r3 as no_oracle only, now oracle-bound
-    "q06c_approx_percentiles",
-    "q07b_approx_distinct",
-    # relational: trending (lag-vs-literal-previous-hour fixed r6)
-    "q10c_trending",
-    # relational: TPC-H completion shapes (7 of 14; rest r7)
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q17",
+    # ---- pending driver certification (no green row in r1–r6):
+    #      the 11 last never-driver-sampled oracle-backed entries +
+    #      round 7's new media-routing certificate — this rotation
+    #      retires the certification queue entirely ----
+    # relational: TPC-H completion shapes (final 7 of 14)
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    # relational: cube / sketch certificates
+    "q06d_quantile_cube",
+    "q06e_significant_terms",
+    "q07d_sketch_cube_distinct",
+    "q07e_heavy_hitters",
+    # multimodal: round-7 media-routing certificate (new)
+    "multimodal_ingest_report",
+    # ---- certified anchors (driver-green in r1–r6), chosen to cover
+    #      each family's window minimum with distinct physical
+    #      strategies ----
+    # relational (11 pending above are all relational; minimum is 15)
+    "q01_filter_predicates",
+    "q06_tpch_q1",
+    "q11d_bucketed_join",
+    "q16b_cube",
+    "tpch_q3",
+    "tpch_q6",
     "tpch_q21",
-    "tpch_q22",
+    "q02g_hybrid_rrf",
+    "q02o_percolate",
+    "q13_asof_join",
+    "q14_window_funcs",
+    "q10c_trending",
+    "q08b_sliding_window",
+    "q09_sort_orders",
     # logs
+    "logs_apache_parse",
     "logs_funnel",
-    "logs_retention_cohorts",
-    "logs_templates",
     "logs_ewma_anomaly",
+    "logs_retention_cohorts",
     # dedup
-    "dedup_clusters_md5",
-    "dedup_semantic",
+    "dedup_exact",
+    "dedup_minhash_lsh_md5",
     "dedup_simhash_pairs",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
     # similarity / embeddings / graph
-    "knn_ann_lsh",
-    "knn_ann_lsh_oracle",
-    "knn_batch",
+    "knn_cosine",
     "knn_ivf",
-    "knn_join_graph_mp",
     "knn_pq_adc_seeded",
-    "pq_recall_report",
-    "knn_graph_degrees",
     "knn_graph_pagerank",
+    "knn_join_graph_mp",
     # text
-    "text_chunks_rag",
-    "text_entropy",
-    "text_gopher_rules",
+    "text_quality",
     "text_lm_score",
-    "text_quality_clf",
+    "text_entropy",
     # sampling / training pipeline
-    "docs_cluster_split",
-    "docs_dedup_report",
-    "docs_dsir_sample",
-    "docs_epoch_repeat",
     "docs_pack_contiguous",
+    "docs_dsir_sample",
     "docs_split_leakage",
-    # multimodal
-    "multimodal_video_frames",
+    "docs_corpus_ingest_nd",
+    # multimodal anchors
     "multimodal_video_stats",
-    # ---- certified anchors: dedup family window-minimum is 5 and
-    #      only 3 pending entries remain, so two driver-green anchors
-    #      (distinct physical strategies) fill the window ----
-    "dedup_minhash_lsh_md5",    # banded LSH equi-join
-    "dedup_embedding_cosine",   # blocked GEMM near-dup
+    "multimodal_image_stats",
 ]
 
 

@@ -2840,6 +2840,36 @@ def multimodal_video_frames(spark, sf_dir):
     return MM.frame_luma_stats(media, every_ms=80, max_frames=8)
 
 
+@_register(
+    "multimodal_ingest_report",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 3 THEN 'undecodable'
+                           WHEN 1 THEN 'duplicate'
+                           WHEN 2 THEN 'near_duplicate'
+                           ELSE 'ingested' END AS outcome
+    FROM documents
+    """,
+)
+def multimodal_ingest_report(spark, sf_dir):
+    """X5/K1/K3 — MEDIA ROUTING CERTIFICATE: the batch,
+    oracle-checkable twin of the streaming media pipeline's routing
+    (streaming/media.py), the way docs_corpus_ingest certifies the
+    text path. The fixture (operators/multimodal.py
+    media_routing_fixture) turns each id-contiguous group of 4
+    documents into (base, exact copy, near variant at dHash Hamming
+    1-2, truncated corrupt) with a splitmix64-avalanched pixel hash,
+    so the full routing census — decode gate > exact-fp dedup >
+    banded perceptual near-dup > ingest — is id-arithmetic and the
+    DuckDB oracle predicts every row WITHOUT a decoder. Any decode,
+    fingerprint, banding, or precedence bug breaks the hash match.
+    Reference parity: the index-vs-DLQ routing trio the reference
+    wires in utils.ts:66-68, generalized to media payloads."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_routing_fixture(docs, width=16, height=16)
+    return MM.media_ingest_report(media)
+
+
 _SEMANTIC_DEDUP_ORACLE = f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
                WHERE vec_id BETWEEN 0 AND 15),

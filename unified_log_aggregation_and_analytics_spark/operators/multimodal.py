@@ -1321,6 +1321,20 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "modality", "payload").mapInPandas(batches, schema)
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer (public domain, Steele/Lea/Flood 2014):
+    full-avalanche 64-bit mix — every output bit depends on every
+    input bit. The fixture needs real diffusion: round 6 used a
+    Knuth multiplicative hash and kept only 8 of its 32 output bits,
+    which left neighbor-order comparisons (and therefore dHash bits)
+    correlated across groups — measured cross-group collisions at
+    Hamming <=3 among only 10 groups."""
+    z = x.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def media_routing_fixture(
     docs: DataFrame, width: int = 16, height: int = 16
 ) -> DataFrame:
@@ -1328,39 +1342,66 @@ def media_routing_fixture(
     documents becomes (base, exact copy, near variant, corrupt):
 
     - ``m = doc_id % 4 == 0``: base PPM — pixel byte i of group
-      ``g = doc_id // 4`` is bits 16-23 of the Knuth multiplicative
-      hash ``((g * npx + i) * 2654435761) mod 2^32`` (per-BYTE
-      avalanche — a per-group constant shift/mask would leave
-      neighbor-order comparisons, and so dHash, correlated across
-      groups; measured: cross-group dHash distances land ~Binomial(64,
-      1/2), so a <=3-bit collision among 10^7 group pairs has
-      probability ~2e-8);
+      ``g = doc_id // 4`` is a byte of ``splitmix64(g * npx + i)``
+      (full-avalanche finalizer; cross-group dHash distances are then
+      genuinely ~Binomial(64, 1/2), P(a pair lands <=3) ~ 2.4e-15,
+      and tests/test_multimodal.py pins the measured pairwise
+      distribution — min cross-group distance and its spread — so the
+      claim is checked, not asserted);
     - ``m == 1``: byte-identical copy of the base (exact duplicate);
-    - ``m == 2``: base with ONE pixel inverted — at most one 8x9 grid
-      cell moves, flipping <=2 dHash comparisons, inside the
-      bands=4 pigeonhole-exact radius (hamming <= 3), so the
-      perceptual stage MUST catch it;
+    - ``m == 2``: near variant — ONE 8x9 dHash grid cell (row-group 3,
+      col-group 4) is clamped to whichever extreme (0 or 255) flips
+      the base's cell-3-vs-cell-4 comparison (bit 27). The flip is
+      guaranteed by construction (hash-byte cell means never sit at
+      the extremes), and only the two comparisons touching that cell
+      (bits 27, 28) can move, so the variant sits at dHash Hamming
+      1-2 from its base: strictly inside the bands=4
+      pigeonhole-exact radius (<=3) and strictly NONZERO, so the
+      banded perceptual stage — not exact-hash equality — must
+      catch it;
     - ``m == 3``: payload truncated mid-raster (undecodable).
 
     Every outcome of media_ingest_report is therefore id-arithmetic —
     the DuckDB oracle predicts the full routing without a decoder,
     and any decode/fingerprint/banding/precedence bug breaks the
     match (the same analytic-oracle pattern as media_with_ppm)."""
+    if width < 9 or height < 8:
+        raise ValueError("routing fixture needs width>=9, height>=8")
     npx = width * height * 3
+    # dHash grid geometry (must mirror dhash64): 8 row-groups, 9
+    # col-groups via np.array_split. The perturbed cell is (row-group
+    # 3, col-group 4); its left neighbor is col-group 3.
+    row_g = np.array_split(np.arange(height), 8)[3]
+    col_left = np.array_split(np.arange(width), 9)[3]
+    col_cell = np.array_split(np.arange(width), 9)[4]
+
+    def _cell_idx(cols: np.ndarray) -> np.ndarray:
+        # flat byte offsets of all 3 channels of the cell's pixels
+        yy, xx = np.meshgrid(row_g, cols, indexing="ij")
+        base = (yy.ravel() * width + xx.ravel()) * 3
+        return np.concatenate([base, base + 1, base + 2])
+
+    idx_left, idx_cell = _cell_idx(col_left), _cell_idx(col_cell)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header = f"P6\n{width} {height}\n255\n".encode()
-        i = np.arange(npx, dtype=np.int64)
+        i = np.arange(npx, dtype=np.uint64)
         for pdf in it:
             ids = pdf["doc_id"].to_numpy()
             payloads = []
             for d in ids:
                 g, m = int(d) // 4, int(d) % 4
-                px = (((g * npx + i) * 2654435761) & 0xFFFFFFFF) >> 16 & 0xFF
+                px = (
+                    (_splitmix64(np.uint64(g * npx) + i) >> np.uint64(32))
+                    & np.uint64(0xFF)
+                ).astype(np.uint8)
                 if m == 2:
                     px = px.copy()
-                    px[51:54] = 255 - px[51:54]  # pixel 17: one grid cell
-                body = px.astype(np.uint8).tobytes()
+                    # flip base bit 27 (cell(3,3) vs cell(3,4)) by
+                    # clamping the cell to the opposing extreme
+                    bit = px[idx_cell].mean() > px[idx_left].mean()
+                    px[idx_cell] = 0 if bit else 255
+                body = px.tobytes()
                 if m == 3:
                     body = body[: npx // 2]  # mid-raster truncation
                 payloads.append(header + body)

@@ -168,30 +168,32 @@ def append_token_index_table(
 
 
 def _keep_bucketed_layout(spark) -> None:
-    """Disable autoBucketedScan so pure per-term FILTERS keep the
-    bucketed layout and its hash(term) pruning (the planner only
-    auto-enables the bucketed scan for joins/aggregations). This is a
-    SESSION-LEVEL setting by necessity, not sloppiness: the rule is
-    consulted when the returned lazy plan is EXECUTED, so a
+    """Ensure autoBucketedScan is off so pure per-term FILTERS keep
+    the bucketed layout and its hash(term) pruning (the planner only
+    auto-enables the bucketed scan for joins/aggregations). The flag
+    must hold at EXECUTION time of the returned lazy plan, so a
     set-then-restore around the read would undo itself before any
-    action runs. Cost of leaving it off for the session: plain scans
-    of bucketed tables lose the option of ignoring bucketing for
-    extra parallelism — and the index tables this module builds are
-    the engine's only bucketed tables, always read through pruned
-    filters or bucket-colocated joins, where the layout only helps."""
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    action runs; the engine therefore pins it FALSE at session build
+    (session.py get_spark) and this helper is an idempotent safety
+    net for sessions built elsewhere — on an engine session it reads
+    the already-false conf and changes nothing. Cost of the default:
+    plain scans of bucketed tables lose the option of ignoring
+    bucketing for extra parallelism — and the index tables this
+    module builds are the engine's only bucketed tables, always read
+    through pruned filters or bucket-colocated joins, where the
+    layout only helps."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    if spark.conf.get(key, "true") != "false":
+        spark.conf.set(key, "false")
 
 
 def token_postings(spark, table_name: str, terms: list[str]) -> DataFrame:
     """Bucket-pruned posting-list read for a term set.
 
-    SESSION SIDE EFFECT: permanently disables
-    ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` — scan
-    planning of EVERY bucketed table this session touches afterwards
-    keeps its bucketed layout (losing the planner's option to ignore
-    bucketing for extra parallelism on plain scans). See
-    _keep_bucketed_layout for why set-then-restore cannot work with
-    lazy execution."""
+    Requires ``spark.sql.sources.bucketing.autoBucketedScan.enabled``
+    false at execution time — an engine-session DEFAULT (session.py);
+    _keep_bucketed_layout re-asserts it only on foreign sessions, so
+    on an engine session this call leaves session state untouched."""
     _keep_bucketed_layout(spark)
     return spark.table(table_name).filter(F.col("token").isin([t.lower() for t in terms]))
 
@@ -755,8 +757,7 @@ def phrase_search_indexed(
     ``phrase_search`` count (they share an oracle), at the cost of
     |phrase| posting-list reads instead of a corpus scan.
 
-    SESSION SIDE EFFECT: disables the session's
-    ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` (same
+    Requires the engine-session autoBucketedScan=false default (same
     contract and rationale as token_postings)."""
     terms = [t for t in phrase.lower().split() if t]
     if not terms:

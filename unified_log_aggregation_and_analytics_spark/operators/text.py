@@ -298,11 +298,20 @@ QF_MAX_DUP_WORD_FRAC = 0.7
 QF_MAX_TOP_WORD_FRAC = 0.2
 QF_MAX_DUP_BIGRAM_FRAC = 0.6
 
-# The closed set of reject verdicts quality_filter can emit, in CASE
-# order. Streaming metrics observe() per-verdict counts against this
-# list — a new rule added to quality_filter must be appended here (the
-# agreement is pinned by tests/test_streaming.py).
-QF_REJECT_VERDICTS = ("too_short", "dup_words", "top_word", "dup_bigrams")
+# SINGLE SOURCE OF TRUTH for quality_filter's reject rules: CASE
+# order here IS rule precedence, and QF_REJECT_VERDICTS is derived
+# from it, so a rule added to one cannot silently miss the other
+# (streaming metrics observe() per-verdict counts against the tuple;
+# a verdict missing from it would be folded into the 'duplicate'
+# remainder metric — the reconcile test in test_corpus_ingest.py
+# pins the streaming/batch agreement).
+_QF_RULES: tuple[tuple[str, "object"], ...] = (
+    ("too_short", lambda: F.col("n_tokens") < QF_MIN_TOKENS),
+    ("dup_words", lambda: F.col("dup_word_frac") > QF_MAX_DUP_WORD_FRAC),
+    ("top_word", lambda: F.col("top_word_frac") > QF_MAX_TOP_WORD_FRAC),
+    ("dup_bigrams", lambda: F.col("dup_bigram_frac") > QF_MAX_DUP_BIGRAM_FRAC),
+)
+QF_REJECT_VERDICTS = tuple(v for v, _ in _QF_RULES)
 
 
 def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -312,15 +321,9 @@ def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     rejection rates. Same plan shape as repetition_stats plus one
     map-only CASE projection."""
     rep = repetition_stats(df, text_col, id_col)
-    reason = (
-        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
-        .when(F.col("dup_word_frac") > QF_MAX_DUP_WORD_FRAC, F.lit("dup_words"))
-        .when(F.col("top_word_frac") > QF_MAX_TOP_WORD_FRAC, F.lit("top_word"))
-        .when(
-            F.col("dup_bigram_frac") > QF_MAX_DUP_BIGRAM_FRAC, F.lit("dup_bigrams")
-        )
-        .otherwise(F.lit("keep"))
-    )
+    reason = F.lit("keep")
+    for verdict, cond in reversed(_QF_RULES):
+        reason = F.when(cond(), F.lit(verdict)).otherwise(reason)
     return rep.select(
         id_col,
         "n_tokens",

@@ -58,6 +58,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Engine-level DEFAULT, not a query-time mutation: pure
+        # per-term FILTERS on the bucketed token/ANN index tables
+        # must keep the bucketed layout so hash(term) bucket pruning
+        # applies (the planner auto-ignores bucketing for plain
+        # scans). A set-then-restore around an indexed read cannot
+        # work — the rule is consulted when the LAZY plan executes,
+        # after any restore — so the flag is pinned here at session
+        # build; operators/relational.py's _keep_bucketed_layout is
+        # then an idempotent safety net for foreign sessions, and no
+        # indexed-search call changes session state the user set.
+        # Cost: plain full scans of bucketed tables lose the option
+        # of extra split parallelism — the index tables are this
+        # engine's only bucketed tables and are always read through
+        # pruned filters or bucket-colocated joins.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -67,17 +67,32 @@ def stream_json_logs(
 # The record schema every Kinesis connector emits (and the contract the
 # downstream pipeline is written against): payload is opaque binary,
 # plus the stream position/arrival metadata. This is the Spark-side
-# shape of one Firehose DirectPut record (reference utils.ts:40-42).
+# Record shape the awslabs spark-sql-kinesis-connector documents for
+# format('aws-kinesis') sources, carrying one Firehose DirectPut
+# record each (reference utils.ts:40-42): data, streamName,
+# partitionKey, sequenceNumber, approximateArrivalTimestamp.
 KINESIS_RECORD_SCHEMA = T.StructType(
     [
         T.StructField("data", T.BinaryType(), True),
+        T.StructField("streamName", T.StringType(), True),
         T.StructField("partitionKey", T.StringType(), True),
         T.StructField("sequenceNumber", T.StringType(), True),
         T.StructField("approximateArrivalTimestamp", T.TimestampType(), True),
     ]
 )
 
+# The connector documents TRIM_HORIZON / LATEST / AT_TIMESTAMP;
+# EARLIEST is accepted here as the Kinesis-API synonym and normalized
+# to TRIM_HORIZON. AT_TIMESTAMP needs a timestamp side-option and is
+# deliberately NOT wired until something needs it (loud, not silent).
 _KINESIS_POSITIONS = {"LATEST", "TRIM_HORIZON", "EARLIEST"}
+_KINESIS_CONSUMER_TYPES = {"GetRecords", "SubscribeToShard"}
+
+# The connector's source format name. Option keys below follow its
+# public README; Spark reads options through CaseInsensitiveStringMap,
+# so key casing is cosmetic — the PREFIX and spelling are the
+# contract.
+KINESIS_FORMAT = "aws-kinesis"
 
 
 def kinesis_source_config(
@@ -85,27 +100,41 @@ def kinesis_source_config(
     region: str = "us-east-1",
     starting_position: str = "LATEST",
     endpoint_url: str | None = None,
+    consumer_type: str = "GetRecords",
 ) -> dict[str, str]:
     """S5 config contract — the exact option map handed to
-    ``readStream.format('kinesis')``, validated eagerly so a bad
-    deployment config fails at build time, not at stream start.
-    Factored out of stream_kinesis so the contract is testable without
-    the connector jar (tests/test_streaming.py); the sandbox has no
-    Kinesis, so this boundary — options + record schema + payload
-    decode — IS the production integration surface."""
+    ``readStream.format('aws-kinesis')`` (the public awslabs
+    spark-sql-kinesis-connector: ``kinesis.``-prefixed keys), validated
+    eagerly so a bad deployment config fails at build time, not at
+    stream start. Factored out of stream_kinesis so the contract is
+    testable without the connector jar (tests/test_streaming.py); the
+    sandbox has no Kinesis, so this boundary — format name + options +
+    record schema + payload decode — IS the production integration
+    surface, and production wiring is a jar-drop.
+
+    ``consumer_type``: GetRecords (polling, default) or
+    SubscribeToShard (enhanced fan-out), per the connector docs."""
     if not stream_name or not stream_name.strip():
         raise ValueError("kinesis stream_name must be non-empty")
-    if starting_position.upper() not in _KINESIS_POSITIONS:
+    pos = starting_position.upper()
+    if pos not in _KINESIS_POSITIONS:
         raise ValueError(
             f"starting_position {starting_position!r} not in {sorted(_KINESIS_POSITIONS)}"
         )
+    if pos == "EARLIEST":
+        pos = "TRIM_HORIZON"
+    if consumer_type not in _KINESIS_CONSUMER_TYPES:
+        raise ValueError(
+            f"consumer_type {consumer_type!r} not in {sorted(_KINESIS_CONSUMER_TYPES)}"
+        )
     cfg = {
-        "streamName": stream_name,
-        "region": region,
-        "startingPosition": starting_position.upper(),
+        "kinesis.streamName": stream_name,
+        "kinesis.region": region,
+        "kinesis.consumerType": consumer_type,
+        "kinesis.startingPosition": pos,
     }
     if endpoint_url is not None:
-        cfg["endpointUrl"] = endpoint_url
+        cfg["kinesis.endpointUrl"] = endpoint_url
     return cfg
 
 
@@ -140,7 +169,7 @@ def stream_kinesis(
     """
     cfg = kinesis_source_config(stream_name, region, starting_position)
     try:
-        reader = spark.readStream.format("kinesis")
+        reader = spark.readStream.format(KINESIS_FORMAT)
         for k, v in cfg.items():
             reader = reader.option(k, v)
         return reader.load()
