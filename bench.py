@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "q02o_percolate",
     "docs_dedup_report",
     "docs_epoch_repeat",
+    # round-7 additions: media-routing certificate (eager: decode pass
+    # at construction), Misra-Gries heavy-hitter certificate (eager:
+    # persisted summary), length-bucketing census
+    "multimodal_ingest_report",
+    "q07e_heavy_hitters",
+    "docs_length_buckets",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -182,7 +188,11 @@ def _scale_extra_queries():
 # every timed run re-invokes the builder, so construction + action is
 # inside the clock; any new eager-by-contract catalog entry that joins
 # the bench lists must be added here.
-EAGER_QUERIES = {"docs_dsir_sample"}
+EAGER_QUERIES = {
+    "docs_dsir_sample",
+    "q07e_heavy_hitters",
+    "multimodal_ingest_report",
+}
 
 
 def _time_query(qs, name, spark, sf_dir, n_runs):

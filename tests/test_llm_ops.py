@@ -1228,3 +1228,57 @@ def test_percolate_empty_condition_fires_on_all_docs(spark):
     )
     got = {(r.doc_id, r.query_id) for r in R.percolate(docs, stored).collect()}
     assert got == {(1, "q_all"), (2, "q_all"), (1, "q_alpha")}
+
+
+def test_length_bucket_report_invariants(spark, docs):
+    """Bucketing census: buckets partition the corpus (doc counts sum
+    to corpus size), every bucket_max is a declared boundary, waste
+    fraction sits in [0, 1), and a doc longer than the top boundary
+    clamps into it (truncate-to-max: its effective tokens cap at the
+    boundary, so waste stays non-negative)."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        length_bucket_report,
+    )
+
+    boundaries = (64, 128, 256, 512, 1024, 2048)
+    rows = length_bucket_report(docs, boundaries=boundaries).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.bucket_max for r in rows} <= set(boundaries)
+    for r in rows:
+        assert 0.0 <= r.pad_waste_frac < 1.0, r
+        assert r.n_tokens <= r.bucket_max * r.n_docs
+
+    # clamp semantics: a synthetic long doc lands in the top bucket
+    # with eff == top boundary
+    long_doc = spark.createDataFrame(
+        [(0, " ".join(["tok"] * 5000))], "doc_id long, text string"
+    )
+    top = length_bucket_report(long_doc, boundaries=boundaries).collect()
+    assert len(top) == 1
+    assert top[0].bucket_max == 2048 and top[0].n_tokens == 2048
+    assert top[0].pad_waste_frac == 0.0
+
+    with pytest.raises(ValueError, match="increasing"):
+        length_bucket_report(docs, boundaries=(64, 64, 128))
+
+
+def test_dsir_hash_fn_fast_path(spark, docs):
+    """The xxhash64 fast path selects the same NUMBER of docs through
+    the same ranking machinery (bucket assignments differ hash-to-
+    hash, so the selected SET may differ — buckets are arbitrary
+    feature partitions in DSIR); an unknown hash_fn is loud."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    tgt = F.col("lang") == "en"
+    fast = dsir_select(docs, target=tgt, n_select=50, hash_fn="xxhash64")
+    assert fast.count() == 50
+    assert set(fast.columns) == {"doc_id", "lang", "source", "dsir_logweight"}
+    # deterministic: same call, same selection
+    again = dsir_select(docs, target=tgt, n_select=50, hash_fn="xxhash64")
+    assert sorted(r.doc_id for r in fast.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    with pytest.raises(ValueError, match="hash_fn"):
+        dsir_select(docs, target=tgt, n_select=5, hash_fn="sha1")

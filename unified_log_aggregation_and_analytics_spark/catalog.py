@@ -146,6 +146,8 @@ GATE_ORDER: list[str] = [
     "q07e_heavy_hitters",
     # multimodal: round-7 media-routing certificate (new)
     "multimodal_ingest_report",
+    # sampling: round-7 length-bucketing census (new)
+    "docs_length_buckets",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----

