@@ -169,3 +169,57 @@ def test_token_index_append_equals_full_build(spark):
     s_inc = spark.table("tok_mnt_inc_stats").first()
     assert s_inc["n_docs"] == s_full["n_docs"]
     assert abs(s_inc["avg_dl"] - s_full["avg_dl"]) < 1e-9
+
+
+def test_ivf_filtered_probe_pushdown_and_correctness(spark, emb, qvec, tmp_path_factory):
+    """Filtered vector search: meta_cols carries label into the index
+    rows; a candidate_filter probe (a) returns only matching-label
+    results, (b) pushes the predicate into the parquet scan
+    (PushedFilters), (c) equals brute-force cosine over the
+    label-filtered slice of exactly the probed cells, and (d) raising
+    n_probe to all cells equals the fully-exact filtered top-k."""
+    import io
+    from contextlib import redirect_stdout
+
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_meta"))
+    A.build_ivf_index(emb, path, n_centroids=8, meta_cols=("label",))
+
+    flt = F.col("label") == 3
+    got = A.ivf_probe(spark, path, qvec, k=5, n_probe=3, candidate_filter=flt)
+    rows = got.collect()
+    assert rows, "filtered probe returned nothing"
+    labels = {
+        r.label
+        for r in got.join(emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert labels == {3}, f"non-matching labels leaked: {labels}"
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters")[1][:200]
+
+    # exact within probed cells: replicate the probe's cell choice
+    idx = spark.read.parquet(f"{path}/table")
+    import numpy as np
+
+    cents = A.load_centroids(spark, path)
+    norm = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    q = np.asarray(qvec) / np.linalg.norm(qvec)
+    cells = [int(c) for c in (norm @ q).argsort()[::-1][:3]]
+    want = knn_brute_force(
+        idx.filter(F.col("cell").isin(cells)).filter(flt), qvec, k=5
+    )
+    assert _rows(got) == _rows(want)
+
+    # probing every cell = exact filtered kNN over the whole corpus
+    all_probe = A.ivf_probe(
+        spark, path, qvec, k=5, n_probe=8, candidate_filter=flt
+    )
+    exact = knn_brute_force(emb.filter(flt), qvec, k=5)
+    assert _rows(all_probe) == _rows(exact)

@@ -148,6 +148,8 @@ GATE_ORDER: list[str] = [
     "multimodal_ingest_report",
     # sampling: round-7 length-bucketing census (new)
     "docs_length_buckets",
+    # similarity: round-7 filtered vector search (new)
+    "knn_ivf_filtered",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -164,8 +166,6 @@ GATE_ORDER: list[str] = [
     "q13_asof_join",
     "q14_window_funcs",
     "q10c_trending",
-    "q08b_sliding_window",
-    "q09_sort_orders",
     # logs
     "logs_apache_parse",
     "logs_funnel",

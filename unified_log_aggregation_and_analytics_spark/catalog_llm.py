@@ -1412,12 +1412,18 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
     table = path / "table"
     fresh = (table / "_SUCCESS").exists()
     if fresh:
-        fresh = spark.read.parquet(str(table)).count() == emb.count()
+        existing = spark.read.parquet(str(table))
+        fresh = existing.count() == emb.count()
+        # schema-aware: an index built before a kind gained meta
+        # columns (ivf16 carries label for filtered search) must
+        # rebuild, or the filter predicate hits a missing column
+        if fresh and kind == "ivf16":
+            fresh = "label" in existing.columns
     if not fresh:
         if kind == "lsh8":
             A.build_lsh_index(emb, str(path), n_bits=8, seed=42, dim=64)
         elif kind == "ivf16":
-            A.build_ivf_index(emb, str(path), n_centroids=16)
+            A.build_ivf_index(emb, str(path), n_centroids=16, meta_cols=("label",))
         elif kind == "ivfpq":
             A.build_ivfpq_index(emb, str(path), n_centroids=16, m=4, codes=8)
         else:
@@ -1508,6 +1514,59 @@ def knn_ivf_indexed(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     path = _ann_index_path(spark, sf_dir, "ivf16")
     return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
+def _ivf_filtered_oracle(label: int) -> str:
+    """The IVF replay with a metadata predicate on the CANDIDATES
+    (after cell pruning, before scoring) — the filtered-vector-search
+    contract: same cells probed, only label-matching rows scored."""
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY {_cos_raw('ce', 'qe')} DESC, cid DESC LIMIT 4
+    ),
+    r AS (
+      SELECT e.vec_id, e.embedding, e.label, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM r
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe) AND label = {label}
+    )
+    SELECT cand.vec_id, round({_cos_raw('cand.embedding', 'q.qe')}, 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, cand.vec_id LIMIT 10
+"""
+
+
+@_register("knn_ivf_filtered", _ivf_filtered_oracle(3))
+def knn_ivf_filtered(spark, sf_dir):
+    """X3 — FILTERED vector search over the persisted IVF index: the
+    metadata predicate (label = 3, carried into the index rows via
+    build_ivf_index meta_cols) rides the cell-pruned scan as a pushed
+    parquet filter, so non-matching candidates never reach the
+    scoring kernel — the metadata-constrained kNN every production
+    vector store exposes. Same probed cells as knn_ivf_indexed; the
+    oracle replays cell assignment, probe choice, the label filter,
+    and exact top-10. Under selective filters raise n_probe (or
+    partition by the filter column) to hold recall — documented in
+    ivf_probe."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivf16")
+    return A.ivf_probe(
+        spark, path, list(qv), k=10, n_probe=4,
+        candidate_filter=F.col("label") == 3,
+    )
 
 
 @_register("knn_ivfpq_indexed", None)  # trained quantizers + numpy cell ranking: rows-only

@@ -343,11 +343,20 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iters: int = 0,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """One-pass IVF index build: nearest-centroid cell per vector via
     one Arrow GEMM per batch (similarity.ivf_assign), table written
     partitioned by cell, centroids persisted as a parquet artifact —
     probes load 16 rows, never recompute or rescan the corpus.
+
+    ``meta_cols`` carries metadata columns (label, source, date) into
+    the index rows, enabling FILTERED vector search: probes push the
+    metadata predicate into the cell-pruned scan (ivf_probe
+    ``candidate_filter``), so candidates failing the filter never
+    reach the scorer — the post-filter pattern every production
+    vector store implements. Cost: the index stores the extra
+    columns; at 100 TB keep meta_cols to the few filterable ones.
 
     ``refine_iters`` > 0 runs spherical-k-means rounds
     (similarity.kmeans_refine) before assignment — tighter cells mean
@@ -370,7 +379,7 @@ def build_ivf_index(
         .parquet(_centroids_path(path))
     )
     (
-        ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+        ivf_assign(df.select(id_col, vec_col, *meta_cols), centroids, vec_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(_table_path(path))
@@ -384,6 +393,7 @@ def append_ivf_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Incremental IVF ingest: assign ONLY the delta against the
     PERSISTED centroid artifact (frozen — never recomputed from the
@@ -398,7 +408,7 @@ def append_ivf_index(
     spark = df_new.sparkSession
     centroids = load_centroids(spark, path, vec_col)
     (
-        ivf_assign(df_new.select(id_col, vec_col), centroids, vec_col)
+        ivf_assign(df_new.select(id_col, vec_col, *meta_cols), centroids, vec_col)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(_table_path(path))
@@ -420,11 +430,22 @@ def ivf_probe(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Indexed IVF probe: rank the persisted centroids against the
     query on the driver (n_centroids-sized matmul), then read only the
     ``n_probe`` nearest cells — a partition-pruned scan followed by the
-    exact scoring kernel. No assignment pass, no centroid recompute."""
+    exact scoring kernel. No assignment pass, no centroid recompute.
+
+    ``candidate_filter`` (a predicate over ``meta_cols`` the index was
+    built with) makes this FILTERED vector search: the predicate lands
+    in the pruned scan (PushedFilters — parquet row groups failing it
+    never decode), candidates are filtered BEFORE scoring. Under a
+    selective filter the probed cells hold fewer qualifying
+    candidates, so raise ``n_probe`` to hold recall — the standard
+    filtered-ANN trade; at filter selectivities below ~1/n_cells,
+    partition the index BY the filter column instead and run an exact
+    scan inside the slice."""
     centroids = load_centroids(spark, path, vec_col)
     norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -432,6 +453,8 @@ def ivf_probe(
     probe_cells = [int(c) for c in (norm @ q).argsort()[::-1][:n_probe]]
     idx = spark.read.parquet(_table_path(path))
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
+    if candidate_filter is not None:
+        cand = cand.filter(candidate_filter)
     return knn_brute_force(cand, query_vec, k, vec_col, id_col)
 
 
