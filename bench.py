@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "multimodal_ingest_report",
     "q07e_heavy_hitters",
     "docs_length_buckets",
+    # round-7: filtered ANN + persisted-LM scoring (index paths —
+    # train/build once per process, probes timed, like the ANN rows)
+    "knn_ivf_filtered",
+    "text_lm_score_indexed",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run

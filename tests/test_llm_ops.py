@@ -1282,3 +1282,31 @@ def test_dsir_hash_fn_fast_path(spark, docs):
     )
     with pytest.raises(ValueError, match="hash_fn"):
         dsir_select(docs, target=tgt, n_select=5, hash_fn="sha1")
+
+
+def test_bigram_lm_indexed_equals_one_shot(spark, docs, tmp_path_factory):
+    """The persisted-model LM scorer must reproduce the in-plan
+    model's scores EXACTLY when trained on the scored corpus (the
+    index ≡ scan contract the catalog oracle enforces), and score
+    unseen bigrams through the add-k floor instead of dropping them."""
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    path = str(tmp_path_factory.mktemp("lm")) + "/bigram"
+    X.train_bigram_lm(docs, path)
+    got = sorted(
+        tuple(r) for r in X.bigram_lm_score_indexed(spark, docs, path).collect()
+    )
+    want = sorted(tuple(r) for r in X.bigram_lm_score(docs).collect())
+    assert got == want and got
+
+    # out-of-model text: both bigrams unseen -> coalesce(0) floor,
+    # nll = -ln(k / (0 + k*V)) = ln(V) per bigram
+    import math
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    novel = spark.createDataFrame(
+        [(99999, "zzq1 zzq2 zzq3")], "doc_id long, text string"
+    )
+    row = X.bigram_lm_score_indexed(spark, novel, path).collect()[0]
+    assert row.n_bigrams == 2
+    assert abs(row.avg_nll - round(math.log(meta["v"]), 6)) < 1e-6

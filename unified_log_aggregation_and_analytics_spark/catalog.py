@@ -150,6 +150,8 @@ GATE_ORDER: list[str] = [
     "docs_length_buckets",
     # similarity: round-7 filtered vector search (new)
     "knn_ivf_filtered",
+    # text: round-7 persisted-LM scoring (new)
+    "text_lm_score_indexed",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -165,7 +167,6 @@ GATE_ORDER: list[str] = [
     "q02o_percolate",
     "q13_asof_join",
     "q14_window_funcs",
-    "q10c_trending",
     # logs
     "logs_apache_parse",
     "logs_funnel",

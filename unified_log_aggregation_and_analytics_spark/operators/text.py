@@ -332,6 +332,102 @@ def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _lm_tok_arr(text_col: str) -> Column:
+    """Lower-cased whitespace tokens with empties dropped — the LM
+    family's shared tokenization (mirrored by the DuckDB oracle)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def _lm_bigram_rows(frame: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc bigram stream ``(id, w1, w2)``: arrays_zip of two
+    shifted slices, NOT transform(sequence, element_at(i)) — the zip
+    is one codegen'd kernel while the indexed HOF re-walks the array
+    per element (measured 3.4x slower on the 10x corpus)."""
+    ts = _lm_tok_arr(text_col)
+    pairs = F.arrays_zip(
+        F.slice(ts, 1, F.size(ts) - 1).alias("w1"),
+        F.slice(ts, 2, F.size(ts) - 1).alias("w2"),
+    )
+    return (
+        frame.filter(F.size(ts) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+    )
+
+
+def train_bigram_lm(
+    lm_df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the add-k bigram LM's count tables — the
+    PRODUCTION form of bigram_lm_score's model (its docstring's
+    'persisted count tables' path, now real): ``{path}/bigrams``
+    (w1, w2, bc), ``{path}/contexts`` (w1, uc — derived by reading
+    the just-written bigrams table back, not by a second corpus
+    pass), and ``{path}/meta`` (v = vocabulary size, n_docs for
+    freshness checks). Train once per reference corpus; scoring any
+    batch is then ONE corpus pass + vocabulary-keyed joins
+    (bigram_lm_score_indexed) instead of re-deriving the counts
+    inside every scoring plan — the same build-once/probe-many
+    economics as the token and ANN indexes."""
+    spark = lm_df.sparkSession
+    bg = _lm_bigram_rows(lm_df, text_col, id_col)
+    (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/bigrams")
+    )
+    (
+        spark.read.parquet(f"{path}/bigrams")
+        .groupBy("w1")
+        .agg(F.sum("bc").alias("uc"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/contexts")
+    )
+    meta = lm_df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        lm_df.select(F.explode(_lm_tok_arr(text_col)).alias("t")).agg(
+            F.count_distinct("t").alias("v")
+        )
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bigram_lm_score_indexed(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score a batch against a PERSISTED bigram LM (train_bigram_lm):
+    identical values to bigram_lm_score when the model was trained on
+    the scored corpus (the catalog entry shares its oracle — the
+    index ≡ scan proof, as q02d did for token search), but the
+    scoring plan is one corpus pass joined to the vocabulary-bounded
+    count tables; unseen bigrams fall back to the add-k floor via
+    coalesce(0), exactly as the external-lm_df branch of
+    bigram_lm_score does."""
+    bc = spark.read.parquet(f"{path}/bigrams")
+    uc = spark.read.parquet(f"{path}/contexts")
+    meta = spark.read.parquet(f"{path}/meta").select("v")
+    nll = -F.log(
+        (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    return (
+        _lm_bigram_rows(df, text_col, id_col)
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .crossJoin(F.broadcast(meta))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
 def bigram_lm_score(
     df: DataFrame,
     lm_df: DataFrame | None = None,
@@ -369,25 +465,10 @@ def bigram_lm_score(
     lm = df if lm_df is None else lm_df
 
     def tok_arr() -> Column:
-        return F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-        )
+        return _lm_tok_arr(text_col)
 
     def bigram_rows(frame: DataFrame) -> DataFrame:
-        # arrays_zip of two shifted slices, NOT transform(sequence,
-        # element_at(i)) — the zip is one codegen'd kernel while the
-        # indexed HOF re-walks the array per element (measured 3.4x
-        # slower on the 10x corpus)
-        ts = tok_arr()
-        pairs = F.arrays_zip(
-            F.slice(ts, 1, F.size(ts) - 1).alias("w1"),
-            F.slice(ts, 2, F.size(ts) - 1).alias("w2"),
-        )
-        return (
-            frame.filter(F.size(ts) >= 2)
-            .select(F.col(id_col), F.explode(pairs).alias("p"))
-            .select(id_col, "p.w1", "p.w2")
-        )
+        return _lm_bigram_rows(frame, text_col, id_col)
 
     lm_bigrams = bigram_rows(lm)
     bc = lm_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
