@@ -223,3 +223,26 @@ def test_ivf_filtered_probe_pushdown_and_correctness(spark, emb, qvec, tmp_path_
     )
     exact = knn_brute_force(emb.filter(flt), qvec, k=5)
     assert _rows(all_probe) == _rows(exact)
+
+
+def test_lsh_filtered_probe(spark, emb, qvec, tmp_path_factory):
+    """LSH filtered search mirrors the IVF contract: meta_cols rows,
+    candidate_filter in the pruned scan, matching-label results only,
+    and append with meta preserved keeps the filter working."""
+    path = str(tmp_path_factory.mktemp("lsh_meta"))
+    base = emb.filter(F.col("vec_id") % 2 == 1)
+    delta = emb.filter(F.col("vec_id") % 2 == 0)
+    A.build_lsh_index(base, path, n_bits=6, seed=42, meta_cols=("label",))
+    A.append_lsh_index(delta, path, n_bits=6, seed=42, meta_cols=("label",))
+
+    flt = F.col("label") == 3
+    got = A.lsh_probe(
+        spark, path, qvec, k=5, n_bits=6, multiprobe_bits=2, candidate_filter=flt
+    )
+    rows = got.collect()
+    assert rows, "filtered LSH probe returned nothing"
+    labels = {
+        r.label
+        for r in got.join(emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert labels == {3}, f"non-matching labels leaked: {labels}"

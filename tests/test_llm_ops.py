@@ -1303,10 +1303,47 @@ def test_bigram_lm_indexed_equals_one_shot(spark, docs, tmp_path_factory):
     # nll = -ln(k / (0 + k*V)) = ln(V) per bigram
     import math
 
-    meta = spark.read.parquet(f"{path}/meta").first()
+    v = spark.read.parquet(f"{path}/vocab").distinct().count()
     novel = spark.createDataFrame(
         [(99999, "zzq1 zzq2 zzq3")], "doc_id long, text string"
     )
     row = X.bigram_lm_score_indexed(spark, novel, path).collect()[0]
     assert row.n_bigrams == 2
-    assert abs(row.avg_nll - round(math.log(meta["v"]), 6)) < 1e-6
+    assert abs(row.avg_nll - round(math.log(v), 6)) < 1e-6
+
+
+def test_bigram_lm_append_equals_rebuild(spark, docs, tmp_path_factory):
+    """Incremental LM maintenance: train on half the corpus, append
+    the other half — scores must equal a full rebuild EXACTLY (counts
+    merge by addition, vocabulary by set union), and compaction must
+    fold the appended deltas without changing a single score."""
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    inc = str(tmp_path_factory.mktemp("lm_inc")) + "/bigram"
+    full = str(tmp_path_factory.mktemp("lm_full")) + "/bigram"
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    X.train_bigram_lm(docs, full)
+    X.train_bigram_lm(base, inc)
+    X.append_bigram_lm(delta, inc)
+
+    want = sorted(
+        tuple(r) for r in X.bigram_lm_score_indexed(spark, docs, full).collect()
+    )
+    got = sorted(
+        tuple(r) for r in X.bigram_lm_score_indexed(spark, docs, inc).collect()
+    )
+    assert got == want and got
+
+    n_meta = spark.read.parquet(f"{inc}/meta").first()["n_docs"]
+    assert n_meta == docs.count()
+
+    X.compact_bigram_lm(spark, inc)
+    after = sorted(
+        tuple(r) for r in X.bigram_lm_score_indexed(spark, docs, inc).collect()
+    )
+    assert after == want
+    # compaction folded the vocab to exactly-distinct rows
+    vt = spark.read.parquet(f"{inc}/vocab")
+    assert vt.count() == vt.distinct().count()

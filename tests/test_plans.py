@@ -198,6 +198,7 @@ SCALAR_BROADCAST_OK = {
     "ann_recall_report",  # composes knn_cosine's 1-row query broadcast
     "q02g_hybrid_rrf",  # composes bm25_search's 1-row corpus stats
     "text_lm_score",  # 1-row vocabulary-size scalar
+    "text_lm_score_indexed",  # same 1-row V scalar, read from the model
     "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
     "tpch_q11",  # 1-row global-total threshold scalar
     "tpch_q15",  # 1-row max-revenue scalar

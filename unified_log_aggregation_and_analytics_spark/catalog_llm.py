@@ -481,7 +481,11 @@ def _lm_model_path(spark, sf_dir: str) -> str:
     if str(path) in _LM_FRESH:
         return str(path)
     docs = _t(spark, sf_dir, "documents")
-    fresh = (path / "meta" / "_SUCCESS").exists()
+    # layout-aware: a model from an older artifact layout (no vocab
+    # table) must retrain, not fail at read
+    fresh = (path / "meta" / "_SUCCESS").exists() and (
+        path / "vocab" / "_SUCCESS"
+    ).exists()
     if fresh:
         meta = spark.read.parquet(str(path / "meta")).first()
         fresh = meta["n_docs"] == docs.count()

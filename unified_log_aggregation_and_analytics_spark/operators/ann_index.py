@@ -135,6 +135,7 @@ def build_lsh_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """One-pass LSH index build: bucket = packed sign bits of the
     vector against ``n_bits`` seeded hyperplanes; table written
@@ -152,7 +153,7 @@ def build_lsh_index(
         dim = _peek_dim(df, vec_col)
     planes = lsh_planes(dim, n_bits, seed)
     (
-        df.select(id_col, vec_col)
+        df.select(id_col, vec_col, *meta_cols)
         .withColumn("bucket", sign_sketch(vec_col, planes))
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -175,6 +176,7 @@ def append_lsh_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Incremental LSH ingest: sketch ONLY the delta with the same
     (dim, n_bits, seed)-derived planes the base build used and append
@@ -194,7 +196,7 @@ def append_lsh_index(
     if dim is None:
         dim = _peek_dim(df_new, vec_col)  # pre-manifest index only
     planes = lsh_planes(dim, n_bits, seed)
-    delta = df_new.select(id_col, vec_col).withColumn(
+    delta = df_new.select(id_col, vec_col, *meta_cols).withColumn(
         "bucket", sign_sketch(vec_col, planes)
     )
     delta.write.mode("append").partitionBy("bucket").parquet(_table_path(path))
@@ -247,12 +249,18 @@ def lsh_probe(
     multiprobe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Indexed ANN probe: enumerate the bucket ids within
     ``multiprobe_bits`` of the query's bucket (driver-side, over bit
     masks — n_bits is tiny) and read only those partitions. The plan's
     scan node carries PartitionFilters on ``bucket``; the exact
-    brute-force kernel then scores the pruned candidates."""
+    brute-force kernel then scores the pruned candidates.
+
+    ``candidate_filter`` (over ``meta_cols`` the index was built
+    with) = filtered vector search, same contract and recall trade as
+    ivf_probe: push the predicate into the pruned scan, raise
+    multiprobe_bits under selective filters."""
     planes = lsh_planes(len(query_vec), n_bits, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
@@ -265,6 +273,8 @@ def lsh_probe(
             probe.append(q_bucket ^ flip)
     idx = spark.read.parquet(_table_path(path))
     cand = idx.filter(F.col("bucket").isin(probe)).drop("bucket")
+    if candidate_filter is not None:
+        cand = cand.filter(candidate_filter)
     return knn_brute_force(cand, query_vec, k, vec_col, id_col)
 
 

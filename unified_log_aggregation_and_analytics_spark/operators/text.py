@@ -358,18 +358,21 @@ def _lm_bigram_rows(frame: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def train_bigram_lm(
     lm_df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> None:
-    """Materialize the add-k bigram LM's count tables — the
-    PRODUCTION form of bigram_lm_score's model (its docstring's
-    'persisted count tables' path, now real): ``{path}/bigrams``
-    (w1, w2, bc), ``{path}/contexts`` (w1, uc — derived by reading
-    the just-written bigrams table back, not by a second corpus
-    pass), and ``{path}/meta`` (v = vocabulary size, n_docs for
-    freshness checks). Train once per reference corpus; scoring any
+    """Materialize the add-k bigram LM's model — the PRODUCTION form
+    of bigram_lm_score's model (its docstring's 'persisted count
+    tables' path, now real): ``{path}/bigrams`` (w1, w2, bc — count
+    DELTAS, aggregated at read), ``{path}/vocab`` (distinct tokens),
+    ``{path}/meta`` (n_docs for freshness). Counts are stored as
+    mergeable deltas and vocabulary as a distinct-token table —
+    addition and set-union are the two merges that make
+    append_bigram_lm exact, the property a scalar V or pre-summed
+    contexts table would forfeit. Context counts c(w1·) derive from
+    the bigram table in the scoring plan (a vocabulary-bounded
+    rollup), so there is no second corpus pass and no second table to
+    keep consistent. Train once per reference corpus; scoring any
     batch is then ONE corpus pass + vocabulary-keyed joins
-    (bigram_lm_score_indexed) instead of re-deriving the counts
-    inside every scoring plan — the same build-once/probe-many
+    (bigram_lm_score_indexed) — the same build-once/probe-many
     economics as the token and ANN indexes."""
-    spark = lm_df.sparkSession
     bg = _lm_bigram_rows(lm_df, text_col, id_col)
     (
         bg.groupBy("w1", "w2")
@@ -378,18 +381,70 @@ def train_bigram_lm(
         .parquet(f"{path}/bigrams")
     )
     (
-        spark.read.parquet(f"{path}/bigrams")
-        .groupBy("w1")
-        .agg(F.sum("bc").alias("uc"))
+        lm_df.select(F.explode(_lm_tok_arr(text_col)).alias("t"))
+        .distinct()
         .write.mode("overwrite")
-        .parquet(f"{path}/contexts")
+        .parquet(f"{path}/vocab")
     )
-    meta = lm_df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        lm_df.select(F.explode(_lm_tok_arr(text_col)).alias("t")).agg(
-            F.count_distinct("t").alias("v")
-        )
-    )
+    meta = lm_df.agg(F.count(F.lit(1)).alias("n_docs"))
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_bigram_lm(
+    delta_df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Incremental LM maintenance: fold a document delta into the
+    persisted model by APPENDING its bigram count deltas and distinct
+    tokens — O(|delta|) work, the base tables untouched (the
+    append_lsh_index/append_ivf_index contract applied to the LM).
+    Exactness: bigram counts merge by addition (the read-time rollup
+    in bigram_lm_score_indexed), vocabulary merges by set union (the
+    read-time distinct) — so score(append) ≡ score(full rebuild),
+    pinned in tests. Appends accumulate small files; fold them with
+    compact_bigram_lm on the index-compaction cadence."""
+    spark = delta_df.sparkSession
+    bg = _lm_bigram_rows(delta_df, text_col, id_col)
+    (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .write.mode("append")
+        .parquet(f"{path}/bigrams")
+    )
+    (
+        delta_df.select(F.explode(_lm_tok_arr(text_col)).alias("t"))
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{path}/vocab")
+    )
+    n_prev = spark.read.parquet(f"{path}/meta").first()["n_docs"]
+    n_new = int(n_prev) + delta_df.count()
+    import os
+    import shutil
+
+    tmp = f"{path}/meta__tmp"
+    spark.createDataFrame([(n_new,)], "n_docs bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(f"{path}/meta")
+    os.rename(tmp, f"{path}/meta")
+
+
+def compact_bigram_lm(spark, path: str) -> None:
+    """Fold appended count deltas and duplicate vocab rows into fully
+    aggregated tables (staged write + directory swap, the
+    compact_index protocol). Scores are unchanged — the read-time
+    rollup makes compaction a pure file-count optimization."""
+    import os
+    import shutil
+
+    for sub, agg in (
+        ("bigrams", lambda d: d.groupBy("w1", "w2").agg(F.sum("bc").alias("bc"))),
+        ("vocab", lambda d: d.distinct()),
+    ):
+        tmp = f"{path}/{sub}__compact_tmp"
+        agg(spark.read.parquet(f"{path}/{sub}")).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{path}/{sub}")
+        os.rename(tmp, f"{path}/{sub}")
 
 
 def bigram_lm_score_indexed(
@@ -400,17 +455,27 @@ def bigram_lm_score_indexed(
     id_col: str = "doc_id",
     k: float = 0.5,
 ) -> DataFrame:
-    """Score a batch against a PERSISTED bigram LM (train_bigram_lm):
-    identical values to bigram_lm_score when the model was trained on
-    the scored corpus (the catalog entry shares its oracle — the
-    index ≡ scan proof, as q02d did for token search), but the
-    scoring plan is one corpus pass joined to the vocabulary-bounded
-    count tables; unseen bigrams fall back to the add-k floor via
-    coalesce(0), exactly as the external-lm_df branch of
-    bigram_lm_score does."""
-    bc = spark.read.parquet(f"{path}/bigrams")
-    uc = spark.read.parquet(f"{path}/contexts")
-    meta = spark.read.parquet(f"{path}/meta").select("v")
+    """Score a batch against a PERSISTED bigram LM (train_bigram_lm,
+    optionally grown by append_bigram_lm): identical values to
+    bigram_lm_score when the model was trained on the scored corpus
+    (the catalog entry shares its oracle — the index ≡ scan proof, as
+    q02d did for token search), but the scoring plan is one corpus
+    pass joined to the vocabulary-bounded count tables; unseen
+    bigrams fall back to the add-k floor via coalesce(0), exactly as
+    the external-lm_df branch of bigram_lm_score does. The count
+    rollup and vocab distinct here are what make appended deltas
+    exact — both are vocabulary-bounded aggregations, never
+    corpus-sized."""
+    bc = (
+        spark.read.parquet(f"{path}/bigrams")
+        .groupBy("w1", "w2")
+        .agg(F.sum("bc").alias("bc"))
+    )
+    uc = bc.groupBy("w1").agg(F.sum("bc").alias("uc"))
+    vocab = (
+        spark.read.parquet(f"{path}/vocab")
+        .agg(F.count_distinct("t").alias("v"))
+    )
     nll = -F.log(
         (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(k))
         / (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(k) * F.col("v"))
@@ -419,7 +484,7 @@ def bigram_lm_score_indexed(
         _lm_bigram_rows(df, text_col, id_col)
         .join(bc, ["w1", "w2"], "left")
         .join(uc, ["w1"], "left")
-        .crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
