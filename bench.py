@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     # train/build once per process, probes timed, like the ANN rows)
     "knn_ivf_filtered",
     "text_lm_score_indexed",
+    # round-7: span-level dedup (ExactSubstr census)
+    "dedup_substring",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -144,6 +146,7 @@ SCALE_QUERIES = [
     "knn_pq_adc_seeded",
     "dedup_semantic",
     "docs_dsir_sample",
+    "dedup_substring",
 ]
 
 

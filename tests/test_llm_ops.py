@@ -1347,3 +1347,29 @@ def test_bigram_lm_append_equals_rebuild(spark, docs, tmp_path_factory):
     # compaction folded the vocab to exactly-distinct rows
     vt = spark.read.parquet(f"{inc}/vocab")
     assert vt.count() == vt.distinct().count()
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """ExactSubstr census: cross-doc grams, within-doc repeats, short-doc
+    clamping, and disjoint-span counting, against hand-computed truth."""
+    rows = [
+        (1, "a b c d e f"),     # shares "a b c d" with docs 2 and 7
+        (2, "x a b c d y"),
+        (3, "p q r s t u"),     # fully covered via doc 7's suffix
+        (4, "m m m m m m m m"), # within-doc repeated gram only
+        (5, "zz"),              # sub-k doc, duplicated with doc 6
+        (6, "zz"),
+        (7, "a b c d Q Q p q r s t u"),  # two disjoint duplicated spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"], r["dup_frac"])
+        for r in D.duplicated_spans(df, k=4, min_count=2).collect()
+    }
+    assert out[1] == (6, 4, 1, round(4 / 6, 6))
+    assert out[2] == (6, 4, 1, round(4 / 6, 6))
+    assert out[3] == (6, 6, 1, 1.0)
+    assert out[4] == (8, 8, 1, 1.0)
+    assert out[5] == (1, 1, 1, 1.0)
+    assert out[6] == (1, 1, 1, 1.0)
+    assert out[7] == (12, 10, 2, round(10 / 12, 6))

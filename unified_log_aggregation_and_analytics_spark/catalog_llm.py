@@ -147,6 +147,57 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.05)
 
 
+@_register(
+    "dedup_substring",
+    """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(1, greatest(len(t) - 9, 1) + 1)) AS pos, t
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, pos,
+             md5(array_to_string(list_slice(t, pos, pos + 9), ' ')) AS gh
+      FROM pos
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT g.doc_id,
+               unnest(range(g.pos, least(g.pos + 9, g.n_tokens) + 1)) AS idx
+        FROM grams g JOIN dup d USING (gh)
+      )
+    ),
+    runs AS (
+      SELECT doc_id,
+             CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+                  THEN 0 ELSE 1 END AS is_start
+      FROM cov
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS dup_tokens,
+             CAST(SUM(is_start) AS BIGINT) AS n_spans
+      FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.dup_tokens, 0) AS dup_tokens,
+           round(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.t), 6) AS dup_frac,
+           COALESCE(a.n_spans, 0) AS n_spans
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """X2 span-level dedup — the ExactSubstr census of Lee et al. 2022:
+    per-document count/fraction of tokens covered by a 10-token gram
+    occurring >= 2 times corpus-wide, plus the number of maximal
+    duplicated spans (the cut list). Suffix arrays are single-node;
+    this is the shuffle-bounded distributed equivalent (see
+    operators/dedup.py duplicated_spans)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return D.duplicated_spans(docs, k=10, min_count=2)
+
+
 @_register("dedup_simhash", None)  # engine-specific xxhash64: rows-only
 def dedup_simhash(spark, sf_dir):
     """X2 — 64-bit SimHash fingerprints (xxhash64 token hashes have no

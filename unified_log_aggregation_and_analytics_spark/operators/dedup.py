@@ -656,3 +656,101 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """X2 span-level dedup census — per-document duplicated-substring
+    coverage, the ExactSubstr statistic of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022): a token is
+    "duplicated" when it is covered by at least one ``k``-token gram
+    that occurs ``min_count``+ times corpus-wide (across documents OR
+    repeated within one). Returns one row per document:
+
+      (doc_id, n_tokens, dup_tokens, dup_frac, n_spans)
+
+    where n_spans counts the maximal contiguous duplicated runs —
+    exactly the spans ExactSubstr would cut.
+
+    Spark-first plan (the suffix-array of the paper is a single-node
+    construction; this is the shuffle-bounded distributed equivalent):
+      1. one Generate per doc emits (pos, md5(k-gram)) — linear in
+         corpus tokens, map-only;
+      2. gram multiplicity is ONE hash aggregation on the uniform md5
+         key with map-side partial combine (a doc's own repeats
+         pre-collapse), filtered to >= min_count;
+      3. duplicated positions come back via an equi-join on the gram
+         hash — both sides shuffle on the same uniform key;
+      4. coverage is an explode of sequence(pos, pos+k-1) clamped to
+         doc length — k-fold blow-up of the DUPLICATED positions only,
+         deduped by (doc, idx) hash aggregation;
+      5. span counting is one doc-keyed window (run starts where
+         lag(idx) != idx-1) — state bounded by document length.
+    No step is quadratic in corpus size; every shuffle key (gram hash,
+    doc id) is uniform or document-bounded, which is the 100 TB story.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    # Materialize the token array once behind a Generate (see
+    # chunk_dedup: HOF lambdas re-evaluate captured trees per element).
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    t = F.col("_toks")
+    grams = base.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.posexplode(token_ngrams(t, k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("gram").cast("binary")).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    cov = (
+        grams.join(dup, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + F.lit(k - 1), F.col("n_tokens")),
+                )
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    agg = (
+        cov.withColumn(
+            "is_start",
+            F.when(F.lag("idx").over(w) == F.col("idx") - 1, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_tokens"),
+            F.sum("is_start").alias("n_spans"),
+        )
+    )
+    docs = df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+    return docs.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+    )
