@@ -102,8 +102,10 @@ BENCH_QUERIES = [
     # train/build once per process, probes timed, like the ANN rows)
     "knn_ivf_filtered",
     "text_lm_score_indexed",
-    # round-7: span-level dedup (ExactSubstr census)
+    # round-7: span-level dedup (ExactSubstr census), hard-negative
+    # mining for contrastive training
     "dedup_substring",
+    "knn_hard_negatives",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run

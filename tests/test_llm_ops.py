@@ -1373,3 +1373,42 @@ def test_duplicated_spans_hand_computed(spark):
     assert out[5] == (1, 1, 1, 1.0)
     assert out[6] == (1, 1, 1, 1.0)
     assert out[7] == (12, 10, 2, round(10 / 12, 6))
+
+
+def test_hard_negatives_label_filter_and_ranking(spark):
+    """Hard negatives: never the anchor's own label, ranked by true
+    cosine among cross-label candidates (numpy reference), ceiling
+    excludes near-identical cross-label vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    vecs[30] = vecs[0] * 1.0001  # near-identical cross-label: ceiling must drop it
+    labels = [i % 4 for i in range(40)]
+    rows = [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    out = S.hard_negatives(emb, anchor_ids=[0, 1], k=3, max_sim=0.99)
+    got = {(r["anchor_id"], r["rank"]): (r["vec_id"], r["label"], r["cos_sim"]) for r in out.collect()}
+
+    def ref(anchor):
+        a = vecs[anchor].astype("float64")
+        scored = []
+        for j in range(40):
+            if j in (0, 1) or labels[j] == labels[anchor]:
+                continue
+            b = vecs[j].astype("float64")
+            s = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+            if s <= 0.99:
+                scored.append((-s, j))
+        scored.sort()
+        return [(j, labels[j], -s) for s, j in scored[:3]]
+
+    for anchor in (0, 1):
+        expect = ref(anchor)
+        for rank, (j, lab, s) in enumerate(expect, 1):
+            assert got[(anchor, rank)] == (j, lab, s)
+        for rank in (1, 2, 3):
+            assert got[(anchor, rank)][1] != labels[anchor]
+    # vec 30 is cosine ~1.0 with anchor 0 but a different label: must be absent
+    assert all(v[0] != 30 for k, v in got.items() if k[0] == 0)

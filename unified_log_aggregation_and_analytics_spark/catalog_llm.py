@@ -1354,6 +1354,48 @@ def knn_batch(spark, sf_dir):
 
 
 @_register(
+    "knn_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS anchor_id, embedding AS qe, label AS q_label
+      FROM embeddings WHERE vec_id < 20
+    ),
+    sims AS (
+      SELECT q.anchor_id, e.vec_id, e.label,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))
+             , 6) AS cos_sim
+      FROM embeddings e JOIN q ON e.label <> q.q_label
+      WHERE e.vec_id >= 20
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id, label, cos_sim,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id
+             ) AS rank
+      FROM sims WHERE cos_sim <= 0.99
+    )
+    SELECT anchor_id, vec_id, label, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_hard_negatives(spark, sf_dir):
+    """X3 — hard-negative mining for contrastive training: per anchor
+    (vec_ids 0-19), the 5 most-similar vectors with a DIFFERENT label,
+    capped at cos_sim 0.99 (the false-negative guard). One broadcast
+    corpus pass; label filter + ceiling prune before the rank window
+    (see operators/similarity.py hard_negatives)."""
+    return S.hard_negatives(
+        _t(spark, sf_dir, "embeddings"), anchor_ids=list(range(20)), k=5
+    )
+
+
+@_register(
     "docs_stratified_sample",
     """
     WITH b AS (

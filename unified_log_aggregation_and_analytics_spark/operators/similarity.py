@@ -508,3 +508,60 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchor_ids: list[int],
+    k: int = 5,
+    max_sim: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """X3 — hard-negative mining for contrastive / embedding training:
+    for each anchor vector, the top-``k`` most-similar corpus vectors
+    whose label DIFFERS from the anchor's, capped at ``max_sim``
+    (near-identical cross-label vectors are far more often unlabeled
+    positives or duplicates than informative negatives — the standard
+    false-negative guard).
+
+    Plan shape = knn_batch with the label-inequality predicate fused
+    into the map-side scoring pass: the anchor set broadcasts
+    (id, vector, label), every corpus partition scores its rows
+    against all anchors in one pass, the label filter and similarity
+    ceiling prune BEFORE the per-anchor rank window, so the shuffle
+    carries only surviving candidates. At 100 TB the corpus side
+    swaps for a persisted-IVF probe (ann_index) with the same
+    label-filter predicate pushed into the cell scan — the
+    ranking/ceiling tail of the plan is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    q = emb.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qe"),
+        F.col(label_col).alias("q_label"),
+    )
+    cand = emb.filter(~F.col(id_col).isin(anchor_ids))
+    sims = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("q_label"))
+        .select(
+            "anchor_id",
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") <= F.lit(max_sim))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", id_col, label_col, "cos_sim", "rank")
+    )
