@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     # mining for contrastive training
     "dedup_substring",
     "knn_hard_negatives",
+    "text_ccnet_buckets",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run

@@ -1412,3 +1412,36 @@ def test_hard_negatives_label_filter_and_ranking(spark):
             assert got[(anchor, rank)][1] != labels[anchor]
     # vec 30 is cosine ~1.0 with anchor 0 but a different label: must be absent
     assert all(v[0] != 30 for k, v in got.items() if k[0] == 0)
+
+
+def test_ccnet_buckets_sizes_and_monotonicity(spark):
+    """CCNet bucketing: ntile remainder sizes (3/2/2 over 7 docs) and
+    head <= middle <= tail score ordering within each language."""
+    import itertools
+
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    did = 0
+    for lang in ("en", "de"):
+        for i in range(7):
+            # vary fluency: doc i repeats a common bigram i times then noise
+            toks = ["the", "cat"] * (7 - i) + list(
+                itertools.islice(itertools.cycle(words), i * 3)
+            ) + [f"rare{lang}{i}a", f"rare{lang}{i}b"]
+            rows.append((did, lang, " ".join(toks)))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = X.ccnet_perplexity_buckets(df).collect()
+    assert len(out) == 14
+    for lang in ("en", "de"):
+        by_bucket = {}
+        for r in out:
+            if r["lang"] == lang:
+                by_bucket.setdefault(r["ppl_bucket"], []).append(r["avg_nll"])
+        assert sorted((k, len(v)) for k, v in by_bucket.items()) == [
+            ("head", 3), ("middle", 2), ("tail", 2),
+        ]
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])

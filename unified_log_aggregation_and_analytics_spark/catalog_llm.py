@@ -560,6 +560,34 @@ def text_lm_score_indexed(spark, sf_dir):
     return X.bigram_lm_score_indexed(spark, docs, path)
 
 
+@_register(
+    "text_ccnet_buckets",
+    f"""
+    WITH j AS (
+      SELECT d.doc_id, d.lang, lm.avg_nll,
+             ntile(3) OVER (
+               PARTITION BY d.lang ORDER BY lm.avg_nll, d.doc_id
+             ) AS tile
+      FROM documents d JOIN ({_LM_SCORE_ORACLE}) lm ON d.doc_id = lm.doc_id
+    )
+    SELECT doc_id, lang, avg_nll,
+           CASE WHEN tile = 1 THEN 'head'
+                WHEN tile = 3 THEN 'tail'
+                ELSE 'middle' END AS ppl_bucket
+    FROM j
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """X4 — CCNet head/middle/tail perplexity bucketing (Wenzek et
+    al. 2020): per-language equal-frequency terciles of the bigram-LM
+    mean NLL, deterministic under ties via the doc-id order key. The
+    LM plan is text_lm_score's; the bucketing adds one language-keyed
+    ntile window (see operators/text.py ccnet_perplexity_buckets for
+    the 100 TB variant)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.ccnet_perplexity_buckets(docs)
+
+
 @_register("text_langid", _LANGID_ORACLE)
 def text_langid(spark, sf_dir):
     """X4 — stopword-profile language ID with deterministic tie order

@@ -827,3 +827,49 @@ def char_entropy(
     return df.join(per_doc, id_col, "left").withColumn(
         "char_entropy", F.coalesce(F.col("char_entropy"), F.lit(0.0))
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """X4 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): per LANGUAGE, split documents into equal-frequency
+    perplexity buckets — head (most fluent third), middle, tail —
+    the signal CCNet uses to keep head/middle and drop or down-weight
+    tail. Scores come from the add-k bigram LM (bigram_lm_score;
+    swap in bigram_lm_score_indexed's persisted model at scale — the
+    bucketing tail of the plan is identical).
+
+    Plan shape: the LM scoring plan (vocabulary-keyed joins + per-doc
+    average), then ONE language-keyed ntile window ordered by
+    (avg_nll, doc_id) — deterministic under score ties because the
+    id breaks them. Languages partition the window, so per-partition
+    state is the language's document count — at 100 TB bucket by
+    (lang, shard-of-lang) or replace ntile with approx-quantile
+    thresholds to bound the window partition; the certificate form
+    keeps exact ntile, which the oracle replays.
+    """
+    scores = bigram_lm_score(df, lm_df=lm_df, text_col=text_col, id_col=id_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.col("avg_nll"), F.col(id_col))
+    tile = F.ntile(n_buckets).over(w)
+    return (
+        df.select(F.col(id_col), F.col(lang_col))
+        .join(scores, id_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("avg_nll"),
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == n_buckets, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+            .alias("ppl_bucket"),
+        )
+    )
