@@ -1445,3 +1445,31 @@ def test_ccnet_buckets_sizes_and_monotonicity(spark):
         ]
         assert max(by_bucket["head"]) <= min(by_bucket["middle"])
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_write_training_shards_jsonl_layout(spark, docs, tmp_path):
+    """JSONL export: split dirs on disk, gzip-compressed .json shards,
+    every shard at most docs_per_shard lines, values round-trip."""
+    import gzip
+
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        hash_split,
+        write_training_shards_jsonl,
+    )
+
+    out = tmp_path / "jsonl"
+    split_docs = hash_split(docs.select("doc_id", "text", "lang"))
+    write_training_shards_jsonl(split_docs, str(out), docs_per_shard=100)
+
+    on_disk = {p.name for p in out.glob("split=*")}
+    assert on_disk == {"split=train", "split=val", "split=test"}
+    shards = list(out.rglob("*.json.gz"))
+    assert shards
+    for f in shards:
+        with gzip.open(f, "rt") as fh:
+            assert sum(1 for _ in fh) <= 100
+    back = spark.read.json(str(out / "split=*"))
+    assert back.count() == docs.count()
+    want = {r["doc_id"]: r["text"] for r in split_docs.select("doc_id", "text").collect()}
+    got = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    assert got == want

@@ -152,6 +152,11 @@ GATE_ORDER: list[str] = [
     "knn_ivf_filtered",
     # text: round-7 persisted-LM scoring (new)
     "text_lm_score_indexed",
+    # round-7 session-2 additions: span-level dedup, hard-negative
+    # mining, CCNet perplexity buckets
+    "dedup_substring",
+    "knn_hard_negatives",
+    "text_ccnet_buckets",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -160,11 +165,8 @@ GATE_ORDER: list[str] = [
     "q06_tpch_q1",
     "q11d_bucketed_join",
     "q16b_cube",
-    "tpch_q3",
-    "tpch_q6",
     "tpch_q21",
     "q02g_hybrid_rrf",
-    "q02o_percolate",
     "q13_asof_join",
     "q14_window_funcs",
     # logs

@@ -377,6 +377,37 @@ def write_training_shards(
     )
 
 
+def write_training_shards_jsonl(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    docs_per_shard: int = 10_000,
+    order_col: str = "doc_id",
+    compression: str = "gzip",
+) -> None:
+    """write_training_shards with a JSON-Lines sink — the wire format
+    most LLM training loaders (and dataset hubs) consume directly:
+    ``split=*/part-*.json.gz``, one JSON object per line, shard size
+    capped by ``maxRecordsPerFile``. Identical range-partitioned
+    layout contract as the parquet writer (same shuffle, same
+    boundary determinism — see write_training_shards); only the sink
+    format differs. Spark's native json writer streams JVM-side —
+    no Python serialization in the path — and gzip keeps text shards
+    ~5x smaller, which at 100 TB is the difference between a corpus
+    that ships and one that doesn't. Parquet stays the analytical
+    format; this is the hand-off format."""
+    n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    (
+        df.repartitionByRange(n_parts, F.col(split_col), F.col(order_col))
+        .sortWithinPartitions(split_col, order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", docs_per_shard)
+        .option("compression", compression)
+        .partitionBy(split_col)
+        .json(path)
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target: Column,
