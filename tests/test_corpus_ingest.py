@@ -634,3 +634,58 @@ def test_streaming_vs_batch_banding_agreement(spark):
             assert b in stream_f and b in batch_f, (
                 f"pair {b} (true J={tj:.2f}) missed above the agreement band"
             )
+
+
+def test_corpus_ingest_lm_fluency_gate(spark, tmp_path):
+    """CCNet-style streaming fluency gate: a batch scored against the
+    PERSISTED bigram LM routes low-fluency docs to the DLQ with
+    verdict 'low_fluency', quality rules keep precedence, and the
+    metrics rows account the new verdict exactly."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        bigram_lm_score_indexed,
+        train_bigram_lm,
+    )
+
+    vocab = [f"w{i}" for i in range(50)]
+    train = spark.createDataFrame(
+        [(i, " ".join(vocab)) for i in range(5)], ["doc_id", "text"]
+    )
+    lm_path = str(tmp_path / "lm")
+    train_bigram_lm(train, lm_path)
+
+    fluent = " ".join(vocab[:40])                      # bigrams all in-model
+    gibberish = " ".join(f"g{i}" for i in range(40))   # bigrams all unseen
+    batch = spark.createDataFrame(
+        [(100, fluent, "en", "web", len(fluent)),
+         (101, gibberish, "en", "web", len(gibberish)),
+         (102, "tiny doc", "en", "web", 8)],           # fails too_short first
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    scores = {
+        r["doc_id"]: r["avg_nll"]
+        for r in bigram_lm_score_indexed(spark, batch, lm_path).collect()
+    }
+    assert scores[101] > scores[100]
+    mid = (scores[100] + scores[101]) / 2
+
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    corpus_ingest_batch(
+        batch, table, rejected, batch_id=0,
+        lm_model_path=lm_path, max_avg_nll=mid,
+    )
+
+    ingested = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    assert ingested == {100}
+    dlq = {r["doc_id"]: r["_error"] for r in spark.read.parquet(rejected).collect()}
+    assert dlq == {101: "low_fluency", 102: "too_short"}
+
+    metrics = {
+        (r["outcome"]): r["n"]
+        for r in spark.read.parquet(f"{table}_metrics").collect()
+    }
+    assert metrics["ingested"] == 1
+    assert metrics["rejected:low_fluency"] == 1
+    assert metrics["rejected:too_short"] == 1
+    assert metrics.get("duplicate", 0) == 0

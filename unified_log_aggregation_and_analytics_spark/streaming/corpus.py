@@ -207,11 +207,21 @@ def corpus_ingest_batch(
     jaccard_threshold: float = 0.6,
     batch_id: int | None = None,
     token_index: str | None = None,
+    lm_model_path: str | None = None,
+    max_avg_nll: float = 8.0,
 ) -> None:
     """Ingest ONE micro-batch of documents:
 
     1. quality verdicts (operators/text.py quality_filter — C4/Gopher
-       rules, first-failed-rule reporting);
+       rules, first-failed-rule reporting); with ``lm_model_path``
+       set, a CCNet-style fluency gate follows: each batch scores
+       against the PERSISTED bigram LM (text.bigram_lm_score_indexed
+       — the model is a fixed reference artifact, trained offline on
+       curated text and optionally grown by append_bigram_lm;
+       vocabulary-bounded count tables broadcast-join onto the
+       batch), and docs with avg_nll > ``max_avg_nll`` reject with
+       verdict ``low_fluency``. Docs too short to have a bigram carry
+       no LM evidence and pass the gate (the length rules own them);
     2. rejects -> ``rejected_path`` with ``_error`` = the failed rule
        (the log pipeline's DLQ shape, pipeline.py dlq_split);
     3. survivors dedup within the batch (keep min doc_id per
@@ -253,12 +263,33 @@ def corpus_ingest_batch(
     )
 
     spark = batch_df.sparkSession
-    scored = (
-        batch_df.join(
-            quality_filter(batch_df).select("doc_id", "verdict", "kept"), "doc_id"
+    scored = batch_df.join(
+        quality_filter(batch_df).select("doc_id", "verdict", "kept"), "doc_id"
+    )
+    reject_verdicts = tuple(QF_REJECT_VERDICTS)
+    if lm_model_path is not None:
+        from unified_log_aggregation_and_analytics_spark.operators.text import (
+            bigram_lm_score_indexed,
         )
-        .withColumn("fp", doc_fingerprint())
-        .withColumn("fp_bucket", F.pmod(F.col("fp"), F.lit(N_FP_BUCKETS)))
+
+        lm = bigram_lm_score_indexed(spark, batch_df, lm_model_path).select(
+            "doc_id", "avg_nll"
+        )
+        fluent = F.coalesce(F.col("avg_nll") <= F.lit(max_avg_nll), F.lit(True))
+        scored = (
+            scored.join(lm, "doc_id", "left")
+            .withColumn(
+                "verdict",
+                F.when(F.col("kept") & ~fluent, F.lit("low_fluency")).otherwise(
+                    F.col("verdict")
+                ),
+            )
+            .withColumn("kept", F.col("kept") & fluent)
+            .drop("avg_nll")
+        )
+        reject_verdicts = reject_verdicts + ("low_fluency",)
+    scored = scored.withColumn("fp", doc_fingerprint()).withColumn(
+        "fp_bucket", F.pmod(F.col("fp"), F.lit(N_FP_BUCKETS))
     )
     # Batch-size + per-verdict reject counts ride the FIRST action over
     # `scored` (the reject write below) as observed metrics; the
@@ -273,7 +304,7 @@ def corpus_ingest_batch(
                 F.coalesce(
                     F.sum(F.when(F.col("verdict") == v, F.lit(1))), F.lit(0)
                 ).cast("long").alias(f"rej_{v}")
-                for v in QF_REJECT_VERDICTS
+                for v in reject_verdicts
             ],
         )
     scored.persist()
@@ -365,7 +396,7 @@ def corpus_ingest_batch(
                 n_in = int(vals["n_in"])
                 rej = {
                     v: int(vals[f"rej_{v}"])
-                    for v in QF_REJECT_VERDICTS
+                    for v in reject_verdicts
                     if int(vals[f"rej_{v}"])
                 }
                 n_ing = int(ing_obs.get["n"])
@@ -453,6 +484,8 @@ def run_corpus_pipeline(
     near_dup: bool = False,
     jaccard_threshold: float = 0.6,
     token_index: str | None = None,
+    lm_model_path: str | None = None,
+    max_avg_nll: float = 8.0,
 ) -> CorpusPipelineResult:
     """Wire the corpus ingest end-to-end: readStream of documents ->
     foreachBatch(corpus_ingest_batch). Trigger defaults to the
@@ -484,6 +517,8 @@ def run_corpus_pipeline(
             jaccard_threshold=jaccard_threshold,
             batch_id=batch_id,
             token_index=token_index,
+            lm_model_path=lm_model_path,
+            max_avg_nll=max_avg_nll,
         )
 
     q = (
