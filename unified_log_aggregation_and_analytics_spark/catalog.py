@@ -157,6 +157,9 @@ GATE_ORDER: list[str] = [
     "dedup_substring",
     "knn_hard_negatives",
     "text_ccnet_buckets",
+    # relational: OpenSearch wildcard query + pipeline aggregations
+    "q02p_wildcard",
+    "q08d_histogram_pipeline",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -180,13 +183,11 @@ GATE_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "dedup_semantic",
     "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
     # similarity / embeddings / graph
     "knn_cosine",
     "knn_ivf",
     "knn_pq_adc_seeded",
     "knn_graph_pagerank",
-    "knn_join_graph_mp",
     # text
     "text_quality",
     "text_lm_score",
@@ -2858,6 +2859,51 @@ def q02o_percolate(spark, sf_dir):
         "query_id string, terms array<string>",
     )
     return R.percolate(docs, stored, text_col="text")
+
+
+@_register(
+    "q02p_wildcard",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM documents
+    )
+    SELECT doc_id, token FROM tok
+    WHERE token LIKE 's%k' AND token <> ''
+    """,
+)
+def q02p_wildcard(spark, sf_dir):
+    """Q2 — OpenSearch wildcard term query ('s*k'): vocabulary-first
+    glob match (LIKE once per dictionary term, never per occurrence),
+    survivors broadcast back onto the exploded corpus
+    (operators/relational.py wildcard_search)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.wildcard_search(docs, "s*k", text_col="text")
+
+
+@_register(
+    "q08d_histogram_pipeline",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT bucket_start, n,
+           n - lag(n) OVER (ORDER BY bucket_start) AS derivative,
+           CAST(SUM(n) OVER (ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative
+    FROM hourly
+    """,
+)
+def q08d_histogram_pipeline(spark, sf_dir):
+    """Q8 — OpenSearch pipeline aggregations (derivative +
+    cumulative_sum) over the hourly date histogram: one bucket-grain
+    hash agg, then one ordered window over the histogram frame
+    (operators/relational.py histogram_pipeline_aggs)."""
+    ev = _t(spark, sf_dir, "events")
+    return R.histogram_pipeline_aggs(ev, "ts", "hour")
 
 
 @_register(

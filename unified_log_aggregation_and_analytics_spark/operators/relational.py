@@ -1056,3 +1056,69 @@ def percolate(
         F.broadcast(queries.filter(n_terms == 0).select("query_id"))
     )
     return matched.unionByName(match_all)
+
+
+def wildcard_search(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 — OpenSearch ``wildcard`` term query (``*``/``?`` globs,
+    e.g. ``s*k``): every document containing a token matching the
+    glob, one row per (document, matched token).
+
+    Plan shape: VOCABULARY-FIRST, exactly like fuzzy_search — the
+    glob compiles to a LIKE pattern evaluated once per DICTIONARY
+    TERM (vocab-bounded), never per token occurrence, and the
+    surviving terms broadcast-join back onto the exploded corpus.
+    This is the same dictionary-walk OpenSearch's wildcard automaton
+    does before touching postings; leading-wildcard patterns stay
+    O(|vocab|) term checks rather than going quadratic in corpus
+    text. At scale the explode side reads the persisted token index
+    instead of re-tokenizing (build_token_index_table), leaving only
+    the vocab walk + pruned posting reads."""
+    like = (
+        pattern.lower()
+        .replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    vocab = toks.select("token").distinct()
+    matched = vocab.filter(F.col("token").like(like) & (F.col("token") != ""))
+    return toks.join(F.broadcast(matched), "token").select(id_col, "token")
+
+
+def histogram_pipeline_aggs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Q8 — OpenSearch pipeline aggregations over a date histogram:
+    ``derivative`` (bucket-over-bucket delta) and ``cumulative_sum``,
+    the Discover/visualization primitives layered on the histogram
+    agg. One hash aggregation to the bucket grain (map-side combined,
+    output ~ number of buckets), then ONE ordered window over the
+    bucket-count frame for both pipeline metrics — window state is
+    the histogram itself (thousands of rows at 100 TB), never event
+    rows."""
+    from pyspark.sql.window import Window
+
+    hourly = df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("bucket_start")
+    return hourly.select(
+        "bucket_start",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("derivative"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cumulative"),
+    )
