@@ -160,6 +160,7 @@ GATE_ORDER: list[str] = [
     # relational: OpenSearch wildcard query + pipeline aggregations
     "q02p_wildcard",
     "q08d_histogram_pipeline",
+    "q09b_search_after",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -167,7 +168,6 @@ GATE_ORDER: list[str] = [
     "q01_filter_predicates",
     "q06_tpch_q1",
     "q11d_bucketed_join",
-    "q16b_cube",
     "tpch_q21",
     "q02g_hybrid_rrf",
     "q13_asof_join",
@@ -527,6 +527,38 @@ def q09_sort_orders(spark, sf_dir):
     return o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").orderBy(
         F.col("o_totalprice").desc(), "o_orderkey"
     ).limit(25)
+
+
+@_register(
+    "q09b_search_after",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate > DATE '1995-06-15'
+       OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def q09b_search_after(spark, sf_dir):
+    """Q9 — OpenSearch ``search_after`` keyset pagination: the page
+    AFTER cursor (1995-06-15, orderkey 1000) on the (o_orderdate,
+    o_orderkey) sort key. Deep pagination the scalable way — the
+    cursor predicate pushes to the parquet scan (row groups wholly
+    before the cursor date prune via footer stats) and the limit
+    compiles to TakeOrderedAndProject, so page N costs the same as
+    page 1; an OFFSET plan would re-sort and discard N*20 rows."""
+    o = _t(spark, sf_dir, "orders")
+    cd, ck = F.lit("1995-06-15").cast("date"), F.lit(1000)
+    return (
+        o.filter(
+            (F.col("o_orderdate") > cd)
+            | ((F.col("o_orderdate") == cd) & (F.col("o_orderkey") > ck))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
 
 
 @_register(
