@@ -1473,3 +1473,33 @@ def test_write_training_shards_jsonl_layout(spark, docs, tmp_path):
     want = {r["doc_id"]: r["text"] for r in split_docs.select("doc_id", "text").collect()}
     got = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
     assert got == want
+
+
+def test_hard_negatives_indexed_recall_vs_exact(spark):
+    """The IVF-probe hard-negative path recovers most of the exact
+    cross-label top-5 (4-of-16-cell probe recall floor), and never
+    violates the label filter or ceiling."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    exact = {}
+    for r in qs["knn_hard_negatives"](spark, sf).collect():
+        exact.setdefault(r["anchor_id"], set()).add(r["vec_id"])
+    probed = {}
+    labels = {}
+    for r in qs["knn_hard_negatives_indexed"](spark, sf).collect():
+        probed.setdefault(r["anchor_id"], set()).add(r["vec_id"])
+        labels[r["vec_id"]] = r["label"]
+        assert r["cos_sim"] <= 0.99
+    anchor_labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter("vec_id < 20").collect()
+    }
+    hits = sum(len(exact[a] & probed.get(a, set())) for a in exact)
+    total = sum(len(v) for v in exact.values())
+    assert total > 0 and hits / total >= 0.4, f"recall {hits/total:.2f}"
+    for a, negs in probed.items():
+        for n in negs:
+            assert labels[n] != anchor_labels[a]

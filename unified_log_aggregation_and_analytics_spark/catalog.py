@@ -156,6 +156,7 @@ GATE_ORDER: list[str] = [
     # mining, CCNet perplexity buckets
     "dedup_substring",
     "knn_hard_negatives",
+    "knn_hard_negatives_indexed",
     "text_ccnet_buckets",
     # relational: OpenSearch wildcard query + pipeline aggregations
     "q02p_wildcard",
@@ -187,7 +188,6 @@ GATE_ORDER: list[str] = [
     "knn_cosine",
     "knn_ivf",
     "knn_pq_adc_seeded",
-    "knn_graph_pagerank",
     # text
     "text_quality",
     "text_lm_score",

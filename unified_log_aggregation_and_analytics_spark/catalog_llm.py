@@ -2011,6 +2011,83 @@ def knn_batch_ivf_indexed(spark, sf_dir):
     )
 
 
+def _hard_neg_ivf_oracle() -> str:
+    """DuckDB twin of hard_negatives_probe over the ivf16 index: the
+    same deterministic centroid/probe/assignment replay as
+    _ivf_batch_oracle (centroids = persisted vectors 1..16, 4 probe
+    cells per anchor with ties to higher cid, assignment argmax with
+    ties to lower cid), plus the per-anchor label-inequality filter
+    and the cos_sim <= 0.99 false-negative ceiling of
+    knn_hard_negatives."""
+    return f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS q_label
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+    probe AS (
+      SELECT anchor_id, cid FROM (
+        SELECT q.anchor_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.anchor_id
+                 ORDER BY {_cos_raw('c.ce', 'q.qe')} DESC, c.cid DESC
+               ) AS pr
+        FROM c CROSS JOIN q
+      ) WHERE pr <= 4
+    ),
+    asg AS (
+      SELECT vec_id, embedding, label, cid FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c WHERE e.vec_id >= 20
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.anchor_id, a.vec_id, a.label,
+             round({_cos_raw('a.embedding', 'q.qe')}, 6) AS cos_sim
+      FROM asg a
+      JOIN probe p ON a.cid = p.cid
+      JOIN q ON q.anchor_id = p.anchor_id
+      WHERE a.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id, label, cos_sim,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id
+             ) AS rank
+      FROM scored WHERE cos_sim <= 0.99
+    )
+    SELECT anchor_id, vec_id, label, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("knn_hard_negatives_indexed", _hard_neg_ivf_oracle())
+def knn_hard_negatives_indexed(spark, sf_dir):
+    """X3 — hard-negative mining over the PERSISTED IVF index (the
+    scale path knn_hard_negatives documents): anchors 0-19 probe
+    their 4 nearest cells, one partition-pruned index read serves the
+    whole anchor batch, and the per-anchor label filter + 0.99
+    ceiling run during the pruned scoring pass — the label lives in
+    the index metadata, so the corpus is never touched
+    (operators/ann_index.py hard_negatives_probe)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        (int(r[0]), list(r[1]), int(r[2]))
+        for r in emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    ]
+    path = _ann_index_path(spark, sf_dir, "ivf16")
+    return A.hard_negatives_probe(
+        spark, path, anchors, k=5, candidate_filter=F.col("vec_id") >= 20
+    )
+
+
 @_register(
     "ann_recall_report",
     f"""

@@ -673,3 +673,69 @@ def ivfpq_probe(
     idx = spark.read.parquet(_table_path(path))
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
     return pq_adc_topk(cand, codebooks, list(query_vec), k=k, id_col=id_col)
+
+
+def hard_negatives_probe(
+    spark: SparkSession,
+    path: str,
+    anchors: list[tuple[int, list[float], object]],
+    k: int = 5,
+    n_probe: int = 4,
+    max_sim: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Hard-negative mining over the persisted IVF index — the scale
+    path similarity.hard_negatives promises: each anchor (id, vector,
+    label) probes its ``n_probe`` nearest cells, ONE partition-pruned
+    index read serves the whole anchor batch, and the per-anchor
+    label-inequality filter + similarity ceiling run during the
+    pruned scoring pass (the label column is index metadata, so the
+    filter never touches the corpus). Work scales with
+    |probed cells| + A x |cell|, independent of corpus size — the
+    ivf_probe_batch plan with a per-query predicate instead of a
+    static one."""
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    if not anchors:
+        raise ValueError("hard_negatives_probe requires at least one anchor")
+    centroids = load_centroids(spark, path, vec_col)
+    norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    pairs: list[tuple[int, int]] = []
+    qrows = []
+    for aid, vec, label in anchors:
+        q = np.asarray(vec, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        cells = [int(c) for c in (norm @ q).argsort()[::-1][:n_probe]]
+        pairs.extend((aid, c) for c in cells)
+        qrows.append((aid, [float(x) for x in vec], label))
+    probe_df = spark.createDataFrame(pairs, "anchor_id long, cell int")
+    qdf = spark.createDataFrame(qrows, ["anchor_id", "qe", "q_label"])
+    idx = spark.read.parquet(_table_path(path))
+    cand = idx.filter(F.col("cell").isin(sorted({c for _, c in pairs})))
+    if candidate_filter is not None:
+        cand = cand.filter(candidate_filter)
+    sims = (
+        cand.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), "anchor_id")
+        .filter(F.col(label_col) != F.col("q_label"))
+        .select(
+            "anchor_id",
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") <= F.lit(max_sim))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", id_col, label_col, "cos_sim", "rank")
+    )
