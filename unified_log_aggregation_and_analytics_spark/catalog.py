@@ -148,6 +148,7 @@ GATE_ORDER: list[str] = [
     "multimodal_ingest_report",
     # sampling: round-7 length-bucketing census (new)
     "docs_length_buckets",
+    "docs_soft_dedup_weights",
     # similarity: round-7 filtered vector search (new)
     "knn_ivf_filtered",
     # text: round-7 persisted-LM scoring (new)
@@ -195,7 +196,6 @@ GATE_ORDER: list[str] = [
     # sampling / training pipeline
     "docs_pack_contiguous",
     "docs_dsir_sample",
-    "docs_split_leakage",
     "docs_corpus_ingest_nd",
     # multimodal anchors
     "multimodal_video_stats",

@@ -992,6 +992,62 @@ def dedup_clusters_md5(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+_SOFT_DEDUP_ORACLE = f"""
+    WITH RECURSIVE {_LSH_MD5_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM labeled GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+    FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
+@_register("docs_soft_dedup_weights", _SOFT_DEDUP_ORACLE)
+def docs_soft_dedup_weights(spark, sf_dir):
+    """X2/sampling — SOFT dedup: instead of dropping near-duplicates,
+    every document gets training weight 1/|its duplicate cluster|
+    (cluster = connected component of the certified md5-LSH pair
+    graph; docs outside the graph are singletons at weight 1.0) — the
+    down-weighting form of dedup used when duplicates carry signal
+    you don't want to delete outright. Plan adds one doc-keyed left
+    join + one cluster-size agg to the certified clustering plan; the
+    weight column feeds docs_weighted_sample / docs_epoch_repeat
+    directly."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_signature(docs, num_hashes=8, hash_fn="md5")
+    pairs = D.minhash_lsh_candidates(sig, num_hashes=8, band_size=2, band_hash_fn="md5")
+    clusters = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
 @_register("dedup_minhash_lsh_md5", _LSH_MD5_ORACLE)
 def dedup_minhash_lsh_md5(spark, sf_dir):
     """X2 — oracle-checked LSH twin: 8-hash md5 signature in 2-hash
