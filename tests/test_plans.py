@@ -213,6 +213,11 @@ SCALAR_BROADCAST_OK = {
     "q02o_percolate",  # match-all branch: build side = stored queries
     #   with EMPTY terms (vacuous AND fires on every doc) — a
     #   human-authored list, almost always empty
+    "knn_hard_negatives",  # 20-row bounded anchor broadcast — the
+    #   map-side Q x N scoring pass, same family as knn_batch; the
+    #   label filter prunes inside the BNLJ's condition
+    "text_ccnet_buckets",  # composes text_lm_score's whitelisted
+    #   1-row vocabulary-size scalar
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only
@@ -239,6 +244,15 @@ MULTI_SCAN_OK = {
     # whitelisted shape; at scale both halves read the persisted
     # token index (tf/df/doclen/stats ARE the index tables)
     "q02k_more_like_this",
+    # 3 scans: the positioned-gram subtree feeds both the gram-
+    # multiplicity agg and the join-back, plus the per-doc length
+    # frame; at scale the gram frame persists once (the docstring's
+    # certificate-vs-production note)
+    "dedup_substring",
+    # composes text_lm_score's whitelisted 3-scan one-shot LM plan,
+    # plus the doc-lang join and the score join-back; the persisted-
+    # model path (bigram_lm_score_indexed) is the scale form
+    "text_ccnet_buckets",
 }
 
 

@@ -163,6 +163,7 @@ GATE_ORDER: list[str] = [
     "q02p_wildcard",
     "q08d_histogram_pipeline",
     "q09b_search_after",
+    "q06f_composite_agg",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -172,7 +173,6 @@ GATE_ORDER: list[str] = [
     "q11d_bucketed_join",
     "tpch_q21",
     "q02g_hybrid_rrf",
-    "q13_asof_join",
     "q14_window_funcs",
     # logs
     "logs_apache_parse",
@@ -2912,6 +2912,39 @@ def q02p_wildcard(spark, sf_dir):
     (operators/relational.py wildcard_search)."""
     docs = _t(spark, sf_dir, "documents")
     return R.wildcard_search(docs, "s*k", text_col="text")
+
+
+@_register(
+    "q06f_composite_agg",
+    """
+    SELECT source, lang, COUNT(*) AS n
+    FROM documents
+    WHERE source > 'src2' OR (source = 'src2' AND lang > 'en')
+    GROUP BY source, lang
+    ORDER BY source, lang
+    LIMIT 10
+    """,
+)
+def q06f_composite_agg(spark, sf_dir):
+    """Q6 — OpenSearch composite aggregation: paginated bucket
+    iteration over (source, lang) resuming AFTER the cursor bucket
+    ('src2', 'en'). The keyset predicate applies BEFORE the
+    aggregation — buckets wholly before the cursor never aggregate,
+    and the page's bucket limit compiles to TakeOrderedAndProject
+    over the agg output, so deep bucket pages cost like the first
+    (the after_key contract that makes OpenSearch composite the only
+    scalable bucket pagination)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            (F.col("source") > "src2")
+            | ((F.col("source") == "src2") & (F.col("lang") > "en"))
+        )
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "lang")
+        .limit(10)
+    )
 
 
 @_register(

@@ -698,6 +698,12 @@ def duplicated_spans(
          duplicate-heavy corpus where every gram is duplicated).
     No step is quadratic in corpus size; every shuffle key (gram hash,
     doc id) is uniform or document-bounded, which is the 100 TB story.
+    Certificate-vs-production note: this one-shot plan references the
+    positioned-gram subtree twice (multiplicity agg + join-back) and
+    the per-doc length frame once — 3 scans of the corpus; at scale,
+    persist the gram frame once and both consumers read the
+    materialization (the same trade text_lm_score documents for its
+    count subtrees).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
