@@ -164,6 +164,8 @@ GATE_ORDER: list[str] = [
     "q08d_histogram_pipeline",
     "q09b_search_after",
     "q06f_composite_agg",
+    "q06g_rare_terms",
+    "q08e_histogram_dense",
     # ---- certified anchors (driver-green in r1–r6), chosen to cover
     #      each family's window minimum with distinct physical
     #      strategies ----
@@ -178,13 +180,11 @@ GATE_ORDER: list[str] = [
     "logs_apache_parse",
     "logs_funnel",
     "logs_ewma_anomaly",
-    "logs_retention_cohorts",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh_md5",
     "dedup_simhash_pairs",
     "dedup_semantic",
-    "dedup_embedding_cosine",
     # similarity / embeddings / graph
     "knn_cosine",
     "knn_ivf",
@@ -2969,6 +2969,72 @@ def q08d_histogram_pipeline(spark, sf_dir):
     (operators/relational.py histogram_pipeline_aggs)."""
     ev = _t(spark, sf_dir, "events")
     return R.histogram_pipeline_aggs(ev, "ts", "hour")
+
+
+@_register(
+    "q06g_rare_terms",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) <= 2000
+    ORDER BY n, event_type
+    """,
+)
+def q06g_rare_terms(spark, sf_dir):
+    """Q6 — OpenSearch rare_terms aggregation (the long-tail
+    inspection view terms-agg can't express without a full sort):
+    bucket terms whose count falls UNDER the ceiling, rarest first.
+    One hash aggregation; the HAVING prunes after partial+final agg,
+    output is bounded by the term cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") <= 2000)
+        .orderBy("n", "event_type")
+    )
+
+
+@_register(
+    "q08e_histogram_dense",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_start
+      FROM bounds
+    )
+    SELECT g.bucket_start, COALESCE(h.n, 0) AS n
+    FROM grid g LEFT JOIN hourly h ON g.bucket_start = h.h
+    """,
+)
+def q08e_histogram_dense(spark, sf_dir):
+    """Q8 — OpenSearch date_histogram semantics, which SQL GROUP BY
+    does not give: EMPTY buckets are emitted (min_doc_count=0 /
+    extended_bounds). The dense hour grid comes from one
+    sequence()-explode over the 1-row min/max scalar of the sparse
+    histogram, left-joined back — grid size is the time span, never
+    event rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start")
+    )
+    return grid.join(
+        hourly, grid["bucket_start"] == hourly["h"], "left"
+    ).select("bucket_start", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
 
 
 @_register(
