@@ -1503,3 +1503,28 @@ def test_hard_negatives_indexed_recall_vs_exact(spark):
     for a, negs in probed.items():
         for n in negs:
             assert labels[n] != anchor_labels[a]
+
+
+def test_contamination_spans_hand_computed(spark):
+    """Span-level decontamination: bench grams flag covered corpus
+    positions; overlapping/adjacent intervals merge; clean docs zero."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y z"),   # one 3-gram hit at pos 2 -> 3 tokens
+            (2, "alpha beta gamma delta q"), # two overlapping hits -> 4 tokens, 1 span
+            (3, "p q r s t u"),              # clean
+            (4, "alpha beta gamma z beta gamma delta w"),  # two disjoint spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["contam_tokens"], r["n_spans"], r["contam_frac"])
+        for r in D.contamination_spans(corpus, bench, k=3).collect()
+    }
+    assert out[1] == (6, 3, 1, 0.5)
+    assert out[2] == (5, 4, 1, 0.8)
+    assert out[3] == (6, 0, 0, 0.0)
+    assert out[4] == (8, 6, 2, 0.75)

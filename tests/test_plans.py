@@ -249,6 +249,11 @@ MULTI_SCAN_OK = {
     # frame; at scale the gram frame persists once (the docstring's
     # certificate-vs-production note)
     "dedup_substring",
+    # 3 scans: corpus gram stream + the bench slice's gram set (a
+    # filter of the same file standing in for the eval corpus — in
+    # production a separate, MB-sized table) + the per-doc length
+    # frame of the left join
+    "dedup_contamination_spans",
     # composes text_lm_score's whitelisted 3-scan one-shot LM plan,
     # plus the doc-lang join and the score join-back; the persisted-
     # model path (bigram_lm_score_indexed) is the scale form

@@ -156,6 +156,7 @@ GATE_ORDER: list[str] = [
     # round-7 session-2 additions: span-level dedup, hard-negative
     # mining, CCNet perplexity buckets
     "dedup_substring",
+    "dedup_contamination_spans",
     "knn_hard_negatives",
     "knn_hard_negatives_indexed",
     "text_ccnet_buckets",
@@ -192,7 +193,6 @@ GATE_ORDER: list[str] = [
     # text
     "text_quality",
     "text_lm_score",
-    "text_entropy",
     # sampling / training pipeline
     "docs_pack_contiguous",
     "docs_dsir_sample",

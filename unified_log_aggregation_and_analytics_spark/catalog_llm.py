@@ -1377,6 +1377,71 @@ def dedup_contamination(spark, sf_dir):
 
 
 @_register(
+    "dedup_contamination_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 97 <> 0
+    ),
+    pos AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS pos, t
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, pos,
+             md5(array_to_string(list_slice(t, pos, pos + 2), ' ')) AS gh
+      FROM pos
+    ),
+    btoks AS (
+      SELECT str_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (
+      SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS gh
+      FROM (SELECT t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM btoks)
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, idx FROM (
+        SELECT g.doc_id,
+               unnest(range(g.pos, least(g.pos + 2, g.n_tokens) + 1)) AS idx
+        FROM grams g JOIN bench b USING (gh)
+      ) g
+    ),
+    runs AS (
+      SELECT doc_id,
+             CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+                  THEN 0 ELSE 1 END AS is_start
+      FROM cov
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS contam_tokens,
+             CAST(SUM(is_start) AS BIGINT) AS n_spans
+      FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.contam_tokens, 0) AS contam_tokens,
+           round(CAST(COALESCE(a.contam_tokens, 0) AS DOUBLE) / len(t.t), 6)
+             AS contam_frac,
+           COALESCE(a.n_spans, 0) AS n_spans
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_contamination_spans(spark, sf_dir):
+    """X2 — span-level benchmark decontamination: per training doc,
+    the tokens covered by any 3-gram present in the held-out
+    benchmark slice (doc_id % 97 == 0), merged into maximal
+    contaminated spans — WHERE and HOW MUCH of each document is
+    benchmark text, vs dedup_contamination's distinct-shingle counts.
+    Bench gram hashes broadcast; the corpus never shuffles; the span
+    merge is the duplicated_spans interval window (operators/dedup.py
+    contamination_spans)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.contamination_spans(train, bench, k=3)
+
+
+@_register(
     "text_corpus_bigrams",
     """
     WITH b AS (

@@ -731,6 +731,28 @@ def duplicated_spans(
         .select("gh")
     )
     hits = grams.join(dup, "gh").select(F.col(id_col), F.col("n_tokens"), F.col("pos"))
+    return _span_census(df, hits, toks, k, id_col, "dup_tokens", "dup_frac")
+
+
+def _span_census(
+    df: DataFrame,
+    hits: DataFrame,
+    toks: Column,
+    k: int,
+    id_col: str,
+    tokens_out: str,
+    frac_out: str,
+) -> DataFrame:
+    """Shared interval-merge tail of the span operators
+    (duplicated_spans, contamination_spans): given flagged gram
+    positions ``hits(id, n_tokens, pos)``, merge the clamped
+    [pos, pos+k-1] intervals per document with one doc-keyed
+    running-max-end window (each position contributes
+    max(0, end - max(pos, running_end+1) + 1) covered tokens; a new
+    span opens iff pos > running_end+1) and left-join back so
+    unflagged documents report zeros."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     end = F.least(F.col("pos") + F.lit(k - 1), F.col("n_tokens"))
     running_end = F.max(end).over(
@@ -749,7 +771,7 @@ def duplicated_spans(
         )
         .groupBy(id_col)
         .agg(
-            F.sum("contrib").alias("dup_tokens"),
+            F.sum("contrib").alias(tokens_out),
             F.sum("is_start").alias("n_spans"),
         )
     )
@@ -757,9 +779,61 @@ def duplicated_spans(
     return docs.join(agg, id_col, "left").select(
         id_col,
         "n_tokens",
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce(F.col(tokens_out), F.lit(0)).cast("bigint").alias(tokens_out),
         F.round(
-            F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
-        ).alias("dup_frac"),
+            F.coalesce(F.col(tokens_out), F.lit(0)) / F.col("n_tokens"), 6
+        ).alias(frac_out),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    bench_df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """X2 — SPAN-LEVEL benchmark decontamination (the GPT-3/Lee-style
+    n-gram collision report upgraded from counts to character of the
+    overlap): per corpus document, the tokens covered by any
+    ``k``-gram that also occurs in the benchmark suite, merged into
+    maximal contaminated spans:
+
+      (doc_id, n_tokens, contam_tokens, contam_frac, n_spans)
+
+    Versus dedup_contamination (distinct-shingle counts), this tells
+    you WHERE and HOW MUCH of each document is benchmark text — the
+    difference between "drop the doc" and "cut the quoted span".
+
+    Plan shape: the benchmark's distinct gram hashes aggregate to a
+    bench-sized frame and BROADCAST (benchmarks are MBs against a
+    100 TB corpus); the corpus gram stream joins map-side — the
+    corpus never shuffles — and the flagged positions run the same
+    doc-keyed interval-merge window as duplicated_spans."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    t = F.col("_toks")
+    grams = base.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.posexplode(token_ngrams(t, k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("gram").cast("binary")).alias("gh"),
+    )
+    btoks = tokens(bench_text_col)
+    bench = (
+        bench_df.select(F.explode(token_ngrams(btoks, k)).alias("gram"))
+        .select(F.md5(F.col("gram").cast("binary")).alias("gh"))
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench), "gh").select(
+        F.col(id_col), F.col("n_tokens"), F.col("pos")
+    )
+    return _span_census(df, hits, toks, k, id_col, "contam_tokens", "contam_frac")
