@@ -103,10 +103,14 @@ BENCH_QUERIES = [
     "knn_ivf_filtered",
     "text_lm_score_indexed",
     # round-7: span-level dedup (ExactSubstr census), hard-negative
-    # mining for contrastive training
+    # mining (brute-force + persisted-IVF probe), CCNet buckets,
+    # soft-dedup weights, span decontamination
     "dedup_substring",
     "knn_hard_negatives",
+    "knn_hard_negatives_indexed",
     "text_ccnet_buckets",
+    "docs_soft_dedup_weights",
+    "dedup_contamination_spans",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -150,6 +154,7 @@ SCALE_QUERIES = [
     "dedup_semantic",
     "docs_dsir_sample",
     "dedup_substring",
+    "knn_hard_negatives",
 ]
 
 

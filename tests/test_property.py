@@ -253,3 +253,68 @@ def test_token_ngrams_zip_equals_indexed_form(spark, texts, n):
     ).collect()
     for r in rows:
         assert r.zipped == r.indexed
+
+
+# --- span-level dedup (X2 dedup_substring) -----------------------------
+
+span_token = st.sampled_from(["a", "b", "c", "d"])
+span_doc = st.lists(span_token, min_size=1, max_size=12)
+span_corpus = st.lists(span_doc, min_size=2, max_size=5)
+
+
+def _ref_spans(docs_tokens: dict, k: int, min_count: int):
+    """Brute-force Python reference for duplicated_spans."""
+    from collections import Counter
+
+    grams = []
+    for d, toks in docs_tokens.items():
+        n = len(toks)
+        for p in range(1, max(n - k + 1, 1) + 1):
+            grams.append((d, p, " ".join(toks[p - 1 : p - 1 + k])))
+    cnt = Counter(g for _, _, g in grams)
+    out = {}
+    for d, toks in docs_tokens.items():
+        n = len(toks)
+        covered = set()
+        for dd, p, g in grams:
+            if dd == d and cnt[g] >= min_count:
+                covered.update(range(p, min(p + k - 1, n) + 1))
+        spans, prev = 0, None
+        for i in sorted(covered):
+            if prev is None or i != prev + 1:
+                spans += 1
+            prev = i
+        out[d] = (n, len(covered), spans)
+    return out
+
+
+@given(st.lists(span_corpus, min_size=1, max_size=6), st.sampled_from([2, 3]))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicated_spans_matches_bruteforce(spark, corpora, k):
+    """duplicated_spans == brute-force reference on random 4-symbol
+    corpora (heavy forced collisions). Corpora batch into ONE Spark
+    job: per-corpus token prefixes keep gram spaces disjoint, so the
+    global run decomposes into the independent per-corpus answers."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs_tokens, rows = {}, []
+    for ci, corpus in enumerate(corpora):
+        for di, toks in enumerate(corpus):
+            doc_id = ci * 1000 + di
+            ptoks = [f"c{ci}_{t}" for t in toks]
+            docs_tokens[doc_id] = ptoks
+            rows.append((doc_id, " ".join(ptoks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"], r["dup_frac"])
+        for r in duplicated_spans(df, k=k, min_count=2).collect()
+    }
+    want = _ref_spans(docs_tokens, k, 2)
+    assert set(got) == set(want)
+    for d, (n, dup, spans) in want.items():
+        gn, gdup, gspans, gfrac = got[d]
+        assert (gn, gdup, gspans) == (n, dup, spans), f"doc {d}"
+        assert abs(gfrac - round(dup / n, 6)) < 1e-9
