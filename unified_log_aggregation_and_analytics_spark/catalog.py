@@ -146,6 +146,7 @@ GATE_ORDER: list[str] = [
     "q07e_heavy_hitters",
     # multimodal: round-7 media-routing certificate (new)
     "multimodal_ingest_report",
+    "multimodal_keyframes",
     # sampling: round-7 length-bucketing census (new)
     "docs_length_buckets",
     "docs_soft_dedup_weights",
@@ -199,7 +200,6 @@ GATE_ORDER: list[str] = [
     "docs_corpus_ingest_nd",
     # multimodal anchors
     "multimodal_video_stats",
-    "multimodal_image_stats",
 ]
 
 

@@ -3300,6 +3300,40 @@ def multimodal_video_frames(spark, sf_dir):
 
 
 @_register(
+    "multimodal_keyframes",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS n_frames FROM documents
+    ), fr AS (
+      SELECT media_id, unnest(range(1, n_frames)) AS fi FROM d
+    ), dm AS (
+      SELECT media_id, CAST(fi AS INT) AS frame_idx,
+             round(list_sum(list_transform(range(0, 16),
+               p -> CAST(abs((media_id * 31 + fi * 7 + p * p) % 256
+                           - (media_id * 31 + (fi - 1) * 7 + p * p) % 256)
+                         AS DOUBLE))) / 16.0, 6) AS luma_diff
+      FROM fr
+    )
+    SELECT media_id, frame_idx, luma_diff, luma_diff > 15.0 AS is_key
+    FROM dm
+    """,
+)
+def multimodal_keyframes(spark, sf_dir):
+    """X5 — shot-boundary keyframe detection over REAL Y4M decode:
+    consecutive-frame mean-abs-luma difference, frames above the
+    threshold flagged as keyframes (sample where content changes,
+    not on a blind grid — operators/multimodal.py
+    frame_diff_keyframes). The oracle predicts every per-pair
+    difference analytically from the closed-form fixture (per-pixel
+    deltas are 7 or the 249 mod-wrap, so the 16-pixel means and the
+    threshold verdicts are id-arithmetic); a hash match proves the
+    decoder reconstructs exact frames AND the pair algebra."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    return MM.frame_diff_keyframes(media, threshold=15.0)
+
+
+@_register(
     "multimodal_ingest_report",
     """
     SELECT doc_id AS media_id,

@@ -1216,6 +1216,59 @@ def frame_luma_stats(
     return df.mapInPandas(batches, schema=_FRAME_LUMA_SCHEMA)
 
 
+_KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("luma_diff", T.DoubleType(), False),
+        T.StructField("is_key", T.BooleanType(), False),
+    ]
+)
+
+
+def frame_diff_keyframes(df: DataFrame, threshold: float = 15.0) -> DataFrame:
+    """X5 — shot-boundary / keyframe detection, the frame-selection
+    stage of a video-training-data pipeline (sample WHERE the content
+    changes, not on a blind time grid): decode Y4M, score every
+    consecutive-frame pair by mean absolute luma difference, flag
+    frames whose change exceeds ``threshold`` as keyframes. Frame 0
+    has no predecessor and is emitted by the time-grid sampler
+    (frame_luma_stats); this operator owns the change-driven rest.
+
+    Same Arrow mapInPandas shape as the other native decoders: one
+    decode per payload, per-pair numpy subtraction, rows out ~
+    total frames — the comparison is per-video-local so the operator
+    is map-only, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["modality"] == "video"]
+            out = {k.name: [] for k in _KEYFRAME_SCHEMA.fields}
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                dec = decode_y4m(payload) if payload is not None else None
+                if dec is None:
+                    continue
+                w, h, _fn, _fd, frames = dec
+                for i in range(1, len(frames)):
+                    d = round(
+                        float(
+                            np.abs(
+                                frames[i].astype(np.float64)
+                                - frames[i - 1].astype(np.float64)
+                            ).sum()
+                        )
+                        / (w * h),
+                        6,
+                    )
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(int(i))
+                    out["luma_diff"].append(d)
+                    out["is_key"].append(bool(d > threshold))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_KEYFRAME_SCHEMA)
+
+
 def media_with_y4m(
     docs: DataFrame, width: int = 4, height: int = 4, fps_num: int = 25
 ) -> DataFrame:
