@@ -198,6 +198,7 @@ SCALAR_BROADCAST_OK = {
     "ann_recall_report",  # composes knn_cosine's 1-row query broadcast
     "q02g_hybrid_rrf",  # composes bm25_search's 1-row corpus stats
     "text_lm_score",  # 1-row vocabulary-size scalar
+    "docs_corpus_ingest_lm",  # composes the same 1-row V scalar
     "text_lm_score_indexed",  # same 1-row V scalar, read from the model
     "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
     "tpch_q11",  # 1-row global-total threshold scalar
@@ -254,6 +255,10 @@ MULTI_SCAN_OK = {
     # production a separate, MB-sized table) + the per-doc length
     # frame of the left join
     "dedup_contamination_spans",
+    # composes text_lm_score's whitelisted one-shot LM plan into the
+    # ingest-routing certificate; the streaming path scores against
+    # the persisted model and persists the routed batch
+    "docs_corpus_ingest_lm",
     # composes text_lm_score's whitelisted 3-scan one-shot LM plan,
     # plus the doc-lang join and the score join-back; the persisted-
     # model path (bigram_lm_score_indexed) is the scale form

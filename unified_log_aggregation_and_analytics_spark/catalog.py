@@ -150,6 +150,7 @@ GATE_ORDER: list[str] = [
     # sampling: round-7 length-bucketing census (new)
     "docs_length_buckets",
     "docs_soft_dedup_weights",
+    "docs_corpus_ingest_lm",
     # similarity: round-7 filtered vector search (new)
     "knn_ivf_filtered",
     # text: round-7 persisted-LM scoring (new)
@@ -195,7 +196,6 @@ GATE_ORDER: list[str] = [
     "text_quality",
     "text_lm_score",
     # sampling / training pipeline
-    "docs_pack_contiguous",
     "docs_dsir_sample",
     "docs_corpus_ingest_nd",
     # multimodal anchors

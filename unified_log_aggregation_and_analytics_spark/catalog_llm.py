@@ -2316,6 +2316,57 @@ def docs_corpus_ingest(spark, sf_dir):
     return ingest_report(_spread(_t(spark, sf_dir, "documents")))
 
 
+_INGEST_LM_ORACLE = f"""
+    WITH qf0 AS ({{qf}}),
+    lmx AS ({_LM_SCORE_ORACLE}),
+    qf AS (
+      SELECT qf0.doc_id,
+             CASE WHEN qf0.kept AND COALESCE(lmx.avg_nll > 3.45, FALSE)
+                  THEN 'low_fluency' ELSE qf0.verdict END AS verdict,
+             qf0.kept AND COALESCE(lmx.avg_nll <= 3.45, TRUE) AS kept
+      FROM qf0 LEFT JOIN lmx ON qf0.doc_id = lmx.doc_id
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang,
+             md5(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS fp,
+             qf.verdict, qf.kept
+      FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+    ),
+    r AS (
+      SELECT lang,
+             CASE WHEN NOT kept THEN 'rejected:' || verdict
+                  WHEN row_number() OVER (
+                         PARTITION BY fp, kept ORDER BY doc_id) = 1
+                       THEN 'ingested'
+                  ELSE 'duplicate' END AS outcome
+      FROM j
+    )
+    SELECT lang, outcome, COUNT(*) AS n_docs FROM r GROUP BY 1, 2
+"""
+
+
+@_register(
+    "docs_corpus_ingest_lm",
+    _INGEST_LM_ORACLE.format(qf=QUERIES["text_quality_filter"].oracle),
+)
+def docs_corpus_ingest_lm(spark, sf_dir):
+    """Streaming-ingest certificate WITH the CCNet fluency gate — the
+    oracle-checkable batch analog of corpus_ingest_batch(lm_model_path
+    =...): quality rules (precedence), then docs whose bigram-LM mean
+    NLL exceeds 3.45 route to 'rejected:low_fluency', then exact
+    dedup among survivors, per-stratum accounting. The LM is the
+    certified in-plan model (text_lm_score's oracle composes in);
+    pytest pins the streaming path's sink/DLQ/metrics to the same
+    policy (test_corpus_ingest_lm_fluency_gate)."""
+    from unified_log_aggregation_and_analytics_spark.streaming.corpus import (
+        ingest_report,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    lm = X.bigram_lm_score(docs).select("doc_id", "avg_nll")
+    return ingest_report(docs, lm_scores=lm, max_avg_nll=3.45)
+
+
 def _ivf_refined_oracle() -> str:
     """DuckDB twin of ONE spherical-k-means refinement round + probe:
     seeds are vec_ids 1..16; every vector joins its argmax-cosine seed

@@ -531,7 +531,10 @@ def run_corpus_pipeline(
 
 
 def ingest_report(
-    docs: DataFrame, dedup_fp: F.Column | None = None
+    docs: DataFrame,
+    dedup_fp: F.Column | None = None,
+    lm_scores: DataFrame | None = None,
+    max_avg_nll: float = 8.0,
 ) -> DataFrame:
     """Batch analog of the full ingest routing — the oracle-checkable
     certificate the streaming path is tested against: every document
@@ -558,6 +561,21 @@ def ingest_report(
     scored = docs.join(
         quality_filter(docs).select("doc_id", "verdict", "kept"), "doc_id"
     )
+    if lm_scores is not None:
+        # the batch twin of corpus_ingest_batch's LM fluency gate:
+        # quality rules keep precedence, bigram-less docs pass
+        fluent = F.coalesce(F.col("avg_nll") <= F.lit(max_avg_nll), F.lit(True))
+        scored = (
+            scored.join(lm_scores.select("doc_id", "avg_nll"), "doc_id", "left")
+            .withColumn(
+                "verdict",
+                F.when(F.col("kept") & ~fluent, F.lit("low_fluency")).otherwise(
+                    F.col("verdict")
+                ),
+            )
+            .withColumn("kept", F.col("kept") & fluent)
+            .drop("avg_nll")
+        )
     # partition on (fp, kept): the dedup rank competes among KEPT docs
     # only — a rejected doc sharing the fingerprint must not steal
     # rank 1 from the kept copy that actually gets ingested
