@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "text_ccnet_buckets",
     "docs_soft_dedup_weights",
     "dedup_contamination_spans",
+    # round-7: multimodal keyframes + LM-gated ingest + classifier
+    # training (eager: 24 GD aggregate jobs at construction)
+    "multimodal_keyframes",
+    "docs_corpus_ingest_lm",
+    "text_quality_train",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -155,6 +160,7 @@ SCALE_QUERIES = [
     "docs_dsir_sample",
     "dedup_substring",
     "knn_hard_negatives",
+    "knn_hard_negatives_indexed",
 ]
 
 
@@ -207,6 +213,7 @@ EAGER_QUERIES = {
     "docs_dsir_sample",
     "q07e_heavy_hitters",
     "multimodal_ingest_report",
+    "text_quality_train",  # 24 GD aggregate jobs run at construction
 }
 
 

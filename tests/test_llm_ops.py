@@ -1528,3 +1528,23 @@ def test_contamination_spans_hand_computed(spark):
     assert out[2] == (5, 4, 1, 0.8)
     assert out[3] == (6, 0, 0, 0.0)
     assert out[4] == (8, 6, 2, 0.75)
+
+
+def test_quality_train_beats_base_rate(spark, docs):
+    """The GD-trained classifier must beat the all-keep base rate on
+    its training labels (i.e. actually learn), and probabilities must
+    be valid."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        train_quality_classifier,
+    )
+
+    out = train_quality_classifier(docs, n_steps=24, lr=8.0).cache()
+    n = out.count()
+    acc = out.filter("agrees").count() / n
+    base = max(
+        out.filter("label = 1.0").count(), out.filter("label = 0.0").count()
+    ) / n
+    assert acc > base, f"acc {acc:.3f} <= base rate {base:.3f}"
+    bad = out.filter("clf_p < 0.0 OR clf_p > 1.0").count()
+    assert bad == 0
+    out.unpersist()

@@ -162,6 +162,7 @@ GATE_ORDER: list[str] = [
     "knn_hard_negatives",
     "knn_hard_negatives_indexed",
     "text_ccnet_buckets",
+    "text_quality_train",
     # relational: OpenSearch wildcard query + pipeline aggregations
     "q02p_wildcard",
     "q08d_histogram_pipeline",
@@ -193,7 +194,6 @@ GATE_ORDER: list[str] = [
     "knn_ivf",
     "knn_pq_adc_seeded",
     # text
-    "text_quality",
     "text_lm_score",
     # sampling / training pipeline
     "docs_dsir_sample",

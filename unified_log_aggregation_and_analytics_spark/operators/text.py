@@ -873,3 +873,97 @@ def ccnet_perplexity_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    n_steps: int = 3,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X4 — distributed TRAINING of the quality classifier (the
+    distill-rules-into-a-model stage real pipelines run so the cheap
+    scorer can replace the rule cascade): batch gradient descent on a
+    logistic model over the structural repetition features, labels =
+    the C4/Gopher rule verdict, ``n_steps`` full-batch steps. Returns
+    per-document (label, final probability, prediction, agreement).
+
+    Engine-exact determinism (the PageRank playbook, applied to SGD):
+    - features are ratios of integers — IEEE-exactly-rounded
+      divisions, bit-identical across engines;
+    - the link function is the RATIONAL sigmoid
+      0.5 + z/(2(1+|z|)) — only +,*,/,abs, every one correctly
+      rounded IEEE, so no libm exp() ulp drift can split engines —
+      rounded to 6 decimals per step;
+    - per-doc gradient contributions round to 9 decimals and
+      accumulate as DECIMAL(20,9) — an EXACT, order-free sum, immune
+      to float addition-order differences between engines;
+    - weights update and round to 6 decimals INSIDE the engine
+      (HALF_UP both sides), the driver only carries the rounded
+      values (bounded model state, like k-means centroids).
+    The gradient per step is a 1-row aggregate job; the returned
+    plan scores with literal weights — map-only, no shuffle. At
+    scale: steps stream over the persisted feature frame; the model
+    is O(features) state.
+    """
+    rep = repetition_stats(df, text_col, id_col)
+    y = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("dup_word_frac") <= QF_MAX_DUP_WORD_FRAC)
+        & (F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC)
+        & (F.col("dup_bigram_frac") <= QF_MAX_DUP_BIGRAM_FRAC)
+    ).cast("double")
+    feats = rep.select(
+        F.col(id_col),
+        F.lit(1.0).alias("x0"),
+        (F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0)).alias("x1"),
+        F.col("dup_word_frac").alias("x2"),
+        F.col("top_word_frac").alias("x3"),
+        F.col("dup_bigram_frac").alias("x4"),
+        y.alias("y"),
+    )
+    xs = ["x0", "x1", "x2", "x3", "x4"]
+    w = [0.0] * len(xs)
+
+    def z_expr() -> Column:
+        z = F.lit(w[0]) * F.col(xs[0])
+        for j in range(1, len(xs)):
+            z = z + F.lit(w[j]) * F.col(xs[j])
+        return z
+
+    def p_expr() -> Column:
+        z = z_expr()
+        return F.round(
+            F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6
+        )
+
+    for _ in range(n_steps):
+        e = p_expr() - F.col("y")
+        row = feats.agg(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(lr)
+                    * (
+                        F.sum(
+                            F.round(e * F.col(xs[j]), 9).cast("decimal(20,9)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ),
+                    6,
+                ).alias(f"w{j}")
+                for j in range(len(xs))
+            ]
+        ).first()
+        w = [float(row[f"w{j}"]) for j in range(len(xs))]
+
+    p = p_expr()
+    pred = p >= F.lit(0.5)
+    return feats.select(
+        F.col(id_col),
+        F.col("y").alias("label"),
+        p.alias("clf_p"),
+        pred.alias("pred_keep"),
+        (pred == (F.col("y") >= F.lit(0.5))).alias("agrees"),
+    )
