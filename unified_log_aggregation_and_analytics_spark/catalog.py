@@ -161,6 +161,7 @@ GATE_ORDER: list[str] = [
     "dedup_contamination_spans",
     "knn_hard_negatives",
     "knn_hard_negatives_indexed",
+    "emb_mean_pool",
     "text_ccnet_buckets",
     "text_quality_train",
     # relational: OpenSearch wildcard query + pipeline aggregations
@@ -192,7 +193,6 @@ GATE_ORDER: list[str] = [
     # similarity / embeddings / graph
     "knn_cosine",
     "knn_ivf",
-    "knn_pq_adc_seeded",
     # text
     "text_lm_score",
     # sampling / training pipeline

@@ -247,6 +247,41 @@ def knn_cosine(spark, sf_dir):
     )
 
 
+@_register(
+    "emb_mean_pool",
+    """
+    WITH ex AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+      FROM embeddings
+    )
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_val
+    FROM ex GROUP BY label, i
+    """,
+)
+def emb_mean_pool(spark, sf_dir):
+    """X3 support — mean pooling per label (the class-centroid /
+    chunk-to-document pooling primitive of embedding pipelines), in
+    long (label, dim, mean_val) form. Per-dimension sums accumulate
+    as DECIMAL(18,8) — exact and addition-order-free, so the float
+    means are engine-identical — one posexplode + one hash
+    aggregation keyed on (label, dim): at 100 TB the shuffle carries
+    |labels| x dim partial sums, never vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val")
+        )
+    )
+
+
 @_register("knn_ann_lsh", None)  # oracle attached below, after _ann_lsh_oracle is defined
 def knn_ann_lsh(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH ANN: only vectors whose
