@@ -164,6 +164,7 @@ GATE_ORDER: list[str] = [
     "emb_mean_pool",
     "text_ccnet_buckets",
     "text_quality_train",
+    "text_cooccurrence",
     # relational: OpenSearch wildcard query + pipeline aggregations
     "q02p_wildcard",
     "q08d_histogram_pipeline",
@@ -186,7 +187,6 @@ GATE_ORDER: list[str] = [
     "logs_funnel",
     "logs_ewma_anomaly",
     # dedup
-    "dedup_exact",
     "dedup_minhash_lsh_md5",
     "dedup_simhash_pairs",
     "dedup_semantic",

@@ -1477,6 +1477,44 @@ def dedup_contamination_spans(spark, sf_dir):
 
 
 @_register(
+    "text_cooccurrence",
+    """
+    WITH sp AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    p1 AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                    i -> {'a': ts[i], 'b': ts[i+1]})) AS p, 1.0 AS weight
+      FROM sp WHERE len(ts) >= 2
+    ),
+    p2 AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                    i -> {'a': ts[i], 'b': ts[i+2]})) AS p, 0.5 AS weight
+      FROM sp WHERE len(ts) >= 3
+    ),
+    pairs AS (
+      SELECT least(p.a, p.b) AS w1, greatest(p.a, p.b) AS w2, weight
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    )
+    SELECT w1, w2, CAST(SUM(weight) AS DOUBLE) AS weight, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY w1, w2
+    ORDER BY weight DESC, w1, w2 LIMIT 200
+    """,
+)
+def text_cooccurrence(spark, sf_dir):
+    """X4 — GloVe-input co-occurrence matrix (Pennington et al. 2014):
+    top-200 unordered token pairs within a 2-token window, weighted by
+    the 1/d harmonic decay. No self-join — shifted-slice arrays_zip
+    per offset, one hash aggregation on the pair key, exact
+    half-integer weight sums (operators/text.py
+    cooccurrence_counts)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.cooccurrence_counts(docs, window=2, k=200)
+
+
+@_register(
     "text_corpus_bigrams",
     """
     WITH b AS (

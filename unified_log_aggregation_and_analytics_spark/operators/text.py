@@ -967,3 +967,58 @@ def train_quality_classifier(
         pred.alias("pred_keep"),
         (pred == (F.col("y") >= F.lit(0.5))).alias("agrees"),
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 2,
+    k: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X4 — windowed co-occurrence statistics, the input matrix of
+    GloVe-style embedding training (Pennington et al. 2014): for every
+    unordered token pair within ``window`` positions, accumulate the
+    distance-weighted count (weight 1/d — GloVe's harmonic decay) and
+    the raw pair count; return the top-``k`` pairs.
+
+    Plan shape: NO self-join — for each offset d the (t_i, t_{i+d})
+    pairs come from arrays_zip of two shifted slices of the token
+    array (map-only, one kernel per offset), pairs normalize to
+    lexicographic order, and ONE hash aggregation on the uniform pair
+    key sums weights corpus-wide (output bounded by vocab², heavily
+    partial-combined map-side). Weights are multiples of 1/d for
+    d <= 2 (exactly representable doubles), so sums are exact and
+    order-free without decimal arithmetic; for window > 2 switch the
+    weight to DECIMAL to keep engine-exactness."""
+    if not (1 <= window <= 2):
+        raise ValueError("window must be 1 or 2 (see docstring for >2)")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    t = F.col("_toks")
+    parts = []
+    for d in range(1, window + 1):
+        width = F.greatest(F.size(t) - d, F.lit(0))
+        zipped = F.arrays_zip(
+            F.slice(t, 1, width).alias("a"), F.slice(t, 1 + d, width).alias("b")
+        )
+        parts.append(
+            base.select(F.explode(zipped).alias("p"), F.lit(1.0 / d).alias("weight"))
+            .select(
+                F.least(F.col("p.a"), F.col("p.b")).alias("w1"),
+                F.greatest(F.col("p.a"), F.col("p.b")).alias("w2"),
+                "weight",
+            )
+        )
+    pairs = parts[0]
+    for more in parts[1:]:
+        pairs = pairs.unionByName(more)
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy(F.col("weight").desc(), "w1", "w2")
+        .limit(k)
+    )
