@@ -165,6 +165,7 @@ GATE_ORDER: list[str] = [
     "text_ccnet_buckets",
     "text_quality_train",
     "text_cooccurrence",
+    "text_lm_heldout",
     # relational: OpenSearch wildcard query + pipeline aggregations
     "q02p_wildcard",
     "q08d_histogram_pipeline",
@@ -176,7 +177,6 @@ GATE_ORDER: list[str] = [
     #      each family's window minimum with distinct physical
     #      strategies ----
     # relational (11 pending above are all relational; minimum is 15)
-    "q01_filter_predicates",
     "q06_tpch_q1",
     "q11d_bucketed_join",
     "tpch_q21",

@@ -554,6 +554,57 @@ def text_lm_score(spark, sf_dir):
     return X.bigram_lm_score(docs)
 
 
+@_register(
+    "text_lm_heldout",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    sc AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    idx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+      FROM tr WHERE len(ts) >= 2
+    ),
+    bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+    uc AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS uc FROM bc GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM tr)
+    ),
+    sidx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+      FROM sc WHERE len(ts) >= 2
+    ),
+    sbg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM sidx)
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           round(AVG(-ln((COALESCE(bc, 0) + 0.5)
+                         / (COALESCE(uc, 0) + 0.5 * v))), 6) AS avg_nll
+    FROM sbg g
+    LEFT JOIN bc USING (w1, w2)
+    LEFT JOIN uc USING (w1)
+    CROSS JOIN vocab
+    GROUP BY g.doc_id
+    """,
+)
+def text_lm_heldout(spark, sf_dir):
+    """X4 — HELD-OUT LM scoring, the actual CCNet configuration (the
+    model comes from a reference corpus, the scored text is raw):
+    train the add-k bigram LM on even doc_ids, score the odd ones —
+    certifying bigram_lm_score's external-lm branch, where unseen
+    bigrams and contexts fall back through the left-join coalesce to
+    the add-k floor. The self-scored entry (text_lm_score) can never
+    exercise that fallback; this one hits it on every
+    out-of-vocabulary bigram."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return X.bigram_lm_score(score, lm_df=train)
+
+
 _LM_FRESH: set[str] = set()
 
 
