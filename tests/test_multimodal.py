@@ -463,3 +463,34 @@ def test_media_ingest_report_routing_census(spark):
         if r["outcome"] != expect[r["media_id"] % 4]
     ]
     assert not bad, f"mis-routed: {bad[:10]}"
+
+
+def test_frame_diff_keyframes_hand_computed(spark):
+    """Keyframe detection: hand-built 3-frame video — a flat pair
+    (diff 0, not key) then a jump (diff 50, key); frame 0 never
+    emitted; undecodable payloads skipped."""
+    import pandas as pd
+
+    frames = np.stack([
+        np.full((4, 4), 10, dtype=np.uint8),
+        np.full((4, 4), 10, dtype=np.uint8),
+        np.full((4, 4), 60, dtype=np.uint8),
+    ])
+    y4m = MM.encode_y4m(frames)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "modality": ["video", "video"],
+            "payload": [y4m, b"not-a-video"],
+            "mime": ["video/x-yuv4mpeg", "video/mp4"],
+            "width": pd.Series([None, None], dtype="Int32"),
+            "height": pd.Series([None, None], dtype="Int32"),
+            "duration_ms": pd.Series([120, 120], dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MM.MEDIA_SCHEMA)
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in MM.frame_diff_keyframes(df, threshold=15.0).collect()}
+    assert set(rows) == {(1, 1), (1, 2)}
+    assert rows[(1, 1)]["luma_diff"] == 0.0 and not rows[(1, 1)]["is_key"]
+    assert rows[(1, 2)]["luma_diff"] == 50.0 and rows[(1, 2)]["is_key"]
