@@ -1432,9 +1432,13 @@ def test_ccnet_buckets_sizes_and_monotonicity(spark):
             ) + [f"rare{lang}{i}a", f"rare{lang}{i}b"]
             rows.append((did, lang, " ".join(toks)))
             did += 1
+    rows.append((999, "en", "solo"))  # 1 token: no bigram, no perplexity
     df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
     out = X.ccnet_perplexity_buckets(df).collect()
-    assert len(out) == 14
+    assert len(out) == 15
+    solo = [r for r in out if r["doc_id"] == 999][0]
+    assert solo["ppl_bucket"] == "unscored" and solo["avg_nll"] is None
+    out = [r for r in out if r["doc_id"] != 999]
     for lang in ("en", "de"):
         by_bucket = {}
         for r in out:

@@ -128,9 +128,12 @@ GATE_CERTIFIED: set[str] = {
 
 GATE_ORDER: list[str] = [
     # ---- pending driver certification (no green row in r1–r6):
-    #      the 11 last never-driver-sampled oracle-backed entries +
-    #      round 7's new media-routing certificate — this rotation
-    #      retires the certification queue entirely ----
+    #      the 11 last never-driver-sampled entries from earlier
+    #      rounds plus every round-7 addition (media routing,
+    #      span dedup, hard negatives, CCNet buckets, GD training,
+    #      co-occurrence, held-out LM, pipeline aggs, pagination,
+    #      keyframes, soft dedup, LM-gated ingest, mean pooling) —
+    #      ~35 pending entries fill the window front ----
     # relational: TPC-H completion shapes (final 7 of 14)
     "tpch_q8",
     "tpch_q9",
@@ -173,10 +176,12 @@ GATE_ORDER: list[str] = [
     "q06f_composite_agg",
     "q06g_rare_terms",
     "q08e_histogram_dense",
-    # ---- certified anchors (driver-green in r1–r6), chosen to cover
-    #      each family's window minimum with distinct physical
-    #      strategies ----
-    # relational (11 pending above are all relational; minimum is 15)
+    # ---- certified anchors (driver-green in r1–r6), the remaining
+    #      ~15 window slots, chosen so every family keeps its
+    #      tests/test_catalog_registry.py minimum (relational 15,
+    #      dedup 5, similarity 4, logs/text/sampling 3, multimodal 2
+    #      — pending entries count toward the minimums too) ----
+    # relational (15 of the pending entries above are relational)
     "q06_tpch_q1",
     "q11d_bucketed_join",
     "tpch_q21",

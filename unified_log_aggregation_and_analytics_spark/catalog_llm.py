@@ -649,18 +649,23 @@ def text_lm_score_indexed(spark, sf_dir):
 @_register(
     "text_ccnet_buckets",
     f"""
-    WITH j AS (
+    WITH lm AS MATERIALIZED ({_LM_SCORE_ORACLE}),
+    j AS (
       SELECT d.doc_id, d.lang, lm.avg_nll,
              ntile(3) OVER (
                PARTITION BY d.lang ORDER BY lm.avg_nll, d.doc_id
              ) AS tile
-      FROM documents d JOIN ({_LM_SCORE_ORACLE}) lm ON d.doc_id = lm.doc_id
+      FROM documents d JOIN lm ON d.doc_id = lm.doc_id
     )
     SELECT doc_id, lang, avg_nll,
            CASE WHEN tile = 1 THEN 'head'
                 WHEN tile = 3 THEN 'tail'
                 ELSE 'middle' END AS ppl_bucket
     FROM j
+    UNION ALL
+    SELECT d.doc_id, d.lang, CAST(NULL AS DOUBLE) AS avg_nll,
+           'unscored' AS ppl_bucket
+    FROM documents d ANTI JOIN lm ON d.doc_id = lm.doc_id
     """,
 )
 def text_ccnet_buckets(spark, sf_dir):

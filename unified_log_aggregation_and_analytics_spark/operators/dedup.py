@@ -658,6 +658,25 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
 
 
+def _positioned_grams(df: DataFrame, toks: Column, k: int, id_col: str) -> DataFrame:
+    """Positioned gram-hash stream ``(id, n_tokens, pos, gh)`` shared
+    by the span operators (duplicated_spans, contamination_spans):
+    token array materialized once behind a Generate (the chunk_dedup
+    barrier), 1-based positions, md5 gram hashes."""
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    t = F.col("_toks")
+    return base.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.posexplode(token_ngrams(t, k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("gram").cast("binary")).alias("gh"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -707,23 +726,8 @@ def duplicated_spans(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    from pyspark.sql.window import Window
-
     toks = tokens(text_col)
-    # Materialize the token array once behind a Generate (see
-    # chunk_dedup: HOF lambdas re-evaluate captured trees per element).
-    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
-    t = F.col("_toks")
-    grams = base.select(
-        F.col(id_col),
-        F.size(t).alias("n_tokens"),
-        F.posexplode(token_ngrams(t, k)).alias("pos0", "gram"),
-    ).select(
-        id_col,
-        "n_tokens",
-        (F.col("pos0") + 1).alias("pos"),
-        F.md5(F.col("gram").cast("binary")).alias("gh"),
-    )
+    grams = _positioned_grams(df, toks, k, id_col)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -815,18 +819,7 @@ def contamination_spans(
     if k < 2:
         raise ValueError("k must be >= 2")
     toks = tokens(text_col)
-    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
-    t = F.col("_toks")
-    grams = base.select(
-        F.col(id_col),
-        F.size(t).alias("n_tokens"),
-        F.posexplode(token_ngrams(t, k)).alias("pos0", "gram"),
-    ).select(
-        id_col,
-        "n_tokens",
-        (F.col("pos0") + 1).alias("pos"),
-        F.md5(F.col("gram").cast("binary")).alias("gh"),
-    )
+    grams = _positioned_grams(df, toks, k, id_col)
     btoks = tokens(bench_text_col)
     bench = (
         bench_df.select(F.explode(token_ngrams(btoks, k)).alias("gram"))

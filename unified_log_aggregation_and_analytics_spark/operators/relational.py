@@ -1058,6 +1058,34 @@ def percolate(
     return matched.unionByName(match_all)
 
 
+def _glob_to_like(p: str) -> str:
+    """OpenSearch wildcard glob -> SQL LIKE: ``*``/``?`` become
+    ``%``/``_``; a backslash escapes the next glob metacharacter
+    (``\*`` matches a literal star, per the OpenSearch wildcard
+    syntax); LIKE's own metacharacters and bare backslashes are
+    escaped so they always match literally."""
+    out: list[str] = []
+    i = 0
+    while i < len(p):
+        ch = p[i]
+        if ch == "\\" and i + 1 < len(p) and p[i + 1] in "*?\\":
+            lit = p[i + 1]
+            i += 2
+        elif ch == "*":
+            out.append("%")
+            i += 1
+            continue
+        elif ch == "?":
+            out.append("_")
+            i += 1
+            continue
+        else:
+            lit = ch
+            i += 1
+        out.append("\\" + lit if lit in ("%", "_", "\\") else lit)
+    return "".join(out)
+
+
 def wildcard_search(
     df: DataFrame,
     pattern: str,
@@ -1078,14 +1106,7 @@ def wildcard_search(
     text. At scale the explode side reads the persisted token index
     instead of re-tokenizing (build_token_index_table), leaving only
     the vocab walk + pruned posting reads."""
-    like = (
-        pattern.lower()
-        .replace("\\", "\\\\")
-        .replace("%", "\\%")
-        .replace("_", "\\_")
-        .replace("*", "%")
-        .replace("?", "_")
-    )
+    like = _glob_to_like(pattern.lower())
     toks = df.select(
         F.col(id_col),
         F.explode(

@@ -366,15 +366,7 @@ def write_training_shards(
     execute AQE stages. A count() would size width from volume
     exactly but costs a full extra recompute of a computed 100 TB
     frame (round-5 verdict item 4). One range shuffle, one action."""
-    n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    (
-        df.repartitionByRange(n_parts, F.col(split_col), F.col(order_col))
-        .sortWithinPartitions(split_col, order_col)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", docs_per_shard)
-        .partitionBy(split_col)
-        .parquet(path)
-    )
+    _write_shards(df, path, "parquet", split_col, docs_per_shard, order_col)
 
 
 def write_training_shards_jsonl(
@@ -396,16 +388,38 @@ def write_training_shards_jsonl(
     ~5x smaller, which at 100 TB is the difference between a corpus
     that ships and one that doesn't. Parquet stays the analytical
     format; this is the hand-off format."""
+    _write_shards(
+        df, path, "json", split_col, docs_per_shard, order_col, compression
+    )
+
+
+def _write_shards(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    split_col: str,
+    docs_per_shard: int,
+    order_col: str,
+    compression: str | None = None,
+) -> None:
+    """Shared layout contract of the shard writers: range shuffle on
+    (split, order) sized from default parallelism (see
+    write_training_shards for the width rationale), sorted
+    partitions, maxRecordsPerFile shard cap, split-partitioned sink.
+    Only the sink format and compression differ between the parquet
+    and JSONL writers — sharing this body keeps their 'identical
+    layout contract' claim true by construction."""
     n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    (
+    w = (
         df.repartitionByRange(n_parts, F.col(split_col), F.col(order_col))
         .sortWithinPartitions(split_col, order_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", docs_per_shard)
-        .option("compression", compression)
         .partitionBy(split_col)
-        .json(path)
     )
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.format(fmt).save(path)
 
 
 def dsir_select(

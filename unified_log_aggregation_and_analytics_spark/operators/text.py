@@ -860,19 +860,27 @@ def ccnet_perplexity_buckets(
 
     w = Window.partitionBy(lang_col).orderBy(F.col("avg_nll"), F.col(id_col))
     tile = F.ntile(n_buckets).over(w)
-    return (
-        df.select(F.col(id_col), F.col(lang_col))
-        .join(scores, id_col)
-        .select(
-            F.col(id_col),
-            F.col(lang_col),
-            F.col("avg_nll"),
-            F.when(tile == 1, F.lit("head"))
-            .when(tile == n_buckets, F.lit("tail"))
-            .otherwise(F.lit("middle"))
-            .alias("ppl_bucket"),
-        )
+    ids = df.select(F.col(id_col), F.col(lang_col))
+    bucketed = ids.join(scores, id_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("avg_nll"),
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("ppl_bucket"),
     )
+    # docs too short to carry a bigram have no perplexity: emit them
+    # explicitly as 'unscored' instead of silently dropping them (the
+    # length rules own their verdict — same contract as the streaming
+    # LM gate), so every input doc_id appears in the output
+    unscored = ids.join(scores.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.lit(None).cast("double").alias("avg_nll"),
+        F.lit("unscored").alias("ppl_bucket"),
+    )
+    return bucketed.unionByName(unscored)
 
 
 def train_quality_classifier(

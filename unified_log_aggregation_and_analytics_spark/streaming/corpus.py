@@ -272,9 +272,14 @@ def corpus_ingest_batch(
             bigram_lm_score_indexed,
         )
 
-        lm = bigram_lm_score_indexed(spark, batch_df, lm_model_path).select(
-            "doc_id", "avg_nll"
-        )
+        # score ONLY docs the quality rules kept: a rejected doc's
+        # verdict can never change, so paying the bigram plan for it
+        # is pure waste on the per-trigger hot path
+        lm = bigram_lm_score_indexed(
+            spark,
+            scored.filter(F.col("kept")).select("doc_id", "text"),
+            lm_model_path,
+        ).select("doc_id", "avg_nll")
         fluent = F.coalesce(F.col("avg_nll") <= F.lit(max_avg_nll), F.lit(True))
         scored = (
             scored.join(lm, "doc_id", "left")
