@@ -171,6 +171,7 @@ GATE_ORDER: list[str] = [
     "text_lm_heldout",
     # relational: OpenSearch wildcard query + pipeline aggregations
     "q02p_wildcard",
+    "q02q_wildcard_indexed",
     "q08d_histogram_pipeline",
     "q09b_search_after",
     "q06f_composite_agg",
@@ -186,7 +187,6 @@ GATE_ORDER: list[str] = [
     "q11d_bucketed_join",
     "tpch_q21",
     "q02g_hybrid_rrf",
-    "q14_window_funcs",
     # logs
     "logs_apache_parse",
     "logs_funnel",
@@ -2917,6 +2917,17 @@ def q02p_wildcard(spark, sf_dir):
     (operators/relational.py wildcard_search)."""
     docs = _t(spark, sf_dir, "documents")
     return R.wildcard_search(docs, "s*k", text_col="text")
+
+
+@_register("q02q_wildcard_indexed", QUERIES["q02p_wildcard"].oracle)
+def q02q_wildcard_indexed(spark, sf_dir):
+    """Q2 persisted-index wildcard ('s*k'): dictionary walk over the
+    index's term vocabulary, survivors broadcast back onto the
+    bucketed postings — zero corpus scans at query time; must equal
+    the scan-time q02p result, hence shares its oracle
+    (operators/relational.py wildcard_search_indexed)."""
+    name = _token_index_table(spark, sf_dir)
+    return R.wildcard_search_indexed(spark, name, "s*k")
 
 
 @_register(

@@ -1143,3 +1143,25 @@ def histogram_pipeline_aggs(
         (F.col("n") - F.lag("n").over(w)).alias("derivative"),
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cumulative"),
     )
+
+
+def wildcard_search_indexed(
+    spark: SparkSession, table_name: str, pattern: str
+) -> DataFrame:
+    """Q2 persisted-index wildcard: the glob's dictionary walk runs
+    over the INDEX's term vocabulary (a distinct over the bucketed,
+    token-sorted postings table — no corpus scan, and the aggregation
+    rides the bucketed layout without an Exchange), surviving terms
+    broadcast-join back onto the postings on the bucketed token key.
+    Result set is identical to the scan-time wildcard_search — the
+    postings hold exactly the per-document distinct tokens — so the
+    catalog entry shares its oracle (the q02d index ≡ scan proof,
+    applied to globs)."""
+    like = _glob_to_like(pattern.lower())
+    idx = spark.table(table_name)
+    vocab = (
+        idx.select("token")
+        .distinct()
+        .filter(F.col("token").like(like) & (F.col("token") != ""))
+    )
+    return idx.join(F.broadcast(vocab), "token").select("doc_id", "token")
