@@ -200,6 +200,7 @@ SCALAR_BROADCAST_OK = {
     "text_lm_score",  # 1-row vocabulary-size scalar
     "docs_corpus_ingest_lm",  # composes the same 1-row V scalar
     "text_lm_score_indexed",  # same 1-row V scalar, read from the model
+    "text_lm_heldout",  # same 1-row V scalar (external-lm branch)
     "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
     "tpch_q11",  # 1-row global-total threshold scalar
     "tpch_q15",  # 1-row max-revenue scalar
@@ -263,6 +264,11 @@ MULTI_SCAN_OK = {
     # plus the doc-lang join and the score join-back; the persisted-
     # model path (bigram_lm_score_indexed) is the scale form
     "text_ccnet_buckets",
+    # text_lm_score's one-shot count-subtree shape with the corpus
+    # split in two roles (train counts from even ids, scored stream =
+    # odd ids) — 4 references to the one parquet file; the persisted
+    # model (train_bigram_lm) is the scale form
+    "text_lm_heldout",
 }
 
 
