@@ -494,3 +494,41 @@ def test_frame_diff_keyframes_hand_computed(spark):
     assert set(rows) == {(1, 1), (1, 2)}
     assert rows[(1, 1)]["luma_diff"] == 0.0 and not rows[(1, 1)]["is_key"]
     assert rows[(1, 2)]["luma_diff"] == 50.0 and rows[(1, 2)]["is_key"]
+
+
+def test_audio_energy_windows_hand_computed(spark):
+    """Audio segmentation: hand-built WAV — a silent window (all 128,
+    energy 0, inactive) then a loud one (alternating 28/228, energy
+    100, active); trailing partial window dropped; undecodable
+    payloads skipped."""
+    import pandas as pd
+
+    samples = np.concatenate([
+        np.full(16, 128, dtype=np.uint8),
+        np.tile(np.array([28, 228], dtype=np.uint8), 8),
+        np.full(5, 255, dtype=np.uint8),  # partial window: dropped
+    ])
+    data = samples.tobytes()
+    fmt = (b"fmt \x10\x00\x00\x00" + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+           + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (8).to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "modality": ["audio", "audio"],
+            "payload": [wav, b"not-audio"],
+            "mime": ["audio/wav", "audio/wav"],
+            "width": pd.Series([None, None], dtype="Int32"),
+            "height": pd.Series([None, None], dtype="Int32"),
+            "duration_ms": pd.Series([None, None], dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MM.MEDIA_SCHEMA)
+    rows = {(r["media_id"], r["window_idx"]): r
+            for r in MM.audio_energy_windows(df, threshold=64.0).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["energy"] == 0.0 and not rows[(1, 0)]["is_active"]
+    assert rows[(1, 1)]["energy"] == 100.0 and rows[(1, 1)]["is_active"]

@@ -150,6 +150,7 @@ GATE_ORDER: list[str] = [
     # multimodal: round-7 media-routing certificate (new)
     "multimodal_ingest_report",
     "multimodal_keyframes",
+    "multimodal_audio_segments",
     # sampling: round-7 length-bucketing census (new)
     "docs_length_buckets",
     "docs_soft_dedup_weights",
@@ -201,7 +202,6 @@ GATE_ORDER: list[str] = [
     # text
     "text_lm_score",
     # sampling / training pipeline
-    "docs_dsir_sample",
     "docs_corpus_ingest_nd",
     # multimodal anchors
     "multimodal_video_stats",

@@ -3547,6 +3547,37 @@ def multimodal_video_frames(spark, sf_dir):
 
 
 @_register(
+    "multimodal_audio_segments",
+    """
+    WITH d AS (SELECT doc_id AS media_id FROM documents),
+    w AS (SELECT media_id, unnest(range(0, 4)) AS wi FROM d),
+    e AS (
+      SELECT media_id, CAST(wi AS INT) AS window_idx,
+             round(list_sum(list_transform(range(0, 16),
+               j -> abs(CAST((media_id * 11 + (wi * 16 + j) * 17) % 256
+                             AS DOUBLE) - 128.0))) / 16.0, 6) AS energy
+      FROM w
+    )
+    SELECT media_id, window_idx, energy, energy > 64.0 AS is_active
+    FROM e
+    """,
+)
+def multimodal_audio_segments(spark, sf_dir):
+    """X5 — audio activity segmentation over REAL WAV decode (the
+    voice-activity-detection shape — keep where the signal is, the
+    audio twin of multimodal_keyframes): 16-sample windows scored by
+    mean absolute deviation from the 8-bit midpoint, flagged active
+    above 64.0 (the fixture's windows span 60-68, so both classes
+    populate). The oracle predicts every window energy analytically
+    from the closed-form sample formula — a hash match proves the
+    RIFF walk, the mono mix, and the window algebra
+    (operators/multimodal.py audio_energy_windows)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav(docs)
+    return MM.audio_energy_windows(media, window_samples=16, threshold=64.0)
+
+
+@_register(
     "multimodal_keyframes",
     """
     WITH d AS (

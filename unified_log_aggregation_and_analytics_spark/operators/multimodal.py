@@ -838,6 +838,51 @@ def image_near_dup(
     )
 
 
+_AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("energy", T.DoubleType(), False),
+        T.StructField("is_active", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_energy_windows(
+    df: DataFrame, window_samples: int = 16, threshold: float = 60.0
+) -> DataFrame:
+    """X5 — audio activity segmentation, the voice-activity-detection
+    shape of an audio-training pipeline (keep WHERE the signal is,
+    the audio twin of frame_diff_keyframes): decode WAV, mix to mono,
+    score each ``window_samples`` window by mean absolute deviation
+    from the 8-bit midpoint (128), flag windows above ``threshold``
+    as active. Trailing partial windows are dropped (they would bias
+    the mean). Map-only Arrow pass, one row per window — integer
+    sample sums are exact in float64, so the energies are
+    engine-identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            auds = pdf[pdf["modality"] == "audio"]
+            out = {k.name: [] for k in _AUDIO_SEG_SCHEMA.fields}
+            for mid, payload in zip(auds["media_id"], auds["payload"]):
+                wav = decode_wav(payload) if payload is not None else None
+                mono = _wav_mono(wav) if wav is not None else None
+                if mono is None:
+                    continue
+                n_windows = len(mono) // window_samples
+                for w in range(n_windows):
+                    seg = mono[w * window_samples : (w + 1) * window_samples]
+                    e = round(float(np.abs(seg - 128.0).mean()), 6)
+                    out["media_id"].append(int(mid))
+                    out["window_idx"].append(w)
+                    out["energy"].append(e)
+                    out["is_active"].append(bool(e > threshold))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_AUDIO_SEG_SCHEMA)
+
+
 def media_with_ppm_groups(
     docs: DataFrame,
     group_size: int = 4,
