@@ -1,0 +1,125 @@
+"""Streaming vector-index maintenance e2e (streaming/vectors.py):
+micro-batches of embeddings flow through the dimension gate, the
+id-sidecar dedup, and frozen-quantizer appends into the persisted IVF
+index — and the maintained index answers probes exactly like a batch
+build over the same vectors (append ≡ rebuild, the q02f/knn_ivf_
+appended proof carried into the streaming path)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+    build_ivf_index,
+    ivf_probe,
+)
+from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+    run_vector_pipeline,
+)
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _vecs(n: int, dim: int = 8, seed: int = 3) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.normal(size=(n, dim))]
+
+
+def test_vector_pipeline_maintains_probeable_index(spark, tmp_path):
+    all_vecs = _vecs(60)
+    base = [(i, all_vecs[i]) for i in range(20)]
+    delta = [(i, all_vecs[i]) for i in range(20, 60)]
+
+    # frozen quantizer from the base build
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark.createDataFrame(base, VEC_SCHEMA), index, n_centroids=4
+    )
+
+    # two micro-batches; plant a bad-dimension row and a cross-batch
+    # duplicate id (vec 20 re-sent in batch 2 with different values —
+    # the sidecar must drop it, keeping the first-write wins contract)
+    src = tmp_path / "src"
+    src.mkdir()
+    b0 = [{"vec_id": i, "embedding": v} for i, v in delta[:20]]
+    b0.append({"vec_id": 999, "embedding": [1.0, 2.0]})  # wrong width
+    b1 = [{"vec_id": i, "embedding": v} for i, v in delta[20:]]
+    b1.append({"vec_id": 20, "embedding": [9.0] * 8})  # dup id, new values
+    (src / "b00.json").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b01.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    res = run_vector_pipeline(
+        stream,
+        index,
+        str(tmp_path / "rejected"),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    res.query.awaitTermination(120)
+
+    # maintained index == batch rebuild over the same 60 vectors,
+    # probed with the same frozen centroids
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(
+        spark.createDataFrame(
+            [(i, all_vecs[i]) for i in range(60)], VEC_SCHEMA
+        ),
+        rebuilt,
+        n_centroids=4,
+    )
+    q = all_vecs[0]
+    got = [(r["vec_id"], r["cos_sim"]) for r in ivf_probe(spark, index, q, k=5).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in ivf_probe(spark, rebuilt, q, k=5).collect()]
+    assert got == want and got
+
+    # the duplicate id kept its FIRST values (9.0-vector never landed)
+    idx_rows = spark.read.parquet(f"{index}/table")
+    row20 = idx_rows.filter(F.col("vec_id") == 20).collect()
+    assert len(row20) == 1 and abs(row20[0]["embedding"][0] - all_vecs[20][0]) < 1e-9
+
+    # DLQ carries the bad-dimension row; metrics reconcile
+    dlq = spark.read.parquet(str(tmp_path / "rejected")).collect()
+    assert [r["vec_id"] for r in dlq] == [999]
+    m = spark.read.parquet(f"{index}_metrics")
+    tot = {r["outcome"]: r["n"] for r in m.groupBy("outcome").agg(F.sum("n").alias("n")).collect()}
+    assert tot["ingested"] == 40 and tot["rejected:bad_dimension"] == 1
+    assert tot["duplicate"] == 1
+
+
+def test_vector_ingest_replay_idempotent(spark, tmp_path):
+    """A replayed batch that completed its sidecar append must be a
+    no-op for the index (at-least-once delivery contract)."""
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    vecs = _vecs(30, seed=11)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    batch = spark.createDataFrame([(i, vecs[i]) for i in range(10, 30)], VEC_SCHEMA)
+    rej = str(tmp_path / "rej")
+    vector_ingest_batch(batch, index, rej, batch_id=0)
+    n1 = spark.read.parquet(f"{index}/table").count()
+    vector_ingest_batch(batch, index, rej, batch_id=0)  # replay
+    n2 = spark.read.parquet(f"{index}/table").count()
+    assert n1 == n2 == 30
