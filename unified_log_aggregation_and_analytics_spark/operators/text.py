@@ -931,6 +931,17 @@ def train_quality_classifier(
         F.col("dup_bigram_frac").alias("x4"),
         y.alias("y"),
     )
+    # Materialize the feature frame ONCE (eager localCheckpoint, the
+    # dsir_select pattern): every GD step and the final scoring read
+    # the checkpointed 6-column frame (~50 B/doc) instead of
+    # re-deriving the repetition aggregation from the corpus —
+    # 37.5 s -> 21 s at the 10x corpus for 24 steps; the residual
+    # per-step cost is the aggregate evaluation itself. This makes
+    # the operator eager-by-contract (bench times construction, see
+    # bench.py EAGER_QUERIES).
+    # narrow frame, tiny rows: a handful of partitions keeps the 24
+    # per-step jobs from paying 32-task scheduling overhead each
+    feats = feats.coalesce(8).localCheckpoint()
     xs = ["x0", "x1", "x2", "x3", "x4"]
     w = [0.0] * len(xs)
 
