@@ -155,6 +155,7 @@ GATE_ORDER: list[str] = [
     "docs_length_buckets",
     "docs_soft_dedup_weights",
     "docs_corpus_ingest_lm",
+    "docs_mixture_plan",
     # similarity: round-7 filtered vector search (new)
     "knn_ivf_filtered",
     # text: round-7 persisted-LM scoring (new)
@@ -197,7 +198,6 @@ GATE_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "dedup_semantic",
     # similarity / embeddings / graph
-    "knn_cosine",
     "knn_ivf",
     # text
     "text_lm_score",

@@ -2605,6 +2605,64 @@ def docs_temperature_sample(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_mixture_plan",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(round(sqrt(n_tokens), 6) AS DECIMAL(24,6)) AS wt FROM s
+    ),
+    tot AS (
+      SELECT CAST(SUM(wt) AS DOUBLE) AS denom, CAST(SUM(n_tokens) AS BIGINT) AS budget
+      FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(wt AS DOUBLE) / denom, 6) AS target_frac,
+           round(CAST(budget AS DOUBLE) * (CAST(wt AS DOUBLE) / denom) / n_tokens, 6)
+             AS epochs
+    FROM w CROSS JOIN tot
+    """,
+)
+def docs_mixture_plan(spark, sf_dir):
+    """Sampling — the mixture PLANNING step upstream of
+    docs_epoch_repeat: given per-source token counts, a temperature
+    target (tau=0.5: target share proportional to sqrt(tokens) — rare
+    sources up-weighted, dominant sources damped) and a one-corpus
+    token budget, emit each source's target fraction and the epoch
+    factor that achieves it (epochs > 1 = repeat, < 1 = subsample —
+    exactly what epoch_repeat_sample consumes). One per-source
+    aggregation plus a 1-row totals scalar; temperature weights round
+    to 6 decimals and sum as exact decimals, so the plan is
+    engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "wt", F.round(F.sqrt(F.col("n_tokens")), 6).cast("decimal(24,6)")
+    )
+    tot = w.agg(
+        F.sum("wt").cast("double").alias("denom"),
+        F.sum("n_tokens").cast("bigint").alias("budget"),
+    )
+    frac = F.col("wt").cast("double") / F.col("denom")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(frac, 6).alias("target_frac"),
+        F.round(
+            F.col("budget").cast("double") * frac / F.col("n_tokens"), 6
+        ).alias("epochs"),
+    )
+
+
 def _ingest_nd_oracle() -> str:
     """DuckDB twin of the near-dup-aware ingest routing: quality CTE
     (shared with text_quality_filter), md5 fingerprint exact-dup rank,
