@@ -169,6 +169,7 @@ GATE_ORDER: list[str] = [
     "emb_mean_pool",
     "text_ccnet_buckets",
     "text_quality_train",
+    "text_quality_train_heldout",
     "text_cooccurrence",
     "text_lm_heldout",
     # relational: OpenSearch wildcard query + pipeline aggregations

@@ -3339,7 +3339,12 @@ def text_quality_clf(spark, sf_dir):
     return X.quality_classifier(docs).select("doc_id", "clf_score", "clf_keep")
 
 
-def _clf_train_oracle(n_steps: int = 24, lr: float = 8.0) -> str:
+def _clf_train_oracle(
+    n_steps: int = 24,
+    lr: float = 8.0,
+    train_where: str = "TRUE",
+    eval_where: str = "TRUE",
+) -> str:
     """DuckDB twin of train_quality_classifier: the PageRank playbook
     applied to gradient descent — n_steps chained (probability,
     weight-update) CTE pairs replaying full-batch GD exactly. The
@@ -3360,6 +3365,7 @@ def _clf_train_oracle(n_steps: int = 24, lr: float = 8.0) -> str:
                   AS DOUBLE) AS y
       FROM ({rep})
     ),
+    ftr AS MATERIALIZED (SELECT * FROM f WHERE {train_where}),
     w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
     z = "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)"
     steps = []
@@ -3368,7 +3374,7 @@ def _clf_train_oracle(n_steps: int = 24, lr: float = 8.0) -> str:
     p{t} AS MATERIALIZED (
       SELECT f.doc_id, f.y, f.x0, f.x1, f.x2, f.x3, f.x4,
              round(0.5 + {z} / (2.0 * (1.0 + abs({z}))), 6) AS p
-      FROM f, w{t - 1} w
+      FROM ftr f, w{t - 1} w
     ),
     w{t} AS MATERIALIZED (
       SELECT
@@ -3386,7 +3392,7 @@ def _clf_train_oracle(n_steps: int = 24, lr: float = 8.0) -> str:
            round(0.5 + {z} / (2.0 * (1.0 + abs({z}))), 6) >= 0.5 AS pred_keep,
            (round(0.5 + {z} / (2.0 * (1.0 + abs({z}))), 6) >= 0.5) = (f.y >= 0.5)
              AS agrees
-    FROM f, w{n_steps} w
+    FROM (SELECT * FROM f WHERE {eval_where}) f, w{n_steps} w
 """
 
 
@@ -3404,6 +3410,26 @@ def text_quality_train(spark, sf_dir):
     train_quality_classifier)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     return X.train_quality_classifier(docs, n_steps=24, lr=8.0)
+
+
+@_register(
+    "text_quality_train_heldout",
+    _clf_train_oracle(train_where="doc_id % 2 = 0", eval_where="doc_id % 2 = 1"),
+)
+def text_quality_train_heldout(spark, sf_dir):
+    """X4 — HELD-OUT evaluation of the GD-trained quality classifier:
+    weights fit on the even doc_ids, predictions scored on the odd
+    ones the optimizer never saw — generalization, not memorization
+    (the text_lm_heldout discipline applied to training). Same
+    engine-exact GD; the oracle's gradient CTEs aggregate over the
+    training slice and the final scoring reads the eval slice."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.train_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n_steps=24,
+        lr=8.0,
+        train_df=docs.filter(F.col("doc_id") % 2 == 0),
+    )
 
 
 def _knn_pagerank_oracle(k: int = 5, n_iter: int = 3, damping: float = 0.85) -> str:

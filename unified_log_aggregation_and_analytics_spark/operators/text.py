@@ -889,6 +889,7 @@ def train_quality_classifier(
     lr: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """X4 — distributed TRAINING of the quality classifier (the
     distill-rules-into-a-model stage real pipelines run so the cheap
@@ -915,33 +916,43 @@ def train_quality_classifier(
     scale: steps stream over the persisted feature frame; the model
     is O(features) state.
     """
-    rep = repetition_stats(df, text_col, id_col)
-    y = (
-        (F.col("n_tokens") >= QF_MIN_TOKENS)
-        & (F.col("dup_word_frac") <= QF_MAX_DUP_WORD_FRAC)
-        & (F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC)
-        & (F.col("dup_bigram_frac") <= QF_MAX_DUP_BIGRAM_FRAC)
-    ).cast("double")
-    feats = rep.select(
-        F.col(id_col),
-        F.lit(1.0).alias("x0"),
-        (F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0)).alias("x1"),
-        F.col("dup_word_frac").alias("x2"),
-        F.col("top_word_frac").alias("x3"),
-        F.col("dup_bigram_frac").alias("x4"),
-        y.alias("y"),
-    )
-    # Materialize the feature frame ONCE (eager localCheckpoint, the
-    # dsir_select pattern): every GD step and the final scoring read
-    # the checkpointed 6-column frame (~50 B/doc) instead of
-    # re-deriving the repetition aggregation from the corpus —
-    # 37.5 s -> 21 s at the 10x corpus for 24 steps; the residual
-    # per-step cost is the aggregate evaluation itself. This makes
-    # the operator eager-by-contract (bench times construction, see
-    # bench.py EAGER_QUERIES).
-    # narrow frame, tiny rows: a handful of partitions keeps the 24
-    # per-step jobs from paying 32-task scheduling overhead each
-    feats = feats.coalesce(8).localCheckpoint()
+    def featurize(frame: DataFrame) -> DataFrame:
+        rep = repetition_stats(frame, text_col, id_col)
+        y = (
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("dup_word_frac") <= QF_MAX_DUP_WORD_FRAC)
+            & (F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC)
+            & (F.col("dup_bigram_frac") <= QF_MAX_DUP_BIGRAM_FRAC)
+        ).cast("double")
+        return rep.select(
+            F.col(id_col),
+            F.lit(1.0).alias("x0"),
+            (F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0)).alias("x1"),
+            F.col("dup_word_frac").alias("x2"),
+            F.col("top_word_frac").alias("x3"),
+            F.col("dup_bigram_frac").alias("x4"),
+            y.alias("y"),
+        )
+
+    # ``train_df`` fits the weights on a DIFFERENT corpus slice than
+    # the one scored (held-out evaluation — generalization, not
+    # memorization); default fits on the scored corpus itself.
+    feats = featurize(df)
+    # Materialize the training-feature frame ONCE (eager
+    # localCheckpoint, the dsir_select pattern): every GD step (and,
+    # when self-fit, the final scoring) reads the checkpointed
+    # 6-column frame (~50 B/doc) instead of re-deriving the
+    # repetition aggregation from the corpus — 37.5 s -> 21 s at the
+    # 10x corpus for 24 steps; the residual per-step cost is the
+    # aggregate evaluation itself. Eager-by-contract (bench times
+    # construction, see bench.py EAGER_QUERIES). A handful of
+    # partitions keeps the per-step jobs from paying 32-task
+    # scheduling overhead each.
+    train_feats = (feats if train_df is None else featurize(train_df)).coalesce(
+        8
+    ).localCheckpoint()
+    if train_df is None:
+        feats = train_feats
     xs = ["x0", "x1", "x2", "x3", "x4"]
     w = [0.0] * len(xs)
 
@@ -959,7 +970,7 @@ def train_quality_classifier(
 
     for _ in range(n_steps):
         e = p_expr() - F.col("y")
-        row = feats.agg(
+        row = train_feats.agg(
             *[
                 F.round(
                     F.lit(w[j])
