@@ -201,6 +201,8 @@ SCALAR_BROADCAST_OK = {
     "docs_corpus_ingest_lm",  # composes the same 1-row V scalar
     "text_lm_score_indexed",  # same 1-row V scalar, read from the model
     "text_lm_heldout",  # same 1-row V scalar (external-lm branch)
+    "docs_mixture_plan",  # 1-row (denom, budget) totals scalar over
+    #   the per-source aggregate (sources, not corpus rows)
     "tpch_q22",  # 1-row (sum, count) balance-threshold scalar
     "tpch_q11",  # 1-row global-total threshold scalar
     "tpch_q15",  # 1-row max-revenue scalar
