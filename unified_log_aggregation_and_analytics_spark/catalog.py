@@ -180,6 +180,7 @@ GATE_ORDER: list[str] = [
     "q06f_composite_agg",
     "q06g_rare_terms",
     "q08e_histogram_dense",
+    "q08f_burn_rate",
     # ---- certified anchors (driver-green in r1–r6), the remaining
     #      ~15 window slots, chosen so every family keeps its
     #      tests/test_catalog_registry.py minimum (relational 15,
@@ -196,7 +197,6 @@ GATE_ORDER: list[str] = [
     "logs_ewma_anomaly",
     # dedup
     "dedup_minhash_lsh_md5",
-    "dedup_simhash_pairs",
     "dedup_semantic",
     # similarity / embeddings / graph
     "knn_ivf",
@@ -3052,6 +3052,69 @@ def q08e_histogram_dense(spark, sf_dir):
     return grid.join(
         hourly, grid["bucket_start"] == hourly["h"], "left"
     ).select("bucket_start", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+
+
+@_register(
+    "q08f_burn_rate",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5,
+             COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT b5, n_total, n_err,
+             CAST(SUM(n_total) OVER tw AS BIGINT) AS lt,
+             CAST(SUM(n_err) OVER tw AS BIGINT) AS le
+      FROM b
+      WINDOW tw AS (ORDER BY b5 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT b5 AS bucket_start,
+           round(CAST(n_err AS DOUBLE) / n_total, 6) AS short_rate,
+           round(CAST(le AS DOUBLE) / lt, 6) AS long_rate,
+           round(CAST(n_err AS DOUBLE) / n_total, 6)
+             > 2.0 * round(CAST(le AS DOUBLE) / lt, 6) AS burn_alert
+    FROM w
+    """,
+)
+def q08f_burn_rate(spark, sf_dir):
+    """Q8/ST — SRE multi-window burn-rate alerting (the
+    error-budget policy OpenSearch alerting monitors implement): per
+    5-minute bucket, the short-window error rate against the trailing
+    1-hour rate (12-bucket window sums — INTEGER sums, one division,
+    so the rates are engine-exact), alert when the short window burns
+    at more than twice the long-window rate. Window state is the
+    5-minute histogram, never event rows; at 100 TB partition the
+    window by (service, day) — here the single global series is the
+    certificate form."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    b5 = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("timestamp")
+    b = ev.groupBy(b5.alias("b5")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    tw = W.orderBy("b5").rowsBetween(-11, 0)
+    w = b.select(
+        "b5",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(tw).cast("bigint").alias("lt"),
+        F.sum("n_err").over(tw).cast("bigint").alias("le"),
+    )
+    short = F.round(F.col("n_err").cast("double") / F.col("n_total"), 6)
+    long_ = F.round(F.col("le").cast("double") / F.col("lt"), 6)
+    return w.select(
+        F.col("b5").alias("bucket_start"),
+        short.alias("short_rate"),
+        long_.alias("long_rate"),
+        (short > F.lit(2.0) * long_).alias("burn_alert"),
+    )
 
 
 @_register(
