@@ -197,11 +197,11 @@ GATE_ORDER: list[str] = [
     "logs_ewma_anomaly",
     # dedup
     "dedup_minhash_lsh_md5",
+    "dedup_simhash_pairs",
     "dedup_semantic",
     # similarity / embeddings / graph
     "knn_ivf",
     # text
-    "text_lm_score",
     # sampling / training pipeline
     "docs_corpus_ingest_nd",
     # multimodal anchors
