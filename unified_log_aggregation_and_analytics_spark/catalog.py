@@ -204,8 +204,6 @@ GATE_ORDER: list[str] = [
     # text
     # sampling / training pipeline
     "docs_corpus_ingest_nd",
-    # multimodal anchors
-    "multimodal_video_stats",
 ]
 
 
