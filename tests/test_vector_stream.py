@@ -58,6 +58,15 @@ def test_vector_pipeline_maintains_probeable_index(spark, tmp_path):
     b1.append({"vec_id": 20, "embedding": [9.0] * 8})  # dup id, new values
     (src / "b00.json").write_text("\n".join(json.dumps(r) for r in b0))
     (src / "b01.json").write_text("\n".join(json.dumps(r) for r in b1))
+    # FileStreamSource orders micro-batches by modification time; the
+    # two writes above can land in the same clock tick, making batch
+    # order (and so which duplicate copy wins) nondeterministic — pin
+    # distinct mtimes so b00 is always the first trigger
+    import os, time
+
+    now = time.time()
+    os.utime(src / "b00.json", (now - 10, now - 10))
+    os.utime(src / "b01.json", (now, now))
 
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
