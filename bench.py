@@ -111,11 +111,14 @@ BENCH_QUERIES = [
     "text_ccnet_buckets",
     "docs_soft_dedup_weights",
     "dedup_contamination_spans",
-    # round-7: multimodal keyframes + LM-gated ingest + classifier
-    # training (eager: 24 GD aggregate jobs at construction)
+    # round-7: multimodal keyframes + LM-gated ingest. (The GD
+    # training certificate text_quality_train is deliberately NOT
+    # benched: 24 eager aggregate jobs x min-of-3 would add ~30 s of
+    # driver bench time for an operator whose cost is training-run,
+    # not query-latency, shaped — its correctness rides the oracle
+    # gate instead.)
     "multimodal_keyframes",
     "docs_corpus_ingest_lm",
-    "text_quality_train",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -213,7 +216,6 @@ EAGER_QUERIES = {
     "docs_dsir_sample",
     "q07e_heavy_hitters",
     "multimodal_ingest_report",
-    "text_quality_train",  # 24 GD aggregate jobs run at construction
 }
 
 
