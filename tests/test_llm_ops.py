@@ -1552,3 +1552,25 @@ def test_quality_train_beats_base_rate(spark, docs):
     bad = out.filter("clf_p < 0.0 OR clf_p > 1.0").count()
     assert bad == 0
     out.unpersist()
+
+
+def test_remove_duplicated_spans_rebuilds_text(spark):
+    """Span removal: surviving text is exactly the uncovered tokens
+    (hash-verified), fully-duplicated docs clean to the empty string."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x a b c d y"), (3, "p q r s t u"),
+         (4, "a b c d"), (5, "a b c d")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.remove_duplicated_spans(df, k=4, min_count=2).collect()}
+    # docs 1/2 share "a b c d": doc1 keeps "e f", doc2 keeps "x y"
+    assert out[1]["kept_tokens"] == 2
+    assert out[1]["cleaned_hash"] == hashlib.md5(b"e f").hexdigest()
+    assert out[2]["cleaned_hash"] == hashlib.md5(b"x y").hexdigest()
+    assert out[3]["kept_tokens"] == 6  # untouched
+    # exact duplicates 4/5 clean to empty
+    for d in (4, 5):
+        assert out[d]["kept_tokens"] == 0
+        assert out[d]["cleaned_hash"] == hashlib.md5(b"").hexdigest()

@@ -164,6 +164,7 @@ GATE_ORDER: list[str] = [
     # mining, CCNet perplexity buckets
     "dedup_substring",
     "dedup_contamination_spans",
+    "dedup_substring_clean",
     "knn_hard_negatives",
     "knn_hard_negatives_indexed",
     "emb_mean_pool",
@@ -187,7 +188,6 @@ GATE_ORDER: list[str] = [
     #      dedup 5, similarity 4, logs/text/sampling 3, multimodal 2
     #      — pending entries count toward the minimums too) ----
     # relational (15 of the pending entries above are relational)
-    "q06_tpch_q1",
     "q11d_bucketed_join",
     "tpch_q21",
     "q02g_hybrid_rrf",

@@ -198,6 +198,54 @@ def dedup_substring(spark, sf_dir):
     return D.duplicated_spans(docs, k=10, min_count=2)
 
 
+@_register(
+    "dedup_substring_clean",
+    """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(1, greatest(len(t) - 9, 1) + 1)) AS pos, t
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, pos,
+             md5(array_to_string(list_slice(t, pos, pos + 9), ' ')) AS gh
+      FROM pos
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT g.doc_id,
+               unnest(range(g.pos, least(g.pos + 9, g.n_tokens) + 1)) AS idx
+        FROM grams g JOIN dup d USING (gh)
+      )
+    ),
+    cv AS (SELECT doc_id, list(idx) AS cov FROM cov GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id, t.t,
+             list_transform(
+               list_filter(range(1, len(t.t) + 1),
+                           i -> cv.cov IS NULL OR NOT list_contains(cv.cov, i)),
+               i -> t.t[i]) AS kt
+      FROM toks t LEFT JOIN cv ON t.doc_id = cv.doc_id
+    )
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(kt) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(array_to_string(kt, ' '), '')) AS cleaned_hash
+    FROM kept
+    """,
+)
+def dedup_substring_clean(spark, sf_dir):
+    """X2 — the ACTION to dedup_substring's census: each document
+    rebuilt with its corpus-duplicated 10-gram spans cut (the
+    ExactSubstr edit), certified by the md5 of the exact surviving
+    text. Covered indices come back as one bounded per-doc array; the
+    rebuild is a single indexed higher-order filter
+    (operators/dedup.py remove_duplicated_spans)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return D.remove_duplicated_spans(docs, k=10, min_count=2)
+
+
 @_register("dedup_simhash", None)  # engine-specific xxhash64: rows-only
 def dedup_simhash(spark, sf_dir):
     """X2 — 64-bit SimHash fingerprints (xxhash64 token hashes have no

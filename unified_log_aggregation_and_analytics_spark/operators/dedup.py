@@ -830,3 +830,64 @@ def contamination_spans(
         F.col(id_col), F.col("n_tokens"), F.col("pos")
     )
     return _span_census(df, hits, toks, k, id_col, "contam_tokens", "contam_frac")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """X2 — the ACTION to duplicated_spans' census: rebuild each
+    document with its corpus-duplicated spans cut (ExactSubstr's
+    actual edit), returning (doc_id, n_tokens, kept_tokens,
+    cleaned_hash) — the hash certifies the exact surviving text
+    without shipping it.
+
+    Plan: the positioned-gram/multiplicity stages are
+    duplicated_spans'; covered token indices come back per doc as ONE
+    collect_set array (bounded by document length, the same per-doc
+    state every window op carries), and the rebuild is a single
+    indexed higher-order filter over the token array — map-only after
+    the join. The census (interval-merge, no per-token explode) stays
+    the fast reporting path; this variant pays the per-token
+    materialization only when the caller actually wants the edited
+    corpus."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = tokens(text_col)
+    grams = _positioned_grams(df, toks, k, id_col)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    cov = (
+        grams.join(dup, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + F.lit(k - 1), F.col("n_tokens")),
+                )
+            ).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("_cov"))
+    )
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_toks"))
+    joined = base.join(cov, id_col, "left")
+    cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(cov_arr, i + F.lit(1))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("cleaned_hash"),
+    )
