@@ -253,6 +253,9 @@ MULTI_SCAN_OK = {
     # frame; at scale the gram frame persists once (the docstring's
     # certificate-vs-production note)
     "dedup_substring",
+    # same gram subtree x2 plus the token-array rebuild pass; the
+    # census (interval-merge) is the fast path, this is the edit
+    "dedup_substring_clean",
     # 3 scans: corpus gram stream + the bench slice's gram set (a
     # filter of the same file standing in for the eval corpus — in
     # production a separate, MB-sized table) + the per-doc length
