@@ -182,13 +182,13 @@ GATE_ORDER: list[str] = [
     "q06g_rare_terms",
     "q08e_histogram_dense",
     "q08f_burn_rate",
+    "q08g_apdex",
     # ---- certified anchors (driver-green in r1–r6), the remaining
     #      ~15 window slots, chosen so every family keeps its
     #      tests/test_catalog_registry.py minimum (relational 15,
     #      dedup 5, similarity 4, logs/text/sampling 3, multimodal 2
     #      — pending entries count toward the minimums too) ----
     # relational (15 of the pending entries above are relational)
-    "q11d_bucketed_join",
     "tpch_q21",
     "q02g_hybrid_rrf",
     # logs
@@ -3112,6 +3112,44 @@ def q08f_burn_rate(spark, sf_dir):
         short.alias("short_rate"),
         long_.alias("long_rate"),
         (short > F.lit(2.0) * long_).alias("burn_alert"),
+    )
+
+
+@_register(
+    "q08g_apdex",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_satisfied,
+           CAST(SUM(CASE WHEN value > 25.0 AND value <= 100.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tolerating,
+           round(CAST(2 * SUM(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN value > 25.0 AND value <= 100.0
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (2 * COUNT(*)), 6) AS apdex
+    FROM events GROUP BY 1
+    """,
+)
+def q08g_apdex(spark, sf_dir):
+    """Q8 — hourly Apdex score (the user-satisfaction SLI dashboards
+    chart next to the date histogram): satisfied (value <= T=25),
+    tolerating (<= 4T), apdex = (satisfied + tolerating/2) / total —
+    computed as (2s + t) / 2n from INTEGER counts with one final
+    division, so the score is engine-exact. One hash aggregation at
+    the hour grain, partial-combined map-side."""
+    ev = _t(spark, sf_dir, "events")
+    sat = F.sum(F.when(F.col("value") <= 25.0, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("value") > 25.0) & (F.col("value") <= 100.0), 1).otherwise(0)
+    )
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        sat.cast("bigint").alias("n_satisfied"),
+        tol.cast("bigint").alias("n_tolerating"),
+        F.round(
+            (F.lit(2) * sat + tol).cast("double") / (F.lit(2) * F.count(F.lit(1))), 6
+        ).alias("apdex"),
     )
 
 
