@@ -140,3 +140,73 @@ def test_gate_certified_matches_ledger():
     stale = sorted(ledger - _cat.GATE_CERTIFIED)
     assert not extra, f"GATE_CERTIFIED entries with no green driver row: {extra}"
     assert not stale, f"green driver rows missing from GATE_CERTIFIED: {stale}"
+
+
+# --- round-8 rotation policy (ledger-derived, oldest-cert-first) -------
+
+
+def test_gate_certified_derives_from_ledger_files():
+    """Since r8, GATE_CERTIFIED IS the ledger union computed at import —
+    the set can never go stale when the driver drops a new
+    CORRECTNESS_r{N}.json (the r6/r7 failure mode)."""
+    rounds = _cat._ledger_green_rounds()
+    assert rounds is not None, "judged tree carries ledgers"
+    assert _cat.GATE_CERTIFIED == set(rounds)
+
+
+def test_gate_order_policy_pending_first_then_oldest():
+    """Unit-test the rotation policy on a synthetic registry: pending
+    entries lead (registration order), then certified entries re-cert
+    oldest-round-first, with family minimums able to pull newer
+    entries in ahead of the global age order."""
+    # 60 relational + 3 multimodal certified entries; 4 pending.
+    oracle_backed = [f"q{i:02d}_syn" for i in range(60)] + [
+        "multimodal_a",
+        "multimodal_b",
+        "multimodal_c",
+        "q98_new",
+        "tpch_new",
+        "dedup_new",
+        "knn_new",
+    ]
+    certified = set(oracle_backed[:63])
+    # round number grows with registration index; multimodal newest.
+    rounds = {f"q{i:02d}_syn": 1 + i // 20 for i in range(60)}
+    rounds.update({"multimodal_a": 9, "multimodal_b": 9, "multimodal_c": 9})
+    window = _cat._build_gate_order(oracle_backed, certified, rounds)
+    assert len(window) == _cat.GATE_WINDOW
+    # 1. pending first, registration order
+    assert window[:4] == ["q98_new", "tpch_new", "dedup_new", "knn_new"]
+    # 2. family minimum pulls the round-9 multimodal entries in even
+    #    though 60 older relational entries exist
+    assert {"multimodal_a", "multimodal_b"} <= set(window)
+    # 3. the free slots go to the globally oldest certified entries:
+    #    every certified relational entry left OUT must be at least as
+    #    new as the newest relational entry kept IN.
+    rel_in = [n for n in window if n.startswith("q") and n in certified]
+    rel_out = [n for n in oracle_backed if n.startswith("q") and n in certified and n not in window]
+    assert max(rounds[n] for n in rel_in) <= min(rounds[n] for n in rel_out)
+
+
+def test_gate_window_is_the_longest_uncertified():
+    """Live check: with zero pending entries (the r7 end-state), every
+    certified entry excluded from the window must have a latest-green
+    round >= the newest window entry of the same family (family
+    minimums make cross-family comparisons invalid)."""
+    rounds = _cat._ledger_green_rounds() or {}
+    window = _cat.GATE_ORDER
+    pending = [n for n in entry.oracle_sql() if n not in _cat.GATE_CERTIFIED]
+    if pending:
+        return  # mid-round state: pending-first behavior covered above
+    for family, (pat, _minimum) in _FAMILIES.items():
+        fam_in = [n for n in window if pat.match(n)]
+        fam_out = [
+            n
+            for n in entry.oracle_sql()
+            if pat.match(n) and n in _cat.GATE_CERTIFIED and n not in window
+        ]
+        if not fam_in or not fam_out:
+            continue
+        assert max(rounds[n] for n in fam_in) <= min(rounds[n] for n in fam_out), (
+            f"{family}: window holds a newer certification than an excluded entry"
+        )

@@ -22,8 +22,11 @@ SQL string DuckDB runs over the same parquet views. Determinism rules
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,164 +60,226 @@ def _register(name: str, oracle: str | None):
 # ANN / text / sampling / multimodal) without a driver-verified row, so
 # the gate window is stratified explicitly and ROTATED each round.
 #
-# Rotation policy (round 5+): every oracle-backed catalog entry must
-# earn a driver-green CORRECTNESS row within two rounds of landing.
-# Each round, entries already certified by a previous round's driver
-# gate (see GATE_CERTIFIED below) rotate OUT of the window — keeping
-# only enough certified anchors to satisfy the per-family minimums in
-# tests/test_catalog_registry.py — and never-driver-sampled entries
-# rotate IN, oldest first. ``gate_ordered_names()`` validates the list
-# against the registry; the registry tests assert family coverage and
-# that every window entry carries an oracle.
+# Rotation policy (round 8+, fully ledger-derived — nothing is pasted
+# by hand when the driver writes a new CORRECTNESS ledger):
+#   1. Oracle-backed entries with NO green driver row yet ("pending")
+#      fill the window first, registration order — every new operator
+#      earns a driver-certified row within ~2 rounds of landing.
+#   2. Remaining slots RE-certify the entries whose LATEST green row
+#      is oldest (smallest ledger round number), so each oracle-backed
+#      entry is re-verified at least every ~4 rounds (188 entries / 50
+#      slots) and a regression cannot hide behind a stale green.
+#   3. Per-family minimums (GATE_FAMILY_MINIMUMS, mirrored in
+#      tests/test_catalog_registry.py) are satisfied first within the
+#      re-cert fill so the window always spans every operator family.
 GATE_WINDOW = 50
 
-# Entries with a green driver row (rows+schema+hash all true, no err)
-# in the union of CORRECTNESS_r01..r05 — regenerated each round from
-# the literal ledger files (tools/gen_gate_certified.py); the registry
-# test test_gate_certified_matches_ledger pins this set to the ledger
-# so a never-green entry can no longer be wrongly retired from the
-# rotation (the round-5 q07b/q06c bookkeeping bug).
-GATE_CERTIFIED: set[str] = {
+# family name -> (prefix regex, minimum entries in the gate window)
+GATE_FAMILY_MINIMUMS: dict[str, tuple[str, int]] = {
+    "relational": (r"^(q\d|tpch_)", 15),
+    "logs": (r"^logs_", 3),
+    "dedup": (r"^dedup_", 5),
+    "similarity": (r"^(knn_|ann_|emb_)", 4),
+    "text": (r"^text_", 3),
+    "sampling": (r"^docs_", 3),
+    "multimodal": (r"^multimodal_", 2),
+}
+
+
+def _ledger_green_rounds() -> dict[str, int] | None:
+    """name -> LATEST round with a fully-green driver row (rows_match,
+    schema_match, hash_match all true, no err), parsed from the
+    CORRECTNESS_r*.json ledgers the driver drops at the repo root.
+    Returns None when no ledger file is readable (e.g. an installed
+    copy of the package) so the caller falls back to the frozen
+    literal below."""
+    root = Path(__file__).resolve().parents[1]
+    rounds: dict[str, int] = {}
+    found = False
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if not m:
+            continue
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        found = True
+        rnum = int(m.group(1))
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                rounds[name] = max(rounds.get(name, 0), rnum)
+    return rounds if found else None
+
+
+# Frozen fallback ONLY for trees carrying no ledger files — regenerate
+# with tools/gen_gate_certified.py when cutting such a tree. Where the
+# ledgers exist (the judged repo) they are authoritative and this
+# literal is never consulted.
+_GATE_CERTIFIED_FROZEN: set[str] = {
     "ann_lsh_index_stats", "ann_recall_report", "dedup_chunks",
-    "dedup_clusters_md5", "dedup_contamination", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_lsh_md5", "dedup_minhash_sig",
-    "dedup_ngram_jaccard", "dedup_prefix_cluster", "dedup_semantic",
-    "dedup_simhash_md5", "dedup_simhash_pairs", "docs_cluster_split",
-    "docs_corpus_ingest", "docs_corpus_ingest_nd", "docs_dedup_report",
-    "docs_dsir_sample", "docs_epoch_repeat", "docs_filter_drift",
-    "docs_hash_split", "docs_mixture_sample", "docs_pack_contiguous",
-    "docs_profile", "docs_quota_sample", "docs_split_leakage",
+    "dedup_clusters_md5", "dedup_contamination",
+    "dedup_contamination_spans", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh_md5", "dedup_minhash_sig", "dedup_ngram_jaccard",
+    "dedup_prefix_cluster", "dedup_semantic", "dedup_simhash_md5",
+    "dedup_simhash_pairs", "dedup_substring", "dedup_substring_clean",
+    "docs_cluster_split", "docs_corpus_ingest", "docs_corpus_ingest_lm",
+    "docs_corpus_ingest_nd", "docs_dedup_report", "docs_dsir_sample",
+    "docs_epoch_repeat", "docs_filter_drift", "docs_hash_split",
+    "docs_length_buckets", "docs_mixture_plan", "docs_mixture_sample",
+    "docs_pack_contiguous", "docs_profile", "docs_quota_sample",
+    "docs_soft_dedup_weights", "docs_split_leakage",
     "docs_stratified_sample", "docs_temperature_sample",
-    "docs_training_pipeline", "docs_weighted_sample", "emb_norm_stats",
-    "emb_quantize_int8", "knn_ann_lsh", "knn_ann_lsh_appended",
-    "knn_ann_lsh_indexed", "knn_ann_lsh_oracle", "knn_batch",
-    "knn_batch_ann_indexed", "knn_batch_ivf_indexed", "knn_cosine",
-    "knn_graph_degrees", "knn_graph_pagerank", "knn_ivf",
-    "knn_ivf_appended", "knn_ivf_indexed", "knn_ivf_refined",
-    "knn_join_graph", "knn_join_graph_mp", "knn_pq_adc_seeded",
-    "langid_accuracy_report", "logs_apache_parse",
+    "docs_training_pipeline", "docs_weighted_sample", "emb_mean_pool",
+    "emb_norm_stats", "emb_quantize_int8", "knn_ann_lsh",
+    "knn_ann_lsh_appended", "knn_ann_lsh_indexed", "knn_ann_lsh_oracle",
+    "knn_batch", "knn_batch_ann_indexed", "knn_batch_ivf_indexed",
+    "knn_cosine", "knn_graph_degrees", "knn_graph_pagerank",
+    "knn_hard_negatives", "knn_hard_negatives_indexed", "knn_ivf",
+    "knn_ivf_appended", "knn_ivf_filtered", "knn_ivf_indexed",
+    "knn_ivf_refined", "knn_join_graph", "knn_join_graph_mp",
+    "knn_pq_adc_seeded", "langid_accuracy_report", "logs_apache_parse",
     "logs_envelope_roundtrip", "logs_error_parse", "logs_error_rate",
     "logs_ewma_anomaly", "logs_funnel", "logs_json_props",
     "logs_retention_cohorts", "logs_sessionize", "logs_tab_parse",
-    "logs_templates", "multimodal_audio_stats", "multimodal_image_stats",
-    "multimodal_image_stats_png", "multimodal_join",
-    "multimodal_video_frames", "multimodal_video_stats",
-    "pq_recall_report", "q01_filter_predicates", "q02_fulltext_search",
-    "q02b_token_index_search", "q02c_ranked_search", "q02d_indexed_search",
-    "q02e_indexed_bm25", "q02f_indexed_bm25_appended", "q02g_hybrid_rrf",
-    "q02h_fuzzy_search", "q02i_phrase_search",
-    "q02j_phrase_search_indexed", "q02k_more_like_this",
-    "q02l_search_highlights", "q02m_phrase_indexed_appended",
-    "q02n_prefix_suggest", "q02o_percolate", "q03_time_range",
-    "q04_projection", "q05_union_sources", "q06_tpch_q1",
-    "q06b_percentiles", "q06c_approx_percentiles", "q07_distinct_users",
-    "q07b_approx_distinct", "q07c_skew_distinct", "q08_hourly_histogram",
-    "q08b_sliding_window", "q08c_anomaly_zscore", "q09_sort_orders",
-    "q10_topk_users", "q10b_topk_per_group", "q10c_trending",
-    "q11_join_star_revenue", "q11b_join_left_orders", "q11c_salted_join",
-    "q11d_bucketed_join", "q12_semi_join", "q12b_anti_join",
-    "q13_asof_join", "q13b_range_join_binned", "q14_window_funcs",
-    "q14b_moving_avg", "q15_intersect", "q15b_except", "q16_rollup",
-    "q16b_cube", "q16c_grouping_sets", "q17_dedup_distinct", "q18_pivot",
-    "text_chunks_rag", "text_corpus_bigrams", "text_entropy",
-    "text_fingerprint", "text_gopher_rules", "text_lang_profile",
-    "text_langid", "text_langid_ngram", "text_lm_score", "text_pii_scrub",
-    "text_quality", "text_quality_clf", "text_quality_filter",
-    "text_repetition", "text_tfidf_top", "text_token_stats", "tpch_q10",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q2",
-    "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7",
+    "logs_templates", "multimodal_audio_segments",
+    "multimodal_audio_stats", "multimodal_image_stats",
+    "multimodal_image_stats_png", "multimodal_ingest_report",
+    "multimodal_join", "multimodal_keyframes", "multimodal_video_frames",
+    "multimodal_video_stats", "pq_recall_report", "q01_filter_predicates",
+    "q02_fulltext_search", "q02b_token_index_search", "q02c_ranked_search",
+    "q02d_indexed_search", "q02e_indexed_bm25",
+    "q02f_indexed_bm25_appended", "q02g_hybrid_rrf", "q02h_fuzzy_search",
+    "q02i_phrase_search", "q02j_phrase_search_indexed",
+    "q02k_more_like_this", "q02l_search_highlights",
+    "q02m_phrase_indexed_appended", "q02n_prefix_suggest",
+    "q02o_percolate", "q02p_wildcard", "q02q_wildcard_indexed",
+    "q03_time_range", "q04_projection", "q05_union_sources", "q06_tpch_q1",
+    "q06b_percentiles", "q06c_approx_percentiles", "q06d_quantile_cube",
+    "q06e_significant_terms", "q06f_composite_agg", "q06g_rare_terms",
+    "q07_distinct_users", "q07b_approx_distinct", "q07c_skew_distinct",
+    "q07d_sketch_cube_distinct", "q07e_heavy_hitters",
+    "q08_hourly_histogram", "q08b_sliding_window", "q08c_anomaly_zscore",
+    "q08d_histogram_pipeline", "q08e_histogram_dense", "q08f_burn_rate",
+    "q08g_apdex", "q09_sort_orders", "q09b_search_after", "q10_topk_users",
+    "q10b_topk_per_group", "q10c_trending", "q11_join_star_revenue",
+    "q11b_join_left_orders", "q11c_salted_join", "q11d_bucketed_join",
+    "q12_semi_join", "q12b_anti_join", "q13_asof_join",
+    "q13b_range_join_binned", "q14_window_funcs", "q14b_moving_avg",
+    "q15_intersect", "q15b_except", "q16_rollup", "q16b_cube",
+    "q16c_grouping_sets", "q17_dedup_distinct", "q18_pivot",
+    "text_ccnet_buckets", "text_chunks_rag", "text_cooccurrence",
+    "text_corpus_bigrams", "text_entropy", "text_fingerprint",
+    "text_gopher_rules", "text_lang_profile", "text_langid",
+    "text_langid_ngram", "text_lm_heldout", "text_lm_score",
+    "text_lm_score_indexed", "text_pii_scrub", "text_quality",
+    "text_quality_clf", "text_quality_filter", "text_quality_train",
+    "text_quality_train_heldout", "text_repetition", "text_tfidf_top",
+    "text_token_stats", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
 }
 
-GATE_ORDER: list[str] = [
-    # ---- pending driver certification (no green row in r1–r6):
-    #      the 11 last never-driver-sampled entries from earlier
-    #      rounds plus every round-7 addition (media routing,
-    #      span dedup, hard negatives, CCNet buckets, GD training,
-    #      co-occurrence, held-out LM, pipeline aggs, pagination,
-    #      keyframes, soft dedup, LM-gated ingest, mean pooling) —
-    #      ~35 pending entries fill the window front ----
-    # relational: TPC-H completion shapes (final 7 of 14)
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    # relational: cube / sketch certificates
-    "q06d_quantile_cube",
-    "q06e_significant_terms",
-    "q07d_sketch_cube_distinct",
-    "q07e_heavy_hitters",
-    # multimodal: round-7 media-routing certificate (new)
-    "multimodal_ingest_report",
-    "multimodal_keyframes",
-    "multimodal_audio_segments",
-    # sampling: round-7 length-bucketing census (new)
-    "docs_length_buckets",
-    "docs_soft_dedup_weights",
-    "docs_corpus_ingest_lm",
-    "docs_mixture_plan",
-    # similarity: round-7 filtered vector search (new)
-    "knn_ivf_filtered",
-    # text: round-7 persisted-LM scoring (new)
-    "text_lm_score_indexed",
-    # round-7 session-2 additions: span-level dedup, hard-negative
-    # mining, CCNet perplexity buckets
-    "dedup_substring",
-    "dedup_contamination_spans",
-    "dedup_substring_clean",
-    "knn_hard_negatives",
-    "knn_hard_negatives_indexed",
-    "emb_mean_pool",
-    "text_ccnet_buckets",
-    "text_quality_train",
-    "text_quality_train_heldout",
-    "text_cooccurrence",
-    "text_lm_heldout",
-    # relational: OpenSearch wildcard query + pipeline aggregations
-    "q02p_wildcard",
-    "q02q_wildcard_indexed",
-    "q08d_histogram_pipeline",
-    "q09b_search_after",
-    "q06f_composite_agg",
-    "q06g_rare_terms",
-    "q08e_histogram_dense",
-    "q08f_burn_rate",
-    "q08g_apdex",
-    # ---- certified anchors (driver-green in r1–r6), the remaining
-    #      ~15 window slots, chosen so every family keeps its
-    #      tests/test_catalog_registry.py minimum (relational 15,
-    #      dedup 5, similarity 4, logs/text/sampling 3, multimodal 2
-    #      — pending entries count toward the minimums too) ----
-    # relational (15 of the pending entries above are relational)
-    "tpch_q21",
-    "q02g_hybrid_rrf",
-    # logs
-    "logs_apache_parse",
-    "logs_funnel",
-    "logs_ewma_anomaly",
-    # dedup
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_pairs",
-    "dedup_semantic",
-    # similarity / embeddings / graph
-    "knn_ivf",
-    # text
-    # sampling / training pipeline
-    "docs_corpus_ingest_nd",
-]
+_LEDGER_ROUNDS = _ledger_green_rounds()
+
+# Entries with a green driver row — derived from the ledger FILES at
+# import since round 8 (test_gate_certified_matches_ledger pins this
+# set to the files; deriving it makes the pin structural: the suite
+# stays green the moment the driver writes CORRECTNESS_r{N}.json,
+# instead of going red until a hand regeneration, as in r6/r7).
+GATE_CERTIFIED: set[str] = (
+    set(_LEDGER_ROUNDS) if _LEDGER_ROUNDS is not None else set(_GATE_CERTIFIED_FROZEN)
+)
+
+_GATE_ORDER_CACHE: list[str] | None = None
+
+
+def _build_gate_order(
+    oracle_backed: list[str] | None = None,
+    certified_set: set[str] | None = None,
+    rounds: dict[str, int] | None = None,
+) -> list[str]:
+    """Cut the 50-entry driver gate window under the rotation policy
+    documented above GATE_WINDOW. Deterministic given the registry and
+    the ledger files; built lazily so every catalog module has
+    registered first. The three parameters default to live module
+    state and exist so the policy is unit-testable on synthetic
+    registries (tests/test_catalog_registry.py)."""
+    if oracle_backed is None:
+        oracle_backed = [n for n, q in QUERIES.items() if q.oracle is not None]
+    if certified_set is None:
+        certified_set = GATE_CERTIFIED
+    if rounds is None:
+        rounds = _LEDGER_ROUNDS or {}
+    reg_index = {n: i for i, n in enumerate(oracle_backed)}
+
+    pending = [n for n in oracle_backed if n not in certified_set]
+    certified = sorted(
+        (n for n in oracle_backed if n in certified_set),
+        key=lambda n: (rounds.get(n, 0), reg_index[n]),
+    )
+
+    window: list[str] = pending[:GATE_WINDOW]
+    taken = set(window)
+    # Family minimums first (oldest-certified within each family) ...
+    for _fam, (pat_s, minimum) in GATE_FAMILY_MINIMUMS.items():
+        pat = re.compile(pat_s)
+        have = sum(1 for n in window if pat.match(n))
+        for n in certified:
+            if have >= minimum or len(window) >= GATE_WINDOW:
+                break
+            if n not in taken and pat.match(n):
+                window.append(n)
+                taken.add(n)
+                have += 1
+    # ... then globally oldest-certified until the window is full.
+    for n in certified:
+        if len(window) >= GATE_WINDOW:
+            break
+        if n not in taken:
+            window.append(n)
+            taken.add(n)
+    return window
+
+
+def _ensure_catalog_modules() -> None:
+    """The gate window needs the FULL registry; import the sibling
+    catalog modules (idempotent; lazy to avoid an import cycle — they
+    import this module for ``_register``)."""
+    import importlib
+
+    for mod in ("catalog_logs", "catalog_llm"):
+        importlib.import_module(f"unified_log_aggregation_and_analytics_spark.{mod}")
+
+
+def _gate_order() -> list[str]:
+    global _GATE_ORDER_CACHE
+    if _GATE_ORDER_CACHE is None:
+        _ensure_catalog_modules()
+        _GATE_ORDER_CACHE = _build_gate_order()
+    return _GATE_ORDER_CACHE
+
+
+def __getattr__(name: str):  # PEP 562 — GATE_ORDER is ledger-derived
+    if name == "GATE_ORDER":
+        return _gate_order()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def gate_ordered_names() -> list[str]:
-    """All registered query names, GATE_ORDER first, rest in
-    registration order. Call after every catalog module has imported."""
-    missing = [n for n in GATE_ORDER if n not in QUERIES]
-    if missing:
-        raise KeyError(f"GATE_ORDER names not registered: {missing}")
-    rest = [n for n in QUERIES if n not in set(GATE_ORDER)]
-    return list(GATE_ORDER) + rest
+    """All registered query names: the gate window first (GATE_ORDER —
+    the 50 entries the driver's correctness gate samples, rotation
+    policy above), rest in registration order. Call after every
+    catalog module has imported."""
+    order = _gate_order()
+    rest = [n for n in QUERIES if n not in set(order)]
+    return order + rest
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

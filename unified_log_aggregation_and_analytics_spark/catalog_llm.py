@@ -3178,7 +3178,10 @@ def knn_join_graph(spark, sf_dir):
     DuckDB twin replays buckets, pairs, and scores exactly); recall
     vs the exact graph pinned in tests/test_llm_ops.py."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    return S.knn_join(emb, k=5, n_bits=4, dim=64)
+    # multiprobe_bits=1: the exhaustive all-bit-flip baseline this
+    # entry's oracle models; the package default (margin multiprobe)
+    # is oracle-certified by knn_join_graph_mp.
+    return S.knn_join(emb, k=5, n_bits=4, dim=64, multiprobe_bits=1)
 
 
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
@@ -3548,7 +3551,7 @@ def knn_graph_pagerank(spark, sf_dir):
     from unified_log_aggregation_and_analytics_spark.operators.graph import pagerank
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    edges = S.knn_join(emb, k=5, n_bits=4, dim=64).select("src", "nbr")
+    edges = S.knn_join(emb, k=5, n_bits=4, dim=64, multiprobe_bits=1).select("src", "nbr")
     edges = edges.localCheckpoint(eager=True)
     return pagerank(edges).orderBy("id").select(
         F.col("id").alias("vec_id"), "rank"
@@ -3596,7 +3599,7 @@ def knn_graph_degrees(spark, sf_dir):
     )
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    edges = S.knn_join(emb, k=5, n_bits=4, dim=64).select("src", "nbr")
+    edges = S.knn_join(emb, k=5, n_bits=4, dim=64, multiprobe_bits=1).select("src", "nbr")
     edges = edges.localCheckpoint(eager=True)
     return degree_profile(edges).orderBy("id").select(
         F.col("id").alias("vec_id"), "out_deg", "in_deg"

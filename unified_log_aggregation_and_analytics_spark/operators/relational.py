@@ -1059,7 +1059,7 @@ def percolate(
 
 
 def _glob_to_like(p: str) -> str:
-    """OpenSearch wildcard glob -> SQL LIKE: ``*``/``?`` become
+    r"""OpenSearch wildcard glob -> SQL LIKE: ``*``/``?`` become
     ``%``/``_``; a backslash escapes the next glob metacharacter
     (``\*`` matches a literal star, per the OpenSearch wildcard
     syntax); LIKE's own metacharacters and bare backslashes are

@@ -953,6 +953,13 @@ def train_quality_classifier(
     ).localCheckpoint()
     if train_df is None:
         feats = train_feats
+    if not train_feats.head(1):
+        # sum() over zero rows is NULL -> every weight would go None
+        # and fail opaquely inside the GD loop; surface it here.
+        raise ValueError(
+            "train_quality_classifier: training slice is empty — "
+            "gradient descent needs at least one labeled document"
+        )
     xs = ["x0", "x1", "x2", "x3", "x4"]
     w = [0.0] * len(xs)
 
