@@ -106,7 +106,8 @@ def test_corpus_pipeline_end_to_end(spark, docs, tmp_path):
     assert len(ids & {d, d + 1}) == 1
     # mixture-aware layout: one directory per stratum
     langs = {r[0] for r in ingested.select("lang").distinct().collect()}
-    on_disk = {p.name.split("=")[1] for p in Path(table).glob("lang=*")}
+    # fenced layout (r8): batch partitions lead, stratum dirs nested
+    on_disk = {p.name.split("=")[1] for p in Path(table).glob("_commit_batch=*/lang=*")}
     assert on_disk == langs
 
     rej = spark.read.parquet(rejected)
@@ -121,7 +122,7 @@ def test_corpus_pipeline_end_to_end(spark, docs, tmp_path):
     sidecar = spark.read.parquet(table + "_fingerprints")
     assert sidecar.count() == want_ingested
     assert sidecar.select("fp").distinct().count() == want_ingested
-    assert len(list(Path(table + "_fingerprints").glob("fp_bucket=*"))) >= 1
+    assert len(list(Path(table + "_fingerprints").glob("_commit_batch=*/fp_bucket=*"))) >= 1
 
     # per-stratum ingest accounting matches the oracle-checked analog
     got_ingested = {
@@ -225,7 +226,7 @@ def test_corpus_near_dup_cross_batch(spark, docs, tmp_path):
     # sidecars carry only survivors: one sig row per ingested doc
     sigs = spark.read.parquet(table + "_minhash_sigs")
     assert sigs.count() == len(ids)
-    assert len(list(Path(table + "_minhash_bands").glob("bh_bucket=*"))) >= 1
+    assert len(list(Path(table + "_minhash_bands").glob("_commit_batch=*/bh_bucket=*"))) >= 1
 
 
 def test_corpus_near_dup_sidecars_complete_after_cross_batch(spark, docs, tmp_path):
@@ -473,15 +474,18 @@ def test_compact_sidecars_preserves_dedup(spark, docs, tmp_path):
     corpus_ingest_batch(spark.createDataFrame(b2), table, rejected, near_dup=True)
 
     fp_dir = Path(table + "_fingerprints")
-    multi = [d for d in fp_dir.glob("fp_bucket=*") if len(list(d.glob("*.parquet"))) > 1]
     n_before = spark.read.parquet(str(fp_dir)).count()
+    # fenced layout: two batches -> two _commit_batch partitions
+    assert len(list(fp_dir.glob("_commit_batch=*"))) == 2
 
     compact_sidecars(spark, table)
 
-    for d in fp_dir.glob("fp_bucket=*"):
+    # folded into ONE committed batch partition, one file per bucket
+    assert len(list(fp_dir.glob("_commit_batch=*"))) == 1
+    for d in fp_dir.glob("_commit_batch=*/fp_bucket=*"):
         assert len(list(d.glob("*.parquet"))) == 1
     for side in ("_minhash_bands", "_minhash_sigs"):
-        for d in Path(table + side).glob("*=*"):
+        for d in Path(table + side).glob("_commit_batch=*/*=*"):
             assert len(list(d.glob("*.parquet"))) == 1
     assert spark.read.parquet(str(fp_dir)).count() == n_before
 
@@ -689,3 +693,120 @@ def test_corpus_ingest_lm_fluency_gate(spark, tmp_path):
     assert metrics["rejected:low_fluency"] == 1
     assert metrics["rejected:too_short"] == 1
     assert metrics.get("duplicate", 0) == 0
+
+
+def test_corpus_torn_batch_replay_no_duplicates(spark, docs, tmp_path, monkeypatch):
+    """Kill-between-appends e2e for the manifest-fenced commit: the
+    batch dies after the corpus-table append but before the
+    fingerprint-sidecar append. The torn rows are invisible (no
+    marker); the replay recomputes the identical survivor set and
+    replaces the torn partitions — no duplicate doc_ids in the
+    committed corpus."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    pdf = _kept_docs_pdf(spark, docs, 20)
+    bdf = spark.createDataFrame(pdf)
+
+    real_append = fence.fenced_append
+
+    def killed_at_fp_sidecar(df, path, batch_id, partition_cols=()):
+        if path.endswith("_fingerprints"):
+            raise RuntimeError("simulated kill between table and sidecar appends")
+        return real_append(df, path, batch_id, partition_cols)
+
+    monkeypatch.setattr(fence, "fenced_append", killed_at_fp_sidecar)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        corpus_ingest_batch(bdf, table, rejected, batch_id=3)
+    monkeypatch.undo()
+
+    # torn table partition on disk, but not committed -> fenced read empty
+    assert Path(table).joinpath("_commit_batch=3").is_dir()
+    root = fence.fence_root(table)
+    assert not fence.is_committed(spark, root, 3)
+    assert fence.fenced_read(spark, table, root).count() == 0
+
+    corpus_ingest_batch(bdf, table, rejected, batch_id=3)  # replay
+
+    visible = fence.fenced_read(spark, table, root)
+    n_docs = len(pdf)
+    assert visible.count() == n_docs
+    assert (
+        visible.groupBy("doc_id").count().filter("count > 1").count() == 0
+    ), "replayed torn batch duplicated corpus rows"
+    # replay of the committed batch is a no-op
+    corpus_ingest_batch(bdf, table, rejected, batch_id=3)
+    assert fence.fenced_read(spark, table, root).count() == n_docs
+
+
+def test_token_index_torn_replay_no_double_postings(spark, docs, tmp_path, monkeypatch):
+    """The one non-fenced write in the corpus pipeline is the token
+    INDEX append (bucketed saveAsTable). A batch that dies AFTER the
+    index append but BEFORE the commit marker replays with the
+    doc-granular idempotency guard: survivors anti-join the doclen
+    table, so postings never double — BM25 over the replayed index is
+    value-identical to a fresh build over the committed corpus."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from unified_log_aggregation_and_analytics_spark.operators import relational as R
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("tok_torn_idx", "tok_torn_ref"):
+        for suffix in ("", "_doclen", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+            leftover = Path(wh) / (name + suffix).lower()
+            if leftover.exists():
+                shutil.rmtree(leftover)
+
+    table = str(tmp_path / "corpus")
+    rejected = str(tmp_path / "rejected")
+    b1 = spark.createDataFrame(_kept_docs_pdf(spark, docs, 10))
+    corpus_ingest_batch(b1, table, rejected, batch_id=0, token_index="tok_torn_idx")
+
+    real_append = fence.fenced_append
+
+    def killed_after_index(df, path, batch_id, partition_cols=()):
+        # fp sidecar comes right after the token-index append
+        if path.endswith("_fingerprints"):
+            raise RuntimeError("simulated kill after token-index append")
+        return real_append(df, path, batch_id, partition_cols)
+
+    b2 = spark.createDataFrame(_kept_docs_pdf(spark, docs, 10, lo=200))
+    monkeypatch.setattr(fence, "fenced_append", killed_after_index)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        corpus_ingest_batch(b2, table, rejected, batch_id=1, token_index="tok_torn_idx")
+    monkeypatch.undo()
+
+    # the torn attempt DID append batch-1 postings (that's the hazard)
+    n_docs_after_torn = spark.table("tok_torn_idx_doclen").count()
+    assert n_docs_after_torn == 20
+
+    corpus_ingest_batch(b2, table, rejected, batch_id=1, token_index="tok_torn_idx")  # replay
+
+    # doc-granular idempotency: one doclen row per doc, no doubled postings
+    doclen = spark.table("tok_torn_idx_doclen")
+    assert doclen.count() == 20
+    assert doclen.select("doc_id").distinct().count() == 20
+    dup_postings = (
+        spark.table("tok_torn_idx")
+        .groupBy("token", "doc_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_postings == 0, "torn replay doubled postings"
+
+    # end-to-end: BM25 identical to a fresh index over the committed corpus
+    committed = fence.fenced_read(spark, table, fence.fence_root(table))
+    R.build_token_index_table(committed.select("doc_id", "text"), "tok_torn_ref")
+    terms = ["merge", "spark", "vector"]
+    got = sorted(
+        tuple(r) for r in R.bm25_search_indexed(spark, "tok_torn_idx", terms, k=10).collect()
+    )
+    want = sorted(
+        tuple(r) for r in R.bm25_search_indexed(spark, "tok_torn_ref", terms, k=10).collect()
+    )
+    assert got == want and len(got) > 0

@@ -118,10 +118,12 @@ def test_media_sidecar_compaction_preserves_dedup(spark, tmp_path):
     _media_rows(spark, batch1).write.mode("append").parquet(str(src))
     _run(spark, src, tmp_path, "c1")
 
+    # fenced layout (r8): _commit_batch=N/fp_bucket=M/part.parquet
     fps = str(tmp_path / "media_table_payload_fps")
-    before = len(glob.glob(f"{fps}/*/*.parquet"))
+    before = len(glob.glob(f"{fps}/*/*/*.parquet"))
+    assert before >= 1
     SM.compact_media_sidecars(spark, str(tmp_path / "media_table"))
-    after = len(glob.glob(f"{fps}/*/*.parquet"))
+    after = len(glob.glob(f"{fps}/*/*/*.parquet"))
     assert after <= before
 
     batch2 = [
@@ -293,3 +295,50 @@ def test_media_pipeline_jpeg_batch_e2e(spark, tmp_path):
     rejected = spark.read.parquet(str(tmp_path / "media_rejected"))
     errs = {r.media_id: r._error for r in rejected.collect()}
     assert errs.get(3) == "undecodable", f"truncated JPEG must dead-letter: {errs}"
+
+
+def test_media_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypatch):
+    """Kill-between-appends e2e for the manifest-fenced commit
+    (streaming/fence.py): the batch dies after the media-table append
+    but before the payload-fp sidecar append. Torn rows are invisible
+    (no marker); the replay recomputes the identical routing and
+    replaces the torn partitions — no duplicate media_ids visible."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    table = str(tmp_path / "media_table")
+    rej = str(tmp_path / "media_rejected")
+    b1 = _media_rows(spark, [(g * 4, _ppm_payload(g, 0)) for g in range(3)])
+    SM.media_ingest_batch(b1, table, rej, batch_id=0)
+
+    real_append = fence.fenced_append
+
+    def killed_at_fps(df, path, batch_id, partition_cols=()):
+        if path.endswith("_payload_fps"):
+            raise RuntimeError("simulated kill between table and sidecar appends")
+        return real_append(df, path, batch_id, partition_cols)
+
+    b2 = _media_rows(
+        spark,
+        [
+            (100, _ppm_payload(0, 0)),   # exact dup of id 0 -> cross-batch drop
+            (101, _ppm_payload(50, 0)),  # fresh
+        ],
+    )
+    monkeypatch.setattr(fence, "fenced_append", killed_at_fps)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        SM.media_ingest_batch(b2, table, rej, batch_id=1)
+    monkeypatch.undo()
+
+    root = fence.fence_root(table)
+    assert not fence.is_committed(spark, root, 1)
+    assert {
+        r.media_id for r in fence.fenced_read(spark, table, root).select("media_id").collect()
+    } == {0, 4, 8}
+
+    SM.media_ingest_batch(b2, table, rej, batch_id=1)  # replay
+    visible = fence.fenced_read(spark, table, root)
+    assert {r.media_id for r in visible.select("media_id").collect()} == {0, 4, 8, 101}
+    assert visible.groupBy("media_id").count().filter("count > 1").count() == 0
+    # committed replay: exact no-op
+    SM.media_ingest_batch(b2, table, rej, batch_id=1)
+    assert fence.fenced_read(spark, table, root).count() == 4

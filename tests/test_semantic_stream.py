@@ -89,9 +89,20 @@ def test_semantic_pipeline_two_batches(spark, tmp_path):
     assert metrics[(0, "ingested")] == 2 and metrics[(0, "semantic_duplicate")] == 1
     assert metrics[(1, "ingested")] == 1 and metrics[(1, "semantic_duplicate")] == 3
 
-    # compaction preserves content
+    # compaction preserves content AND the fenced layout: a
+    # post-compaction ingest must still read the sidecar through the
+    # fence (the regression class: compacting away the _commit_batch
+    # column breaks every later batch's cross-batch dedup)
     SS.compact_cell_sidecar(spark, table)
     assert spark.read.parquet(table + "_cells").count() == 3
+    batch3 = [
+        (20, [0.987, 0.013, 0.0, 0.0]),  # ~ id 1 -> cross-batch drop
+        (21, [0.0, 0.0, 0.0, 0.99]),     # novel direction
+    ]
+    _rows(spark, batch3).write.mode("append").parquet(str(src))
+    _run(spark, src, tmp_path)
+    ingested = {r.vec_id for r in spark.read.parquet(table).collect()}
+    assert ingested == {1, 2, 11, 21}
 
 
 def test_semantic_stream_agrees_with_batch_on_chain_free_input(spark, tmp_path):
@@ -141,3 +152,60 @@ def test_semantic_ingest_empty_batch_is_noop(spark, tmp_path):
         for r in spark.read.parquet(table + "_metrics").collect()
     }
     assert metrics[(1, "ingested")] == 0
+
+
+def test_semantic_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypatch):
+    """Kill-between-appends e2e for the manifest-fenced commit
+    (streaming/fence.py): the batch dies after the table append but
+    before the cell-sidecar append (the r7 torn-batch window). The
+    torn rows must be invisible (no marker), the replay must REPLACE
+    them — zero duplicate vec_ids in the committed table — and a
+    replay of the committed batch must no-op."""
+    import pytest
+
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    table = str(tmp_path / "t")
+    rej = str(tmp_path / "r")
+    b1 = [(1, [0.99, 0.01, 0.0, 0.0]), (2, [0.02, 0.97, 0.0, 0.0])]
+    SS.semantic_ingest_batch(
+        _rows(spark, b1), table, rej, CENTROIDS, threshold=0.95, batch_id=0
+    )
+
+    real_append = fence.fenced_append
+
+    def killed_at_cells(df, path, batch_id, partition_cols=()):
+        if path.endswith("_cells"):
+            raise RuntimeError("simulated kill between table and sidecar appends")
+        return real_append(df, path, batch_id, partition_cols)
+
+    b2 = [
+        (10, [0.985, 0.015, 0.0, 0.0]),  # ~ id 1 -> cross-batch drop
+        (11, [0.0, 0.1, 0.99, 0.0]),     # novel
+    ]
+    monkeypatch.setattr(fence, "fenced_append", killed_at_cells)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        SS.semantic_ingest_batch(
+            _rows(spark, b2), table, rej, CENTROIDS, threshold=0.95, batch_id=1
+        )
+    monkeypatch.undo()
+
+    root = fence.fence_root(table)
+    assert not fence.is_committed(spark, root, 1)
+    # torn table rows invisible through the fence
+    assert {
+        r.vec_id for r in fence.fenced_read(spark, table, root).collect()
+    } == {1, 2}
+
+    # replay recomputes and replaces; routing identical
+    SS.semantic_ingest_batch(
+        _rows(spark, b2), table, rej, CENTROIDS, threshold=0.95, batch_id=1
+    )
+    visible = fence.fenced_read(spark, table, root)
+    assert {r.vec_id for r in visible.collect()} == {1, 2, 11}
+    assert visible.groupBy("vec_id").count().filter("count > 1").count() == 0
+    # committed replay: exact no-op
+    SS.semantic_ingest_batch(
+        _rows(spark, b2), table, rej, CENTROIDS, threshold=0.95, batch_id=1
+    )
+    assert fence.fenced_read(spark, table, root).count() == 3

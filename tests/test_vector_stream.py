@@ -97,8 +97,14 @@ def test_vector_pipeline_maintains_probeable_index(spark, tmp_path):
     want = [(r["vec_id"], r["cos_sim"]) for r in ivf_probe(spark, rebuilt, q, k=5).collect()]
     assert got == want and got
 
-    # the duplicate id kept its FIRST values (9.0-vector never landed)
-    idx_rows = spark.read.parquet(f"{index}/table")
+    # the duplicate id kept its FIRST values (9.0-vector never landed).
+    # _index_rows is the probe-visible surface: base table + committed
+    # fenced delta batches.
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+    )
+
+    idx_rows = _index_rows(spark, index)
     row20 = idx_rows.filter(F.col("vec_id") == 20).collect()
     assert len(row20) == 1 and abs(row20[0]["embedding"][0] - all_vecs[20][0]) < 1e-9
 
@@ -112,8 +118,11 @@ def test_vector_pipeline_maintains_probeable_index(spark, tmp_path):
 
 
 def test_vector_ingest_replay_idempotent(spark, tmp_path):
-    """A replayed batch that completed its sidecar append must be a
-    no-op for the index (at-least-once delivery contract)."""
+    """A replayed batch that fully committed must be a no-op for the
+    probe-visible index (exactly-once as observed by probes)."""
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+    )
     from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
         vector_ingest_batch,
     )
@@ -128,7 +137,65 @@ def test_vector_ingest_replay_idempotent(spark, tmp_path):
     batch = spark.createDataFrame([(i, vecs[i]) for i in range(10, 30)], VEC_SCHEMA)
     rej = str(tmp_path / "rej")
     vector_ingest_batch(batch, index, rej, batch_id=0)
-    n1 = spark.read.parquet(f"{index}/table").count()
+    n1 = _index_rows(spark, index).count()
     vector_ingest_batch(batch, index, rej, batch_id=0)  # replay
-    n2 = spark.read.parquet(f"{index}/table").count()
+    n2 = _index_rows(spark, index).count()
     assert n1 == n2 == 30
+
+
+def test_vector_ingest_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypatch):
+    """Kill-between-appends e2e for the manifest-fenced commit
+    (streaming/fence.py): a batch dies AFTER its index-delta append
+    but BEFORE the id-sidecar append (the r7 torn-batch window). The
+    torn output must be invisible to probes (no marker => no rows),
+    and the checkpoint replay must REPLACE it — zero duplicate ids in
+    the visible index and in probe results."""
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    vecs = _vecs(30, seed=23)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    batch = spark.createDataFrame([(i, vecs[i]) for i in range(10, 30)], VEC_SCHEMA)
+    rej = str(tmp_path / "rej")
+
+    real_append = fence.fenced_append
+
+    def killed_at_sidecar(df, path, batch_id, partition_cols=()):
+        if path.endswith("_ids"):
+            raise RuntimeError("simulated kill between index and sidecar appends")
+        return real_append(df, path, batch_id, partition_cols)
+
+    monkeypatch.setattr(fence, "fenced_append", killed_at_sidecar)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        vector_ingest_batch(batch, index, rej, batch_id=7)
+    monkeypatch.undo()
+
+    # torn state on disk: the delta partition EXISTS but carries no
+    # marker, so the probe-visible index still reads only the base
+    assert Path(f"{index}/delta/_commit_batch=7").is_dir()
+    assert not fence.is_committed(spark, fence.fence_root(index), 7)
+    assert _index_rows(spark, index).count() == 10
+
+    # checkpoint replay of the same batch id
+    vector_ingest_batch(batch, index, rej, batch_id=7)
+
+    visible = _index_rows(spark, index)
+    assert visible.count() == 30
+    dup_ids = visible.groupBy("vec_id").count().filter("count > 1").count()
+    assert dup_ids == 0, "replayed torn batch duplicated index rows"
+    # probe results carry each id at most once
+    got = [r["vec_id"] for r in ivf_probe(spark, index, vecs[0], k=30).collect()]
+    assert len(got) == len(set(got))
+    # and a replay of the now-COMMITTED batch is an exact no-op
+    vector_ingest_batch(batch, index, rej, batch_id=7)
+    assert _index_rows(spark, index).count() == 30

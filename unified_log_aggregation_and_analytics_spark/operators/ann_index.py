@@ -71,6 +71,30 @@ def _table_path(path: str) -> str:
     return f"{path}/table"
 
 
+def _delta_path(path: str) -> str:
+    """Fenced streaming-delta area of the index (streaming/vectors.py
+    writes here under ``_commit_batch`` partitions; probes union
+    committed delta rows with the base table)."""
+    return f"{path}/delta"
+
+
+def _index_rows(spark: SparkSession, path: str) -> DataFrame:
+    """Every visible row of the index: the base table plus COMMITTED
+    streaming-delta batches (manifest-fenced — a torn micro-batch's
+    rows are invisible until its marker lands, see streaming/fence.py).
+    Identical to a plain base read when no delta area exists, so
+    batch-built indexes pay nothing. Cell/bucket predicates prune on
+    both sides of the union; the delta side additionally prunes on the
+    committed-batch partition filter."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    base = spark.read.parquet(_table_path(path))
+    delta = fence.fenced_read(spark, _delta_path(path), fence.fence_root(path))
+    if delta is None:
+        return base
+    return base.unionByName(delta.select(*base.columns))
+
+
 def _centroids_path(path: str) -> str:
     return f"{path}/centroids"
 
@@ -271,7 +295,7 @@ def lsh_probe(
             for b in bits:
                 flip |= 1 << b
             probe.append(q_bucket ^ flip)
-    idx = spark.read.parquet(_table_path(path))
+    idx = _index_rows(spark, path)
     cand = idx.filter(F.col("bucket").isin(probe)).drop("bucket")
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
@@ -324,7 +348,7 @@ def lsh_probe_batch(
         qrows.append((qid, [float(x) for x in vec]))
     probe_df = spark.createDataFrame(pairs, "q_id long, bucket long")
     qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
-    idx = spark.read.parquet(_table_path(path))
+    idx = _index_rows(spark, path)
     cand = idx.filter(F.col("bucket").isin(sorted({b for _, b in pairs})))
     if candidate_filter is not None:
         # applied BEFORE scoring/ranking (e.g. exclude the query set)
@@ -426,6 +450,34 @@ def append_ivf_index(
     _record_version(path, "append", df_new.count())
 
 
+def append_ivf_index_fenced(
+    df_new: DataFrame,
+    path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta_cols: tuple[str, ...] = (),
+) -> None:
+    """Streaming twin of append_ivf_index: the delta lands in the
+    index's fenced delta area under ``_commit_batch=<id>`` with
+    dynamic partition overwrite, so a checkpoint replay REPLACES the
+    batch's own torn rows instead of duplicating them, and probes
+    (through ``_index_rows``) see the batch only after its shared
+    commit marker lands (streaming/fence.py). Assignment is identical
+    (frozen centroid artifact); the fence markers are the delta's
+    version manifest."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    spark = df_new.sparkSession
+    centroids = load_centroids(spark, path, vec_col)
+    fence.fenced_append(
+        ivf_assign(df_new.select(id_col, vec_col, *meta_cols), centroids, vec_col),
+        _delta_path(path),
+        batch_id,
+        ("cell",),
+    )
+
+
 def load_centroids(spark: SparkSession, path: str, vec_col: str = "embedding") -> np.ndarray:
     """Read the persisted centroid artifact (n_centroids rows)."""
     rows = spark.read.parquet(_centroids_path(path)).orderBy("cell").collect()
@@ -461,7 +513,7 @@ def ivf_probe(
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(c) for c in (norm @ q).argsort()[::-1][:n_probe]]
-    idx = spark.read.parquet(_table_path(path))
+    idx = _index_rows(spark, path)
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
@@ -505,7 +557,7 @@ def ivf_probe_batch(
         qrows.append((qid, [float(x) for x in vec]))
     probe_df = spark.createDataFrame(pairs, "q_id long, cell int")
     qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
-    idx = spark.read.parquet(_table_path(path))
+    idx = _index_rows(spark, path)
     cand = idx.filter(F.col("cell").isin(sorted({c for _, c in pairs})))
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
@@ -670,7 +722,7 @@ def ivfpq_probe(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(c) for c in (norm @ qn).argsort()[::-1][:n_probe]]
     codebooks = load_codebooks(spark, path)
-    idx = spark.read.parquet(_table_path(path))
+    idx = _index_rows(spark, path)
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
     return pq_adc_topk(cand, codebooks, list(query_vec), k=k, id_col=id_col)
 
@@ -717,7 +769,7 @@ def hard_negatives_probe(
         qrows.append((aid, [float(x) for x in vec], label))
     probe_df = spark.createDataFrame(pairs, "anchor_id long, cell int")
     qdf = spark.createDataFrame(qrows, ["anchor_id", "qe", "q_label"])
-    idx = spark.read.parquet(_table_path(path))
+    idx = _index_rows(spark, path)
     cand = idx.filter(F.col("cell").isin(sorted({c for _, c in pairs})))
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unified_log_aggregation_and_analytics_spark.operators.text import quality_filter
+from unified_log_aggregation_and_analytics_spark.streaming import fence
 
 N_FP_BUCKETS = 64
 
@@ -122,11 +123,12 @@ def _near_dup_ids(
     sigs.persist()
     mh = [f"mh{k}" for k in range(1, K + 1)]
     omh = [f"omh{k}" for k in range(1, K + 1)]
-    old_sigs_all = None
-    try:
-        old_sigs_all = spark.read.parquet(_sig_sidecar_path(table_path))
-    except Exception:
-        pass  # first trigger: nothing ingested yet
+    # COMMITTED sidecar rows only (fence.py): a torn predecessor's
+    # sig/band rows are invisible, so its replay re-verifies from the
+    # same state; a missing path means first trigger, any other read
+    # failure propagates and fails the batch.
+    root = fence.fence_root(table_path)
+    old_sigs_all = fence.fenced_read(spark, _sig_sidecar_path(table_path), root)
 
     def verified(cand: DataFrame, other_sigs: DataFrame) -> DataFrame:
         """cand(doc_id, other_id) -> doc_ids whose estimated Jaccard
@@ -152,7 +154,12 @@ def _near_dup_ids(
         return est.filter(F.col("est_jaccard") >= jaccard_threshold).select("doc_id")
 
     near = None
-    if old_sigs_all is not None:
+    seen_bands = (
+        fence.fenced_read(spark, _band_sidecar_path(table_path), root)
+        if old_sigs_all is not None
+        else None
+    )
+    if old_sigs_all is not None and seen_bands is not None:
         bands = band_rows(sigs, num_hashes=K, band_size=ND_BAND_SIZE).withColumn(
             "bh_bucket", F.pmod(F.col("band_hash"), F.lit(N_FP_BUCKETS))
         )
@@ -164,7 +171,6 @@ def _near_dup_ids(
         # The band equi-join below is the candidate bound; bucket
         # partitioning exists for compaction and selective probe
         # reads, not trigger-time pruning.
-        seen_bands = spark.read.parquet(_band_sidecar_path(table_path))
         cand = (
             bands.join(
                 seen_bands.select(
@@ -253,9 +259,9 @@ def corpus_ingest_batch(
     pipeline's K5 self-metrics: an operator watches per-rule rejection
     and dedup rates per trigger without scanning the corpus. Counts
     ride the write jobs as ``observe()`` aggregates (zero dedicated
-    count jobs per trigger — the round-5 verdict item), and the
-    metrics write is the last append, so it doubles as the batch's
-    completion marker."""
+    count jobs per trigger — the round-5 verdict item); the batch's
+    completion marker is the fence commit written after the metrics
+    (streaming/fence.py)."""
     from pyspark.sql import Observation
 
     from unified_log_aggregation_and_analytics_spark.operators.text import (
@@ -300,6 +306,26 @@ def corpus_ingest_batch(
     # `scored` (the reject write below) as observed metrics; the
     # verdict set is closed (QF_REJECT_VERDICTS), so per-rule counts
     # are conditional sums, not a groupBy job.
+    root = fence.fence_root(table_path)
+    if batch_id is None:
+        # manual/batch invocation: next free committed slot, so
+        # successive calls never clobber each other's partitions
+        done = fence.committed_batches(spark, root)
+        bid = (done[-1] + 1) if done else 0
+    else:
+        bid = int(batch_id)
+        if fence.is_committed(spark, root, bid):
+            return  # replay of a fully-committed batch: exact no-op
+    # Replay-of-a-torn-attempt detection, captured BEFORE this
+    # attempt's own table append creates the partition: the write
+    # order puts the token-index append strictly after the table
+    # append, so a prior attempt can only have touched the token
+    # index if it got far enough to leave the table's batch partition
+    # behind. Drives the doc-granular idempotency guard below.
+    torn_retry = fence.path_exists(
+        spark, f"{table_path}/{fence.BATCH_COL}={bid}"
+    )
+
     in_obs = Observation() if batch_id is not None else None
     if in_obs is not None:
         scored = scored.observe(
@@ -314,12 +340,13 @@ def corpus_ingest_batch(
         )
     scored.persist()
     try:
-        (
+        fence.fenced_append(
             scored.filter(~F.col("kept"))
             .drop("kept", "fp", "fp_bucket")
-            .withColumnRenamed("verdict", "_error")
-            .write.mode("append")
-            .parquet(rejected_path)
+            .withColumnRenamed("verdict", "_error"),
+            rejected_path,
+            bid,
+            ("_error",),
         )
         kept = scored.filter(F.col("kept")).drop("kept", "verdict")
         # within-batch dedup: min doc_id per fingerprint, one shuffle on
@@ -329,18 +356,20 @@ def corpus_ingest_batch(
         # cross-batch dedup: anti-join against the fingerprint sidecar
         # only — never the corpus. First trigger: no sidecar yet.
         sidecar = _fp_sidecar_path(table_path)
-        try:
-            # Straight anti-join, no per-trigger bucket pre-filter:
-            # any real batch's fingerprints hit all N_FP_BUCKETS=64
-            # buckets, so the old distinct().collect() + isin pruned
-            # nothing while adding a driver job per trigger and a
-            # stale-list plan hazard. The join keys on
-            # (fp_bucket, fp) — a uniform hash key — and the sidecar
-            # side is ~16 B/row.
-            seen = spark.read.parquet(sidecar)
+        # Straight anti-join, no per-trigger bucket pre-filter:
+        # any real batch's fingerprints hit all N_FP_BUCKETS=64
+        # buckets, so the old distinct().collect() + isin pruned
+        # nothing while adding a driver job per trigger and a
+        # stale-list plan hazard. The join keys on
+        # (fp_bucket, fp) — a uniform hash key — and the sidecar
+        # side is ~16 B/row. COMMITTED rows only (fence.py): a torn
+        # predecessor's fingerprints are invisible, so its replay
+        # recomputes the full survivor set and overwrites its own
+        # partitions; a missing sidecar is the first trigger, any
+        # other read failure fails the batch.
+        seen = fence.fenced_read(spark, sidecar, root)
+        if seen is not None:
             kept = kept.join(seen, ["fp_bucket", "fp"], "left_anti")
-        except Exception:
-            pass  # sidecar absent: nothing ingested yet
         sigs = None
         pre_nd = None
         near_obs = None
@@ -358,7 +387,7 @@ def corpus_ingest_batch(
                 near_rejects = near_rejects.observe(
                     near_obs, F.count(F.lit(1)).alias("n")
                 )
-            near_rejects.write.mode("append").parquet(rejected_path)
+            fence.fenced_append(near_rejects, rejected_path, bid, ("_error",))
             kept = kept.join(near_ids, "doc_id", "left_anti")
             # SEVER LINEAGE before any sidecar append: kept's plan
             # reads the fp/band/sig sidecars (through the anti-joins
@@ -385,11 +414,7 @@ def corpus_ingest_batch(
             out = kept.drop("fp", "fp_bucket")
             if ing_obs is not None:
                 out = out.observe(ing_obs, F.count(F.lit(1)).alias("n"))
-            (
-                out.write.mode("append")
-                .partitionBy(stratum_col)
-                .parquet(table_path)
-            )
+            fence.fenced_append(out, table_path, bid, (stratum_col,))
             # Metric values were captured DURING the writes above
             # (observe() side-channels on jobs that run anyway);
             # reading them here blocks only until those jobs finish,
@@ -419,23 +444,23 @@ def corpus_ingest_batch(
                 )
 
                 surv_sigs = sigs.join(kept.select("doc_id"), "doc_id")
-                (
+                fence.fenced_append(
                     surv_sigs.withColumn(
                         "sig_bucket",
                         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_FP_BUCKETS)),
-                    )
-                    .write.mode("append")
-                    .partitionBy("sig_bucket")
-                    .parquet(_sig_sidecar_path(table_path))
+                    ),
+                    _sig_sidecar_path(table_path),
+                    bid,
+                    ("sig_bucket",),
                 )
-                (
+                fence.fenced_append(
                     band_rows(surv_sigs, num_hashes=ND_NUM_HASHES, band_size=ND_BAND_SIZE)
                     .withColumn(
                         "bh_bucket", F.pmod(F.col("band_hash"), F.lit(N_FP_BUCKETS))
-                    )
-                    .write.mode("append")
-                    .partitionBy("bh_bucket")
-                    .parquet(_band_sidecar_path(table_path))
+                    ),
+                    _band_sidecar_path(table_path),
+                    bid,
+                    ("bh_bucket",),
                 )
             if token_index is not None:
                 # must run BEFORE the fp-sidecar append below: the
@@ -448,19 +473,47 @@ def corpus_ingest_batch(
 
                 docs_new = kept.select("doc_id", "text")
                 if spark.catalog.tableExists(token_index):
+                    if torn_retry:
+                        # Doc-granular idempotency for the one
+                        # non-fenced write: a torn predecessor may
+                        # have completed its postings append, so
+                        # anti-join the replay's survivors against
+                        # the doclen table (one row per indexed doc
+                        # — the cheap side) and localCheckpoint to
+                        # sever the lineage before appending into
+                        # the very tables the guard just read. The
+                        # residual window is the file-commit
+                        # protocol's own rename atomicity — the same
+                        # trust every Spark append carries.
+                        docs_new = docs_new.join(
+                            spark.table(f"{token_index}_doclen").select(
+                                "doc_id"
+                            ),
+                            "doc_id",
+                            "left_anti",
+                        ).localCheckpoint()
                     append_token_index_table(docs_new, token_index)
                 else:
                     build_token_index_table(docs_new, token_index)
-            (
-                kept.select("fp", "fp_bucket")
-                .write.mode("append")
-                .partitionBy("fp_bucket")
-                .parquet(sidecar)
+            fence.fenced_append(
+                kept.select("fp", "fp_bucket"), sidecar, bid, ("fp_bucket",)
             )
             if metric_rows is not None:
-                spark.createDataFrame(
-                    metric_rows, "batch_id long, outcome string, n long"
-                ).write.mode("append").parquet(f"{table_path}_metrics")
+                fence.fenced_append(
+                    spark.createDataFrame(
+                        metric_rows, "batch_id long, outcome string, n long"
+                    ),
+                    f"{table_path}_metrics",
+                    bid,
+                )
+            # THE commit: one marker covers table + DLQ + every
+            # sidecar + metrics; until it lands, none of this batch
+            # is visible to probes or later batches' dedup. (The
+            # optional token INDEX append above is a bucketed
+            # saveAsTable, not a fenced parquet path — the
+            # torn_retry anti-join against the doclen table makes
+            # its replay doc-granular idempotent.)
+            fence.mark_committed(spark, root, bid)
         finally:
             kept.unpersist()
             if pre_nd is not None:
@@ -497,19 +550,24 @@ def run_corpus_pipeline(
     reference's 60 s buffering hint (utils.ts:46); tests pass
     ``availableNow=True``.
 
-    Delivery semantics — AT-LEAST-ONCE with a bounded duplication
-    window, stated honestly: the checkpoint replays an interrupted
-    batch, and replay is idempotent for the corpus table ONLY for
-    batches that completed through the fingerprint-sidecar append
-    (the replayed rows anti-join away against their own recorded
-    fingerprints). A failure in the window between the corpus append
-    and the fp-sidecar append re-appends those survivor rows on
-    replay, and DLQ rows re-append unconditionally. The metrics
-    append (written last) doubles as the batch completion marker, so
-    a downstream consumer can detect and fence torn batches; a
-    transactional table format (or batch_id-stamped output paths)
-    would close the window entirely — that is the documented upgrade
-    path, not what this local-FS parquet sink provides."""
+    Delivery semantics — EXACTLY-ONCE as observed by probes, via the
+    manifest-fenced commit (streaming/fence.py, round 8; the r6/r7
+    design was at-least-once with a documented torn-batch window):
+    every per-batch write (table, DLQ, sidecars, metrics) lands under
+    a ``_commit_batch=<id>`` partition with dynamic partition
+    overwrite, one marker file written after all appends is the
+    commit, and fenced reads — including this pipeline's own
+    cross-batch dedup anti-joins — see only committed batches. A
+    replay of a torn batch therefore recomputes the identical
+    survivor set and REPLACES its own partial output; a replay of a
+    committed batch short-circuits to a no-op
+    (test_corpus_torn_batch_replay_no_duplicates). The optional token
+    INDEX append (``token_index=``) is a bucketed saveAsTable, not a
+    fenced parquet path; a replay of a torn attempt anti-joins its
+    survivors against the doclen table first, so re-appending
+    postings for already-indexed docs is structurally impossible —
+    the residual trust is the file-commit protocol's own rename
+    atomicity, the same every Spark append carries."""
     trigger = trigger or {"processingTime": "60 seconds"}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -722,32 +780,25 @@ def ingest_report_nd(
 def compact_sidecars(
     spark: SparkSession, table_path: str, files_per_partition: int = 1
 ) -> None:
-    """Sidecar maintenance: every micro-batch appends one file per
-    task to each sidecar partition, so file counts grow with trigger
-    count (~1 440/day/partition at the 60 s trigger) and every later
-    batch's anti-join pays the open cost. Folds each existing sidecar
-    (fingerprints, and the near-dup band/sig tables when present) back
-    to ``files_per_partition`` files per partition via
-    pipeline.compact_dir — dedup state is untouched, so routing
-    decisions are identical before and after (asserted in tests). The
-    local-FS directory swap stands in for the deployment's atomic
-    rename, exactly as compact_dir documents."""
-    import os
-    import shutil
-
-    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
-        compact_dir,
-    )
-
-    sidecars = [
+    """Sidecar maintenance: every micro-batch adds one file per task
+    to each sidecar partition, so file counts grow with trigger count
+    (~1 440/day/partition at the 60 s trigger) and every later batch's
+    anti-join pays the open cost. Folds each sidecar's COMMITTED rows
+    (fingerprints, and the near-dup band/sig tables when present) into
+    a single batch partition — ``_commit_batch=<max committed id>``,
+    an id whose marker already exists, so the compacted rows stay
+    visible through the fence with no marker surgery and the pipeline's
+    OTHER paths (table, DLQ, metrics) keep their markers untouched —
+    with ``files_per_partition`` files per bucket directory. Torn
+    (uncommitted) sidecar partitions are dropped: they were invisible
+    to the fence anyway. Dedup state is untouched, so routing decisions
+    are identical before and after (asserted in tests). Mechanics and
+    the directory-swap contract live in fence.compact_fenced — one
+    codepath shared with media/semantic, not three drifting copies."""
+    root = fence.fence_root(table_path)
+    for path, part_col in (
         (_fp_sidecar_path(table_path), "fp_bucket"),
         (_band_sidecar_path(table_path), "bh_bucket"),
         (_sig_sidecar_path(table_path), "sig_bucket"),
-    ]
-    for path, part_col in sidecars:
-        if not os.path.isdir(path):
-            continue
-        tmp = f"{path}__compact_tmp"
-        compact_dir(spark, path, tmp, [part_col], files_per_partition)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+    ):
+        fence.compact_fenced(spark, path, root, part_col, files_per_partition)

@@ -1,0 +1,196 @@
+"""Manifest-fenced micro-batch commits — the shared exactly-once
+upgrade for the streaming sinks (corpus.py, media.py, vectors.py).
+
+The r7 design was at-least-once with a documented torn-batch window: a
+failure between a pipeline's table append and its sidecar append
+re-appended survivor rows on checkpoint replay, and DLQ rows
+re-appended unconditionally. This module closes that window with three
+moves, all plain Spark + parquet (no table-format dependency):
+
+1. **Batch-partitioned writes.** Every per-batch append lands under a
+   leading ``_commit_batch=<id>`` partition via DYNAMIC partition
+   overwrite — so a checkpoint replay of batch N REPLACES batch N's
+   own (possibly torn) output instead of duplicating it. foreachBatch
+   replays the same source offsets, and every pipeline stage here is
+   deterministic, so the replacement is byte-equivalent or strictly
+   more complete.
+2. **One shared marker per batch.** After ALL of a batch's writes
+   (table, DLQ, sidecars, metrics) succeed, ONE zero-byte marker file
+   ``<root>_commits/<id>`` is created. The marker is the commit: a
+   batch is visible iff its marker exists.
+3. **Fenced reads.** Probes (and the pipelines' own cross-batch
+   dedup anti-joins) read only committed partitions —
+   ``fenced_read`` filters ``_commit_batch`` to the marker set, which
+   prunes at the partition level. Reading only COMMITTED sidecar rows
+   is what makes replay safe in every interleaving: a torn batch's
+   sidecar rows are invisible, so the replay recomputes the full
+   batch and overwrites both data and sidecar partitions before
+   marking.
+
+Failure analysis (kill at any point, then replay batch N):
+- before any write: fresh run, trivially correct;
+- between any two writes: marker absent -> nothing of batch N is
+  visible to probes (no duplicates, no partial state observable);
+  replay's anti-joins see only batches < N, recompute the identical
+  survivor set, and dynamic overwrite replaces every partition the
+  torn attempt wrote;
+- after the marker: ``is_committed`` short-circuits the replay to a
+  no-op, so a marker-then-checkpoint-crash cannot double-write.
+
+At 100 TB: the marker listing is O(batches) tiny file stats (one
+listing per trigger, cacheable); data reads prune on the
+``_commit_batch`` partition column, so the committed filter costs
+directory pruning, not a scan. The layout is exactly what a
+transactional table format (Delta/Iceberg) does internally — kept
+here as explicit, dependency-free plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BATCH_COL = "_commit_batch"
+
+
+def fence_root(table_path: str) -> str:
+    """The marker directory shared by every path of one pipeline
+    (table + DLQ + sidecars + metrics commit under ONE marker)."""
+    return f"{table_path}_commits"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return fs.exists(p)
+
+
+def fenced_append(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Write one micro-batch's rows under ``_commit_batch=<id>`` with
+    dynamic partition overwrite: replays replace their own torn
+    output, never duplicate it. ``partition_cols`` keep the sink's
+    domain partitioning (stratum, fp_bucket, cell, ...) nested under
+    the batch partition, so domain-keyed probes still prune."""
+    (
+        df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL, *partition_cols)
+        .parquet(path)
+    )
+
+
+def mark_committed(spark: SparkSession, root: str, batch_id: int) -> None:
+    """Create the zero-byte marker ``<root>/<id>`` — the LAST step of
+    a batch; its existence is the commit."""
+    fs, p, jvm = _fs(spark, root)
+    fs.mkdirs(p)
+    marker = jvm.org.apache.hadoop.fs.Path(f"{root}/{int(batch_id)}")
+    out = fs.create(marker, True)
+    out.close()
+
+
+def is_committed(spark: SparkSession, root: str, batch_id: int) -> bool:
+    return path_exists(spark, f"{root}/{int(batch_id)}")
+
+
+def committed_batches(spark: SparkSession, root: str) -> list[int]:
+    """All committed batch ids (one tiny FS listing)."""
+    fs, p, _ = _fs(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.append(int(name))
+    return sorted(out)
+
+
+def compact_fenced(
+    spark: SparkSession,
+    path: str,
+    root: str,
+    part_col: str,
+    files_per_partition: int = 1,
+) -> None:
+    """Shared small-files maintenance for fenced sidecars (ONE
+    codepath for corpus / media / semantic, not three drifting
+    copies): fold the path's COMMITTED rows into a single
+    already-committed batch partition — ``_commit_batch=<max
+    committed id>``, an id whose marker already exists, so the
+    compacted rows stay visible through the fence with no marker
+    surgery and the pipeline's OTHER paths keep their markers
+    untouched — with ``files_per_partition`` files per bucket
+    directory. Torn (uncommitted) partitions are dropped: they were
+    invisible to the fence anyway, and a later replay of that batch
+    id dynamic-overwrites only its own ``_commit_batch`` partition,
+    never the compacted one. Offline maintenance: do not run against
+    a live stream (the directory swap is not atomic; the deployment's
+    rename/commit protocol owns that window)."""
+    import os
+    import shutil
+
+    done = committed_batches(spark, root)
+    if not done or not os.path.isdir(path):
+        return  # nothing visible to compact
+    keep_id = done[-1]
+    df = fenced_read(spark, path, root)
+    if df is None:
+        return
+    keys = [F.col(part_col)]
+    if files_per_partition > 1:
+        salt = [c for c in df.columns if c != part_col][:1]
+        keys.append(F.pmod(F.xxhash64(*salt), F.lit(files_per_partition)))
+    n_parts = max(df.select(part_col).distinct().count(), 1)
+    tmp = f"{path}__compact_tmp"
+    (
+        df.withColumn(BATCH_COL, F.lit(keep_id))
+        .repartition(n_parts * files_per_partition, *keys)
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL, part_col)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def fenced_read(
+    spark: SparkSession,
+    path: str,
+    root: str,
+    keep_batch_col: bool = False,
+) -> DataFrame | None:
+    """Read only COMMITTED rows of a fenced path: filter
+    ``_commit_batch`` to the marker set (partition-pruned). Returns
+    None when the path does not exist yet (first trigger), so callers
+    can distinguish 'nothing ingested' from a real read error — a
+    corrupt or unreadable path RAISES instead of silently skipping
+    (the r7 blanket-except hazard)."""
+    if not path_exists(spark, path):
+        return None
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # narrow: schema-less dir == nothing ingested
+        # An empty fenced append (e.g. a batch with zero rejects)
+        # creates the directory with no parquet files; Spark then
+        # cannot infer a schema. That is the same "nothing ingested
+        # yet" state as a missing path. Anything else — corrupt
+        # footer, permissions — re-raises and fails the batch.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+    ids = committed_batches(spark, root)
+    df = df.filter(F.col(BATCH_COL).isin(ids) if ids else F.lit(False))
+    return df if keep_batch_col else df.drop(BATCH_COL)

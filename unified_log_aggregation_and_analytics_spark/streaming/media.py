@@ -24,16 +24,20 @@ WRITE ORDER: the survivor frame's lineage reads all three sidecars
 (appending to a parquet path invalidates and re-reads every cached
 plan scanning it — the lineage hazard documented in
 .claude/skills/verify and streaming/corpus.py), after which append
-order is free. Replay semantics match the corpus pipeline:
-at-least-once, with the fingerprint sidecars making a fully-completed
-batch's replay a no-op.
+order is free. Replay semantics match the corpus pipeline
+(manifest-fenced commits since round 8, streaming/fence.py):
+EXACTLY-ONCE as observed by probes — every per-batch write lands under
+a ``_commit_batch=<id>`` partition with dynamic partition overwrite,
+one shared marker written after all appends is the commit, and fenced
+reads (including the dedup anti-joins above) see only committed
+batches, so a torn batch's replay replaces its own output and a
+committed batch's replay short-circuits to a no-op.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +47,7 @@ from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
     hamming_near_dup,
     media_gate_hash,
 )
+from unified_log_aggregation_and_analytics_spark.streaming import fence
 
 # Modalities whose perceptual near-dup runs through the banded
 # Hamming machinery (64-bit fingerprint families). Video passes the
@@ -81,16 +86,16 @@ def _cross_batch_near_ids(
     every join key: image dHashes and audio spectral prints are
     different hash families, and a cross-family band collision must
     not produce a candidate."""
-    try:
-        bands_old = spark.read.parquet(_band_sidecar(table_path))
-        hashes_old = spark.read.parquet(_hash_sidecar(table_path))
-    except AnalysisException:
-        # AnalysisException only: missing path (first trigger) or a
-        # schema-less directory (an earlier batch with no fingerprinted
-        # survivors writes _SUCCESS and no part files). Any OTHER
-        # failure must fail the batch — a broad except here would
-        # silently disable cross-batch dedup. Works on any Hadoop
-        # filesystem, unlike a local isdir probe.
+    # COMMITTED sidecar rows only (fence.py): a torn predecessor's
+    # band/hash rows are invisible, so its replay re-verifies from the
+    # same state. fenced_read returns None for a missing path (first
+    # trigger) or a schema-less directory (an earlier batch with no
+    # fingerprinted survivors); any OTHER failure fails the batch — a
+    # broad except here would silently disable cross-batch dedup.
+    root = fence.fence_root(table_path)
+    bands_old = fence.fenced_read(spark, _band_sidecar(table_path), root)
+    hashes_old = fence.fenced_read(spark, _hash_sidecar(table_path), root)
+    if bands_old is None or hashes_old is None:
         return hashed.select("media_id").limit(0)
     banded = hash_band_rows(
         hashed.select("media_id", "dhash"), "dhash", bands=HASH_BANDS
@@ -143,6 +148,14 @@ def media_ingest_batch(
        ``batch_id``, outcome counts append to ``<table>_metrics`` as
        the completion marker."""
     spark = batch_df.sparkSession
+    root = fence.fence_root(table_path)
+    if batch_id is None:
+        done = fence.committed_batches(spark, root)
+        bid = (done[-1] + 1) if done else 0
+    else:
+        bid = int(batch_id)
+        if fence.is_committed(spark, root, bid):
+            return  # replay of a fully-committed batch: exact no-op
     gate = media_gate_hash(batch_df)
     scored = batch_df.withColumn("fp", F.xxhash64("payload")).withColumn(
         "fp_bucket", F.pmod(F.col("fp"), F.lit(N_BUCKETS))
@@ -169,23 +182,23 @@ def media_ingest_batch(
         )
     scored.persist()
     try:
-        (
+        fence.fenced_append(
             scored.filter(~F.coalesce(F.col("decode_ok"), F.lit(False)))
             .drop("fp", "fp_bucket", "dhash", "decode_ok")
-            .withColumn("_error", F.lit("undecodable"))
-            .write.mode("append")
-            .parquet(rejected_path)
+            .withColumn("_error", F.lit("undecodable")),
+            rejected_path,
+            bid,
+            ("_error",),
         )
         kept = scored.filter(F.col("decode_ok"))
         first = kept.groupBy("fp").agg(F.min("media_id").alias("media_id"))
         kept = kept.join(first, ["fp", "media_id"])
-        try:
-            seen = spark.read.parquet(_fp_sidecar(table_path))
+        # COMMITTED fingerprints only; None == first trigger or
+        # schema-less dir, anything else fails the batch (a broad
+        # except would silently disable cross-batch exact dedup)
+        seen = fence.fenced_read(spark, _fp_sidecar(table_path), root)
+        if seen is not None:
             kept = kept.join(seen, ["fp_bucket", "fp"], "left_anti")
-        except AnalysisException:
-            pass  # no sidecar yet (first trigger / schema-less dir);
-            # any OTHER failure fails the batch — a broad except
-            # would silently disable cross-batch exact dedup
         pre_nd = kept
         pre_nd.persist()
         # within-batch perceptual pairs PER MODALITY (the hash
@@ -222,7 +235,7 @@ def media_ingest_batch(
             near_rejects = near_rejects.observe(
                 near_obs, F.count(F.lit(1)).alias("n")
             )
-        near_rejects.write.mode("append").parquet(rejected_path)
+        fence.fenced_append(near_rejects, rejected_path, bid, ("_error",))
         kept = kept.join(near_ids, "media_id", "left_anti")
         # SEVER LINEAGE before the sidecar appends (see module
         # docstring) — after this the append order below is free.
@@ -231,11 +244,7 @@ def media_ingest_batch(
         out = kept.drop("fp", "fp_bucket", "dhash", "decode_ok")
         if ing_obs is not None:
             out = out.observe(ing_obs, F.count(F.lit(1)).alias("n"))
-        (
-            out.write.mode("append")
-            .partitionBy("modality")
-            .parquet(table_path)
-        )
+        fence.fenced_append(out, table_path, bid, ("modality",))
         metric_rows = None
         if batch_id is not None:
             vals = in_obs.get
@@ -250,11 +259,8 @@ def media_ingest_batch(
                 (int(batch_id), "duplicate", n_dup),
                 (int(batch_id), "rejected:undecodable", n_undec),
             ]
-        (
-            kept.select("fp", "fp_bucket")
-            .write.mode("append")
-            .partitionBy("fp_bucket")
-            .parquet(_fp_sidecar(table_path))
+        fence.fenced_append(
+            kept.select("fp", "fp_bucket"), _fp_sidecar(table_path), bid, ("fp_bucket",)
         )
         # perceptual sidecars: only fingerprinted modalities, and the
         # modality column rides along so future candidate joins never
@@ -265,24 +271,29 @@ def media_ingest_batch(
             "dhash",
             F.pmod(F.xxhash64(F.col("media_id")), F.lit(N_BUCKETS)).alias("id_bucket"),
         )
-        (
-            surv_hashes.write.mode("append")
-            .partitionBy("id_bucket")
-            .parquet(_hash_sidecar(table_path))
+        fence.fenced_append(
+            surv_hashes, _hash_sidecar(table_path), bid, ("id_bucket",)
         )
-        (
+        fence.fenced_append(
             hash_band_rows(surv_hashes.drop("id_bucket", "modality"), "dhash", bands=HASH_BANDS)
             .join(surv_hashes.select("media_id", "modality"), "media_id")
             .drop("dhash")
-            .withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(N_BUCKETS)))
-            .write.mode("append")
-            .partitionBy("bv_bucket")
-            .parquet(_band_sidecar(table_path))
+            .withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(N_BUCKETS))),
+            _band_sidecar(table_path),
+            bid,
+            ("bv_bucket",),
         )
         if metric_rows is not None:
-            spark.createDataFrame(
-                metric_rows, "batch_id long, outcome string, n long"
-            ).write.mode("append").parquet(f"{table_path}_metrics")
+            fence.fenced_append(
+                spark.createDataFrame(
+                    metric_rows, "batch_id long, outcome string, n long"
+                ),
+                f"{table_path}_metrics",
+                bid,
+            )
+        # THE commit: one marker covers table + DLQ + all three
+        # sidecars + metrics (streaming/fence.py).
+        fence.mark_committed(spark, root, bid)
         pre_nd.unpersist()
     finally:
         scored.unpersist()
@@ -332,26 +343,17 @@ def compact_media_sidecars(
     spark: SparkSession, table_path: str, files_per_partition: int = 1
 ) -> None:
     """Sidecar maintenance, identical contract to
-    corpus.compact_sidecars: fold the per-trigger small files in the
-    payload-fp / dhash / band sidecars back to ``files_per_partition``
-    per partition via pipeline.compact_dir — dedup state untouched,
-    routing decisions identical before and after."""
-    import os
-    import shutil
-
-    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
-        compact_dir,
-    )
-
-    sidecars = [
+    corpus.compact_sidecars: fold each sidecar's COMMITTED rows
+    (payload-fp / dhash / band) into a single already-committed batch
+    partition with ``files_per_partition`` files per bucket directory
+    — dedup state untouched, routing decisions identical before and
+    after; torn (uncommitted) partitions are dropped, they were
+    invisible to the fence anyway. Mechanics in fence.compact_fenced
+    (one codepath shared with corpus/semantic)."""
+    root = fence.fence_root(table_path)
+    for path, part_col in (
         (_fp_sidecar(table_path), "fp_bucket"),
         (_hash_sidecar(table_path), "id_bucket"),
         (_band_sidecar(table_path), "bv_bucket"),
-    ]
-    for path, part_col in sidecars:
-        if not os.path.isdir(path):
-            continue
-        tmp = f"{path}__compact_tmp"
-        compact_dir(spark, path, tmp, [part_col], files_per_partition)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+    ):
+        fence.compact_fenced(spark, path, root, part_col, files_per_partition)

@@ -28,9 +28,14 @@ WRITE ORDER: the survivor frame's lineage reads the cell sidecar (the
 cross-batch check), so it is ``localCheckpoint``-ed BEFORE the sidecar
 append — appending to a parquet path invalidates and re-reads every
 cached plan over it (see .claude/skills/verify and streaming/corpus.py
-for the incident this guards against). Delivery is at-least-once; a
-batch that completed through the sidecar append replays idempotently
-for the corpus table (its rows are their own semantic duplicates).
+for the incident this guards against). Delivery is EXACTLY-ONCE as
+observed by probes (manifest-fenced commits since round 8,
+streaming/fence.py): every per-batch write lands under a
+``_commit_batch=<id>`` partition with dynamic partition overwrite,
+one shared marker written after all appends is the commit, and the
+cross-batch sidecar read above sees only committed batches — a torn
+batch's replay replaces its own output, a committed batch's replay
+short-circuits to a no-op.
 
 At 100 TB: per-cell state grows with the corpus; the valve is the
 same as batch SemDeDup — more centroids (cells stay executor-sized)
@@ -48,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unified_log_aggregation_and_analytics_spark.operators.similarity import ivf_assign
+from unified_log_aggregation_and_analytics_spark.streaming import fence
 
 
 def _cell_sidecar(table_path: str) -> str:
@@ -114,26 +120,28 @@ def semantic_ingest_batch(
 ) -> None:
     """Ingest ONE micro-batch of embedding rows (see module
     docstring for the architecture and write-order contract)."""
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
+    root = fence.fence_root(table_path)
+    if batch_id is None:
+        done = fence.committed_batches(spark, root)
+        bid = (done[-1] + 1) if done else 0
+    else:
+        bid = int(batch_id)
+        if fence.is_committed(spark, root, bid):
+            return  # replay of a fully-committed batch: exact no-op
     assigned = ivf_assign(batch_df, centroids, vec_col=vec_col)
     assigned.persist()
     drops = None
     try:
-        # AnalysisException ONLY covers "no sidecar yet": a missing
-        # path (first trigger) or a schema-less directory (an earlier
-        # batch whose survivors were all dropped writes _SUCCESS and
-        # no part files). Any other failure (corrupt footer at
-        # execution, permissions, a compactor's swap window) surfaces
-        # and FAILS the batch — a broad except would silently disable
-        # cross-batch dedup and permanently ingest duplicates.
-        # (Compaction stays an offline maintenance op.) Read-probe,
-        # not isdir: works on any Hadoop filesystem.
-        try:
-            old = spark.read.parquet(_cell_sidecar(table_path))
-        except AnalysisException:
-            old = None
+        # COMMITTED sidecar rows only (fence.py) — None covers "no
+        # sidecar yet": a missing path (first trigger) or a
+        # schema-less directory (an earlier batch whose survivors
+        # were all dropped writes _SUCCESS and no part files). Any
+        # other failure (corrupt footer, permissions, a compactor's
+        # swap window) surfaces and FAILS the batch — a broad except
+        # would silently disable cross-batch dedup and permanently
+        # ingest duplicates.
+        old = fence.fenced_read(spark, _cell_sidecar(table_path), root)
         if old is not None:
             # Prune the sidecar to the batch's own cells BEFORE the
             # union: the cell list is bounded by the centroid count
@@ -168,7 +176,7 @@ def semantic_ingest_batch(
         )
         if rej_obs is not None:
             rejected = rejected.observe(rej_obs, F.count(F.lit(1)).alias("n"))
-        rejected.write.mode("append").parquet(rejected_path)
+        fence.fenced_append(rejected, rejected_path, bid)
         kept = assigned.join(drops, id_col, "left_anti")
         # SEVER LINEAGE before the sidecar append (module docstring).
         kept = kept.localCheckpoint()
@@ -176,23 +184,30 @@ def semantic_ingest_batch(
         out = kept.drop("cell")
         if ing_obs is not None:
             out = out.observe(ing_obs, F.count(F.lit(1)).alias("n"))
-        out.write.mode("append").parquet(table_path)
+        fence.fenced_append(out, table_path, bid)
         metric_rows = None
         if batch_id is not None:
             metric_rows = [
                 (int(batch_id), "ingested", int(ing_obs.get["n"])),
                 (int(batch_id), "semantic_duplicate", int(rej_obs.get["n"])),
             ]
-        (
-            kept.select(id_col, "cell", vec_col)
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(_cell_sidecar(table_path))
+        fence.fenced_append(
+            kept.select(id_col, "cell", vec_col),
+            _cell_sidecar(table_path),
+            bid,
+            ("cell",),
         )
         if metric_rows is not None:
-            spark.createDataFrame(
-                metric_rows, "batch_id long, outcome string, n long"
-            ).write.mode("append").parquet(f"{table_path}_metrics")
+            fence.fenced_append(
+                spark.createDataFrame(
+                    metric_rows, "batch_id long, outcome string, n long"
+                ),
+                f"{table_path}_metrics",
+                bid,
+            )
+        # THE commit: one marker covers table + DLQ + cell sidecar +
+        # metrics (streaming/fence.py).
+        fence.mark_committed(spark, root, bid)
     finally:
         assigned.unpersist()
         if drops is not None:
@@ -246,20 +261,16 @@ def compact_cell_sidecar(
     """Fold the per-trigger small files of the cell sidecar back to
     ``files_per_partition`` per cell — same contract and SAME
     implementation as the corpus/media sidecar compactors
-    (pipeline.compact_dir + directory swap; one compaction codepath,
-    not three drifting copies). Offline maintenance: do not run
-    against a live stream (the swap window is not atomic)."""
-    import os
-    import shutil
-
-    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
-        compact_dir,
+    (fence.compact_fenced; one compaction codepath, not three
+    drifting copies). Only COMMITTED rows survive, rewritten under an
+    already-committed batch partition, so the sidecar stays readable
+    through the fence and torn rows are never resurrected. Offline
+    maintenance: do not run against a live stream (the swap window is
+    not atomic)."""
+    fence.compact_fenced(
+        spark,
+        _cell_sidecar(table_path),
+        fence.fence_root(table_path),
+        "cell",
+        files_per_partition,
     )
-
-    side = _cell_sidecar(table_path)
-    if not os.path.isdir(side):
-        return
-    tmp = f"{side}__compact_tmp"
-    compact_dir(spark, side, tmp, ["cell"], files_per_partition)
-    shutil.rmtree(side)
-    os.rename(tmp, side)

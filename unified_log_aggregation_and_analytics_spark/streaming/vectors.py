@@ -17,18 +17,24 @@ Per micro-batch:
    ~16 B each, partition-pruned, the corpus vectors are never
    re-read (the fingerprint-sidecar pattern of corpus.py);
 3. APPEND — survivors assign against the FROZEN centroid artifact
-   (one Arrow GEMM over the delta, ann_index.append_ivf_index) and
-   land in the per-cell partitions, immediately visible to
-   ivf_probe;
-4. METRICS — per-batch outcome counts append to ``<path>_metrics``
-   as the completion marker (K5 parity, observe()-style accounting).
+   (one Arrow GEMM over the delta, ann_index.append_ivf_index_fenced)
+   and land in the index's fenced delta area, visible to ivf_probe as
+   soon as the batch commits;
+4. METRICS — per-batch outcome counts land at ``<path>_metrics``
+   (K5 parity, observe()-style accounting);
+5. COMMIT — one shared marker (streaming/fence.py) makes the whole
+   batch visible atomically.
 
-Delivery is at-least-once with the same bounded-duplication window as
-corpus.py: a batch replayed after completing its id-sidecar append is
-idempotent (its ids anti-join away); a failure between the index
-append and the sidecar append re-appends those rows on replay — the
-metrics marker fences torn batches, and a transactional table format
-is the documented upgrade path.
+Delivery is EXACTLY-ONCE as observed by probes (since round 8 — the
+manifest-fenced commit closed the r7 torn-batch window): every
+per-batch write lands under a ``_commit_batch=<id>`` partition with
+dynamic partition overwrite, the cross-batch dedup anti-join reads
+only COMMITTED sidecar rows, and one marker file written after all
+appends is the commit. A replay of a torn batch therefore recomputes
+the identical survivor set and REPLACES its own partial output; a
+replay of a committed batch short-circuits to a no-op. The
+kill-between-appends e2e (tests/test_vector_stream.py) proves a torn
+batch replays with no duplicates in probe results.
 
 At 100 TB: frozen-quantizer appends are the only sane online policy
 (recomputing centroids per trigger would reshuffle every existing
@@ -40,8 +46,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from unified_log_aggregation_and_analytics_spark.streaming import fence
 
 N_ID_BUCKETS = 64
 
@@ -65,7 +73,7 @@ def vector_ingest_batch(
     (ann_index.build_ivf_index) — the quantizer is frozen at build
     time, which is what makes streaming appends deterministic."""
     from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
-        append_ivf_index,
+        append_ivf_index_fenced,
         manifest_dim,
     )
 
@@ -79,27 +87,47 @@ def vector_ingest_batch(
 
         dim = int(load_centroids(spark, index_path, vec_col).shape[1])
 
+    root = fence.fence_root(index_path)
+    bid = 0 if batch_id is None else int(batch_id)
+    if fence.is_committed(spark, root, bid):
+        return  # replay of a fully-committed batch: exact no-op
+
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
     gated = batch_df.withColumn("_ok", ok)
     gated.persist()
     try:
-        (
+        fence.fenced_append(
             gated.filter(~F.col("_ok"))
             .drop("_ok")
-            .withColumn("_error", F.lit("bad_dimension"))
-            .write.mode("append")
-            .parquet(rejected_path)
+            .withColumn("_error", F.lit("bad_dimension")),
+            rejected_path,
+            bid,
         )
         kept = gated.filter(F.col("_ok")).drop("_ok")
-        # within-batch dedup: deterministic keep-min on the id itself
-        # (ids are the identity here; content dedup is semantic.py's job)
-        kept = kept.dropDuplicates([id_col])
+        # within-batch dedup: same-id rows can differ in payload
+        # (replayed producers), so pick the winner DETERMINISTICALLY —
+        # min lexicographic embedding under a per-id window — so a
+        # checkpoint replay indexes the identical vector, not whichever
+        # row a shuffle happened to surface first.
+        w = Window.partitionBy(id_col).orderBy(
+            *[F.col(c).asc_nulls_last() for c in (vec_col, *meta_cols)]
+        )
+        kept = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         sidecar = _id_sidecar_path(index_path)
-        try:
-            seen = spark.read.parquet(sidecar).select(id_col)
-            kept = kept.join(seen, id_col, "left_anti")
-        except Exception:
-            pass  # first trigger: nothing ingested yet
+        # Cross-batch dedup against COMMITTED sidecar rows only: a torn
+        # predecessor attempt's sidecar rows are invisible, so the
+        # replay recomputes the full survivor set and dynamic-overwrite
+        # replaces the torn partitions below. A missing sidecar means
+        # "first trigger" (fenced_read returns None); any other read
+        # failure (corrupt/partial parquet, permissions) propagates and
+        # fails the batch instead of silently skipping dedup.
+        seen = fence.fenced_read(spark, sidecar, root)
+        if seen is not None:
+            kept = kept.join(seen.select(id_col), id_col, "left_anti")
         # SEVER LINEAGE before the sidecar append below — kept's plan
         # reads the sidecar (the anti-join), and appending to that
         # path would recache the plan against post-append state (the
@@ -109,29 +137,39 @@ def vector_ingest_batch(
         n_kept = kept.count()
         n_bad = gated.filter(~F.col("_ok")).count()
         if n_kept:
-            append_ivf_index(
-                kept, index_path, vec_col=vec_col, id_col=id_col, meta_cols=meta_cols
+            append_ivf_index_fenced(
+                kept,
+                index_path,
+                bid,
+                vec_col=vec_col,
+                id_col=id_col,
+                meta_cols=meta_cols,
             )
-        (
+        fence.fenced_append(
             kept.select(
                 id_col,
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_ID_BUCKETS)).alias(
                     "id_bucket"
                 ),
-            )
-            .write.mode("append")
-            .partitionBy("id_bucket")
-            .parquet(sidecar)
+            ),
+            sidecar,
+            bid,
+            ("id_bucket",),
         )
-        if batch_id is not None:
-            rows = [
-                (int(batch_id), "ingested", n_kept),
-                (int(batch_id), "duplicate", n_in - n_bad - n_kept),
-                (int(batch_id), "rejected:bad_dimension", n_bad),
-            ]
-            spark.createDataFrame(
-                rows, "batch_id long, outcome string, n long"
-            ).write.mode("append").parquet(f"{index_path}_metrics")
+        rows = [
+            (bid, "ingested", n_kept),
+            (bid, "duplicate", n_in - n_bad - n_kept),
+            (bid, "rejected:bad_dimension", n_bad),
+        ]
+        fence.fenced_append(
+            spark.createDataFrame(rows, "batch_id long, outcome string, n long"),
+            f"{index_path}_metrics",
+            bid,
+        )
+        # THE commit: one marker covers index delta + DLQ + sidecar +
+        # metrics; until it lands, none of this batch is visible to
+        # probes or to later batches' dedup.
+        fence.mark_committed(spark, root, bid)
     finally:
         gated.unpersist()
 
