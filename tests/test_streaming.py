@@ -101,10 +101,15 @@ def test_ec2_error_log_routing(spark, tmp_path):
     assert r24.ts.microsecond == 123456
     notice = err_rows["AH00163: resuming normal operations"]
     assert notice.level == "info" and notice.attrs["err_level"] == "notice"
-    # nothing dead-lettered: every error-log line parsed
-    import os as _os
+    # nothing dead-lettered: every error-log line parsed (the fenced
+    # empty write leaves a schema-less dir; fenced_read maps both
+    # "missing" and "schema-less" to None == nothing rejected)
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
 
-    assert not _os.path.exists(rejected) or spark.read.parquet(rejected).count() == 0
+    rej_df = fence.fenced_read(
+        spark, rejected + "/source=ec2", table + "_commits/ec2"
+    )
+    assert rej_df is None or rej_df.count() == 0
 
 
 def test_ecs_pipeline_end_to_end(spark, tmp_path):
@@ -541,14 +546,19 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert ("2021-07-29T17:00:00") in {h for h in hours}  # fresh window emitted
 
 
-def test_compact_partitions(spark, tmp_path):
-    """K1/K2 companion: three micro-batches leave multiple part files
-    per partition; compaction rewrites to exactly one file per
-    (source, log_date) dir with identical rows."""
+def test_compact_log_table(spark, tmp_path):
+    """K1/K2 companion: three micro-batches leave one
+    ``_commit_batch`` partition each under the source subtree;
+    compaction folds committed rows into ONE batch partition (one
+    file per log_date) with identical committed rows, and the
+    pipeline keeps ingesting afterwards — batch-partition count and
+    retention stay O(days), not O(triggers)."""
     import os
+    from pathlib import Path
 
     from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
-        compact_partitions,
+        compact_log_table,
+        read_log_table,
     )
 
     logs_dir = tmp_path / "logs"
@@ -562,28 +572,29 @@ def test_compact_partitions(spark, tmp_path):
             str(tmp_path / "ckpt"), trigger={"availableNow": True},
         ).await_done()
 
-    def files_per_dir(root):
-        out = {}
-        for dirpath, _dirs, files in os.walk(root):
-            parts = [f for f in files if f.startswith("part-")]
-            if parts:
-                out[os.path.relpath(dirpath, root)] = len(parts)
-        return out
+    sub = Path(table) / "source=ec2"
+    assert len(list(sub.glob("_commit_batch=*"))) > 1, "fixture too small"
 
-    before = files_per_dir(table)
-    assert any(n > 1 for n in before.values()), f"fixture too small: {before}"
-    out = str(tmp_path / "compacted")
-    compact_partitions(spark, table, out)
-    after = files_per_dir(out)
-    assert after and all(n == 1 for n in after.values()), after
     def row_key(r):
         d = r.asDict()
         d["attrs"] = tuple(sorted((d["attrs"] or {}).items()))
         return tuple(sorted(d.items()))
 
-    orig = sorted(row_key(r) for r in spark.read.parquet(table).collect())
-    comp = sorted(row_key(r) for r in spark.read.parquet(out).collect())
-    assert orig == comp
+    before = sorted(row_key(r) for r in read_log_table(spark, table).collect())
+    compact_log_table(spark, table)
+    assert len(list(sub.glob("_commit_batch=*"))) == 1
+    for d in sub.glob("_commit_batch=*/log_date=*"):
+        assert len(list(d.glob("part-*"))) == 1
+    after = sorted(row_key(r) for r in read_log_table(spark, table).collect())
+    assert before == after and before
+
+    # the stream keeps ingesting into the compacted table
+    (logs_dir / "access_log.99").write_text(GOOD_LINES[0] + "\n")
+    run_pipeline(
+        stream_text_logs(spark, str(logs_dir)), "ec2", table, rej,
+        str(tmp_path / "ckpt"), trigger={"availableNow": True},
+    ).await_done()
+    assert read_log_table(spark, table).count() == len(before) + 1
 
 
 def test_sustained_trigger_state_bounded_by_watermark(spark, tmp_path):
@@ -862,13 +873,18 @@ def test_unified_four_source_topology(spark, tmp_path):
     assert levels[("lambda", "error")] == 1
     assert levels[("ec2", "error")] == 1  # the 500 access line
 
-    # per-source DLQ isolation: only ec2 had junk
+    # per-source DLQ isolation: only ec2 had junk (fenced read: a
+    # schema-less dir from an all-valid batch's empty write == 0)
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
     rej_counts = {}
     for name in sources:
-        p = tmp_path / f"rej_{name}"
-        rej_counts[name] = (
-            spark.read.parquet(str(p)).count() if p.exists() else 0
+        df = fence.fenced_read(
+            spark,
+            str(tmp_path / f"rej_{name}" / f"source={name}"),
+            f"{table}_commits/{name}",
         )
+        rej_counts[name] = df.count() if df is not None else 0
     assert rej_counts["ec2"] == 1
     assert rej_counts["ecs"] == rej_counts["eks"] == rej_counts["lambda"] == 0
 
@@ -1056,3 +1072,55 @@ def test_percolate_as_streaming_alert_evaluator(spark, tmp_path):
     q.awaitTermination(120)
     fired = {(r.doc_id, r.query_id) for r in spark.read.parquet(alerts_path).collect()}
     assert fired == {(1, "a_sv"), (2, "a_cust")}
+
+
+def test_log_pipeline_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypatch):
+    """K4 kill-between-appends e2e for the manifest-fenced K1 sink:
+    the batch dies after the table append but before the DLQ append.
+    Torn rows are invisible to read_log_table (no marker); the replay
+    recomputes the split and replaces the torn partitions — no
+    duplicate rows, DLQ intact, and a committed replay no-ops."""
+    from pathlib import Path
+
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        NORMALIZERS,
+        dlq_split,
+        read_log_table,
+    )
+
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    lines = spark.createDataFrame(
+        [(l,) for l in GOOD_LINES + BAD_LINES[:1]], "value string"
+    )
+    batch = NORMALIZERS["ec2"](lines)
+
+    real_append = fence.fenced_append
+
+    def killed_at_dlq(df, path, batch_id, partition_cols=()):
+        if "/rej" in path:
+            raise RuntimeError("simulated kill between table and DLQ appends")
+        return real_append(df, path, batch_id, partition_cols)
+
+    monkeypatch.setattr(fence, "fenced_append", killed_at_dlq)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        dlq_split(batch, table, rej, source="ec2", batch_id=0)
+    monkeypatch.undo()
+
+    # torn: table partition exists on disk but is not committed
+    assert (Path(table) / "source=ec2" / "_commit_batch=0").is_dir()
+    root = f"{table}_commits/ec2"
+    assert not fence.is_committed(spark, root, 0)
+    assert fence.fenced_read(spark, f"{table}/source=ec2", root).count() == 0
+
+    dlq_split(batch, table, rej, source="ec2", batch_id=0)  # replay
+
+    got = read_log_table(spark, table)
+    assert got.count() == 3
+    assert got.groupBy("_raw").count().filter("count > 1").count() == 0
+    dlq = spark.read.parquet(f"{rej}/source=ec2")
+    assert dlq.count() == 1 and dlq.collect()[0]["_error"] == "unparseable event time"
+    # committed replay: exact no-op
+    dlq_split(batch, table, rej, source="ec2", batch_id=0)
+    assert read_log_table(spark, table).count() == 3

@@ -199,3 +199,87 @@ def test_vector_ingest_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypa
     # and a replay of the now-COMMITTED batch is an exact no-op
     vector_ingest_batch(batch, index, rej, batch_id=7)
     assert _index_rows(spark, index).count() == 30
+
+
+def test_merge_index_delta_probe_identical_and_crash_safe(spark, tmp_path, monkeypatch):
+    """merge_index_delta folds committed streaming-delta batches into
+    the base table: probe results are value-identical before and
+    after, the merged-batch delta files become invisible the instant
+    the directory swap lands (journal inside the table dir — no
+    double-count window even before cleanup), and the maintenance op
+    is idempotent."""
+    import os
+    import shutil
+
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+        merge_index_delta,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    vecs = _vecs(40, seed=31)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    rej = str(tmp_path / "rej")
+    for bid, lo, hi in ((0, 10, 25), (1, 25, 40)):
+        vector_ingest_batch(
+            spark.createDataFrame([(i, vecs[i]) for i in range(lo, hi)], VEC_SCHEMA),
+            index, rej, batch_id=bid,
+        )
+
+    q = vecs[3]
+    before = [(r["vec_id"], round(r["cos_sim"], 9)) for r in ivf_probe(spark, index, q, k=8).collect()]
+
+    n_merged = merge_index_delta(spark, index)
+    assert n_merged == 2
+    after = [(r["vec_id"], round(r["cos_sim"], 9)) for r in ivf_probe(spark, index, q, k=8).collect()]
+    assert before == after
+
+    # all rows now in the base; merged delta partitions cleaned up;
+    # markers retained (they are the writer's replay short-circuit)
+    assert spark.read.parquet(f"{index}/table").count() == 40
+    assert _index_rows(spark, index).count() == 40
+    delta_dirs = [
+        d for d in os.listdir(f"{index}/delta")
+        if d.startswith("_commit_batch=")
+    ] if os.path.isdir(f"{index}/delta") else []
+    assert delta_dirs == []
+    assert fence.is_committed(spark, fence.fence_root(index), 1)
+
+    # idempotent: nothing new to merge
+    assert merge_index_delta(spark, index) == 0
+    assert _index_rows(spark, index).count() == 40
+
+    # crash-safety, the dangerous window: swap landed but cleanup did
+    # not run. Simulate by ingesting batch 2 then re-creating its
+    # delta partition AFTER a merge (stale files under a <= journal
+    # batch id must be invisible).
+    vector_ingest_batch(
+        spark.createDataFrame([(100, vecs[5]), (101, vecs[7])], VEC_SCHEMA),
+        index, rej, batch_id=2,
+    )
+    saved = str(tmp_path / "saved_delta_b2")
+    shutil.copytree(f"{index}/delta/_commit_batch=2", saved)
+    assert merge_index_delta(spark, index) == 1
+    assert _index_rows(spark, index).count() == 42
+    # resurrect the already-merged delta partition (= interrupted cleanup)
+    shutil.copytree(saved, f"{index}/delta/_commit_batch=2")
+    assert _index_rows(spark, index).count() == 42, "journal must exclude merged batch"
+    got = [r["vec_id"] for r in ivf_probe(spark, index, vecs[5], k=42).collect()]
+    assert len(got) == len(set(got)), "double-counted merged delta rows"
+    # the next maintenance run completes the cleanup
+    merge_index_delta(spark, index)
+    assert not os.path.isdir(f"{index}/delta/_commit_batch=2")
+
+    # streaming continues after a merge: next batch lands in the delta
+    vector_ingest_batch(
+        spark.createDataFrame([(200, vecs[9])], VEC_SCHEMA), index, rej, batch_id=3
+    )
+    assert _index_rows(spark, index).count() == 43

@@ -35,6 +35,8 @@ import urllib.request
 
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/span100x")
 
@@ -83,10 +85,11 @@ def main() -> None:
     )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "64")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("span100x")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -97,10 +100,13 @@ def main() -> None:
     n_docs = docs.count()
     out: dict = {"replicas": replicas, "n_docs": n_docs, "src": SRC}
 
+    which = os.environ.get("SPARK_GRAFT_OPS", "census,edit").split(",")
     for name, fn in (
         ("census", lambda d: duplicated_spans(d, k=10, min_count=2)),
         ("edit", lambda d: remove_duplicated_spans(d, k=10, min_count=2)),
     ):
+        if name not in which:
+            continue
         r0, w0 = shuffle_totals(ui)
         t0 = time.monotonic()
         res = fn(docs)

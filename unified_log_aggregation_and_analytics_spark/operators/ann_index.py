@@ -34,11 +34,15 @@ assigns against the persisted centroid artifact, so a vector's
 partition never depends on when it was ingested, and a probe over
 (base + deltas) is value-identical to a probe over a fresh full build
 (the catalog proves this through the driver oracle: the appended
-entries share the full-corpus oracle SQL). Every build/append/compact
-records a version row in ``_manifest.jsonl`` so operators can audit
-segment lineage; appends accumulate small files per partition, which
-``compact_index`` folds back to ``files_per_partition`` files per
-directory without touching assignment.
+entries share the full-corpus oracle SQL). Every build/append/compact/
+merge records a version row in ``_manifest.jsonl`` so operators can
+audit segment lineage; appends accumulate small files per partition,
+which ``compact_index`` folds back to ``files_per_partition`` files
+per directory without touching assignment. STREAMING appends
+(streaming/vectors.py) land in a manifest-fenced delta area instead
+(``append_ivf_index_fenced``); probes union base + committed delta
+(``_index_rows``), and ``merge_index_delta`` folds the committed
+delta back into the base under one atomic directory swap.
 
 Reference parity: the reference delegates vector search entirely to
 its search backend; this is the Spark-native equivalent of building
@@ -78,21 +82,44 @@ def _delta_path(path: str) -> str:
     return f"{path}/delta"
 
 
+def _merged_through(path: str) -> int:
+    """Max delta batch id folded into the base table, read from the
+    ``_merged_through`` journal INSIDE the table directory. The
+    journal rides the merge's atomic directory swap, so "these delta
+    batches are in the base" and the base data itself become visible
+    in ONE rename — the property that makes merge_index_delta safe to
+    kill at any point. -1 = never merged."""
+    p = os.path.join(_table_path(path), "_merged_through")
+    try:
+        with open(p) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
 def _index_rows(spark: SparkSession, path: str) -> DataFrame:
     """Every visible row of the index: the base table plus COMMITTED
     streaming-delta batches (manifest-fenced — a torn micro-batch's
-    rows are invisible until its marker lands, see streaming/fence.py).
-    Identical to a plain base read when no delta area exists, so
-    batch-built indexes pay nothing. Cell/bucket predicates prune on
-    both sides of the union; the delta side additionally prunes on the
-    committed-batch partition filter."""
+    rows are invisible until its marker lands, see streaming/fence.py)
+    newer than the base's ``_merged_through`` journal (batches the
+    merge already folded in are excluded even while their delta files
+    await cleanup — no double-count window). Identical to a plain
+    base read when no delta area exists, so batch-built indexes pay
+    nothing. Cell/bucket predicates prune on both sides of the union;
+    the delta side additionally prunes on the committed-batch
+    partition filter."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     base = spark.read.parquet(_table_path(path))
-    delta = fence.fenced_read(spark, _delta_path(path), fence.fence_root(path))
+    delta = fence.fenced_read(
+        spark, _delta_path(path), fence.fence_root(path), keep_batch_col=True
+    )
     if delta is None:
         return base
-    return base.unionByName(delta.select(*base.columns))
+    m = _merged_through(path)
+    if m >= 0:
+        delta = delta.filter(F.col(fence.BATCH_COL) > m)
+    return base.unionByName(delta.drop(fence.BATCH_COL).select(*base.columns))
 
 
 def _centroids_path(path: str) -> str:
@@ -234,14 +261,14 @@ def compact_index(
     files_per_partition: int = 1,
     id_col: str = "vec_id",
 ) -> None:
-    """Index small-files compaction (same contract as
-    streaming/pipeline.py compact_partitions): each append writes one
-    file per task per partition, so probe-time open cost grows with
-    append count, not data size. Rewrites the table with each
-    partition's rows hashed into ``files_per_partition`` tasks and
-    swaps the directory. The swap here is a local-FS rename executed
-    on the driver; an object-store deployment substitutes its atomic
-    rename/commit protocol, exactly as compact_partitions documents.
+    """Index small-files compaction (same contract as the fenced
+    sinks' fence.compact_fenced): each append writes one file per
+    task per partition, so probe-time open cost grows with append
+    count, not data size. Rewrites the table with each partition's
+    rows hashed into ``files_per_partition`` tasks and swaps the
+    directory. The swap here is a local-FS rename executed on the
+    driver; an object-store deployment substitutes its atomic
+    rename/commit protocol.
     Assignment columns are untouched, so probe results are preserved
     (asserted in tests/test_index_maintenance.py)."""
     table = _table_path(path)
@@ -476,6 +503,71 @@ def append_ivf_index_fenced(
         batch_id,
         ("cell",),
     )
+
+
+def merge_index_delta(
+    spark: SparkSession, path: str, part_col: str = "cell"
+) -> int:
+    """Index maintenance: fold COMMITTED streaming-delta batches into
+    the base table, restoring pure partition-pruned probes (the delta
+    union in ``_index_rows`` costs one extra scan branch per probe;
+    merging retires it for everything ingested so far). Returns the
+    number of delta batches folded.
+
+    Crash-safe without any two-phase protocol, because the commit is
+    ONE atomic directory rename: the rewritten table is staged with a
+    ``_merged_through=<max batch id>`` journal file INSIDE it, so the
+    swap delivers the merged rows and the statement "these batches
+    are merged" together. Kill before the swap: nothing changed, the
+    stage dir is orphaned and overwritten by the next run. Kill after
+    the swap, before cleanup: the journal already excludes the merged
+    batches from every delta read (``_index_rows``), so their
+    not-yet-deleted delta files are invisible — no double-count — and
+    a re-run completes the cleanup as a no-op merge. Delta COMMIT
+    MARKERS are never deleted: they also serve as the streaming
+    writer's replayed-batch short-circuit (streaming/vectors.py).
+    Offline maintenance: not against a live writer (same directory-
+    swap contract as compact_index)."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    dpath = _delta_path(path)
+    committed = fence.committed_batches(spark, fence.fence_root(path))
+    ids = [b for b in committed if b > _merged_through(path)]
+    if ids and os.path.isdir(dpath):
+        base = spark.read.parquet(_table_path(path))
+        delta = (
+            spark.read.parquet(dpath)
+            .filter(F.col(fence.BATCH_COL).isin(ids))
+            .drop(fence.BATCH_COL)
+        )
+        merged = base.unionByName(delta.select(*base.columns))
+        tmp = f"{_table_path(path)}__merge_tmp"
+        n_parts = max(merged.select(part_col).distinct().count(), 1)
+        (
+            merged.repartition(n_parts, F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
+        rows = spark.read.parquet(tmp).count()
+        with open(os.path.join(tmp, "_merged_through"), "w") as f:
+            f.write(str(max(ids)))
+        shutil.rmtree(_table_path(path))
+        os.rename(tmp, _table_path(path))  # THE commit
+        _record_version(path, "merge", rows)
+    # lazy cleanup — merged batches' delta partitions are already
+    # invisible (journal); this only reclaims space
+    m_now = _merged_through(path)
+    if os.path.isdir(dpath):
+        for d in os.listdir(dpath):
+            if d.startswith(f"{fence.BATCH_COL}="):
+                try:
+                    b = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b <= m_now:
+                    shutil.rmtree(os.path.join(dpath, d))
+    return len(ids)
 
 
 def load_centroids(spark: SparkSession, path: str, vec_col: str = "embedding") -> np.ndarray:

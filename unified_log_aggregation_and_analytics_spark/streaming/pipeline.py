@@ -14,7 +14,9 @@ Reference semantics re-expressed (citations into /root/reference):
   ``_rejected/`` Parquet instead of poisoning the batch — a documented
   improvement over the reference transformer, which would throw.
 - K4 retry (utils.ts:57-59) -> checkpointed micro-batch replay; the
-  file sink upgrades at-least-once to exactly-once.
+  manifest-fenced commit (streaming/fence.py, shared with the
+  corpus/media/vector sinks) upgrades at-least-once to exactly-once
+  as observed by fenced readers (read_log_table).
 - K5 pipeline metrics (utils.ts:60-64) -> StreamingQueryListener.
 - ST2 watermark: the sink partitions by EVENT date (vs the reference's
   arrival-date rotation) — late data lands in its true partition.
@@ -184,11 +186,21 @@ class PipelineResult:
         self.query.awaitTermination()
 
 
+def _log_fence_root(table_path: str, source: str | None) -> str:
+    """Marker namespace for one pipeline writer. Per SOURCE: the four
+    pipelines have independent checkpoints, so their batch-id spaces
+    collide — each source's markers (and DLQ subtree) must be its
+    own. Lives OUTSIDE the table root so partition discovery never
+    sees the marker directory."""
+    return f"{table_path}_commits/{source or '_all'}"
+
+
 def dlq_split(
     batch_df: DataFrame,
     table_path: str,
     rejected_path: str,
     source: str | None = None,
+    batch_id: int | None = None,
 ) -> tuple[int, int]:
     """K3 — validation split for one micro-batch: rows with a parseable
     event time go to the table (partitioned by source/log_date), rows
@@ -203,7 +215,31 @@ def dlq_split(
     concurrent appends to one path with the default committer, and
     the Spark equivalent of the reference's one-index-per-stream
     isolation (utils.ts:66). Partition discovery restores ``source``
-    as a column when the unified root is read."""
+    as a column when the unified root is read. The DLQ mirrors the
+    same per-source subtree split (the reference's per-stream S3
+    backup, utils.ts:73-81).
+
+    Delivery is EXACTLY-ONCE as observed by fenced readers
+    (streaming/fence.py, same contract as the corpus/media/vector
+    sinks): both writes land under ``_commit_batch=<id>`` partitions
+    with dynamic partition overwrite, one marker after both is the
+    commit, so a batch killed between the table append and the DLQ
+    append replays by REPLACING its own torn partitions, and a
+    committed batch's replay is a no-op. Read the table through
+    ``read_log_table`` to see committed rows only; a raw
+    ``spark.read.parquet`` also sees torn partitions (at-least-once),
+    which is the pre-fence behavior."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    spark = batch_df.sparkSession
+    root = _log_fence_root(table_path, source)
+    if batch_id is None:
+        done = fence.committed_batches(spark, root)
+        bid = (done[-1] + 1) if done else 0
+    else:
+        bid = int(batch_id)
+        if fence.is_committed(spark, root, bid):
+            return (0, 0)  # replay of a fully-committed batch: no-op
     # persist: the valid and rejected writes are two actions over the
     # same micro-batch — without it each one re-reads the source (2x
     # ingest cost and doubled numInputRows in progress metrics)
@@ -214,22 +250,80 @@ def dlq_split(
             "_error", F.lit("unparseable event time")
         )
         if source is not None:
-            (
-                valid.drop("source")
-                .write.mode("append")
-                .partitionBy("log_date")
-                .parquet(f"{table_path}/source={source}")
+            fence.fenced_append(
+                valid.drop("source"),
+                f"{table_path}/source={source}",
+                bid,
+                ("log_date",),
+            )
+            fence.fenced_append(
+                invalid.drop("source"), f"{rejected_path}/source={source}", bid
             )
         else:
-            valid.write.mode("append").partitionBy("source", "log_date").parquet(
-                table_path
-            )
-        # count() on the lazily-built invalid side would rescan; write
-        # unconditionally — an empty write is a cheap no-op.
-        invalid.write.mode("append").parquet(rejected_path)
+            fence.fenced_append(valid, table_path, bid, ("source", "log_date"))
+            fence.fenced_append(invalid, rejected_path, bid)
+        fence.mark_committed(spark, root, bid)
     finally:
         batch_df.unpersist()
     return (0, 0)
+
+
+def read_log_table(spark, table_path: str) -> DataFrame:
+    """Committed rows of a fenced log table (the per-source layout
+    run_pipeline writes): one fenced read per ``source=`` subtree —
+    each pruned by its own marker set — unioned with the source
+    column restored. O(sources) tiny marker listings; data reads
+    prune on the committed-batch partition filter. Raw
+    ``spark.read.parquet(table_path)`` remains available and differs
+    only when a torn batch is sitting unreplayed on disk."""
+    import os
+
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    parts = []
+    for d in sorted(os.listdir(table_path)):
+        if not d.startswith("source="):
+            continue
+        src = d.split("=", 1)[1]
+        df = fence.fenced_read(
+            spark, f"{table_path}/{d}", _log_fence_root(table_path, src)
+        )
+        if df is not None:
+            parts.append(df.withColumn("source", F.lit(src)))
+    if not parts:
+        raise FileNotFoundError(f"no source= subtrees under {table_path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*UNIFIED_COLUMNS)
+
+
+def compact_log_table(
+    spark, table_path: str, files_per_partition: int = 1
+) -> None:
+    """K1/K2 maintenance for the FENCED log table: fold each source
+    subtree's committed batch partitions into one
+    (``_commit_batch=<max committed>``, ``log_date``) layout with
+    ``files_per_partition`` files per day — the batch-partition count
+    then resets to 1, so retention (expire_partitions) and scans stay
+    O(days), not O(triggers). Run compaction before bulk retention.
+    Offline maintenance; see fence.compact_fenced for the swap
+    contract."""
+    import os
+
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    for d in sorted(os.listdir(table_path)):
+        if not d.startswith("source="):
+            continue
+        src = d.split("=", 1)[1]
+        fence.compact_fenced(
+            spark,
+            f"{table_path}/{d}",
+            _log_fence_root(table_path, src),
+            "log_date",
+            files_per_partition,
+        )
 
 
 def run_pipeline(
@@ -246,8 +340,10 @@ def run_pipeline(
     normalized = NORMALIZERS[source_name](source_df)
     trigger = trigger or {"processingTime": "60 seconds"}
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        dlq_split(batch_df, table_path, rejected_path, source=source_name)
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dlq_split(
+            batch_df, table_path, rejected_path, source=source_name, batch_id=batch_id
+        )
 
     q = (
         normalized.writeStream.foreachBatch(handle)
@@ -256,59 +352,6 @@ def run_pipeline(
         .start()
     )
     return PipelineResult(q)
-
-
-def compact_dir(
-    spark,
-    table_path: str,
-    out_path: str,
-    part_cols: list[str],
-    files_per_partition: int = 1,
-    salt_cols: list[str] | None = None,
-) -> None:
-    """Generic small-files compaction for any partitioned parquet
-    directory: rewrite with each partition's rows hashed into
-    ``files_per_partition`` tasks (repartition on the partition keys,
-    plus a salt over ``salt_cols`` when >1), so the partitioned write
-    emits exactly that many files per directory. Output goes to
-    ``out_path``; the caller swaps directories (object stores make
-    in-place rewrite non-atomic, so the swap is deliberately left to
-    the deployment's rename/commit protocol)."""
-    df = spark.read.parquet(table_path)
-    keys = [F.col(c) for c in part_cols]
-    if files_per_partition > 1:
-        salt = salt_cols or [c for c in df.columns if c not in part_cols][:1]
-        keys.append(F.pmod(F.xxhash64(*salt), F.lit(files_per_partition)))
-    n_parts = max(df.select(*part_cols).distinct().count(), 1)
-    (
-        df.repartition(n_parts * files_per_partition, *keys)
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(out_path)
-    )
-
-
-def compact_partitions(
-    spark,
-    table_path: str,
-    out_path: str,
-    files_per_partition: int = 1,
-) -> None:
-    """K1/K2 operational companion — small-files compaction: the
-    streaming sink appends one file per task per micro-batch, so a
-    (source, log_date) partition accumulates files linearly with batch
-    count; at a 60 s trigger that is ~1 440 files/partition/day and
-    scan overhead grows with file count, not data size. See
-    compact_dir for mechanics and the directory-swap contract."""
-    compact_dir(
-        spark,
-        table_path,
-        out_path,
-        ["source", "log_date"],
-        files_per_partition,
-        # row-level salt (hashing the map-typed attrs is disallowed)
-        salt_cols=["_raw", "ts"],
-    )
 
 
 def expire_partitions(
