@@ -810,3 +810,105 @@ def test_token_index_torn_replay_no_double_postings(spark, docs, tmp_path, monke
         tuple(r) for r in R.bm25_search_indexed(spark, "tok_torn_ref", terms, k=10).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_corpus_every_kill_point_replays_to_control_state(spark, docs, tmp_path, monkeypatch):
+    """EXHAUSTIVE torn-batch sweep: kill the near-dup ingest at EVERY
+    fenced write site in turn (reject, near-reject, table, sig, band,
+    fp, metrics appends — and after the marker), replay, and require
+    the final COMMITTED state (table rows, fp sidecar, metrics) to be
+    byte-equal to a control run that was never killed. This is the
+    fence's whole contract in one test: no write boundary anywhere in
+    the batch may leak duplicates or lose rows under kill + replay."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    b1 = spark.createDataFrame(_kept_docs_pdf(spark, docs, 12))
+    pdf2 = _kept_docs_pdf(spark, docs, 12, lo=150)
+    # make batch 2 interesting: an exact dup and a near-dup of batch 1
+    base = _kept_docs_pdf(spark, docs, 2)
+    pdf2.iloc[0, pdf2.columns.get_loc("text")] = base.iloc[0]["text"]
+    toks = base.iloc[1]["text"].split()
+    toks[3] = "zzzperturbed"
+    pdf2.iloc[1, pdf2.columns.get_loc("text")] = " ".join(toks)
+    b2 = spark.createDataFrame(pdf2)
+
+    def run_to_dir(root_dir, kill_at=None):
+        table = str(root_dir / "corpus")
+        rejected = str(root_dir / "rejected")
+        corpus_ingest_batch(b1, table, rejected, batch_id=0, near_dup=True)
+        if kill_at is not None:
+            calls = {"n": 0}
+            real = fence.fenced_append
+
+            def killer(df, path, batch_id, partition_cols=()):
+                if calls["n"] == kill_at:
+                    raise RuntimeError(f"kill at write {kill_at}")
+                calls["n"] += 1
+                return real(df, path, batch_id, partition_cols)
+
+            monkeypatch.setattr(fence, "fenced_append", killer)
+            try:
+                corpus_ingest_batch(b2, table, rejected, batch_id=1, near_dup=True)
+                killed = False
+            except RuntimeError:
+                killed = True
+            finally:
+                monkeypatch.undo()
+            if not killed:
+                return None  # kill site beyond this run's write count
+        corpus_ingest_batch(b2, table, rejected, batch_id=1, near_dup=True)  # replay
+        root = fence.fence_root(table)
+        tbl = {
+            tuple(r)
+            for r in fence.fenced_read(spark, table, root)
+            .select("doc_id", "text")
+            .collect()
+        }
+        fps = sorted(
+            r["fp"]
+            for r in fence.fenced_read(spark, table + "_fingerprints", root).collect()
+        )
+        met = {
+            (r["batch_id"], r["outcome"]): r["n"]
+            for r in fence.fenced_read(spark, table + "_metrics", root).collect()
+        }
+        return tbl, fps, met
+
+    control = run_to_dir(tmp_path / "control")
+    assert control is not None and len(control[0]) > 12  # both batches landed
+    site = 0
+    exercised = 0
+    while True:
+        got = run_to_dir(tmp_path / f"kill{site}", kill_at=site)
+        if got is None:
+            break  # past the last write: batch completed uninterrupted
+        assert got == control, f"kill at fenced write #{site} diverged"
+        exercised += 1
+        site += 1
+    assert exercised >= 6, f"sweep exercised only {exercised} kill sites"
+
+    # the last boundary: every append landed but the batch died before
+    # its commit marker — the torn state is maximal yet still invisible
+    d = tmp_path / "kill_marker"
+    table = str(d / "corpus")
+    rejected = str(d / "rejected")
+    corpus_ingest_batch(b1, table, rejected, batch_id=0, near_dup=True)
+    real_mark = fence.mark_committed
+
+    def no_mark(spark_, root_, bid_):
+        if int(bid_) == 1:
+            raise RuntimeError("kill before marker")
+        return real_mark(spark_, root_, bid_)
+
+    monkeypatch.setattr(fence, "mark_committed", no_mark)
+    with pytest.raises(RuntimeError, match="kill before marker"):
+        corpus_ingest_batch(b2, table, rejected, batch_id=1, near_dup=True)
+    monkeypatch.undo()
+    root = fence.fence_root(table)
+    assert not fence.is_committed(spark, root, 1)
+    corpus_ingest_batch(b2, table, rejected, batch_id=1, near_dup=True)
+    tbl = {
+        tuple(r)
+        for r in fence.fenced_read(spark, table, root).select("doc_id", "text").collect()
+    }
+    assert tbl == control[0], "marker-boundary kill diverged"

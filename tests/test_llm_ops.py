@@ -1605,3 +1605,52 @@ def test_remove_duplicated_spans_rebuilds_text(spark):
     for d in (4, 5):
         assert out[d]["kept_tokens"] == 0
         assert out[d]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_doremi_mixture_weights_upweights_hard_domain(spark):
+    """DoReMi-lite (sampling.doremi_mixture_weights): the source whose
+    text the self-scored bigram LM finds hard (unique bigrams -> low
+    counts -> high NLL) must earn MORE than uniform weight, the easy
+    repeated-text sources less; weights sum to ~1 and never fall
+    below the uniform-smoothing floor c/k."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        doremi_mixture_weights,
+    )
+
+    easy = "the cat sat on the mat and the cat sat again"
+    rows = []
+    for i in range(8):
+        rows.append((i, "hard", " ".join(f"tok{i}x{j}" for j in range(12))))
+        rows.append((100 + i, "easy_a", easy))
+        rows.append((200 + i, "easy_b", easy))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    got = {r["source"]: r.asDict() for r in doremi_mixture_weights(docs).collect()}
+    assert set(got) == {"hard", "easy_a", "easy_b"}
+    k, c = 3, 0.2
+    w = {s: got[s]["weight"] for s in got}
+    assert abs(sum(w.values()) - 1.0) < 1e-5
+    assert w["hard"] > 1 / k > w["easy_a"]
+    assert all(v >= c / k - 1e-9 for v in w.values())
+    assert got["hard"]["excess_nll"] > 0
+    assert got["easy_a"]["excess_nll"] == 0.0  # below-mean clamps to 0
+    # identical easy sources tie exactly (engine-deterministic)
+    assert w["easy_a"] == w["easy_b"]
+
+
+def test_doremi_mixture_uniform_on_homogeneous_corpus(spark):
+    """With every source equally hard (identical text), excess loss is
+    zero everywhere and the EG step is a no-op: weights come out
+    exactly uniform after smoothing."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        doremi_mixture_weights,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, f"s{i % 4}", t) for i in range(16)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = doremi_mixture_weights(docs).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["excess_nll"] == 0.0
+        assert r["weight"] == 0.25

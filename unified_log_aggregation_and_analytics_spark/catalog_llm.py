@@ -4127,3 +4127,62 @@ def text_entropy(spark, sf_dir):
     this replaced was 50x slower at 50x corpus."""
     docs = _t(spark, sf_dir, "documents")
     return X.char_entropy(docs).select("doc_id", "lang", "char_entropy")
+
+
+@_register(
+    "docs_doremi_mixture",
+    f"""
+    WITH lm AS ({_LM_SCORE_ORACLE}),
+    dec AS (
+      SELECT d.source, CAST(lm.avg_nll AS DECIMAL(18,6)) AS s
+      FROM lm JOIN documents d USING (doc_id)
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(s) AS tot
+      FROM dec GROUP BY source
+    ),
+    ref AS (
+      SELECT round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS ref_nll FROM dec
+    ),
+    stepped AS (
+      SELECT source, n_docs,
+             round(CAST(tot AS DOUBLE) / n_docs, 6) AS avg_nll,
+             round(greatest(
+               round(CAST(tot AS DOUBLE) / n_docs, 6) - ref_nll, 0), 6
+             ) AS excess_nll
+      FROM per_src CROSS JOIN ref
+    ),
+    gg AS (
+      SELECT source, n_docs, avg_nll, excess_nll,
+             CAST(round(
+               (2 + least(1.0 * excess_nll, 1.5)) /
+               (2 - least(1.0 * excess_nll, 1.5)), 6) AS DECIMAL(18,6)) AS g
+      FROM stepped
+    ),
+    norm AS (SELECT CAST(SUM(g) AS DOUBLE) AS z, COUNT(*) AS k FROM gg)
+    SELECT source, n_docs, avg_nll, excess_nll,
+           round(0.8 * round(CAST(g AS DOUBLE) / z, 6) + 0.2 / k, 6) AS weight
+    FROM gg CROSS JOIN norm
+    """,
+)
+def docs_doremi_mixture(spark, sf_dir):
+    """Sampling — DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429, one engine-exact exponentiated-gradient step):
+    per-source excess loss under the in-plan bigram-LM proxy
+    (text_lm_score's model — the CCNet fluency stage standing in for
+    the proxy model), multiplicative up-weighting of hard domains via
+    the Pade(1,1) exp surrogate on the clamped step, then smoothing
+    toward uniform (eta=1.0, c=0.2). Complements docs_mixture_plan
+    (size-temperature mixing): that entry asks "how big is each
+    source", this one asks "how hard is each source for the model".
+    DECIMAL(18,6) order-free sums + correctly-rounded IEEE steps on
+    round-6 inputs make DuckDB replay the weights exactly — the
+    text_quality_train discipline applied to mixture optimization.
+    LM scoring dominates the plan; everything after is k-row
+    arithmetic with two broadcast scalars, no collect."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        doremi_mixture_weights,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return doremi_mixture_weights(docs, eta=1.0, smoothing=0.2)

@@ -649,3 +649,84 @@ def cluster_split(
     return hash_split(keyed, id_col="cluster_key", splits=splits).select(
         id_col, "cluster_key", "split"
     )
+
+
+def doremi_mixture_weights(
+    docs: DataFrame,
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sampling — DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429, simplified to one exponentiated-gradient step
+    over a statistical proxy): domains whose text the reference model
+    finds HARD (per-source mean bigram-LM NLL above the corpus mean
+    — the excess loss) are up-weighted multiplicatively, then the
+    weights are smoothed toward uniform. The full recipe trains a
+    small proxy model per step; the engine-exact analog uses the
+    in-plan bigram LM (text.bigram_lm_score, the CCNet fluency
+    stage) as the proxy and replaces exp with its Pade(1,1)
+    surrogate ``(2+x)/(2-x)`` on the clamped step — every operation
+    is a correctly-rounded IEEE op on round-6 inputs, so DuckDB
+    replays the weights bit-identically (the same discipline as the
+    GD-trained quality classifier, text.py).
+
+    Returns one row per source:
+    (source, n_docs, avg_nll, excess_nll, weight), weights summing to
+    ~1 at 6 decimals.
+
+    Plan shape at scale: the LM scoring dominates (vocabulary-keyed
+    join, see bigram_lm_score); everything after is a per-source
+    aggregation of DECIMAL(18,6) doc scores — exact, order-free sums,
+    k rows of driver-free arithmetic (k = #sources), one broadcast of
+    two scalars (corpus mean, normalizer). No collect."""
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    scored = bigram_lm_score(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, source_col), id_col
+    )
+    dec = scored.select(
+        source_col, F.col("avg_nll").cast("decimal(18,6)").alias("s")
+    )
+    per_src = dec.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s").alias("tot"),  # exact decimal sum: order-free
+    )
+    ref = dec.agg(
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ref_nll")
+    )
+    avg = F.round(F.col("tot").cast("double") / F.col("n_docs"), 6)
+    excess = F.round(F.greatest(avg - F.col("ref_nll"), F.lit(0.0)), 6)
+    # one EG step with the Pade(1,1) exp surrogate on the clamped
+    # step x = min(eta*excess, 1.5) (clamp keeps the surrogate
+    # positive and monotone; excess losses live well under it)
+    x = F.least(F.lit(float(eta)) * excess, F.lit(1.5))
+    g = F.round((F.lit(2.0) + x) / (F.lit(2.0) - x), 6)
+    stepped = per_src.crossJoin(F.broadcast(ref)).select(
+        source_col,
+        "n_docs",
+        avg.alias("avg_nll"),
+        excess.alias("excess_nll"),
+        g.cast("decimal(18,6)").alias("g"),
+    )
+    norm = stepped.agg(
+        F.sum("g").cast("double").alias("z"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    c = float(smoothing)
+    w = F.round(F.col("g").cast("double") / F.col("z"), 6)
+    return stepped.crossJoin(F.broadcast(norm)).select(
+        source_col,
+        "n_docs",
+        "avg_nll",
+        "excess_nll",
+        F.round(
+            F.lit(1.0 - c) * w + F.lit(c) / F.col("k"), 6
+        ).alias("weight"),
+    )
