@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     # gate instead.)
     "multimodal_keyframes",
     "docs_corpus_ingest_lm",
+    # round-8: DoReMi-style domain reweighting (LM-proxy scoring
+    # dominates; the EG step itself is k-row arithmetic)
+    "docs_doremi_mixture",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -224,6 +227,8 @@ EAGER_QUERIES = {
     "docs_dsir_sample",
     "q07e_heavy_hitters",
     "multimodal_ingest_report",
+    # LM-proxy scoring materializes at construction (localCheckpoint)
+    "docs_doremi_mixture",
 }
 
 

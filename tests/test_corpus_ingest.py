@@ -122,7 +122,13 @@ def test_corpus_pipeline_end_to_end(spark, docs, tmp_path):
     sidecar = spark.read.parquet(table + "_fingerprints")
     assert sidecar.count() == want_ingested
     assert sidecar.select("fp").distinct().count() == want_ingested
-    assert len(list(Path(table + "_fingerprints").glob("_commit_batch=*/fp_bucket=*"))) >= 1
+    # flat sidecar layout (r8): ONE coalesced file per batch partition
+    fp_files = list(Path(table + "_fingerprints").glob("_commit_batch=*/*.parquet"))
+    assert len(fp_files) >= 1
+    per_batch = {}
+    for f in fp_files:
+        per_batch.setdefault(f.parent.name, []).append(f)
+    assert all(len(v) == 1 for v in per_batch.values()), per_batch
 
     # per-stratum ingest accounting matches the oracle-checked analog
     got_ingested = {
@@ -226,7 +232,7 @@ def test_corpus_near_dup_cross_batch(spark, docs, tmp_path):
     # sidecars carry only survivors: one sig row per ingested doc
     sigs = spark.read.parquet(table + "_minhash_sigs")
     assert sigs.count() == len(ids)
-    assert len(list(Path(table + "_minhash_bands").glob("_commit_batch=*/bh_bucket=*"))) >= 1
+    assert len(list(Path(table + "_minhash_bands").glob("_commit_batch=*/*.parquet"))) >= 1
 
 
 def test_corpus_near_dup_sidecars_complete_after_cross_batch(spark, docs, tmp_path):
@@ -480,13 +486,11 @@ def test_compact_sidecars_preserves_dedup(spark, docs, tmp_path):
 
     compact_sidecars(spark, table)
 
-    # folded into ONE committed batch partition, one file per bucket
+    # folded into ONE committed batch partition with ONE file
     assert len(list(fp_dir.glob("_commit_batch=*"))) == 1
-    for d in fp_dir.glob("_commit_batch=*/fp_bucket=*"):
-        assert len(list(d.glob("*.parquet"))) == 1
+    assert len(list(fp_dir.glob("_commit_batch=*/*.parquet"))) == 1
     for side in ("_minhash_bands", "_minhash_sigs"):
-        for d in Path(table + side).glob("_commit_batch=*/*=*"):
-            assert len(list(d.glob("*.parquet"))) == 1
+        assert len(list(Path(table + side).glob("_commit_batch=*/*.parquet"))) == 1
     assert spark.read.parquet(str(fp_dir)).count() == n_before
 
     # replay of batch 1 still fully deduped; a near-dup of an ingested

@@ -118,12 +118,12 @@ def test_media_sidecar_compaction_preserves_dedup(spark, tmp_path):
     _media_rows(spark, batch1).write.mode("append").parquet(str(src))
     _run(spark, src, tmp_path, "c1")
 
-    # fenced layout (r8): _commit_batch=N/fp_bucket=M/part.parquet
+    # flat fenced layout (r8): _commit_batch=N/part.parquet
     fps = str(tmp_path / "media_table_payload_fps")
-    before = len(glob.glob(f"{fps}/*/*/*.parquet"))
+    before = len(glob.glob(f"{fps}/*/*.parquet"))
     assert before >= 1
     SM.compact_media_sidecars(spark, str(tmp_path / "media_table"))
-    after = len(glob.glob(f"{fps}/*/*/*.parquet"))
+    after = len(glob.glob(f"{fps}/*/*.parquet"))
     assert after <= before
 
     batch2 = [

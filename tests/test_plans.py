@@ -222,6 +222,10 @@ SCALAR_BROADCAST_OK = {
     #   label filter prunes inside the BNLJ's condition
     "text_ccnet_buckets",  # composes text_lm_score's whitelisted
     #   1-row vocabulary-size scalar
+    "docs_doremi_mixture",  # 1-row EG-normalizer scalar over the
+    #   k-row (k = #sources) checkpointed step frame; the LM-proxy
+    #   construction runs eagerly at build (text_quality_train's
+    #   feature-frame discipline) in text_lm_score's whitelisted shape
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only

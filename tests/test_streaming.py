@@ -1124,3 +1124,43 @@ def test_log_pipeline_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypat
     # committed replay: exact no-op
     dlq_split(batch, table, rej, source="ec2", batch_id=0)
     assert read_log_table(spark, table).count() == 3
+
+
+def test_expire_partitions_on_fenced_log_table(spark, tmp_path):
+    """K2 retention composed with the round-8 fenced layout
+    (source=X/_commit_batch=N/log_date=D): expire walks every batch
+    partition, drops exactly the sub-cutoff day directories, and the
+    fenced committed reader keeps working on what remains — the
+    compact-then-expire maintenance cadence the module documents."""
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        NORMALIZERS,
+        compact_log_table,
+        dlq_split,
+        expire_partitions,
+        read_log_table,
+    )
+
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    # two batches, two event days each (GOOD_LINES spans 07-29/07-30)
+    lines = spark.createDataFrame([(l,) for l in GOOD_LINES], "value string")
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ec2", batch_id=0)
+    dlq_split(
+        NORMALIZERS["ec2"](lines.limit(3)), table, rej, source="ec2", batch_id=1
+    )
+    assert read_log_table(spark, table).count() == 6
+
+    removed = expire_partitions(spark, table, older_than="2021-07-30")
+    # the 07-29 day dir existed under BOTH batch partitions
+    assert len(removed) == 2
+    assert all("log_date=2021-07-29" in r for r in removed)
+    left = read_log_table(spark, table)
+    assert left.count() == 2  # one 07-30 row per batch
+    assert {r.log_date.isoformat() for r in left.collect()} == {"2021-07-30"}
+
+    # after compaction the same retention is one directory per day
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ec2", batch_id=2)
+    compact_log_table(spark, table)
+    removed = expire_partitions(spark, table, older_than="2021-07-30")
+    assert len(removed) == 1
+    assert read_log_table(spark, table).count() == 3

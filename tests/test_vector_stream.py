@@ -283,3 +283,101 @@ def test_merge_index_delta_probe_identical_and_crash_safe(spark, tmp_path, monke
         spark.createDataFrame([(200, vecs[9])], VEC_SCHEMA), index, rej, batch_id=3
     )
     assert _index_rows(spark, index).count() == 43
+
+
+def test_vector_every_kill_point_replays_to_control_state(spark, tmp_path, monkeypatch):
+    """EXHAUSTIVE torn-batch sweep for the vector-index pipeline:
+    kill batch 1 at every fenced write site in turn (DLQ, index
+    delta, id sidecar, metrics) plus the pre-marker boundary, replay,
+    and require the probe-visible index and metrics to equal a
+    never-killed control run."""
+    import os
+
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    vecs = _vecs(40, seed=47)
+    b1 = [(i, vecs[i]) for i in range(10, 25)]
+    b2 = [(i, vecs[i]) for i in range(22, 40)] + [(99, None)]  # overlap + reject
+
+    def run_to_dir(d, kill_at=None, kill_marker=False):
+        index = str(d / "ivf")
+        rej = str(d / "rej")
+        build_ivf_index(
+            spark.createDataFrame([(i, vecs[i]) for i in range(10)], VEC_SCHEMA),
+            index,
+            n_centroids=4,
+        )
+        vector_ingest_batch(
+            spark.createDataFrame(b1, VEC_SCHEMA), index, rej, batch_id=0
+        )
+        killed = False
+        if kill_at is not None:
+            calls = {"n": 0}
+            real = fence.fenced_append
+
+            def killer(df, path, batch_id, partition_cols=()):
+                if calls["n"] == kill_at:
+                    raise RuntimeError("kill")
+                calls["n"] += 1
+                return real(df, path, batch_id, partition_cols)
+
+            monkeypatch.setattr(fence, "fenced_append", killer)
+        elif kill_marker:
+            real_mark = fence.mark_committed
+
+            def no_mark(spark_, root_, bid_):
+                if int(bid_) == 1:
+                    raise RuntimeError("kill")
+                return real_mark(spark_, root_, bid_)
+
+            monkeypatch.setattr(fence, "mark_committed", no_mark)
+        if kill_at is not None or kill_marker:
+            try:
+                vector_ingest_batch(
+                    spark.createDataFrame(b2, VEC_SCHEMA), index, rej, batch_id=1
+                )
+            except RuntimeError:
+                killed = True
+            finally:
+                monkeypatch.undo()
+            if not killed:
+                return None
+        vector_ingest_batch(
+            spark.createDataFrame(b2, VEC_SCHEMA), index, rej, batch_id=1
+        )
+        rows = {
+            (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+            for r in _index_rows(spark, index).collect()
+        }
+        met = {
+            (r["batch_id"], r["outcome"]): r["n"]
+            for r in fence.fenced_read(
+                spark, f"{index}_metrics", fence.fence_root(index)
+            ).collect()
+        }
+        return rows, met
+
+    control = run_to_dir(tmp_path / "control", kill_at=10**9)
+    # kill_at huge -> killer never fires -> returns None; rebuild control plainly
+    assert control is None
+    control = run_to_dir(tmp_path / "control2")
+    assert len(control[0]) == 40  # 10 base + 15 + 15 novel survivors
+
+    site, exercised = 0, 0
+    while True:
+        got = run_to_dir(tmp_path / f"kill{site}", kill_at=site)
+        if got is None:
+            break
+        assert got == control, f"kill at fenced write #{site} diverged"
+        exercised += 1
+        site += 1
+    assert exercised >= 3, f"sweep exercised only {exercised} kill sites"
+
+    got = run_to_dir(tmp_path / "killmark", kill_marker=True)
+    assert got == control, "marker-boundary kill diverged"

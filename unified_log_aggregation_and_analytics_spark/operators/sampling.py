@@ -689,8 +689,17 @@ def doremi_mixture_weights(
     scored = bigram_lm_score(docs, text_col=text_col, id_col=id_col).join(
         docs.select(id_col, source_col), id_col
     )
-    dec = scored.select(
-        source_col, F.col("avg_nll").cast("decimal(18,6)").alias("s")
+    # Materialize the per-doc scores ONCE (n_docs tiny rows): four
+    # downstream aggregates reference this frame (per-source sums,
+    # corpus mean, EG normalizer, final select), and Spark re-derives
+    # a referenced subtree per consumer — without the checkpoint the
+    # corpus-scanning LM subtree runs up to 20x in one plan (the
+    # text_quality_train feature-frame discipline; plan-sweep-guarded).
+    dec = (
+        scored.select(
+            source_col, F.col("avg_nll").cast("decimal(18,6)").alias("s")
+        )
+        .localCheckpoint()
     )
     per_src = dec.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -708,12 +717,18 @@ def doremi_mixture_weights(
     # positive and monotone; excess losses live well under it)
     x = F.least(F.lit(float(eta)) * excess, F.lit(1.5))
     g = F.round((F.lit(2.0) + x) / (F.lit(2.0) - x), 6)
-    stepped = per_src.crossJoin(F.broadcast(ref)).select(
-        source_col,
-        "n_docs",
-        avg.alias("avg_nll"),
-        excess.alias("excess_nll"),
-        g.cast("decimal(18,6)").alias("g"),
+    # k rows (k = #sources): checkpoint so the normalizer aggregate
+    # and the final select share one computation of the EG step
+    stepped = (
+        per_src.crossJoin(F.broadcast(ref))
+        .select(
+            source_col,
+            "n_docs",
+            avg.alias("avg_nll"),
+            excess.alias("excess_nll"),
+            g.cast("decimal(18,6)").alias("g"),
+        )
+        .localCheckpoint()
     )
     norm = stepped.agg(
         F.sum("g").cast("double").alias("z"),

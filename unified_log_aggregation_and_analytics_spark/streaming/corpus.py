@@ -15,19 +15,23 @@ partition-prunes per-stratum quotas instead of scanning the corpus.
 Cross-batch dedup at 100 TB: the naive design (anti-join each delta
 against the corpus) re-reads the corpus text per trigger. Instead the
 sink maintains a FINGERPRINT SIDECAR — a parquet table holding only
-``(fp, fp_bucket)``, ~16 bytes/row, partitioned by
-``fp_bucket = pmod(fp, N_FP_BUCKETS)`` — and each delta anti-joins
-against the sidecar alone: read cost scales with |corpus| * 16 B (and
-partition-prunes to the delta's buckets), never with corpus text
-bytes, and the join shuffles on the uniform hash bucket. This is the
+``(fp, fp_bucket)``, ~16 bytes/row, ONE coalesced file per committed
+batch (``fp_bucket = pmod(fp, N_FP_BUCKETS)`` rides along as a data
+column for the join key and compaction clustering; bucket DIRECTORIES
+were dropped in round 8 — no reader pruned them, and ~60 files per
+trigger was the measured per-trigger slope) — and each delta
+anti-joins against the sidecar alone: read cost scales with
+|corpus| * 16 B, never with corpus text bytes, file count with
+triggers-since-compaction, and the join shuffles on the uniform hash
+bucket. This is the
 same persisted-artifact pattern as the token/ANN indexes
 (operators/ann_index.py): assignment is a pure function (xxhash64 of
 the normalized text), so append never rewrites base state.
 
 Near-duplicate removal (``near_dup=True``) extends the same pattern
 to MinHash-LSH: two more sidecars — band rows ``(band_idx, band_hash,
-doc_id)`` partitioned by band-hash bucket, and signature rows
-``(doc_id, mh1..mh16)`` partitioned by id bucket. A delta's band rows
+doc_id)`` and signature rows ``(doc_id, mh1..mh16)``, same flat
+one-file-per-batch layout. A delta's band rows
 join the band sidecar (bucket-bounded degree, partition-pruned), the
 resulting candidate pairs verify by estimated Jaccard against the sig
 sidecar (pruned to candidate ids), and confirmed near-dups dead-letter
@@ -101,15 +105,13 @@ def _near_dup_ids(
     within this batch) and every batch doc's signature row.
 
     Scale design mirrors the fingerprint sidecar: the BAND sidecar
-    holds ``(band_idx, band_hash, doc_id)`` keyed/partitioned by
-    ``pmod(band_hash, N)``; the SIG sidecar holds ``(doc_id,
-    mh1..mhK)`` partitioned by ``pmod(xxhash64(doc_id), N)``. A delta
-    joins the band sidecar on the band key (bucket-bounded degree,
-    partition-pruned to the delta's buckets), then verifies candidate
-    pairs by estimated Jaccard (fraction of equal signature
-    components) against the sig sidecar — pruned to the candidates'
-    id buckets. Per-trigger cost scales with the delta's band
-    collisions, never the corpus text."""
+    holds ``(band_idx, band_hash, doc_id)``, the SIG sidecar
+    ``(doc_id, mh1..mhK)`` — flat one-file-per-batch layout, bucket
+    keys as data columns. A delta joins the band sidecar on the band
+    key (bucket-bounded degree), then verifies candidate pairs by
+    estimated Jaccard (fraction of equal signature components)
+    against the sig sidecar. Per-trigger cost scales with the delta's
+    band collisions, never the corpus text."""
     from unified_log_aggregation_and_analytics_spark.operators.dedup import (
         band_rows,
         minhash_lsh_candidates,
@@ -448,19 +450,18 @@ def corpus_ingest_batch(
                     surv_sigs.withColumn(
                         "sig_bucket",
                         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_FP_BUCKETS)),
-                    ),
+                    ).coalesce(1),
                     _sig_sidecar_path(table_path),
                     bid,
-                    ("sig_bucket",),
                 )
                 fence.fenced_append(
                     band_rows(surv_sigs, num_hashes=ND_NUM_HASHES, band_size=ND_BAND_SIZE)
                     .withColumn(
                         "bh_bucket", F.pmod(F.col("band_hash"), F.lit(N_FP_BUCKETS))
-                    ),
+                    )
+                    .coalesce(1),
                     _band_sidecar_path(table_path),
                     bid,
-                    ("bh_bucket",),
                 )
             if token_index is not None:
                 # must run BEFORE the fp-sidecar append below: the
@@ -495,8 +496,13 @@ def corpus_ingest_batch(
                     append_token_index_table(docs_new, token_index)
                 else:
                     build_token_index_table(docs_new, token_index)
+            # flat single-file sidecar appends (bucket is a DATA column):
+            # no reader prunes bucket directories, and one dir + ~60
+            # files per trigger was the measured per-trigger slope —
+            # 1 file/trigger keeps the anti-join's file count equal to
+            # the trigger count until compaction folds it to 1
             fence.fenced_append(
-                kept.select("fp", "fp_bucket"), sidecar, bid, ("fp_bucket",)
+                kept.select("fp", "fp_bucket").coalesce(1), sidecar, bid
             )
             if metric_rows is not None:
                 fence.fenced_append(
@@ -796,9 +802,11 @@ def compact_sidecars(
     the directory-swap contract live in fence.compact_fenced — one
     codepath shared with media/semantic, not three drifting copies."""
     root = fence.fence_root(table_path)
-    for path, part_col in (
-        (_fp_sidecar_path(table_path), "fp_bucket"),
-        (_band_sidecar_path(table_path), "bh_bucket"),
-        (_sig_sidecar_path(table_path), "sig_bucket"),
+    for path in (
+        _fp_sidecar_path(table_path),
+        _band_sidecar_path(table_path),
+        _sig_sidecar_path(table_path),
     ):
-        fence.compact_fenced(spark, path, root, part_col, files_per_partition)
+        fence.compact_fenced(
+            spark, path, root, files_per_partition=files_per_partition
+        )

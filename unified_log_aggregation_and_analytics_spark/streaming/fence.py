@@ -77,18 +77,33 @@ def fenced_append(
     batch_id: int,
     partition_cols: tuple[str, ...] = (),
 ) -> None:
-    """Write one micro-batch's rows under ``_commit_batch=<id>`` with
-    dynamic partition overwrite: replays replace their own torn
-    output, never duplicate it. ``partition_cols`` keep the sink's
-    domain partitioning (stratum, fp_bucket, cell, ...) nested under
-    the batch partition, so domain-keyed probes still prune."""
-    (
-        df.withColumn(BATCH_COL, F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BATCH_COL, *partition_cols)
-        .parquet(path)
+    """Write one micro-batch's rows under ``_commit_batch=<id>`` so
+    that replays replace their own torn output, never duplicate it.
+    ``partition_cols`` keep the sink's domain partitioning (stratum,
+    log_date, cell, ...) nested under the batch partition, so
+    domain-keyed probes still prune.
+
+    Mode is chosen per write: on the HAPPY PATH (this batch id has
+    never touched this path — no ``_commit_batch=<id>`` directory) a
+    plain append, which never lists the existing partition tree; only
+    a REPLAY over a torn attempt uses dynamic partition overwrite to
+    replace that attempt's partitions. Unconditional dynamic
+    overwrite was the measured per-trigger slope at trigger count
+    ~100+: its commit lists every partition of the target tree, so
+    each 60 s trigger paid O(all prior triggers) in listing — the
+    one-FS-stat happy-path test keeps steady-state appends O(batch)."""
+    bid = int(batch_id)
+    writer = (
+        df.withColumn(BATCH_COL, F.lit(bid))
+        .write.partitionBy(BATCH_COL, *partition_cols)
     )
+    if path_exists(df.sparkSession, f"{path}/{BATCH_COL}={bid}"):
+        # torn predecessor: replace exactly its partitions
+        writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(path)
+    else:
+        writer.mode("append").parquet(path)
 
 
 def mark_committed(spark: SparkSession, root: str, batch_id: int) -> None:
@@ -122,7 +137,7 @@ def compact_fenced(
     spark: SparkSession,
     path: str,
     root: str,
-    part_col: str,
+    part_col: str | None = None,
     files_per_partition: int = 1,
 ) -> None:
     """Shared small-files maintenance for fenced sidecars (ONE
@@ -149,19 +164,29 @@ def compact_fenced(
     df = fenced_read(spark, path, root)
     if df is None:
         return
-    keys = [F.col(part_col)]
-    if files_per_partition > 1:
-        salt = [c for c in df.columns if c != part_col][:1]
-        keys.append(F.pmod(F.xxhash64(*salt), F.lit(files_per_partition)))
-    n_parts = max(df.select(part_col).distinct().count(), 1)
     tmp = f"{path}__compact_tmp"
-    (
-        df.withColumn(BATCH_COL, F.lit(keep_id))
-        .repartition(n_parts * files_per_partition, *keys)
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL, part_col)
-        .parquet(tmp)
-    )
+    if part_col is None:
+        # flat sidecar layout (bucket/domain keys live as DATA columns
+        # — nothing prunes them at read time, so directories for them
+        # only multiply files): fold to exactly files_per_partition
+        # files under the one kept batch partition
+        out = df.withColumn(BATCH_COL, F.lit(keep_id)).coalesce(
+            files_per_partition
+        )
+        out.write.mode("overwrite").partitionBy(BATCH_COL).parquet(tmp)
+    else:
+        keys = [F.col(part_col)]
+        if files_per_partition > 1:
+            salt = [c for c in df.columns if c != part_col][:1]
+            keys.append(F.pmod(F.xxhash64(*salt), F.lit(files_per_partition)))
+        n_parts = max(df.select(part_col).distinct().count(), 1)
+        (
+            df.withColumn(BATCH_COL, F.lit(keep_id))
+            .repartition(n_parts * files_per_partition, *keys)
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL, part_col)
+            .parquet(tmp)
+        )
     shutil.rmtree(path)
     os.rename(tmp, path)
 

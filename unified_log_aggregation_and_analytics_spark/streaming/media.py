@@ -9,8 +9,11 @@ with the MODALITY riding every candidate join so the incompatible
 hash families never cross. Video rows pass the gate and dedup
 exactly; frame-level fingerprints are the documented extension.
 
-Sidecars (all bucket-partitioned, a few dozen bytes per row — the
-corpus payloads are never re-read for dedup):
+Sidecars (flat one-coalesced-file-per-committed-batch layout since
+round 8 — bucket keys ride as data columns; no reader pruned their
+directories and dir count was the measured per-trigger slope, see
+corpus.py — a few dozen bytes per row; the corpus payloads are never
+re-read for dedup):
 - ``<table>_payload_fps``: ``(fp, fp_bucket)`` — xxhash64 of the raw
   payload, exact-dup anti-join key.
 - ``<table>_dhashes``: ``(media_id, dhash, id_bucket)`` — the
@@ -259,8 +262,11 @@ def media_ingest_batch(
                 (int(batch_id), "duplicate", n_dup),
                 (int(batch_id), "rejected:undecodable", n_undec),
             ]
+        # flat single-file sidecar appends (bucket keys are DATA
+        # columns — no reader prunes their directories, and dir count
+        # was the measured per-trigger slope; see corpus.py)
         fence.fenced_append(
-            kept.select("fp", "fp_bucket"), _fp_sidecar(table_path), bid, ("fp_bucket",)
+            kept.select("fp", "fp_bucket").coalesce(1), _fp_sidecar(table_path), bid
         )
         # perceptual sidecars: only fingerprinted modalities, and the
         # modality column rides along so future candidate joins never
@@ -272,16 +278,16 @@ def media_ingest_batch(
             F.pmod(F.xxhash64(F.col("media_id")), F.lit(N_BUCKETS)).alias("id_bucket"),
         )
         fence.fenced_append(
-            surv_hashes, _hash_sidecar(table_path), bid, ("id_bucket",)
+            surv_hashes.coalesce(1), _hash_sidecar(table_path), bid
         )
         fence.fenced_append(
             hash_band_rows(surv_hashes.drop("id_bucket", "modality"), "dhash", bands=HASH_BANDS)
             .join(surv_hashes.select("media_id", "modality"), "media_id")
             .drop("dhash")
-            .withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(N_BUCKETS))),
+            .withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(N_BUCKETS)))
+            .coalesce(1),
             _band_sidecar(table_path),
             bid,
-            ("bv_bucket",),
         )
         if metric_rows is not None:
             fence.fenced_append(
@@ -351,9 +357,11 @@ def compact_media_sidecars(
     invisible to the fence anyway. Mechanics in fence.compact_fenced
     (one codepath shared with corpus/semantic)."""
     root = fence.fence_root(table_path)
-    for path, part_col in (
-        (_fp_sidecar(table_path), "fp_bucket"),
-        (_hash_sidecar(table_path), "id_bucket"),
-        (_band_sidecar(table_path), "bv_bucket"),
+    for path in (
+        _fp_sidecar(table_path),
+        _hash_sidecar(table_path),
+        _band_sidecar(table_path),
     ):
-        fence.compact_fenced(spark, path, root, part_col, files_per_partition)
+        fence.compact_fenced(
+            spark, path, root, files_per_partition=files_per_partition
+        )

@@ -9,7 +9,10 @@ centroids are FROZEN at pipeline start (trained offline with
 similarity.kmeans_refine — the frozen-quantizer contract the
 persisted IVF/PQ indexes already use, so assignment is stable across
 batches and engines), and the corpus state lives in ONE sidecar
-``<table>_cells`` partitioned by cell: (vec_id, cell, embedding).
+``<table>_cells``: (vec_id, cell, embedding), one coalesced file per
+committed batch (cell as a data column since round 8 — the
+cross-batch check filters on cell VALUES, and per-cell directories
+only multiplied files per trigger).
 Each micro-batch:
 
 1. assigns cells (mapInPandas GEMM, map-only);
@@ -145,10 +148,10 @@ def semantic_ingest_batch(
         if old is not None:
             # Prune the sidecar to the batch's own cells BEFORE the
             # union: the cell list is bounded by the centroid count
-            # (C x 8 bytes of driver metadata), and an isin literal on
-            # the partition column reaches the scan as a
-            # PartitionFilter — so per-trigger cost tracks the
-            # delta's cell populations, not the whole corpus (the
+            # (C x 8 bytes of driver metadata); the isin reaches the
+            # scan as a pushed data filter (row-group min/max skipping
+            # on the compacted file), so per-trigger GEMM cost tracks
+            # the delta's cell populations, not the whole corpus (the
             # round-5 ADVICE finding: without this every trigger
             # shuffled and Arrow-serialized the full embedding state).
             batch_cells = [
@@ -191,11 +194,14 @@ def semantic_ingest_batch(
                 (int(batch_id), "ingested", int(ing_obs.get["n"])),
                 (int(batch_id), "semantic_duplicate", int(rej_obs.get["n"])),
             ]
+        # flat single-file sidecar append: cell rides as a data
+        # column — the cross-batch check filters on cell VALUES
+        # (footer min/max skipping after compaction), and directory
+        # count per trigger was the measured slope (see corpus.py)
         fence.fenced_append(
-            kept.select(id_col, "cell", vec_col),
+            kept.select(id_col, "cell", vec_col).coalesce(1),
             _cell_sidecar(table_path),
             bid,
-            ("cell",),
         )
         if metric_rows is not None:
             fence.fenced_append(
@@ -271,6 +277,5 @@ def compact_cell_sidecar(
         spark,
         _cell_sidecar(table_path),
         fence.fence_root(table_path),
-        "cell",
-        files_per_partition,
+        files_per_partition=files_per_partition,
     )

@@ -145,16 +145,17 @@ def vector_ingest_batch(
                 id_col=id_col,
                 meta_cols=meta_cols,
             )
+        # flat single-file sidecar append (id_bucket as data column;
+        # the anti-join never pruned its directories — see corpus.py)
         fence.fenced_append(
             kept.select(
                 id_col,
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_ID_BUCKETS)).alias(
                     "id_bucket"
                 ),
-            ),
+            ).coalesce(1),
             sidecar,
             bid,
-            ("id_bucket",),
         )
         rows = [
             (bid, "ingested", n_kept),
