@@ -117,20 +117,81 @@ def mark_committed(spark: SparkSession, root: str, batch_id: int) -> None:
 
 
 def is_committed(spark: SparkSession, root: str, batch_id: int) -> bool:
-    return path_exists(spark, f"{root}/{int(batch_id)}")
+    bid = int(batch_id)
+    if path_exists(spark, f"{root}/{bid}"):
+        return True
+    # covered by a rollup? (rare path: individual markers exist for
+    # every recent batch; only long-replayed history is rolled up)
+    return any(bid <= k for k in _rollup_ids(spark, root))
 
 
-def committed_batches(spark: SparkSession, root: str) -> list[int]:
-    """All committed batch ids (one tiny FS listing)."""
+def _rollup_ids(spark: SparkSession, root: str) -> list[int]:
     fs, p, _ = _fs(spark, root)
     if not fs.exists(p):
         return []
     out = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        if name.isdigit():
-            out.append(int(name))
+        if name.startswith("_upto_") and name[6:].isdigit():
+            out.append(int(name[6:]))
     return sorted(out)
+
+
+def committed_batches(spark: SparkSession, root: str) -> list[int]:
+    """All committed batch ids: one tiny FS listing over individual
+    marker files plus any ``_upto_<k>`` rollup (k means batches 0..k
+    are ALL committed — see rollup_markers)."""
+    fs, p, _ = _fs(spark, root)
+    if not fs.exists(p):
+        return []
+    singles, upto = [], -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            singles.append(int(name))
+        elif name.startswith("_upto_") and name[6:].isdigit():
+            upto = max(upto, int(name[6:]))
+    if upto < 0:
+        return sorted(singles)
+    return sorted(set(range(upto + 1)) | {b for b in singles if b > upto})
+
+
+def rollup_markers(spark: SparkSession, root: str) -> int:
+    """Marker maintenance — pure METADATA compression, visibility
+    unchanged: when batches 0..k are all committed (the steady state;
+    holes only exist transiently until their torn batch replays),
+    replace their k+1 individual marker files with ONE ``_upto_<k>``
+    rollup. Bounds the per-trigger marker listing at O(recent
+    batches), not O(all batches ever) — 1 440 markers/day at the 60 s
+    trigger would otherwise grow the listing forever. Returns k, or
+    -1 if nothing rolled up.
+
+    Crash-safe by ordering: the rollup file is created FIRST (union
+    semantics — a crash leaving both rollup and singles changes
+    nothing), then the covered singles and any older rollups are
+    deleted; a rerun completes the cleanup."""
+    ids = committed_batches(spark, root)
+    if not ids or ids[0] != 0:
+        return -1
+    k = 0
+    for b in ids:
+        if b == k:
+            k += 1
+        else:
+            break
+    k -= 1  # largest id of the contiguous 0..k prefix
+    if k < 0:
+        return -1
+    fs, p, jvm = _fs(spark, root)
+    marker = jvm.org.apache.hadoop.fs.Path(f"{root}/_upto_{k}")
+    fs.create(marker, True).close()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit() and int(name) <= k:
+            fs.delete(st.getPath(), False)
+        elif name.startswith("_upto_") and name[6:].isdigit() and int(name[6:]) < k:
+            fs.delete(st.getPath(), False)
+    return k
 
 
 def compact_fenced(
