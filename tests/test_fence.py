@@ -94,10 +94,13 @@ def test_fenced_append_replay_replaces_only_its_own_batch(spark, tmp_path):
 
 
 def test_compact_fenced_flat_and_partitioned(spark, tmp_path):
-    """compact_fenced folds committed rows under the max committed
-    batch id (marker already exists — readable with no marker
-    surgery), drops torn partitions, and preserves row content in
-    both the flat and the domain-partitioned layouts."""
+    """compact_fenced (marker-native, rename-free) folds the
+    contiguous committed prefix into a fresh NEGATIVE compaction
+    batch id, flips visibility with one ``_compacted_`` marker, and
+    deletes the superseded partitions — preserving row content in
+    both the flat and the domain-partitioned layouts. A torn batch
+    ABOVE the committed prefix keeps its directory (its replay must
+    not be swallowed) and stays invisible."""
     for layout, part_cols, part_col in (
         ("flat", (), None),
         ("part", ("b",), "b"),
@@ -111,7 +114,164 @@ def test_compact_fenced_flat_and_partitioned(spark, tmp_path):
         before = _visible(spark, path, root)
         fence.compact_fenced(spark, path, root, part_col)
         assert _visible(spark, path, root) == before
-        dirs = [p.name for p in Path(path).glob("_commit_batch=*")]
-        assert dirs == ["_commit_batch=2"], dirs
+        dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+        # folded prefix 0..2 -> cid -1; torn dir 9 awaits its replay
+        assert dirs == ["_commit_batch=-1", "_commit_batch=9"], dirs
+        assert (Path(path) / "_compacted_1_upto_2").exists()
         if layout == "flat":
-            assert len(list(Path(path).glob("_commit_batch=2/*.parquet"))) == 1
+            assert len(list(Path(path).glob("_commit_batch=-1/*.parquet"))) == 1
+
+        # the torn batch's replay lands and becomes visible alongside
+        # the compacted rows (hole 3..8 -> the isin + cid branch)
+        _write(spark, path, 9, [42, 43], part_cols)
+        fence.mark_committed(spark, root, 9)
+        assert _visible(spark, path, root) == before | {942, 943}
+
+        # second compaction: only the contiguous prefix folds (k still
+        # 2 — 3..8 never ran), cid counts down, prior cid partition is
+        # consumed, batch 9 stays individually visible
+        fence.compact_fenced(spark, path, root, part_col)
+        assert _visible(spark, path, root) == before | {942, 943}
+        dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+        assert dirs == ["_commit_batch=-2", "_commit_batch=9"], dirs
+        markers = sorted(p.name for p in Path(path).glob("_compacted_*"))
+        assert markers == ["_compacted_2_upto_2"], markers
+
+
+def test_compact_fenced_kill_points(spark, tmp_path):
+    """The two crash windows of the marker-native compaction protocol:
+    (A) kill after the fold write, before the _compacted_ marker —
+    nothing changed for readers; the rerun dynamic-overwrites its own
+    torn cid partition; (B) kill after the marker, before cleanup —
+    the superseded directories still exist but are invisible (no
+    duplicates); a rerun completes cleanup."""
+    # --- A: torn fold write, no marker
+    path = str(tmp_path / "a")
+    root = str(tmp_path / "a_commits")
+    for bid in range(3):
+        _write(spark, path, bid, [1, 2])
+        fence.mark_committed(spark, root, bid)
+    before = _visible(spark, path, root)
+    # simulate the torn attempt: cid partition written, marker absent
+    torn = spark.createDataFrame([(999,)], "v long")
+    fence.fenced_append(torn, path, -1)
+    assert _visible(spark, path, root) == before  # invisible
+    fence.compact_fenced(spark, path, root)  # rerun over the torn dir
+    assert _visible(spark, path, root) == before
+    assert not any(
+        r["v"] == 999
+        for r in fence.fenced_read(spark, path, root).collect()
+    )
+
+    # --- B: marker exists, cleanup never ran
+    path = str(tmp_path / "b")
+    root = str(tmp_path / "b_commits")
+    for bid in range(3):
+        _write(spark, path, bid, [1, 2])
+        fence.mark_committed(spark, root, bid)
+    before = _visible(spark, path, root)
+    # hand-build the post-marker state: folded rows under cid -1,
+    # marker present, superseded dirs NOT deleted
+    fold = fence.fenced_read(spark, path, root).localCheckpoint()
+    fence.fenced_append(fold, path, -1)
+    (Path(path) / "_compacted_1_upto_2").touch()
+    assert _visible(spark, path, root) == before  # no duplicates
+    old_dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+    assert "_commit_batch=0" in old_dirs  # residue really is present
+    fence.compact_fenced(spark, path, root)  # rerun completes cleanup
+    assert _visible(spark, path, root) == before
+    dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+    assert dirs == ["_commit_batch=-2"], dirs
+
+
+def test_rollup_visibility_unchanged(spark, tmp_path):
+    """rollup_markers is pure metadata compression: the committed set,
+    every is_committed answer, and fenced-read visibility are
+    identical before and after; the singles are gone and one
+    ``_upto_`` file remains."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in range(6):
+        _write(spark, path, bid, [1, 2])
+        fence.mark_committed(spark, root, bid)
+    before = _visible(spark, path, root)
+    assert fence.rollup_markers(spark, root) == 5
+    assert _visible(spark, path, root) == before
+    assert fence.committed_batches(spark, root) == list(range(6))
+    assert all(fence.is_committed(spark, root, b) for b in range(6))
+    assert not fence.is_committed(spark, root, 6)
+    names = sorted(
+        p.name for p in Path(root).iterdir() if not p.name.startswith(".")
+    )
+    assert names == ["_upto_5"], names
+
+
+def test_rollup_crash_between_create_and_delete(spark, tmp_path):
+    """Kill between rollup-create and singles-delete: rollup file AND
+    singles coexist (union semantics) — nothing changes; the rerun
+    completes the cleanup."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in range(4):
+        _write(spark, path, bid, [1])
+        fence.mark_committed(spark, root, bid)
+    before = _visible(spark, path, root)
+    (Path(root) / "_upto_3").touch()  # the crash state
+    assert fence.committed_batches(spark, root) == [0, 1, 2, 3]
+    assert _visible(spark, path, root) == before
+    assert fence.rollup_markers(spark, root) == 3  # rerun
+    names = sorted(
+        p.name for p in Path(root).iterdir() if not p.name.startswith(".")
+    )
+    assert names == ["_upto_3"], names
+    assert fence.committed_batches(spark, root) == [0, 1, 2, 3]
+    assert _visible(spark, path, root) == before
+
+
+def test_rollup_mixed_topology(spark, tmp_path):
+    """committed_batches under the full mixed topology: a rollup,
+    singles above it, and a hole — and a later rollup advances only
+    to the new contiguous prefix."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in (0, 1, 2, 4, 6):
+        _write(spark, path, bid, [1])
+        fence.mark_committed(spark, root, bid)
+    assert fence.rollup_markers(spark, root) == 2  # prefix 0..2 only
+    assert fence.committed_batches(spark, root) == [0, 1, 2, 4, 6]
+    assert fence.is_committed(spark, root, 1)  # via rollup
+    assert fence.is_committed(spark, root, 4)  # via single
+    assert not fence.is_committed(spark, root, 3)
+    assert not fence.is_committed(spark, root, 5)
+    want = {b * 100 + 1 for b in (0, 1, 2, 4, 6)}
+    assert _visible(spark, path, root) == want
+
+    # hole 3 closes (its torn batch replays) -> prefix extends to 4;
+    # 5 still open, 6 stays a single
+    _write(spark, path, 3, [1])
+    fence.mark_committed(spark, root, 3)
+    assert fence.rollup_markers(spark, root) == 4
+    names = sorted(
+        p.name for p in Path(root).iterdir() if not p.name.startswith(".")
+    )
+    assert names == ["6", "_upto_4"], names
+    assert fence.committed_batches(spark, root) == [0, 1, 2, 3, 4, 6]
+    assert _visible(spark, path, root) == want | {301}
+
+
+def test_fenced_append_clears_stale_task_staging(spark, tmp_path):
+    """A predecessor killed between task-commit and job-commit leaves
+    staged outputs under the path's shared ``_temporary`` with NO
+    partition dir; the replay must clear them, or a same-job-id
+    committer could sweep them into its own commit (duplicates)."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    _write(spark, path, 0, [1, 2])
+    fence.mark_committed(spark, root, 0)
+    stale = Path(path) / "_temporary" / "0" / "task_000" / "_commit_batch=1"
+    stale.mkdir(parents=True)
+    (stale / "part-junk.parquet").write_bytes(b"junk")
+    _write(spark, path, 1, [3])  # happy-path append for batch 1
+    fence.mark_committed(spark, root, 1)
+    assert not (Path(path) / "_temporary").exists()
+    assert _visible(spark, path, root) == {1, 2, 103}

@@ -246,3 +246,59 @@ def test_lsh_filtered_probe(spark, emb, qvec, tmp_path_factory):
         for r in got.join(emb.select("vec_id", "label"), "vec_id").collect()
     }
     assert labels == {3}, f"non-matching labels leaked: {labels}"
+
+
+def test_compact_index_preserves_merge_journal(spark, tmp_path):
+    """compact_index must carry the ``_merged_through`` journal across
+    its directory swap: without it, compacting inside
+    merge_index_delta's crash-after-swap/before-cleanup window resets
+    the journal to -1 and the already-merged delta partitions become
+    visible AGAIN in _index_rows (double-counted probes) and get
+    re-merged permanently by the next merge."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rng = np.random.default_rng(7)
+    vecs = [[float(x) for x in row] for row in rng.normal(size=(20, 8))]
+    index = str(tmp_path / "ivf")
+    A.build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], schema),
+        index,
+        n_centroids=4,
+    )
+    vector_ingest_batch(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10, 20)], schema),
+        index,
+        str(tmp_path / "rej"),
+        batch_id=0,
+    )
+    # snapshot the delta dir, merge, then restore the snapshot — the
+    # exact state a kill between merge's swap and its lazy cleanup
+    # leaves behind (journal says merged, delta partition still on
+    # disk)
+    delta = A._delta_path(index)
+    shutil.copytree(delta, str(tmp_path / "delta_snapshot"))
+    assert A.merge_index_delta(spark, index) == 1
+    assert A._merged_through(index) == 0
+    shutil.rmtree(delta, ignore_errors=True)
+    shutil.copytree(str(tmp_path / "delta_snapshot"), delta)
+    assert A._index_rows(spark, index).count() == 20  # journal shields it
+
+    A.compact_index(spark, index, part_col="cell")
+    assert A._merged_through(index) == 0, "journal lost in compaction swap"
+    assert A._index_rows(spark, index).count() == 20  # still no double count

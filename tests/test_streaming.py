@@ -1164,3 +1164,32 @@ def test_expire_partitions_on_fenced_log_table(spark, tmp_path):
     removed = expire_partitions(spark, table, older_than="2021-07-30")
     assert len(removed) == 1
     assert read_log_table(spark, table).count() == 3
+
+
+def test_unified_layout_dlq_split_readable_through_fence(spark, tmp_path):
+    """The ``source=None`` single-writer layout of dlq_split
+    (``table/_commit_batch=N/source=X/...``, markers under ``_all``)
+    must be readable through read_log_table — committed rows come
+    back with the source column restored via partition discovery, and
+    a torn later batch stays invisible (the r8 gap: this branch's
+    rows were unreachable through the fenced reader)."""
+    from unified_log_aggregation_and_analytics_spark.streaming.fence import (
+        committed_batches,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        NORMALIZERS,
+        dlq_split,
+        read_log_table,
+    )
+
+    table, rejected = str(tmp_path / "t"), str(tmp_path / "r")
+    lines = spark.createDataFrame([(ln,) for ln in GOOD_LINES], "value string")
+    dlq_split(NORMALIZERS["ec2"](lines), table, rejected)  # source=None
+    got = read_log_table(spark, table)
+    assert got.count() == len(GOOD_LINES)
+    assert set(r["source"] for r in got.select("source").collect()) == {"ec2"}
+    # second manual call allocates the next committed slot (not a
+    # silent no-op), and its rows are visible too
+    dlq_split(NORMALIZERS["ec2"](lines.limit(1)), table, rejected)
+    assert committed_batches(spark, f"{table}_commits/_all") == [0, 1]
+    assert read_log_table(spark, table).count() == len(GOOD_LINES) + 1

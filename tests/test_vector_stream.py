@@ -381,3 +381,82 @@ def test_vector_every_kill_point_replays_to_control_state(spark, tmp_path, monke
 
     got = run_to_dir(tmp_path / "killmark", kill_marker=True)
     assert got == control, "marker-boundary kill diverged"
+
+
+def test_vector_ingest_manual_batch_id_allocates_next_slot(spark, tmp_path):
+    """batch_id=None (manual/batch invocation) must allocate the next
+    free committed slot like the corpus/media/semantic sinks — the r8
+    behavior pinned bid=0, so every manual call after the first hit
+    is_committed and silently dropped the batch."""
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    vecs = _vecs(30, seed=23)
+    index = str(tmp_path / "ivf")
+    rej = str(tmp_path / "rej")
+    build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    b1 = spark.createDataFrame([(i, vecs[i]) for i in range(10, 20)], VEC_SCHEMA)
+    b2 = spark.createDataFrame([(i, vecs[i]) for i in range(20, 30)], VEC_SCHEMA)
+    vector_ingest_batch(b1, index, rej, batch_id=None)
+    vector_ingest_batch(b2, index, rej, batch_id=None)
+    assert fence.committed_batches(spark, fence.fence_root(index)) == [0, 1]
+    assert _index_rows(spark, index).count() == 30
+
+
+def test_merge_cadence_policy_bounds_delta(spark, tmp_path):
+    """maybe_merge_delta: below the threshold it is a no-op; at the
+    threshold it folds every unmerged committed batch, and the
+    maintained index answers probes exactly like before the merge
+    (merge ≡ rebuild is pinned by the sibling test — here we pin the
+    POLICY: when it fires, and that probe results are unchanged
+    across the fold)."""
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _index_rows,
+        _merged_through,
+        ivf_probe,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        maybe_merge_delta,
+        vector_ingest_batch,
+    )
+
+    vecs = _vecs(50, seed=31)
+    index = str(tmp_path / "ivf")
+    rej = str(tmp_path / "rej")
+    build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    for b in range(3):
+        lo, hi = 10 + b * 10, 20 + b * 10
+        vector_ingest_batch(
+            spark.createDataFrame([(i, vecs[i]) for i in range(lo, hi)], VEC_SCHEMA),
+            index,
+            rej,
+            batch_id=b,
+        )
+    assert maybe_merge_delta(spark, index, merge_every=4) == 0  # below
+    assert _merged_through(index) == -1
+    vector_ingest_batch(
+        spark.createDataFrame([(i, vecs[i]) for i in range(40, 50)], VEC_SCHEMA),
+        index,
+        rej,
+        batch_id=3,
+    )
+    q = vecs[0]
+    before = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
+    assert maybe_merge_delta(spark, index, merge_every=4) == 4  # fires
+    assert _merged_through(index) == 3
+    assert _index_rows(spark, index).count() == 50
+    after = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
+    assert before == after

@@ -285,6 +285,14 @@ def compact_index(
         .parquet(tmp)
     )
     rows = spark.read.parquet(tmp).count()
+    # Carry the streaming-merge journal across the swap (same staging
+    # merge_index_delta uses): without it, a compact after a merge that
+    # crashed post-swap/pre-cleanup would reset _merged_through to -1
+    # and make the already-merged delta partitions visible again in
+    # _index_rows — double-counted probes, then a permanent re-merge.
+    journal = os.path.join(table, "_merged_through")
+    if os.path.exists(journal):
+        shutil.copy(journal, os.path.join(tmp, "_merged_through"))
     shutil.rmtree(table)
     os.rename(tmp, table)
     _record_version(path, "compact", rows)
@@ -556,17 +564,24 @@ def merge_index_delta(
         os.rename(tmp, _table_path(path))  # THE commit
         _record_version(path, "merge", rows)
     # lazy cleanup — merged batches' delta partitions are already
-    # invisible (journal); this only reclaims space
+    # invisible (journal); this only reclaims space. Hadoop FS API:
+    # the delta area is written by the streaming sink, so it may live
+    # on any filesystem (unlike the rename swap above, which is
+    # explicitly local-only offline maintenance).
     m_now = _merged_through(path)
-    if os.path.isdir(dpath):
-        for d in os.listdir(dpath):
-            if d.startswith(f"{fence.BATCH_COL}="):
-                try:
-                    b = int(d.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if b <= m_now:
-                    shutil.rmtree(os.path.join(dpath, d))
+    for d in fence.list_dir_names(spark, dpath):
+        if d.startswith(f"{fence.BATCH_COL}="):
+            try:
+                b = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b <= m_now:
+                fence.delete_path(spark, f"{dpath}/{d}")
+    # marker compression rides the merge cadence (markers are never
+    # deleted — they remain the streaming writer's replayed-batch
+    # short-circuit; the rollup preserves exactly that semantics
+    # while bounding the per-trigger listing)
+    fence.rollup_markers(spark, fence.fence_root(path))
     return len(ids)
 
 

@@ -799,8 +799,13 @@ def compact_sidecars(
     (uncommitted) sidecar partitions are dropped: they were invisible
     to the fence anyway. Dedup state is untouched, so routing decisions
     are identical before and after (asserted in tests). Mechanics and
-    the directory-swap contract live in fence.compact_fenced — one
-    codepath shared with media/semantic, not three drifting copies."""
+    the marker-native fold protocol live in fence.compact_fenced —
+    one codepath shared with media/semantic, not three drifting
+    copies. Also rolls up the pipeline's commit markers
+    (fence.rollup_markers): 1 440 markers/day at the 60 s trigger
+    would otherwise grow the per-trigger marker listing forever —
+    data compaction and marker compaction belong to the same
+    maintenance cadence."""
     root = fence.fence_root(table_path)
     for path in (
         _fp_sidecar_path(table_path),
@@ -810,3 +815,4 @@ def compact_sidecars(
         fence.compact_fenced(
             spark, path, root, files_per_partition=files_per_partition
         )
+    fence.rollup_markers(spark, root)

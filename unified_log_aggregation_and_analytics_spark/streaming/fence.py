@@ -71,6 +71,25 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(p)
 
 
+def list_dir_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of ``path`` via the Hadoop FileSystem API —
+    the portable replacement for ``os.listdir`` in every
+    committed-read / maintenance entry point (read_log_table,
+    compact_log_table, delta cleanup): those must work on whatever
+    filesystem the sink wrote to (S3A/HDFS/local), not only local.
+    Returns [] when the path does not exist."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> None:
+    fs, p, _ = _fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, recursive)
+
+
 def fenced_append(
     df: DataFrame,
     path: str,
@@ -93,11 +112,27 @@ def fenced_append(
     each 60 s trigger paid O(all prior triggers) in listing — the
     one-FS-stat happy-path test keeps steady-state appends O(batch)."""
     bid = int(batch_id)
+    spark = df.sparkSession
     writer = (
         df.withColumn(BATCH_COL, F.lit(bid))
         .write.partitionBy(BATCH_COL, *partition_cols)
     )
-    if path_exists(df.sparkSession, f"{path}/{BATCH_COL}={bid}"):
+    # A predecessor killed AFTER task commits but BEFORE job commit
+    # leaves staged task outputs under the path's shared
+    # ``_temporary`` dir with NO partition dir — the one torn state
+    # the partition-dir probe below cannot see. Clear it first: a
+    # replay reusing the same FileOutputCommitter job id could
+    # otherwise sweep the stale task outputs into its own commit
+    # (duplicate rows). Safe because the fence is single-writer per
+    # path (foreachBatch serializes triggers; pipeline.py gives each
+    # source its own subtree), so any residue is dead by definition.
+    # Cost: one extra FS stat per trigger (delete only fires on the
+    # crash-replay path).
+    stale = f"{path}/_temporary"
+    if path_exists(spark, stale):
+        fs, p, _ = _fs(spark, stale)
+        fs.delete(p, True)
+    if path_exists(spark, f"{path}/{BATCH_COL}={bid}"):
         # torn predecessor: replace exactly its partitions
         writer.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -108,9 +143,12 @@ def fenced_append(
 
 def mark_committed(spark: SparkSession, root: str, batch_id: int) -> None:
     """Create the zero-byte marker ``<root>/<id>`` — the LAST step of
-    a batch; its existence is the commit."""
-    fs, p, jvm = _fs(spark, root)
-    fs.mkdirs(p)
+    a batch; its existence is the commit. No separate mkdirs:
+    ``FileSystem.create(path, overwrite)`` creates missing parents on
+    every Hadoop implementation, so the marker costs ONE FS
+    round-trip per trigger, not two (an mkdirs on an object store is
+    a wasted request once per batch, forever)."""
+    fs, _, jvm = _fs(spark, root)
     marker = jvm.org.apache.hadoop.fs.Path(f"{root}/{int(batch_id)}")
     out = fs.create(marker, True)
     out.close()
@@ -194,6 +232,31 @@ def rollup_markers(spark: SparkSession, root: str) -> int:
     return k
 
 
+def _compact_state(spark: SparkSession, path: str) -> tuple[int | None, int]:
+    """Per-PATH compaction supersede state, encoded in zero-byte
+    ``_compacted_<n>_upto_<k>`` files INSIDE the data path (Spark
+    readers ignore ``_``-prefixed entries; the shared marker root
+    can't hold this because one root fences several paths). Meaning:
+    the compaction partition ``_commit_batch=-n`` holds the folded
+    rows of every committed batch id <= k, which are therefore
+    EXCLUDED from fenced reads even if their directories still exist
+    (crash-before-cleanup). Returns ``(cid, k)`` for the newest
+    compaction — max k, tie broken toward the most recent (most
+    negative) cid — or ``(None, -1)``."""
+    cid, k = None, -1
+    for name in list_dir_names(spark, path):
+        if not name.startswith("_compacted_"):
+            continue
+        try:
+            n_str, k_str = name[len("_compacted_"):].split("_upto_")
+            c, kk = -int(n_str), int(k_str)
+        except ValueError:
+            continue
+        if kk > k or (kk == k and (cid is None or c < cid)):
+            cid, k = c, kk
+    return cid, k
+
+
 def compact_fenced(
     spark: SparkSession,
     path: str,
@@ -202,54 +265,86 @@ def compact_fenced(
     files_per_partition: int = 1,
 ) -> None:
     """Shared small-files maintenance for fenced sidecars (ONE
-    codepath for corpus / media / semantic, not three drifting
-    copies): fold the path's COMMITTED rows into a single
-    already-committed batch partition — ``_commit_batch=<max
-    committed id>``, an id whose marker already exists, so the
-    compacted rows stay visible through the fence with no marker
-    surgery and the pipeline's OTHER paths keep their markers
-    untouched — with ``files_per_partition`` files per bucket
-    directory. Torn (uncommitted) partitions are dropped: they were
-    invisible to the fence anyway, and a later replay of that batch
-    id dynamic-overwrites only its own ``_commit_batch`` partition,
-    never the compacted one. Offline maintenance: do not run against
-    a live stream (the directory swap is not atomic; the deployment's
-    rename/commit protocol owns that window)."""
-    import os
-    import shutil
+    codepath for corpus / media / semantic / logs, not four drifting
+    copies), correct under OBJECT-STORE semantics — no rename, no
+    directory swap, only the fence's own primitives:
 
+    1. FOLD — read the committed rows of the contiguous committed
+       prefix ``0..k`` (the same rule rollup_markers uses; a torn
+       batch above the prefix caps k, so its later replay is never
+       swallowed) plus any prior compaction partition, and write them
+       under a fresh COMPACTION batch id ``cid`` — negative, counting
+       down from -1, a namespace the streaming writer (non-negative
+       checkpoint ids) can never collide with — via the ordinary
+       ``fenced_append`` (so a torn rerun dynamic-overwrites exactly
+       its own partition).
+    2. MARK — one atomic zero-byte file ``_compacted_<-cid>_upto_<k>``
+       inside the path flips visibility: fenced reads now return the
+       ``cid`` partition instead of batches <= k (see _compact_state).
+       Until it exists, nothing changed; after it exists, the
+       not-yet-deleted old partitions are invisible — no
+       interleaving shows duplicates.
+    3. CLEAN — delete the superseded partitions (batches <= k, the
+       prior compaction partition) and stale compaction markers;
+       idempotent, a rerun completes it.
+
+    ``files_per_partition`` controls the folded layout: flat sidecars
+    (``part_col=None`` — bucket keys live as data columns, nothing
+    prunes them at read time) coalesce to that many files; domain-
+    partitioned paths keep ``part_col`` directories with that many
+    files each. Batch MARKERS under the root are never touched here
+    (they remain the replay short-circuit; rollup_markers owns their
+    compression). Offline maintenance with respect to THIS path's
+    writer; other paths of the pipeline are unaffected."""
     done = committed_batches(spark, root)
-    if not done or not os.path.isdir(path):
+    if not done or done[0] != 0 or not path_exists(spark, path):
         return  # nothing visible to compact
-    keep_id = done[-1]
-    df = fenced_read(spark, path, root)
+    k = 0
+    for b in done:
+        if b == k:
+            k += 1
+        else:
+            break
+    k -= 1  # largest id of the contiguous committed prefix 0..k
+    cid_prev, _ = _compact_state(spark, path)
+    df = fenced_read(spark, path, root, keep_batch_col=True)
     if df is None:
         return
-    tmp = f"{path}__compact_tmp"
+    fold = df.filter(F.col(BATCH_COL) <= k).drop(BATCH_COL)
+    cid = -1 if cid_prev is None else cid_prev - 1
     if part_col is None:
-        # flat sidecar layout (bucket/domain keys live as DATA columns
-        # — nothing prunes them at read time, so directories for them
-        # only multiply files): fold to exactly files_per_partition
-        # files under the one kept batch partition
-        out = df.withColumn(BATCH_COL, F.lit(keep_id)).coalesce(
-            files_per_partition
-        )
-        out.write.mode("overwrite").partitionBy(BATCH_COL).parquet(tmp)
+        fold = fold.coalesce(files_per_partition)
+        fold_parts: tuple[str, ...] = ()
     else:
         keys = [F.col(part_col)]
         if files_per_partition > 1:
-            salt = [c for c in df.columns if c != part_col][:1]
+            salt = [c for c in fold.columns if c != part_col][:1]
             keys.append(F.pmod(F.xxhash64(*salt), F.lit(files_per_partition)))
-        n_parts = max(df.select(part_col).distinct().count(), 1)
-        (
-            df.withColumn(BATCH_COL, F.lit(keep_id))
-            .repartition(n_parts * files_per_partition, *keys)
-            .write.mode("overwrite")
-            .partitionBy(BATCH_COL, part_col)
-            .parquet(tmp)
-        )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+        n_parts = max(fold.select(part_col).distinct().count(), 1)
+        fold = fold.repartition(n_parts * files_per_partition, *keys)
+        fold_parts = (part_col,)
+    if path_exists(spark, f"{path}/{BATCH_COL}={cid}"):
+        # torn predecessor: the rerun's dynamic overwrite would hit
+        # Spark's cannot-overwrite-a-read-path guard (fold reads this
+        # same root) — materialize first to sever the lineage
+        fold = fold.localCheckpoint()
+    fenced_append(fold, path, cid, fold_parts)
+    fs, _, jvm = _fs(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_compacted_{-cid}_upto_{k}"
+    )
+    fs.create(marker, True).close()  # THE visibility flip
+    # idempotent cleanup: everything the new marker superseded
+    for name in list_dir_names(spark, path):
+        if name.startswith(f"{BATCH_COL}="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if (0 <= b <= k) or (cid_prev is not None and b == cid_prev):
+                delete_path(spark, f"{path}/{name}")
+        elif name.startswith("_compacted_") and name != f"_compacted_{-cid}_upto_{k}":
+            delete_path(spark, f"{path}/{name}", recursive=False)
 
 
 def fenced_read(
@@ -278,16 +373,29 @@ def fenced_read(
             return None
         raise
     ids = committed_batches(spark, root)
-    if not ids:
+    # Compaction supersede (per-path): batches <= k were folded into
+    # the cid partition, so they are excluded even when their
+    # directories still exist (crash-before-cleanup window).
+    cid, k = _compact_state(spark, path)
+    live = [b for b in ids if b > k]
+    conds = []
+    if cid is not None:
+        conds.append(F.col(BATCH_COL) == cid)
+    if live:
+        if live[-1] - live[0] == len(live) - 1:
+            # Contiguous marker range (the steady state: torn batches
+            # are replayed, not abandoned, so holes close) — a BETWEEN
+            # predicate instead of an In-list that grows by ~1 440
+            # literals/day at the 60 s trigger. Both prune partitions;
+            # this one keeps the plan O(1)-sized regardless of uptime.
+            conds.append(F.col(BATCH_COL).between(live[0], live[-1]))
+        else:
+            conds.append(F.col(BATCH_COL).isin(live))
+    if not conds:
         cond = F.lit(False)
-    elif ids[-1] - ids[0] == len(ids) - 1:
-        # Contiguous marker range (the steady state: torn batches are
-        # replayed, not abandoned, so holes close) — a BETWEEN
-        # predicate instead of an In-list that grows by ~1 440
-        # literals/day at the 60 s trigger. Both prune partitions;
-        # this one keeps the plan O(1)-sized regardless of uptime.
-        cond = F.col(BATCH_COL).between(ids[0], ids[-1])
+    elif len(conds) == 1:
+        cond = conds[0]
     else:
-        cond = F.col(BATCH_COL).isin(ids)
+        cond = conds[0] | conds[1]
     df = df.filter(cond)
     return df if keep_batch_col else df.drop(BATCH_COL)

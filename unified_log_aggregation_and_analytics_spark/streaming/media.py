@@ -355,7 +355,9 @@ def compact_media_sidecars(
     — dedup state untouched, routing decisions identical before and
     after; torn (uncommitted) partitions are dropped, they were
     invisible to the fence anyway. Mechanics in fence.compact_fenced
-    (one codepath shared with corpus/semantic)."""
+    (one codepath shared with corpus/semantic); commit markers roll
+    up in the same cadence (fence.rollup_markers — bounds the
+    per-trigger marker listing at O(recent batches))."""
     root = fence.fence_root(table_path)
     for path in (
         _fp_sidecar(table_path),
@@ -365,3 +367,4 @@ def compact_media_sidecars(
         fence.compact_fenced(
             spark, path, root, files_per_partition=files_per_partition
         )
+    fence.rollup_markers(spark, root)

@@ -269,19 +269,25 @@ def dlq_split(
 
 
 def read_log_table(spark, table_path: str) -> DataFrame:
-    """Committed rows of a fenced log table (the per-source layout
-    run_pipeline writes): one fenced read per ``source=`` subtree —
-    each pruned by its own marker set — unioned with the source
-    column restored. O(sources) tiny marker listings; data reads
-    prune on the committed-batch partition filter. Raw
-    ``spark.read.parquet(table_path)`` remains available and differs
-    only when a torn batch is sitting unreplayed on disk."""
-    import os
-
+    """Committed rows of a fenced log table. Handles BOTH layouts
+    dlq_split can write: the per-source layout run_pipeline uses
+    (``table/source=X/_commit_batch=N/log_date=...`` with per-source
+    marker roots) — one fenced read per ``source=`` subtree, each
+    pruned by its own marker set, unioned with the source column
+    restored — and the unified single-writer layout of a
+    ``source=None`` call (``table/_commit_batch=N/source=X/...`` with
+    markers under the ``_all`` namespace), which is one fenced read
+    at the root. O(sources) tiny marker listings; data reads prune on
+    the committed-batch partition filter; listing goes through the
+    Hadoop FS API so the committed-read entry point works on whatever
+    filesystem the sink wrote to. Raw ``spark.read.parquet`` remains
+    available and differs only when a torn batch is sitting
+    unreplayed on disk."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
+    entries = fence.list_dir_names(spark, table_path)
     parts = []
-    for d in sorted(os.listdir(table_path)):
+    for d in entries:
         if not d.startswith("source="):
             continue
         src = d.split("=", 1)[1]
@@ -290,8 +296,16 @@ def read_log_table(spark, table_path: str) -> DataFrame:
         )
         if df is not None:
             parts.append(df.withColumn("source", F.lit(src)))
+    if not parts and any(d.startswith(f"{fence.BATCH_COL}=") for d in entries):
+        # unified layout (source=None writer): source= lives BELOW the
+        # batch partition and comes back via partition discovery
+        df = fence.fenced_read(
+            spark, table_path, _log_fence_root(table_path, None)
+        )
+        if df is not None:
+            parts.append(df)
     if not parts:
-        raise FileNotFoundError(f"no source= subtrees under {table_path}")
+        raise FileNotFoundError(f"no fenced log data under {table_path}")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -309,11 +323,9 @@ def compact_log_table(
     O(days), not O(triggers). Run compaction before bulk retention.
     Offline maintenance; see fence.compact_fenced for the swap
     contract."""
-    import os
-
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
-    for d in sorted(os.listdir(table_path)):
+    for d in fence.list_dir_names(spark, table_path):
         if not d.startswith("source="):
             continue
         src = d.split("=", 1)[1]
@@ -324,6 +336,10 @@ def compact_log_table(
             "log_date",
             files_per_partition,
         )
+        # marker compression rides the same cadence: 1 440
+        # markers/day/source at the 60 s trigger otherwise grows the
+        # per-trigger marker listing without bound
+        fence.rollup_markers(spark, _log_fence_root(table_path, src))
 
 
 def run_pipeline(

@@ -271,11 +271,12 @@ def compact_cell_sidecar(
     drifting copies). Only COMMITTED rows survive, rewritten under an
     already-committed batch partition, so the sidecar stays readable
     through the fence and torn rows are never resurrected. Offline
-    maintenance: do not run against a live stream (the swap window is
-    not atomic)."""
+    maintenance with respect to this path's writer; commit markers
+    roll up in the same cadence (fence.rollup_markers)."""
     fence.compact_fenced(
         spark,
         _cell_sidecar(table_path),
         fence.fence_root(table_path),
         files_per_partition=files_per_partition,
     )
+    fence.rollup_markers(spark, fence.fence_root(table_path))
