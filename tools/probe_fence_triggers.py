@@ -68,18 +68,33 @@ def main() -> None:
     table = os.path.join(WORK, "corpus")
     rejected = os.path.join(WORK, "rejected")
 
+    root = fence.fence_root(table)
+
+    def marker_stats() -> tuple[float, int, int]:
+        """(listing ms, committed count, marker FILE count)."""
+        m0 = time.monotonic()
+        ids = fence.committed_batches(spark, root)
+        ms = round((time.monotonic() - m0) * 1000, 1)
+        files = len(fence.list_dir_names(spark, root))
+        return ms, len(ids), files
+
     times: list[float] = []
     compact_at = n_triggers // 2
     compact_sec = None
+    pre_rollup = post_rollup = None
     for t in range(n_triggers):
         batch = spark.createDataFrame(
             docs[t * docs_per : (t + 1) * docs_per],
             "doc_id long, text string, lang string, source string, n_chars long",
         )
         if t == compact_at:
+            # marker listing BEFORE maintenance: one file per trigger
+            pre_rollup = marker_stats()
             c0 = time.monotonic()
-            compact_sidecars(spark, table)
+            compact_sidecars(spark, table)  # also rolls up markers
             compact_sec = round(time.monotonic() - c0, 2)
+            # AFTER: one _upto_ rollup replaces the singles
+            post_rollup = marker_stats()
         t0 = time.monotonic()
         corpus_ingest_batch(batch, table, rejected, batch_id=t)
         times.append(time.monotonic() - t0)
@@ -88,9 +103,10 @@ def main() -> None:
         xs = sorted(times[lo:hi])
         return round(sum(xs) / len(xs), 3)
 
-    m0 = time.monotonic()
-    ids = fence.committed_batches(spark, fence.fence_root(table))
-    marker_ms = round((time.monotonic() - m0) * 1000, 1)
+    # end-of-run maintenance: rollup alone (no data compaction), then
+    # the steady-state listing a month-long deployment would pay
+    fence.rollup_markers(spark, root)
+    final = marker_stats()
 
     w = max(n_triggers // 6, 1)
     out = {
@@ -101,11 +117,22 @@ def main() -> None:
         "mean_post_compact_s": window(compact_at, compact_at + w),
         "mean_last_window_s": window(n_triggers - w, n_triggers),
         "compact_sec": compact_sec,
-        "marker_listing_ms": marker_ms,
-        "n_committed": len(ids),
-        "corpus_rows": fence.fenced_read(
-            spark, table, fence.fence_root(table)
-        ).count(),
+        "pre_rollup": {
+            "marker_ms": pre_rollup[0],
+            "committed": pre_rollup[1],
+            "marker_files": pre_rollup[2],
+        },
+        "post_rollup": {
+            "marker_ms": post_rollup[0],
+            "committed": post_rollup[1],
+            "marker_files": post_rollup[2],
+        },
+        "final_after_rollup": {
+            "marker_ms": final[0],
+            "committed": final[1],
+            "marker_files": final[2],
+        },
+        "corpus_rows": fence.fenced_read(spark, table, root).count(),
     }
     print(json.dumps(out), flush=True)
     spark.stop()

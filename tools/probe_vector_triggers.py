@@ -10,7 +10,12 @@ merge cadence, mirroring the corpus sink's compact-then-continue
 (tools/probe_fence_triggers.py).
 
 Usage: python tools/probe_vector_triggers.py [n_triggers] [vecs_per]
-(defaults 80 x 250, dim 64, 16 cells). Prints one JSON line.
+[merge_every] (defaults 80 x 250 x 0, dim 64, 16 cells). merge_every
+> 0 exercises the run_vector_pipeline CADENCE policy
+(maybe_merge_delta after every ingest, firing each merge_every
+committed batches) — the probe then shows latency bounded by the
+cadence instead of drifting with triggers-since-merge; 0 reproduces
+the r8 manual-merge measurement. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ WORK = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/vector_triggers")
 def main() -> None:
     n_triggers = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     vecs_per = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    merge_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     dim, n_cells = 64, 16
 
     from pyspark.sql import SparkSession
@@ -41,6 +47,7 @@ def main() -> None:
         merge_index_delta,
     )
     from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        maybe_merge_delta,
         vector_ingest_batch,
     )
 
@@ -85,13 +92,19 @@ def main() -> None:
         n_centroids=n_cells,
     )
 
-    out = {"n_triggers": n_triggers, "vecs_per_trigger": vecs_per}
+    out = {
+        "n_triggers": n_triggers,
+        "vecs_per_trigger": vecs_per,
+        "merge_every": merge_every,
+    }
     out["probe_base_only_s"] = probe_sec()
 
     next_id = len(base)
     checkpoints = sorted({n_triggers // 4, n_triggers // 2, n_triggers})
     probes = {}
     ingest_times = []
+    merges = 0
+    merge_total_sec = 0.0
     for t in range(n_triggers):
         vecs = rng.standard_normal((vecs_per, dim)).astype(np.float64)
         batch = spark.createDataFrame(
@@ -105,9 +118,17 @@ def main() -> None:
         t0 = time.monotonic()
         vector_ingest_batch(batch, index, rej, batch_id=t)
         ingest_times.append(time.monotonic() - t0)
+        if merge_every > 0:
+            m0 = time.monotonic()
+            if maybe_merge_delta(spark, index, merge_every):
+                merges += 1
+                merge_total_sec += time.monotonic() - m0
         if (t + 1) in checkpoints:
             probes[f"probe_at_{t + 1}_batches_s"] = probe_sec()
     out.update(probes)
+    if merge_every > 0:
+        out["cadence_merges"] = merges
+        out["cadence_merge_total_sec"] = round(merge_total_sec, 2)
     w = max(n_triggers // 6, 1)
     xs = sorted(ingest_times[1 : 1 + w])
     out["ingest_mean_first_window_s"] = round(sum(xs) / len(xs), 3)

@@ -114,7 +114,12 @@ def dedup_minhash_sig(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """X2 scale path — LSH candidate pairs from a 16-hash signature in
     4-hash bands. The shuffle is keyed on (band, band_hash) buckets, so
-    the cost is bucket-bounded, never n^2 (see operators/dedup.py)."""
+    the cost is bucket-bounded, never n^2 (see operators/dedup.py).
+    Rows-only PRECISELY because the production signature is xxhash64,
+    which DuckDB does not implement (its hash() is a different
+    algorithm), so no SQL can reproduce the band values; the
+    same-shape md5-signature twin dedup_minhash_lsh_md5 is the
+    oracle-certified proof of the banding logic."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     sig = D.minhash_signature(docs, num_hashes=16, hash_fn="xxhash64")
     return D.minhash_lsh_candidates(sig, num_hashes=16, band_size=4)
@@ -772,13 +777,184 @@ def multimodal_join(spark, sf_dir):
     )
 
 
-@_register("multimodal_features", None)  # mapInPandas stub decode: rows-only
+# --- Closed-form SQL replay of the deterministic media fixtures ------
+#
+# The image fixtures (media_with_ppm_groups) and the opaque-payload
+# feature stub are pure integer arithmetic, so DuckDB can replay the
+# DECODE OUTPUTS analytically — no decoder needed — the same move that
+# certified multimodal_image_stats_png / multimodal_audio_stats.
+# Exactness argument: every intermediate sum is over small integers
+# (exact in float64 at any association), and every division / float32
+# narrowing is a single correctly-rounded IEEE op identical across
+# engines; the dHash block means replicate numpy's row-major
+# sequential summation order term by term, so the strict `b > a` bit
+# comparisons can never flip (prototyped equal bit-for-bit against the
+# Python reference for both the base and perturbed group members).
+
+
+def _ppm_px_cte() -> str:
+    """Pixel-list CTE replaying media_with_ppm_groups(group_size=4,
+    16x16): byte i of group g = (g*37 + 3i^2 + 11i) % 256; member
+    m > 0 inverts the 12-byte run starting at (m*61) % 756
+    (multimodal.py media_with_ppm_groups — the oracle IS the fixture
+    spec)."""
+    return """px AS (
+      SELECT doc_id,
+        list_transform(range(0, 768), i ->
+          CASE WHEN (doc_id % 4) <> 0
+                AND i >= ((doc_id % 4) * 61) % 756
+                AND i <  ((doc_id % 4) * 61) % 756 + 12
+            THEN 255 - ((doc_id // 4) * 37 + 3*i*i + 11*i) % 256
+            ELSE ((doc_id // 4) * 37 + 3*i*i + 11*i) % 256 END) AS p
+      FROM documents
+    )"""
+
+
+def _dhash_sql_expr() -> str:
+    """The dHash of the 16x16 fixture as one SQL expression, built
+    term-by-term in numpy's evaluation order (multimodal.dhash64):
+    gray = (r+g+b)/3 per pixel; np.array_split(16 rows, 8) -> 2-row
+    groups; np.array_split(16 cols, 9) -> widths [2]*7+[1]*2; block
+    mean = row-major sequential sum / count; bit 8*R+j set iff
+    col-mean j+1 > j; bit 63 is the sign bit of the packed LongType."""
+    starts = [0, 2, 4, 6, 8, 10, 12, 14, 15]
+    widths = [2] * 7 + [1] * 2
+
+    def bm(R: int, j: int) -> str:
+        terms = []
+        for r in (2 * R, 2 * R + 1):
+            for c in range(starts[j], starts[j] + widths[j]):
+                b0 = 3 * (16 * r + c)
+                terms.append(
+                    f"(CAST(p[{b0 + 1}]+p[{b0 + 2}]+p[{b0 + 3}] AS DOUBLE)/3)"
+                )
+        return "((" + " + ".join(terms) + f") / {2 * widths[j]})"
+
+    bits = []
+    for R in range(8):
+        for j in range(8):
+            i = 8 * R + j
+            val = (
+                f"(CAST(1 AS BIGINT) << {i})"
+                if i < 63
+                else "CAST(-9223372036854775808 AS BIGINT)"
+            )
+            bits.append(f"CASE WHEN {bm(R, j + 1)} > {bm(R, j)} THEN {val} ELSE 0 END")
+    return " + ".join(bits)
+
+
+# dHash -> 4x16-bit bands -> distinct pairs with Hamming <= 6 — the
+# band join replays hamming_near_dup EXACTLY (Spark's recall at
+# max_hamming=6 with 4 bands is banded, not exhaustive, so the oracle
+# must band too, not compute all pairs). (x >> s) & 65535 extracts the
+# same bits as Spark's shiftrightunsigned for negative hashes: the
+# mask discards any arithmetic sign-fill.
+_IMG_PAIRS_CTES = f"""{_ppm_px_cte()},
+    dh AS (SELECT doc_id, {_dhash_sql_expr()} AS dhash FROM px),
+    bands AS (
+      SELECT doc_id, dhash, b AS band_idx, (dhash >> (16 * CAST(b AS INTEGER))) & 65535 AS band_val
+      FROM dh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    )"""
+
+_IMG_NEAR_DUP_ORACLE = f"""
+    WITH {_IMG_PAIRS_CTES}
+    SELECT id_a, id_b, hamming FROM cand
+"""
+
+_IMG_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_IMG_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+# Feature vector of the PPM fixture (multimodal._decode_features):
+# [w, h, mean_r, mean_g, mean_b, first 11 bytes / 255], narrowed to
+# float32 by the Arrow schema. Channel means are exact (integer sums,
+# /256 is a power-of-two division); CAST(x AS FLOAT) is the identical
+# IEEE narrowing Spark applies.
+_PPM_FEATURE_LIST = """list_concat(
+      [CAST(16 AS FLOAT), CAST(16 AS FLOAT),
+       CAST(list_sum(list_transform(range(0, 256), j -> CAST(p[3*j+1] AS DOUBLE)))/256 AS FLOAT),
+       CAST(list_sum(list_transform(range(0, 256), j -> CAST(p[3*j+2] AS DOUBLE)))/256 AS FLOAT),
+       CAST(list_sum(list_transform(range(0, 256), j -> CAST(p[3*j+3] AS DOUBLE)))/256 AS FLOAT)],
+      list_transform(range(1, 12), j -> CAST(CAST(p[j] AS DOUBLE)/255.0 AS FLOAT))
+    )"""
+
+# knn over the features: Spark keeps the column float32 but the query
+# literals are the un-narrowed float64 decode of member (0, 0), so the
+# oracle computes fd = float64(float32(feature)) and qd = float64
+# directly — then the same dot/norm/round(6) as every certified knn
+# oracle.
+_FEATURE_KNN_ORACLE = f"""
+    WITH {_ppm_px_cte()},
+    f AS (
+      SELECT doc_id AS media_id,
+             list_transform({_PPM_FEATURE_LIST}, x -> CAST(x AS DOUBLE)) AS fd
+      FROM px
+    ),
+    qf AS (
+      SELECT list_concat(
+        [CAST(16 AS DOUBLE), CAST(16 AS DOUBLE),
+         list_sum(list_transform(range(0, 256), j -> CAST(p[3*j+1] AS DOUBLE)))/256,
+         list_sum(list_transform(range(0, 256), j -> CAST(p[3*j+2] AS DOUBLE)))/256,
+         list_sum(list_transform(range(0, 256), j -> CAST(p[3*j+3] AS DOUBLE)))/256],
+        list_transform(range(1, 12), j -> CAST(p[j] AS DOUBLE)/255.0)
+      ) AS qd
+      FROM px WHERE doc_id = 0
+    )
+    SELECT media_id,
+           round(
+             list_sum(list_transform(range(1, 17), i -> fd[i] * qd[i]))
+             / (sqrt(list_sum(list_transform(range(1, 17), i -> fd[i] * fd[i])))
+                * sqrt(list_sum(list_transform(range(1, 17), i -> qd[i] * qd[i]))))
+           , 6) AS cos_sim
+    FROM f, qf
+    WHERE media_id <> 0
+    ORDER BY cos_sim DESC, media_id
+    LIMIT 10
+"""
+
+# Opaque-payload feature stub (media_from_documents: payload = UTF-8
+# text bytes, mime octet-stream): feature = md5 digest bytes / 255.
+# DuckDB's md5(VARCHAR) hashes the same UTF-8 bytes Spark's
+# cast-to-binary carries.
+_MM_FEATURES_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           list_transform(range(0, 16), i -> CAST(CAST(
+             (instr('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
+             AS DOUBLE) / 255.0 AS FLOAT)) AS feature
+    FROM documents
+"""
+
+
+@_register("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark, sf_dir):
     """X5 — binary-payload feature extraction via Arrow-batched
     mapInPandas (decode step stubbed deterministically; see
     operators/multimodal.py). Width capped at 8: Python-worker spawn
     dominates this small stage (measured 38s at width 32 cold vs 5.6s
-    at width 8)."""
+    at width 8). ORACLE-CHECKED since r9: the md5-stub feature bytes
+    replay as DuckDB hex arithmetic over the same UTF-8 payload."""
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_from_documents(docs)
     return MM.extract_features(media)
@@ -826,7 +1002,7 @@ def multimodal_image_stats_png(spark, sf_dir):
     return MM.image_stats(media)
 
 
-@_register("multimodal_image_near_dup", None)  # decode+perceptual hash: rows-only
+@_register("multimodal_image_near_dup", _IMG_NEAR_DUP_ORACLE)
 def multimodal_image_near_dup(spark, sf_dir):
     """X5/X2 — IMAGE near-duplicate detection: real PPM decode →
     dHash perceptual fingerprint → banded-hash candidate join →
@@ -834,10 +1010,11 @@ def multimodal_image_near_dup(spark, sf_dir):
     over a deterministic fixture where same-group images share a base
     picture with small per-member perturbations
     (media_with_ppm_groups). The group-then-pair shape is the text
-    LSH's — never n^2. Deterministic closed-form fixture, so the
-    rows-only certificate is reproducible; pair-structure and
-    Python-reference hash parity are pinned in
-    tests/test_multimodal.py."""
+    LSH's — never n^2. ORACLE-CHECKED since r9: the dHash replays in
+    DuckDB as closed-form block-mean arithmetic over the fixture's
+    pixel formula, banded exactly like hamming_near_dup
+    (_IMG_NEAR_DUP_ORACLE); pair-structure and Python-reference hash
+    parity are additionally pinned in tests/test_multimodal.py."""
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_with_ppm_groups(docs, group_size=4, width=16, height=16)
     return MM.image_near_dup(media, max_hamming=6)
@@ -850,15 +1027,18 @@ def multimodal_audio_near_dup(spark, sf_dir):
     energy transitions — gain-invariant) → the same banded Hamming
     join the image path uses (multimodal.hamming_near_dup). Fixture
     is grouped tone mixtures (media_with_wav_groups): same-group
-    clips differ by one small extra tone. Deterministic closed form;
-    fingerprint Python-reference parity and group separation pinned
-    in tests/test_multimodal.py."""
+    clips differ by one small extra tone. Rows-only PRECISELY
+    because the fingerprint's rFFT band energies have no closed-form
+    SQL replay (the image twin's block MEANS do — see
+    _IMG_NEAR_DUP_ORACLE — but a length-N DFT does not reduce to the
+    fixture's arithmetic); fingerprint Python-reference parity and
+    group separation are pinned in tests/test_multimodal.py."""
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_with_wav_groups(docs, group_size=4)
     return MM.audio_near_dup(media, max_hamming=8)
 
 
-@_register("multimodal_feature_knn", None)  # decode features + numpy-free kNN: rows-only
+@_register("multimodal_feature_knn", _FEATURE_KNN_ORACLE)
 def multimodal_feature_knn(spark, sf_dir):
     """X5/X3 — media RETRIEVAL end to end: decode images to
     fixed-size feature vectors (multimodal.extract_features), then
@@ -885,7 +1065,7 @@ def multimodal_feature_knn(spark, sf_dir):
     )
 
 
-@_register("multimodal_dup_clusters", None)  # iterative fixpoint: rows-only
+@_register("multimodal_dup_clusters", _IMG_CLUSTERS_ORACLE)
 def multimodal_dup_clusters(spark, sf_dir):
     """X5/X2 — media dedup CLUSTER RESOLUTION: image near-dup pairs
     (banded dHash) into connected components, returning
@@ -1052,12 +1232,15 @@ def docs_hash_split(spark, sf_dir):
     return hash_split(docs).select("doc_id", "lang", "split")
 
 
-@_register("dedup_clusters", None)  # iterative fixpoint: rows-only
+@_register("dedup_clusters", None)  # xxhash64 edge set: rows-only
 def dedup_clusters(spark, sf_dir):
     """X2 final step — dedup clusters: connected components over the
-    LSH candidate-pair graph (iterative min-label propagation; the
-    driver records rows-only because fixpoint iteration has no single
-    SQL oracle — pytest checks against a Python union-find)."""
+    LSH candidate-pair graph (iterative min-label propagation).
+    Rows-only PRECISELY because the edge set comes from the xxhash64
+    signature (no DuckDB implementation, as dedup_minhash_lsh) — the
+    clustering itself IS SQL-replayable (recursive-CTE transitive
+    closure), which the md5-edge twin dedup_clusters_md5 certifies;
+    pytest additionally checks against a Python union-find."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     sig = D.minhash_signature(docs, num_hashes=16, hash_fn="xxhash64")
     pairs = D.minhash_lsh_candidates(sig, num_hashes=16, band_size=4)
@@ -2029,7 +2212,7 @@ def knn_ivf_filtered(spark, sf_dir):
     )
 
 
-@_register("knn_ivfpq_indexed", None)  # trained quantizers + numpy cell ranking: rows-only
+@_register("knn_ivfpq_indexed", None)  # Lloyd-trained quantizers: rows-only (see knn_pq_adc)
 def knn_ivfpq_indexed(spark, sf_dir):
     """X3 — persisted IVF-PQ probe (the FAISS two-level shape): the
     index stores m-byte PQ codes partitioned by IVF cell — no float
@@ -3006,7 +3189,7 @@ def knn_pq_adc_seeded(spark, sf_dir):
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
 
 
-@_register("knn_pq_adc", None)  # trained codebooks: GEMM path, rows-only
+@_register("knn_pq_adc", None)  # Lloyd-trained codebooks: rows-only
 def knn_pq_adc(spark, sf_dir):
     """X3 — product-quantized ADC search, production path: codebooks
     Lloyd-trained in-plan (2 iterations, rounded means — only the
