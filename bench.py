@@ -170,6 +170,10 @@ SCALE_QUERIES = [
     "dedup_substring_clean",
     "knn_hard_negatives",
     "knn_hard_negatives_indexed",
+    # r9: the media-routing certificate at 10x (r8 verdict: its
+    # headline move had no scale row to disambiguate variance from
+    # growth — decode pass + banded Hamming join both stress at 10x)
+    "multimodal_ingest_report",
 ]
 
 

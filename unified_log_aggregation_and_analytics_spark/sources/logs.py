@@ -91,7 +91,14 @@ _KINESIS_CONSUMER_TYPES = {"GetRecords", "SubscribeToShard"}
 # The connector's source format name. Option keys below follow its
 # public README; Spark reads options through CaseInsensitiveStringMap,
 # so key casing is cosmetic — the PREFIX and spelling are the
-# contract.
+# contract. Freshness: the pinned surface (format name, kinesis.*
+# prefix, streamName/region/consumerType/startingPosition keys,
+# GetRecords|SubscribeToShard, LATEST|TRIM_HORIZON|AT_TIMESTAMP) is
+# the awslabs spark-sql-kinesis-connector spec as of its 1.x README;
+# this sandbox has no network, so re-pinning against a newer README
+# is a deployment-time checklist item — the contract test
+# (tests/test_streaming.py kinesis contract) is the single place to
+# update if a key is renamed upstream.
 KINESIS_FORMAT = "aws-kinesis"
 
 

@@ -43,6 +43,23 @@ listing per trigger, cacheable); data reads prune on the
 directory pruning, not a scan. The layout is exactly what a
 transactional table format (Delta/Iceberg) does internally — kept
 here as explicit, dependency-free plumbing.
+
+Maintenance is marker-native too (since r9), so the whole lifecycle
+is correct under object-store (no-rename) semantics:
+
+- ``rollup_markers`` — one ``_upto_<k>`` file replaces the contiguous
+  committed prefix's singles (union-semantics crash safety), bounding
+  the per-trigger listing at O(recent batches) instead of O(batches
+  ever) — wired into every pipeline's compaction entry point, probed
+  flat at 300 triggers (3.9 ms listing / 1 file).
+- ``compact_fenced`` — folds the committed prefix's small files into
+  a NEGATIVE compaction batch id and flips visibility with one
+  ``_compacted_<n>_upto_<k>`` file inside the path; superseded
+  partitions are lazily deleted (invisible the moment the marker
+  exists). No rename anywhere in this module.
+- ``fenced_append`` also clears stale committer ``_temporary``
+  staging left by a kill between task-commit and job-commit — the one
+  torn state the batch-partition probe can't see.
 """
 
 from __future__ import annotations
