@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "docs_corpus_ingest",
     "knn_ivf_refined",
     "multimodal_image_stats_png",
+    # r9: native baseline-JPEG decode (lossy-compressed sibling)
+    "multimodal_image_stats_jpeg",
     # near-dup-aware ingest routing, kNN graph join, temperature mixing
     "docs_corpus_ingest_nd",
     "knn_join_graph",

@@ -1193,3 +1193,40 @@ def test_unified_layout_dlq_split_readable_through_fence(spark, tmp_path):
     dlq_split(NORMALIZERS["ec2"](lines.limit(1)), table, rejected)
     assert committed_batches(spark, f"{table}_commits/_all") == [0, 1]
     assert read_log_table(spark, table).count() == len(GOOD_LINES) + 1
+
+
+def test_retention_prunes_inside_compacted_layout(spark, tmp_path):
+    """Retention x compaction: after compact_log_table folds the
+    committed batches into the negative compaction partition,
+    expire_partitions must still find and drop the nested
+    ``log_date=`` dirs (the Hadoop-FS walk descends source= and
+    _commit_batch=-n alike), and the fenced reader sees exactly the
+    surviving days."""
+    from pathlib import Path
+
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        compact_log_table,
+        expire_partitions,
+        read_log_table,
+    )
+
+    logs_dir = tmp_path / "logs"
+    logs_dir.mkdir()
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    for i, line in enumerate(GOOD_LINES):  # days 07-29, 07-29, 07-30
+        (logs_dir / f"access_log.{i}").write_text(line + "\n")
+        run_pipeline(
+            stream_text_logs(spark, str(logs_dir)), "ec2", table, rej,
+            str(tmp_path / "ckpt"), trigger={"availableNow": True},
+        ).await_done()
+    compact_log_table(spark, table)
+    sub = Path(table) / "source=ec2"
+    dirs = [p.name for p in sub.glob("_commit_batch=*")]
+    assert dirs == ["_commit_batch=-1"], dirs  # compacted layout
+
+    removed = expire_partitions(spark, table, older_than="2021-07-30")
+    assert removed == ["source=ec2/_commit_batch=-1/log_date=2021-07-29"], removed
+    got = read_log_table(spark, table)
+    assert got.count() == 1
+    assert got.collect()[0]["log_date"].isoformat() == "2021-07-30"

@@ -460,3 +460,71 @@ def test_merge_cadence_policy_bounds_delta(spark, tmp_path):
     assert _index_rows(spark, index).count() == 50
     after = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
     assert before == after
+
+
+def test_vector_pipeline_merge_cadence_e2e(spark, tmp_path):
+    """run_vector_pipeline(merge_every=1) through REAL availableNow
+    triggers: the writer folds its own delta after every batch (the
+    cadence wiring, not just the maybe_merge_delta helper) — the
+    journal advances, merged delta partitions are reclaimed, and the
+    maintained index probes exactly like a batch rebuild."""
+    import os
+    import time
+
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _delta_path,
+        _index_rows,
+        _merged_through,
+    )
+
+    all_vecs = _vecs(50, seed=41)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    for b in range(2):
+        rows = [
+            {"vec_id": i, "embedding": all_vecs[i]}
+            for i in range(10 + b * 20, 30 + b * 20)
+        ]
+        f = src / f"b{b}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(f, (now - 10 + b, now - 10 + b))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    res = run_vector_pipeline(
+        stream,
+        index,
+        str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        merge_every=1,
+    )
+    res.query.awaitTermination(120)
+
+    assert _merged_through(index) == 1  # both batches folded in-stream
+    # merged delta partitions were lazily reclaimed
+    from pathlib import Path
+
+    leftovers = list(Path(_delta_path(index)).glob("_commit_batch=*"))
+    assert leftovers == [], leftovers
+    assert _index_rows(spark, index).count() == 50
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(50)], VEC_SCHEMA),
+        rebuilt,
+        n_centroids=4,
+    )
+    q = all_vecs[3]
+    got = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
+    want = [r["vec_id"] for r in ivf_probe(spark, rebuilt, q, k=5).collect()]
+    assert got == want and got

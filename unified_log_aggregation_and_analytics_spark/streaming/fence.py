@@ -101,6 +101,18 @@ def list_dir_names(spark: SparkSession, path: str) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(p))
 
 
+def list_subdir_names(spark: SparkSession, path: str) -> list[str]:
+    """Like list_dir_names but DIRECTORIES only — for recursive
+    partition walks (retention), where pushing a file onto the walk
+    stack would loop (listStatus of a file returns the file itself)."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    )
+
+
 def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> None:
     fs, p, _ = _fs(spark, path)
     if fs.exists(p):

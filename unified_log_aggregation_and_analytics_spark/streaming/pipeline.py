@@ -386,20 +386,26 @@ def expire_partitions(
     Returns the removed partition directories (relative), so the
     caller can log/audit the retention action. Uses directory names
     only — never lists file contents — so cost is O(partitions), not
-    O(data); on an object store the rmtree becomes a prefix delete."""
-    import os
-    import shutil
+    O(data). Walks and deletes through the Hadoop FileSystem API, so
+    retention works on whatever filesystem the sink wrote to
+    (S3A/HDFS/local), at ANY partition depth — both log layouts
+    (``source=/.../log_date=`` and the compacted
+    ``_commit_batch=-n/log_date=`` form) prune correctly."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     removed: list[str] = []
     prefix = f"{date_col}="
-    for root, dirs, _files in os.walk(table_path):
-        for d in list(dirs):
-            if d.startswith(prefix) and d[len(prefix):] < older_than:
-                shutil.rmtree(os.path.join(root, d))
-                dirs.remove(d)
-                removed.append(
-                    os.path.relpath(os.path.join(root, d), table_path)
-                )
+    stack = [table_path]
+    while stack:
+        cur = stack.pop()
+        for name in fence.list_subdir_names(spark, cur):
+            if name.startswith(prefix):
+                if name[len(prefix):] < older_than:
+                    full = f"{cur}/{name}"
+                    fence.delete_path(spark, full)
+                    removed.append(full[len(table_path):].lstrip("/"))
+                continue  # date dirs never nest further date dirs
+            stack.append(f"{cur}/{name}")
     return sorted(removed)
 
 
