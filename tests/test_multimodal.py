@@ -587,15 +587,44 @@ def test_jpeg_decode_gates_and_none():
     with pytest.raises(NotImplementedError, match="non-baseline"):
         MM.decode_jpeg(prog)
 
-    # subsampled chroma: patch the sampling byte in a 3-comp SOF
+    # sampling factors beyond 2 (legal but exotic): patch the
+    # sampling byte in a 3-comp SOF to 3x3
     rgb = MM.encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8))
     i = rgb.find(b"\xff\xc0")
     seglen = int.from_bytes(rgb[i + 2 : i + 4], "big")
     body = bytearray(rgb[i + 4 : i + 2 + seglen])
-    body[7] = 0x22  # comp 1: 2x2 sampling
+    body[7] = 0x33  # comp 1: 3x3 sampling
     sub = rgb[: i + 4] + bytes(body) + rgb[i + 2 + seglen :]
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         MM.decode_jpeg(sub)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — the layout virtually every real-world JPEG uses:
+    4-Y + Cb + Cr MCUs, 2x2-mean chroma downsample on encode,
+    nearest-neighbor upsample on decode. Constant color survives
+    within YCbCr rounding; smooth content within the chroma-halving
+    band; odd dimensions exercise MCU padding + crop."""
+    px = np.full((16, 16, 3), (200, 50, 120), dtype=np.uint8)
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(px, subsample="420"))
+    assert (w, h, c) == (16, 16, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+    x = np.linspace(0, 255, 32)
+    g = np.stack(
+        np.meshgrid(x, x) + [np.full((32, 32), 77.0)], axis=2
+    ).astype(np.uint8)
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(g, subsample="420"))
+    assert np.abs(out.astype(int) - g.astype(int)).mean() < 6
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)  # h=19, w=21
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(px, subsample="420"))
+    assert (w, h, c) == (21, 19, 3)
+    # luma channel-mix bound holds even with quartered chroma
+    lum_in = px.astype(float).mean(axis=2)
+    lum_out = out.astype(float).mean(axis=2)
+    assert np.abs(lum_in - lum_out).mean() < 25
 
 
 def test_jpeg_stats_through_decode_rgb(spark):

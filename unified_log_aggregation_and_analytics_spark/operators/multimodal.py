@@ -359,9 +359,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     generated zigzag, dequantize, float64 inverse DCT per block,
     level-shift/round/clamp; 3-component scans invert the JFIF YCbCr
     transform. Supports 8-bit baseline (SOF0), 1 or 3 components,
-    sampling factors 1x1 (4:4:4) — progressive scans, subsampled
-    chroma, and restart intervals raise NotImplementedError (loud,
-    never silently skipped — the exotic-PNG policy). Returns (width,
+    sampling factors up to 2x2 — 4:4:4, 4:2:2, AND the 4:2:0 layout
+    virtually every camera emits (interleaved h_i x v_i blocks per
+    MCU, chroma planes nearest-neighbor upsampled) — progressive
+    scans, sampling factors > 2, and restart intervals raise
+    NotImplementedError (loud, never silently skipped — the
+    exotic-PNG policy). Returns (width,
     height, channels, pixels[(h, w, c) uint8]) or None when the
     payload is not a JPEG."""
     if payload is None or not bytes(payload).startswith(JPEG_MAGIC):
@@ -403,8 +406,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 h, v = hv >> 4, hv & 0x0F
-                if (h, v) != (1, 1):
-                    raise NotImplementedError("JPEG subsampled chroma")
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise NotImplementedError("JPEG sampling factors > 2")
                 comps.append((cid, h, v, tq))
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG {nc}-component scan")
@@ -447,41 +450,58 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
         pos += seglen
     if width is None or data is None:
         return None
-    bx, by = (width + 7) // 8, (height + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy = (height + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+        np.zeros((mcy * c[2] * 8, mcx * c[1] * 8), dtype=np.float64)
+        for c in comps
     ]
     br = _BitReader(data)
     pred = [0] * len(comps)
-    for mby in range(by):
-        for mbx in range(bx):
+    for mby in range(mcy):
+        for mbx in range(mcx):
             for ci, dct_id, act_id in scan:
-                coef = np.zeros((8, 8), dtype=np.float64)
-                s = _huff_read(br, huff[(0, dct_id)])
-                diff = _extend(br.read(s), s)
-                pred[ci] += diff
-                coef[0, 0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(br, huff[(1, act_id)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise NotImplementedError("JPEG AC index overflow")
-                    r, c = _ZIGZAG[k]
-                    coef[r, c] = _extend(br.read(size), size)
-                    k += 1
-                coef *= qt[comps[ci][3]]
-                block = _DCT8.T @ coef @ _DCT8 + 128.0
-                planes[ci][
-                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
-                ] = block
-    planes = [p[:height, :width] for p in planes]
+                _, ch, cv, ctq = comps[ci]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        s = _huff_read(br, huff[(0, dct_id)])
+                        diff = _extend(br.read(s), s)
+                        pred[ci] += diff
+                        coef[0, 0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_read(br, huff[(1, act_id)])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC index overflow"
+                                )
+                            r, c = _ZIGZAG[k]
+                            coef[r, c] = _extend(br.read(size), size)
+                            k += 1
+                        coef *= qt[ctq]
+                        block = _DCT8.T @ coef @ _DCT8 + 128.0
+                        py = (mby * cv + bv) * 8
+                        pxx = (mbx * ch + bh) * 8
+                        planes[ci][py : py + 8, pxx : pxx + 8] = block
+    # nearest-neighbor upsample subsampled planes to full resolution
+    planes = [
+        np.repeat(
+            np.repeat(pl, vmax // comps[i][2], axis=0),
+            hmax // comps[i][1],
+            axis=1,
+        )[:height, :width]
+        for i, pl in enumerate(planes)
+    ]
     if len(comps) == 1:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return width, height, 1, px[:, :, None]
@@ -523,10 +543,16 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsample: str = "444",
+) -> bytes:
     """Minimal real baseline-JFIF encoder (test-fixture twin of
     decode_jpeg, the encode_png pattern): 8-bit gray (h, w) or RGB
-    (h, w, 3) at 4:4:4, one shared quant table (default: flat 16 —
+    (h, w, 3) at 4:4:4 or — ``subsample='420'`` — the camera-standard
+    4:2:0 (Y at 2x2 sampling, 2x2-mean-downsampled chroma, MCUs of
+    4 Y + Cb + Cr blocks), one shared quant table (default: flat 16 —
     valid, and it makes constant-block reconstruction exact, which
     the analytic fixture oracle exploits), the canonical fixed-length
     Huffman tables above (declared in DHT, so ANY compliant decoder
@@ -534,6 +560,8 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     standard decoder."""
     if qtable is None:
         qtable = np.full((8, 8), 16, dtype=np.int32)
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample {subsample!r} not in ('444', '420')")
     gray = px.ndim == 2 or px.shape[2] == 1
     h, w = px.shape[:2]
     if gray:
@@ -547,13 +575,32 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
-    bx, by = (w + 7) // 8, (h + 7) // 8
+    sub420 = subsample == "420" and not gray
+    # (h_i, v_i) per component; MCU geometry follows the max factors
+    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    hmax = max(sh for sh, _ in samp[: len(planes)])
+    vmax = max(sv for _, sv in samp[: len(planes)])
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for pl in planes:
-        canvas = np.empty((by * 8, bx * 8), dtype=np.float64)
-        canvas[:h, :w] = pl
-        canvas[h:, :w] = pl[-1:, :]  # edge-replicate padding
-        canvas[:, w:] = canvas[:, w - 1 : w]
+    for ci, pl in enumerate(planes):
+        sh, sv = samp[ci]
+        if (sh, sv) != (hmax, vmax):
+            # chroma downsample: 2x2 block mean over an edge-replicate
+            # pad to even dims
+            ph = pl.shape[0] + (pl.shape[0] & 1)
+            pw = pl.shape[1] + (pl.shape[1] & 1)
+            tmp = np.empty((ph, pw), dtype=np.float64)
+            tmp[: pl.shape[0], : pl.shape[1]] = pl
+            tmp[pl.shape[0] :, : pl.shape[1]] = pl[-1:, :]
+            tmp[:, pl.shape[1] :] = tmp[:, pl.shape[1] - 1 : pl.shape[1]]
+            pl = tmp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        th, tw = mcy * sv * 8, mcx * sh * 8
+        canvas = np.empty((th, tw), dtype=np.float64)
+        ch_, cw_ = min(pl.shape[0], th), min(pl.shape[1], tw)
+        canvas[:ch_, :cw_] = pl[:ch_, :cw_]
+        canvas[ch_:, :cw_] = canvas[ch_ - 1 : ch_, :cw_]  # edge-replicate
+        canvas[:, cw_:] = canvas[:, cw_ - 1 : cw_]
         padded.append(canvas)
 
     dc_enc = _huff_encode_table(_DC_BITS, _DC_VALS)
@@ -570,31 +617,38 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
             bits = v if v > 0 else v + (1 << size) - 1
             bw.write(bits, size)
 
-    for mby in range(by):
-        for mbx in range(bx):
+    def put_block(ci: int, block: np.ndarray) -> None:
+        coef = _DCT8 @ (block - 128.0) @ _DCT8.T
+        q = np.round(coef / qtable).astype(np.int64)
+        diff = int(q[0, 0]) - pred[ci]
+        pred[ci] = int(q[0, 0])
+        put(diff, dc_enc)
+        zz = [int(q[r, c]) for r, c in _ZIGZAG[1:]]
+        run = 0
+        last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
+        for i in range(last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            put(zz[i], ac_enc, run)
+            run = 0
+        if last_nz < 63 - 1:
+            ln, code = ac_enc[0x00]  # EOB
+            bw.write(code, ln)
+
+    for mby in range(mcy):
+        for mbx in range(mcx):
             for ci, pl in enumerate(padded):
-                block = pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
-                coef = _DCT8 @ (block - 128.0) @ _DCT8.T
-                q = np.round(coef / qtable).astype(np.int64)
-                diff = int(q[0, 0]) - pred[ci]
-                pred[ci] = int(q[0, 0])
-                put(diff, dc_enc)
-                zz = [int(q[r, c]) for r, c in _ZIGZAG[1:]]
-                run = 0
-                last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
-                for i in range(last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ln, code = ac_enc[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    put(zz[i], ac_enc, run)
-                    run = 0
-                if last_nz < 63 - 1:
-                    ln, code = ac_enc[0x00]  # EOB
-                    bw.write(code, ln)
+                sh, sv = samp[ci]
+                for bv in range(sv):
+                    for bh in range(sh):
+                        py = (mby * sv + bv) * 8
+                        pxx = (mbx * sh + bh) * 8
+                        put_block(ci, pl[py : py + 8, pxx : pxx + 8])
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -604,7 +658,8 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     sos = bytes([ncomp])
     for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0])  # comp id, 1x1 sampling, qtable 0
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0])  # comp id, sampling, qtable 0
         sos += bytes([i + 1, 0x00])  # dc table 0, ac table 0
     sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al
     dht = (
