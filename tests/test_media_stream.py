@@ -260,28 +260,27 @@ def test_media_pipeline_survives_hashless_first_batch(spark, tmp_path):
     assert table == {1, 2}
 
 
-@pytest.mark.skipif(not MM._HAS_PIL, reason="Pillow not installed (JPEG decode is Pillow-gated)")
 def test_media_pipeline_jpeg_batch_e2e(spark, tmp_path):
-    """COMPRESSED-codec e2e (round-5 item 8): a JPEG batch through the
-    streaming gate→dedup→sink. JPEG decodes via the Pillow fallback in
-    _decode_rgb; an exact duplicate dedups on payload fp; a truncated
-    JPEG dead-letters. JPEG is lossy, so the fixture asserts routing,
-    not pixel values."""
-    import io as _io
-
-    from PIL import Image
+    """COMPRESSED-codec e2e (round-5 item 8, UNGATED since r9 — the
+    native baseline decoder replaced the Pillow fallback): a 4:2:0
+    JPEG batch through the streaming gate→dedup→sink. An exact
+    duplicate dedups on payload fp; two constant-color JPEGs share
+    dHash 0 so the PERCEPTUAL stage catches the second as a near-dup
+    of the first even though the bytes differ; a truncated JPEG
+    dead-letters as undecodable."""
 
     def jpeg_payload(seed: int) -> bytes:
         rng = np.random.default_rng(seed)
         arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-        buf = _io.BytesIO()
-        Image.fromarray(arr, "RGB").save(buf, format="JPEG", quality=90)
-        return buf.getvalue()
+        return MM.encode_jpeg(arr, subsample="420")
 
     src = tmp_path / "incoming"
     src.mkdir()
     a, b = jpeg_payload(1), jpeg_payload(2)
-    rows = [(0, a), (1, a), (2, b), (3, a[: len(a) // 4])]
+    flat1 = MM.encode_jpeg(np.full((16, 16, 3), 100, dtype=np.uint8))
+    flat2 = MM.encode_jpeg(np.full((16, 16, 3), 104, dtype=np.uint8))
+    rows = [(0, a), (1, a), (2, b), (3, a[: len(a) // 4]),
+            (4, flat1), (5, flat2)]
     spark.createDataFrame(
         [(mid, "image", p, "image/jpeg", None, None, None) for mid, p in rows],
         MM.MEDIA_SCHEMA,
@@ -292,9 +291,13 @@ def test_media_pipeline_jpeg_batch_e2e(spark, tmp_path):
     ingested = {r.media_id for r in table.select("media_id").collect()}
     assert 0 in ingested and 2 in ingested, "decodable JPEGs must ingest"
     assert 1 not in ingested, "byte-identical JPEG must exact-dedup (keep-min)"
+    assert 4 in ingested, "first flat-color JPEG is the kept near-dup anchor"
     rejected = spark.read.parquet(str(tmp_path / "media_rejected"))
     errs = {r.media_id: r._error for r in rejected.collect()}
     assert errs.get(3) == "undecodable", f"truncated JPEG must dead-letter: {errs}"
+    assert errs.get(5) == "near_duplicate", (
+        f"flat-color twin must perceptual-dedup (dHash 0 == dHash 0): {errs}"
+    )
 
 
 def test_media_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypatch):

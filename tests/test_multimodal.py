@@ -638,3 +638,38 @@ def test_jpeg_stats_through_decode_rgb(spark):
         g = 2 * ((r.media_id * 13) % 128)
         assert (r.width, r.height) == (16, 16)
         assert r.mean_r == r.mean_g == r.mean_b == float(g), r
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI/RSTn restart markers (what real encoders emit for error
+    resilience): the restart stream must decode byte-identically to
+    the same image without restarts — byte-aligned segments, DC
+    predictors reset per interval, in gray, 4:2:0 color, and the
+    degenerate every-MCU interval."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    enc = MM.encode_jpeg(px, restart_interval=3)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0
+    assert np.array_equal(
+        MM.decode_jpeg(enc)[3], MM.decode_jpeg(MM.encode_jpeg(px))[3]
+    )
+
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(
+        MM.decode_jpeg(MM.encode_jpeg(rgb, subsample="420", restart_interval=2))[3],
+        MM.decode_jpeg(MM.encode_jpeg(rgb, subsample="420"))[3],
+    )
+
+    small = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert np.array_equal(
+        MM.decode_jpeg(MM.encode_jpeg(small, restart_interval=1))[3],
+        MM.decode_jpeg(MM.encode_jpeg(small))[3],
+    )
+
+    # a stream that PROMISES restarts but lacks the markers is loud
+    # (either the explicit missing-restart gate or a Huffman desync —
+    # both NotImplementedError, never silent garbage)
+    bad = MM.encode_jpeg(px, restart_interval=3)
+    i = bad.find(b"\xff\xd0")
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg(bad[:i] + bad[i + 2 :])  # strip the first RST

@@ -361,8 +361,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     transform. Supports 8-bit baseline (SOF0), 1 or 3 components,
     sampling factors up to 2x2 — 4:4:4, 4:2:2, AND the 4:2:0 layout
     virtually every camera emits (interleaved h_i x v_i blocks per
-    MCU, chroma planes nearest-neighbor upsampled) — progressive
-    scans, sampling factors > 2, and restart intervals raise
+    MCU, chroma planes nearest-neighbor upsampled) and restart
+    intervals (DRI/RSTn: byte-aligned segments, DC prediction reset
+    per interval) — progressive scans and sampling factors > 2 raise
     NotImplementedError (loud, never silently skipped — the
     exotic-PNG policy). Returns (width,
     height, channels, pixels[(h, w, c) uint8]) or None when the
@@ -376,6 +377,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
     scan: list[tuple[int, int, int]] = []  # comp idx, dc table, ac table
+    restart_interval = 0
     data = None
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
@@ -423,28 +425,34 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 b += 17 + nv
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[0:2], "big") != 0:
-                raise NotImplementedError("JPEG restart intervals")
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(j for j, c in enumerate(comps) if c[0] == cs)
                 scan.append((idx, tt >> 4, tt & 0x0F))
-            raw = bytearray()
+            # entropy data: unstuff FF00, split at RSTn (restart
+            # markers byte-align the stream and reset DC prediction —
+            # one segment per interval)
+            segments = [bytearray()]
             p = pos + seglen
             while p < n:
                 bb = buf[p]
                 if bb == 0xFF:
                     nxt = buf[p + 1] if p + 1 < n else 0xD9
                     if nxt == 0x00:
-                        raw.append(0xFF)
+                        segments[-1].append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                        segments.append(bytearray())
                         p += 2
                         continue
                     break  # a real marker ends the scan
-                raw.append(bb)
+                segments[-1].append(bb)
                 p += 1
-            data = bytes(raw)
+            data = [bytes(sg) for sg in segments]
             pos = p
             continue
         pos += seglen
@@ -458,10 +466,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
         np.zeros((mcy * c[2] * 8, mcx * c[1] * 8), dtype=np.float64)
         for c in comps
     ]
-    br = _BitReader(data)
+    seg_idx = 0
+    br = _BitReader(data[0])
     pred = [0] * len(comps)
     for mby in range(mcy):
         for mbx in range(mcx):
+            mcu_done = mby * mcx + mbx
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                # restart: next byte-aligned segment, DC predictors reset
+                seg_idx += 1
+                if seg_idx >= len(data):
+                    raise NotImplementedError("JPEG missing restart marker")
+                br = _BitReader(data[seg_idx])
+                pred = [0] * len(comps)
             for ci, dct_id, act_id in scan:
                 _, ch, cv, ctq = comps[ci]
                 for bv in range(cv):
@@ -547,6 +564,7 @@ def encode_jpeg(
     px: np.ndarray,
     qtable: np.ndarray | None = None,
     subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal real baseline-JFIF encoder (test-fixture twin of
     decode_jpeg, the encode_png pattern): 8-bit gray (h, w) or RGB
@@ -556,8 +574,9 @@ def encode_jpeg(
     valid, and it makes constant-block reconstruction exact, which
     the analytic fixture oracle exploits), the canonical fixed-length
     Huffman tables above (declared in DHT, so ANY compliant decoder
-    reads the stream). Round-trips through decode_jpeg and any
-    standard decoder."""
+    reads the stream), optional DRI/RSTn restart markers every
+    ``restart_interval`` MCUs. Round-trips through decode_jpeg and
+    any standard decoder."""
     if qtable is None:
         qtable = np.full((8, 8), 16, dtype=np.int32)
     if subsample not in ("444", "420"):
@@ -640,8 +659,17 @@ def encode_jpeg(
             ln, code = ac_enc[0x00]  # EOB
             bw.write(code, ln)
 
+    chunks: list[bytes] = []
+    rst = 0
     for mby in range(mcy):
         for mbx in range(mcx):
+            mcu_done = mby * mcx + mbx
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                chunks.append(bw.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                bw = _BitWriter()  # rebinding: put()/put_block() see it
+                pred = [0] * len(planes)
             for ci, pl in enumerate(padded):
                 sh, sv = samp[ci]
                 for bv in range(sv):
@@ -666,13 +694,20 @@ def encode_jpeg(
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xDB, bytes([0x00]) + zz_q)
         + seg(0xC0, sof)
+        + dri
         + seg(0xC4, dht)
         + seg(0xDA, sos)
+        + b"".join(chunks)
         + bw.flush()
         + b"\xff\xd9"
     )
