@@ -318,3 +318,48 @@ def test_duplicated_spans_matches_bruteforce(spark, corpora, k):
         gn, gdup, gspans, gfrac = got[d]
         assert (gn, gdup, gspans) == (n, dup, spans), f"doc {d}"
         assert abs(gfrac - round(dup / n, 6)) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color=st.booleans(),
+    subsample=st.sampled_from(["444", "420"]),
+    rst=st.sampled_from([0, 1, 2]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_codec_property(w, h, color, subsample, rst, seed):
+    """Baseline-JPEG invariants that hold for ARBITRARY content,
+    shape, layout, subsampling, and restart cadence (pure
+    numpy/stdlib, no Spark): geometry and channel count survive
+    exactly; a restart stream decodes byte-identically to its
+    non-restart twin; GRAY pixels stay within the provable flat-16
+    envelope (64 coefficients x quant error 8 x max basis product
+    1/4 = 128 — color noise has no such bound: 4:2:0 legitimately
+    averages saturated random chroma away); and constant-color
+    images, whose blocks are DC-only, reconstruct within YCbCr
+    rounding."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    sub = subsample if color else "444"
+    enc = encode_jpeg(px, subsample=sub, restart_interval=rst)
+    gw, gh, gc, out = decode_jpeg(enc)
+    assert (gw, gh, gc) == (w, h, 3 if color else 1)
+    if not color:
+        assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 128
+    if rst:
+        plain = decode_jpeg(encode_jpeg(px, subsample=sub))[3]
+        assert np.array_equal(out, plain)
+
+    flat = np.full((h, w, 3), rng.randint(0, 256, size=3), dtype=np.uint8)
+    fout = decode_jpeg(encode_jpeg(flat, subsample=sub))[3]
+    assert np.abs(fout.astype(int) - flat.astype(int)).max() <= 2
