@@ -302,3 +302,97 @@ def test_compact_index_preserves_merge_journal(spark, tmp_path):
     A.compact_index(spark, index, part_col="cell")
     assert A._merged_through(index) == 0, "journal lost in compaction swap"
     assert A._index_rows(spark, index).count() == 20  # still no double count
+
+
+def test_compact_index_delta_object_store_path(spark, tmp_path):
+    """Marker-native delta maintenance (compact_index_delta): folds
+    the committed delta prefix into one negative partition with NO
+    rename and NO base rewrite — visible rows and probe results
+    unchanged, delta directory count bounded, later batches keep
+    flowing, and the merge/compact protocols exclude each other
+    loudly in both directions."""
+    from pathlib import Path
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        maybe_merge_delta,
+        vector_ingest_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rng = np.random.default_rng(13)
+    vecs = [[float(x) for x in row] for row in rng.normal(size=(50, 8))]
+    index = str(tmp_path / "ivf")
+    rej = str(tmp_path / "rej")
+    A.build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], schema),
+        index,
+        n_centroids=4,
+    )
+    for b in range(3):
+        lo, hi = 10 + b * 10, 20 + b * 10
+        vector_ingest_batch(
+            spark.createDataFrame([(i, vecs[i]) for i in range(lo, hi)], schema),
+            index,
+            rej,
+            batch_id=b,
+        )
+    q = vecs[2]
+    before = [r["vec_id"] for r in A.ivf_probe(spark, index, q, k=5).collect()]
+
+    # cadence below threshold: no-op; at threshold: folds all 3
+    assert maybe_merge_delta(spark, index, merge_every=4, mode="compact") == 0
+    assert maybe_merge_delta(spark, index, merge_every=3, mode="compact") == 3
+    dirs = sorted(
+        p.name for p in Path(A._delta_path(index)).glob("_commit_batch=*")
+    )
+    assert dirs == ["_commit_batch=-1"], dirs
+    assert A._index_rows(spark, index).count() == 40
+    after = [r["vec_id"] for r in A.ivf_probe(spark, index, q, k=5).collect()]
+    assert before == after
+
+    # protocols exclude each other, loudly
+    with pytest.raises(ValueError, match="compact_index_delta"):
+        A.merge_index_delta(spark, index)
+
+    # stream keeps flowing; a second compaction folds the new batch
+    vector_ingest_batch(
+        spark.createDataFrame([(i, vecs[i]) for i in range(40, 50)], schema),
+        index,
+        rej,
+        batch_id=3,
+    )
+    assert A._index_rows(spark, index).count() == 50
+    A.compact_index_delta(spark, index)
+    dirs = sorted(
+        p.name for p in Path(A._delta_path(index)).glob("_commit_batch=*")
+    )
+    assert dirs == ["_commit_batch=-2"], dirs
+    assert A._index_rows(spark, index).count() == 50
+
+    # reverse guard: a merged index refuses delta compaction
+    index2 = str(tmp_path / "ivf2")
+    A.build_ivf_index(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10)], schema),
+        index2,
+        n_centroids=4,
+    )
+    vector_ingest_batch(
+        spark.createDataFrame([(i, vecs[i]) for i in range(10, 20)], schema),
+        index2,
+        str(tmp_path / "rej2"),
+        batch_id=0,
+    )
+    assert A.merge_index_delta(spark, index2) == 1
+    with pytest.raises(ValueError, match="merge_index_delta"):
+        A.compact_index_delta(spark, index2)

@@ -118,7 +118,12 @@ def _index_rows(spark: SparkSession, path: str) -> DataFrame:
         return base
     m = _merged_through(path)
     if m >= 0:
-        delta = delta.filter(F.col(fence.BATCH_COL) > m)
+        # negative ids are delta-COMPACTION partitions (the rename-free
+        # maintenance path, compact_index_delta) — never merge targets,
+        # so the journal filter must not swallow them
+        delta = delta.filter(
+            (F.col(fence.BATCH_COL) < 0) | (F.col(fence.BATCH_COL) > m)
+        )
     return base.unionByName(delta.drop(fence.BATCH_COL).select(*base.columns))
 
 
@@ -513,6 +518,40 @@ def append_ivf_index_fenced(
     )
 
 
+def compact_index_delta(
+    spark: SparkSession,
+    path: str,
+    part_col: str = "cell",
+    files_per_partition: int = 1,
+) -> None:
+    """OBJECT-STORE-SAFE alternative to merge_index_delta: bound the
+    delta's file count WITHOUT touching the base table or renaming
+    anything — fold the committed delta prefix into one negative
+    compaction partition via the fence's marker-native protocol
+    (fence.compact_fenced). Probe cost after compaction is
+    O(base + one compacted branch + recent batches), the same bound
+    the merge buys, minus the merge's base rewrite and its
+    local-FS-only directory swap. The two maintenance protocols are
+    MUTUALLY EXCLUSIVE per index (a merge's journal excludes batch
+    ids the compaction would re-emit under a negative id — mixing
+    double-counts), enforced loudly here and in merge_index_delta."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    if _merged_through(path) >= 0:
+        raise ValueError(
+            "index delta was maintained by merge_index_delta (journal "
+            "present); compact_index_delta would double-count merged "
+            "rows — keep using the merge on this index"
+        )
+    fence.compact_fenced(
+        spark,
+        _delta_path(path),
+        fence.fence_root(path),
+        part_col,
+        files_per_partition,
+    )
+
+
 def merge_index_delta(
     spark: SparkSession, path: str, part_col: str = "cell"
 ) -> int:
@@ -539,6 +578,13 @@ def merge_index_delta(
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     dpath = _delta_path(path)
+    if fence._compact_state(spark, dpath)[0] is not None:
+        raise ValueError(
+            "index delta was maintained by compact_index_delta "
+            "(compaction marker present); merge_index_delta's journal "
+            "cannot express the folded negative partition — keep using "
+            "delta compaction on this index"
+        )
     committed = fence.committed_batches(spark, fence.fence_root(path))
     ids = [b for b in committed if b > _merged_through(path)]
     if ids and os.path.isdir(dpath):

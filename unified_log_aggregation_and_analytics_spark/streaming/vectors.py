@@ -188,30 +188,48 @@ class VectorPipelineResult:
     query: object  # StreamingQuery
 
 
-def maybe_merge_delta(spark, index_path: str, merge_every: int) -> int:
-    """Merge-cadence policy (the corpus sink's compact-then-continue
-    pattern applied to the index delta): when ``merge_every`` or more
-    committed delta batches sit unmerged, fold them into the base
-    table. The r8 80-trigger probe measured the failure mode this
+def maybe_merge_delta(
+    spark, index_path: str, merge_every: int, mode: str = "merge"
+) -> int:
+    """Maintenance-cadence policy (the corpus sink's
+    compact-then-continue pattern applied to the index delta): when
+    ``merge_every`` or more committed delta batches sit unfolded,
+    fold them. The r8 80-trigger probe measured the failure mode this
     bounds — probe latency drifts with delta FILE COUNT (0.80 s ->
     1.25 s over 80 unmerged batches) while a merge (4.7 s) restores
     it below baseline — so a threshold cadence keeps probe cost flat
-    with no manual step. Returns batches merged (0 = below
-    threshold). Safe from the writer's own foreachBatch: triggers are
-    serialized, so there is no concurrent writer during the swap;
-    concurrent PROBES racing the swap remain the documented
-    compact_index caveat."""
+    with no manual step. Two folding protocols (mutually exclusive
+    per index, guarded loudly in ann_index):
+
+    - ``mode='merge'`` — merge_index_delta rewrites the base table
+      (fastest probes; the directory swap is local-FS);
+    - ``mode='compact'`` — compact_index_delta folds the delta into
+      one negative marker-native partition (object-store-correct, no
+      rename, base table untouched).
+
+    Returns batches folded (0 = below threshold). Safe from the
+    writer's own foreachBatch: triggers are serialized, so there is
+    no concurrent writer; concurrent PROBES racing a merge's swap
+    remain the documented compact_index caveat (the compact mode has
+    no such window — visibility flips on one marker file)."""
     from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _delta_path,
         _merged_through,
+        compact_index_delta,
         merge_index_delta,
     )
 
     root = fence.fence_root(index_path)
-    unmerged = [
-        b
-        for b in fence.committed_batches(spark, root)
-        if b > _merged_through(index_path)
-    ]
+    ids = fence.committed_batches(spark, root)
+    if mode == "compact":
+        _, k = fence._compact_state(spark, _delta_path(index_path))
+        pending = [b for b in ids if b > k]
+        if len(pending) < merge_every:
+            return 0
+        compact_index_delta(spark, index_path)
+        _, k2 = fence._compact_state(spark, _delta_path(index_path))
+        return len([b for b in pending if b <= k2])
+    unmerged = [b for b in ids if b > _merged_through(index_path)]
     if len(unmerged) < merge_every:
         return 0
     return merge_index_delta(spark, index_path)
@@ -227,16 +245,20 @@ def run_vector_pipeline(
     id_col: str = "vec_id",
     meta_cols: tuple[str, ...] = (),
     merge_every: int | None = 16,
+    maintenance: str = "merge",
 ) -> VectorPipelineResult:
     """readStream of embeddings -> foreachBatch(vector_ingest_batch):
     the continuously-probe-able vector index. Trigger defaults to the
     reference's 60 s buffering hint; tests pass availableNow.
-    ``merge_every`` is the delta-merge cadence (maybe_merge_delta):
-    every time that many committed delta batches sit unmerged, the
-    writer folds them into the base table between triggers, bounding
+    ``merge_every`` is the delta-maintenance cadence
+    (maybe_merge_delta): every time that many committed delta batches
+    sit unfolded, the writer folds them between triggers, bounding
     probe latency at O(base + merge_every batches) of files instead
-    of O(all batches ever). None disables the policy (offline
-    merge_index_delta remains available)."""
+    of O(all batches ever). ``maintenance`` picks the protocol:
+    'merge' (fold into the base table — local-FS swap) or 'compact'
+    (marker-native delta fold — object-store-correct, no rename).
+    merge_every=None disables the policy (the offline tools remain
+    available)."""
     trigger = trigger or {"processingTime": "60 seconds"}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -250,7 +272,9 @@ def run_vector_pipeline(
             meta_cols=meta_cols,
         )
         if merge_every is not None:
-            maybe_merge_delta(batch_df.sparkSession, index_path, merge_every)
+            maybe_merge_delta(
+                batch_df.sparkSession, index_path, merge_every, maintenance
+            )
 
     q = (
         vec_stream.writeStream.foreachBatch(handle)
