@@ -10,12 +10,14 @@ merge cadence, mirroring the corpus sink's compact-then-continue
 (tools/probe_fence_triggers.py).
 
 Usage: python tools/probe_vector_triggers.py [n_triggers] [vecs_per]
-[merge_every] (defaults 80 x 250 x 0, dim 64, 16 cells). merge_every
-> 0 exercises the run_vector_pipeline CADENCE policy
-(maybe_merge_delta after every ingest, firing each merge_every
-committed batches) — the probe then shows latency bounded by the
-cadence instead of drifting with triggers-since-merge; 0 reproduces
-the r8 manual-merge measurement. Prints one JSON line.
+[merge_every] [mode] (defaults 80 x 250 x 0 x merge, dim 64,
+16 cells). merge_every > 0 exercises the run_vector_pipeline CADENCE
+policy (maybe_merge_delta after every ingest, firing each
+merge_every committed batches) — the probe then shows latency
+bounded by the cadence instead of drifting with triggers-since-merge;
+0 reproduces the r8 manual-merge measurement. mode: 'merge' (base
+rewrite) or 'compact' (marker-native delta fold, the object-store
+path). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ def main() -> None:
     n_triggers = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     vecs_per = int(sys.argv[2]) if len(sys.argv) > 2 else 250
     merge_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    mode = sys.argv[4] if len(sys.argv) > 4 else "merge"
     dim, n_cells = 64, 16
 
     from pyspark.sql import SparkSession
@@ -96,6 +99,7 @@ def main() -> None:
         "n_triggers": n_triggers,
         "vecs_per_trigger": vecs_per,
         "merge_every": merge_every,
+        "mode": mode,
     }
     out["probe_base_only_s"] = probe_sec()
 
@@ -120,7 +124,7 @@ def main() -> None:
         ingest_times.append(time.monotonic() - t0)
         if merge_every > 0:
             m0 = time.monotonic()
-            if maybe_merge_delta(spark, index, merge_every):
+            if maybe_merge_delta(spark, index, merge_every, mode=mode):
                 merges += 1
                 merge_total_sec += time.monotonic() - m0
         if (t + 1) in checkpoints:
@@ -135,10 +139,11 @@ def main() -> None:
     xs = sorted(ingest_times[-w:])
     out["ingest_mean_last_window_s"] = round(sum(xs) / len(xs), 3)
 
-    t0 = time.monotonic()
-    merged = merge_index_delta(spark, index)
-    out["merge_sec"] = round(time.monotonic() - t0, 2)
-    out["merged_batches"] = merged
+    if mode == "merge":
+        t0 = time.monotonic()
+        merged = merge_index_delta(spark, index)
+        out["merge_sec"] = round(time.monotonic() - t0, 2)
+        out["merged_batches"] = merged
     out["probe_after_merge_s"] = probe_sec()
     out["rows_visible"] = int(
         __import__(
