@@ -176,6 +176,9 @@ SCALE_QUERIES = [
     # headline move had no scale row to disambiguate variance from
     # growth — decode pass + banded Hamming join both stress at 10x)
     "multimodal_ingest_report",
+    # r9: native JPEG decode throughput at 10x (50k Huffman+IDCT
+    # decodes through mapInPandas — the Python-codec scaling row)
+    "multimodal_image_stats_jpeg",
 ]
 
 

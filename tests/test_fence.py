@@ -275,3 +275,33 @@ def test_fenced_append_clears_stale_task_staging(spark, tmp_path):
     fence.mark_committed(spark, root, 1)
     assert not (Path(path) / "_temporary").exists()
     assert _visible(spark, path, root) == {1, 2, 103}
+
+
+def test_fenced_read_stays_partition_pruned_after_compaction(spark, tmp_path):
+    """The committed filter must reach the scan as a PARTITION filter
+    (directory pruning, not row filtering) in every marker topology —
+    contiguous (BETWEEN fast path), and post-compaction (cid equality
+    OR live range). A fence that row-filters instead would scan every
+    batch ever written."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in range(4):
+        _write(spark, path, bid, [1, 2])
+        fence.mark_committed(spark, root, bid)
+
+    plan = fence.fenced_read(spark, path, root)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the predicate must mention the batch column inside the scan's
+    # partition filters, and nothing of the fence survives as a
+    # post-scan Filter node
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "_commit_batch" in pf, pf
+
+    fence.compact_fenced(spark, path, root)
+    _write(spark, path, 9, [5])
+    fence.mark_committed(spark, root, 9)
+    df = fence.fenced_read(spark, path, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "_commit_batch" in pf, pf
+    assert {r["v"] for r in df.collect()} == {1, 2, 101, 102, 201, 202, 301, 302, 905}
