@@ -673,3 +673,60 @@ def test_jpeg_restart_intervals_decode_identically():
     i = bad.find(b"\xff\xd0")
     with pytest.raises(NotImplementedError):
         MM.decode_jpeg(bad[:i] + bad[i + 2 :])  # strip the first RST
+
+
+def test_mjpeg_avi_roundtrip_and_gates():
+    """Native MJPEG-AVI codec: constant even-gray frames survive the
+    RIFF walk + per-frame JPEG decode EXACTLY (the closed-form oracle
+    property); arbitrary frames within the JPEG envelope; fps carried
+    through strh dwRate/dwScale; garbage / truncation / non-AVI
+    payloads return None (decode-gate, never a crash)."""
+    frames = [np.full((16, 16), g, dtype=np.uint8) for g in (100, 40, 216)]
+    avi = MM.encode_mjpeg_avi(frames, fps_num=25)
+    assert avi.startswith(b"RIFF") and avi[8:12] == b"AVI "
+    w, h, fn, fd, out = MM.decode_mjpeg_avi(avi)
+    assert (w, h, fn, fd, len(out)) == (16, 16, 25, 1, 3)
+    for o, f in zip(out, frames):
+        assert np.array_equal(o, f)
+
+    rng = np.random.default_rng(3)
+    noisy = [rng.integers(0, 256, (24, 16), dtype=np.uint8) for _ in range(2)]
+    w, h, fn, fd, out = MM.decode_mjpeg_avi(MM.encode_mjpeg_avi(noisy, fps_num=30))
+    assert (w, h, fn, fd) == (16, 24, 30, 1)
+    assert all(
+        np.abs(o.astype(int) - f.astype(int)).max() <= 128
+        for o, f in zip(out, noisy)
+    )
+
+    assert MM.decode_mjpeg_avi(b"not avi") is None
+    assert MM.decode_mjpeg_avi(b"RIFFxxxxAVI ") is None
+    assert MM.decode_mjpeg_avi(avi[: len(avi) // 2]) is None  # truncated
+    # _decode_video dispatch: Y4M first, MJPEG second, both reachable
+    assert MM._decode_video(avi) is not None
+    y4m = MM.encode_y4m(np.zeros((1, 4, 4), dtype=np.uint8), 25, 1)
+    assert MM._decode_video(y4m) is not None
+
+
+def test_mjpeg_video_stats_and_keyframes(spark):
+    """Compressed-video operators end to end on Spark: video_stats
+    and frame_diff_keyframes over MJPEG-AVI payloads equal the
+    fixture's closed form (the catalog oracles' claim, checked at
+    sf0.001 without DuckDB); the streaming decode gate passes MJPEG
+    video."""
+    docs = load_table(spark, "documents", SF).limit(10)
+    media = MM.media_with_mjpeg(docs)
+    stats = {r.media_id: r for r in MM.video_stats(media).collect()}
+    for d in range(10):
+        n = 1 + d % 4
+        lumas = [2 * ((d * 17 + f * 29) % 128) for f in range(n)]
+        s = stats[d]
+        assert (s.width, s.height, s.fps_num, s.fps_den, s.n_frames) == (
+            16, 16, 25, 1, n,
+        )
+        assert s.mean_luma == round(sum(lumas) / n, 6), (d, s)
+    kf = MM.frame_diff_keyframes(media, threshold=15.0).collect()
+    for r in kf:
+        g = lambda f: 2 * ((r.media_id * 17 + f * 29) % 128)
+        assert r.luma_diff == float(abs(g(r.frame_idx) - g(r.frame_idx - 1)))
+    gate = {r.media_id: r.decode_ok for r in MM.media_gate_hash(media).collect()}
+    assert all(gate.values()) and len(gate) == 10

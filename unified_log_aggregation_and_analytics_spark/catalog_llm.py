@@ -3864,6 +3864,77 @@ def multimodal_video_stats(spark, sf_dir):
     return MM.video_stats(media)
 
 
+_MJPEG_LUMA_SQL = "CAST(2 * ((media_id * 17 + {f} * 29) % 128) AS DOUBLE)"
+
+
+@_register(
+    "multimodal_video_stats_mjpeg",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS n_frames FROM documents
+    ), fr AS (
+      SELECT media_id, n_frames, unnest(range(0, n_frames)) AS fi FROM d
+    ), fm AS (
+      SELECT media_id, n_frames, {_MJPEG_LUMA_SQL.format(f='fi')} AS luma
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+           CAST(n_frames AS INT) AS n_frames,
+           round(SUM(luma) / n_frames, 6) AS mean_luma
+    FROM fm
+    GROUP BY media_id, n_frames
+    """,
+)
+def multimodal_video_stats_mjpeg(spark, sf_dir):
+    """X5 — REAL COMPRESSED video decode, value-matched (retires the
+    'compressed video requires ffmpeg' residual): payloads are
+    genuine Motion-JPEG AVI files — RIFF container, per-frame
+    Huffman-coded DCT-quantized JPEGs — built by the native encoder
+    pair and decoded by walking the RIFF tree and running every
+    '00dc' chunk through the native baseline-JPEG decoder
+    (operators/multimodal.py decode_mjpeg_avi). The fixture's frames
+    are constant even-gray, which the flat-16 quant table reconstructs
+    EXACTLY (the media_with_jpeg argument), so geometry, frame rate,
+    frame count, and mean luma all have closed forms — a hash match
+    certifies container walk + JPEG entropy decode + IDCT + frame
+    accounting end to end. ffmpeg remains the gate only for
+    inter-frame codecs (H.264 etc.)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_mjpeg(docs)
+    return MM.video_stats(media)
+
+
+@_register(
+    "multimodal_keyframes_mjpeg",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS n_frames FROM documents
+    ), fr AS (
+      SELECT media_id, unnest(range(1, n_frames)) AS fi FROM d
+    ), s AS (
+      SELECT media_id, CAST(fi AS INT) AS frame_idx,
+             round(abs({_MJPEG_LUMA_SQL.format(f='fi')}
+                       - {_MJPEG_LUMA_SQL.format(f='(fi - 1)')}), 6) AS luma_diff
+      FROM fr
+    )
+    SELECT media_id, frame_idx, luma_diff, luma_diff > 15.0 AS is_key
+    FROM s
+    """,
+)
+def multimodal_keyframes_mjpeg(spark, sf_dir):
+    """X5 — keyframe detection over REAL COMPRESSED video: the same
+    change-driven frame selector as multimodal_keyframes, but every
+    frame arrives as a Huffman-coded JPEG inside an AVI container.
+    Constant frames make the mean-abs-luma diff of consecutive frames
+    exactly |Δgray|, so the oracle replays the whole shot-boundary
+    census analytically."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_mjpeg(docs)
+    return MM.frame_diff_keyframes(media, threshold=15.0)
+
+
 @_register(
     "multimodal_video_frames",
     f"""

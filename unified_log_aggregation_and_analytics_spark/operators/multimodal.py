@@ -1671,6 +1671,196 @@ def encode_y4m(
     return b"".join(parts)
 
 
+# --- MJPEG-in-AVI — compressed video without ffmpeg -----------------
+
+AVI_MAGIC = b"RIFF"
+
+
+def decode_mjpeg_avi(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[np.ndarray]] | None:
+    """REAL compressed-video decode, pure stdlib+numpy: Motion-JPEG in
+    an AVI/RIFF container — walk the RIFF chunk tree ('avih' main
+    header for geometry, the 'vids' 'strh' for the dwRate/dwScale
+    frame rate, the 'movi' LIST for '00dc'/'00db' frame chunks), then
+    decode each frame through the native baseline-JPEG decoder and
+    reduce to its luma plane (channel mean; exact for grayscale
+    frames). Same return contract as decode_y4m — (width, height,
+    fps_num, fps_den, [luma (h, w) uint8]) — so every video operator
+    (stats, keyframes, the streaming gate) works on compressed video
+    unchanged. None for anything that is not a well-formed MJPEG AVI
+    (the decode-gate convention: undecodable routes to the DLQ, it
+    does not crash the batch)."""
+    if not payload or len(payload) < 12:
+        return None
+    buf = bytes(payload)
+    if buf[:4] != AVI_MAGIC or buf[8:12] != b"AVI ":
+        return None
+    w = h = None
+    fn, fd = 25, 1
+    frames: list[np.ndarray] = []
+
+    def u32(at: int) -> int:
+        return int.from_bytes(buf[at : at + 4], "little")
+
+    def walk(lo: int, hi: int, in_movi: bool) -> bool:
+        nonlocal w, h, fn, fd
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos : pos + 4]
+            size = u32(pos + 4)
+            body_lo = pos + 8
+            if body_lo + size > hi:
+                return False  # truncated chunk: undecodable
+            if cid == b"LIST":
+                ltype = buf[body_lo : body_lo + 4]
+                if not walk(
+                    body_lo + 4, body_lo + size, ltype == b"movi"
+                ):
+                    return False
+            elif cid == b"avih" and size >= 40:
+                w = u32(body_lo + 32)
+                h = u32(body_lo + 36)
+            elif cid == b"strh" and size >= 32:
+                if buf[body_lo : body_lo + 4] == b"vids":
+                    scale, rate = u32(body_lo + 20), u32(body_lo + 24)
+                    if scale and rate:
+                        fn, fd = rate, scale
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                jpg = decode_jpeg(buf[body_lo : body_lo + size])
+                if jpg is None:
+                    return False  # a frame its codec can't read
+                fw, fh, c, px = jpg
+                if c == 1:
+                    luma = px[:, :, 0]
+                else:
+                    luma = (
+                        np.round(px.astype(np.float64).mean(axis=2))
+                        .clip(0, 255)
+                        .astype(np.uint8)
+                    )
+                frames.append(luma)
+            pos = body_lo + size + (size & 1)  # chunks pad to even
+        return True
+
+    if not walk(12, min(len(buf), 8 + u32(4)), False):
+        return None
+    if w is None or not frames:
+        return None
+    return int(w), int(h), fn, fd, frames
+
+
+def encode_mjpeg_avi(
+    frames: list[np.ndarray], fps_num: int = 25, fps_den: int = 1
+) -> bytes:
+    """Minimal real MJPEG-AVI encoder (fixture twin of
+    decode_mjpeg_avi): RIFF('AVI ') with an 'hdrl' LIST (56-byte
+    'avih', a 'vids'/'MJPG' 'strh' + BITMAPINFOHEADER 'strf'), a
+    'movi' LIST of '00dc' JPEG chunks (each frame through the native
+    encoder, padded to even), and an 'idx1' index. Plays in any
+    standard player; round-trips through decode_mjpeg_avi."""
+    if not frames:
+        raise ValueError("encode_mjpeg_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + u32(len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    jpgs = [encode_jpeg(f) for f in frames]
+    usec = int(round(1_000_000 * fps_den / fps_num))
+    maxb = max(len(j) for j in jpgs)
+    avih = b"".join(
+        [
+            u32(usec), u32(maxb * fps_num // max(fps_den, 1)), u32(0),
+            u32(0x10),  # AVIF_HASINDEX
+            u32(len(jpgs)), u32(0), u32(1), u32(maxb),
+            u32(w), u32(h), u32(0), u32(0), u32(0), u32(0),
+        ]
+    )
+    strh = b"".join(
+        [
+            b"vids", b"MJPG", u32(0), u32(0), u32(0),
+            u32(fps_den), u32(fps_num), u32(0), u32(len(jpgs)),
+            u32(maxb), u32(0xFFFFFFFF), u32(0),
+            (0).to_bytes(2, "little") * 4,  # rcFrame
+        ]
+    )
+    strf = b"".join(
+        [
+            u32(40), u32(w), u32(h),
+            (1).to_bytes(2, "little"), (24).to_bytes(2, "little"),
+            b"MJPG", u32(w * h * 3), u32(0), u32(0), u32(0), u32(0),
+        ]
+    )
+    movi_body = b"movi"
+    idx = b""
+    for j in jpgs:
+        idx += b"00dc" + u32(0x10) + u32(len(movi_body) - 4 + 8) + u32(len(j))
+        movi_body += chunk(b"00dc", j)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + chunk(b"LIST", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + u32(len(body)) + body
+
+
+def media_with_mjpeg(
+    docs: DataFrame, width: int = 16, height: int = 16, fps_num: int = 25
+) -> DataFrame:
+    """Media table with REAL COMPRESSED video payloads (MJPEG-AVI),
+    deterministically synthesized: document d gets ``1 + d % 4``
+    frames; frame f is CONSTANT even gray ``2*((d*17 + f*29) % 128)``
+    — constant blocks survive JPEG quantization exactly under the
+    flat-16 table (see media_with_jpeg), so every decoded video
+    statistic has a closed form the DuckDB oracle predicts without a
+    decoder. The compressed twin of media_with_y4m."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                n = 1 + int(d) % 4
+                frames = [
+                    np.full(
+                        (height, width),
+                        2 * ((int(d) * 17 + f * 29) % 128),
+                        dtype=np.uint8,
+                    )
+                    for f in range(n)
+                ]
+                payloads.append(encode_mjpeg_avi(frames, fps_num=fps_num))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def _decode_video(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[np.ndarray]] | None:
+    """Video codec dispatch (the _decode_rgb of the video family):
+    Y4M (uncompressed), then MJPEG-AVI (compressed). One contract for
+    stats, keyframes, and the streaming gate."""
+    dec = decode_y4m(payload)
+    if dec is not None:
+        return dec
+    return decode_mjpeg_avi(payload)
+
+
 _VIDEO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1685,7 +1875,9 @@ _VIDEO_STATS_SCHEMA = T.StructType(
 
 
 def video_stats(df: DataFrame) -> DataFrame:
-    """X5 — per-video statistics from REAL Y4M decode: container
+    """X5 — per-video statistics from REAL video decode (Y4M, or
+    compressed MJPEG-AVI through the native JPEG codec — see
+    _decode_video): container
     geometry, frame rate, frame count, and mean luma over all frames.
     Arrow-batched mapInPandas, one decode per payload; accumulation
     is SEQUENTIAL python-float summation so the oracle's AVG replays
@@ -1698,7 +1890,7 @@ def video_stats(df: DataFrame) -> DataFrame:
             vids = pdf[pdf["modality"] == "video"]
             out = {k.name: [] for k in _VIDEO_STATS_SCHEMA.fields}
             for mid, payload in zip(vids["media_id"], vids["payload"]):
-                dec = decode_y4m(payload) if payload is not None else None
+                dec = _decode_video(payload) if payload is not None else None
                 out["media_id"].append(int(mid))
                 if dec is None:
                     for k in ("width", "height", "fps_num", "fps_den", "n_frames"):
@@ -1747,7 +1939,7 @@ def frame_luma_stats(
             vids = pdf[pdf["modality"] == "video"]
             out = {k.name: [] for k in _FRAME_LUMA_SCHEMA.fields}
             for mid, payload in zip(vids["media_id"], vids["payload"]):
-                dec = decode_y4m(payload) if payload is not None else None
+                dec = _decode_video(payload) if payload is not None else None
                 if dec is None:
                     continue
                 w, h, fn, fd, frames = dec
@@ -1781,7 +1973,8 @@ _KEYFRAME_SCHEMA = T.StructType(
 def frame_diff_keyframes(df: DataFrame, threshold: float = 15.0) -> DataFrame:
     """X5 — shot-boundary / keyframe detection, the frame-selection
     stage of a video-training-data pipeline (sample WHERE the content
-    changes, not on a blind time grid): decode Y4M, score every
+    changes, not on a blind time grid): decode the video (Y4M or
+    compressed MJPEG-AVI), score every
     consecutive-frame pair by mean absolute luma difference, flag
     frames whose change exceeds ``threshold`` as keyframes. Frame 0
     has no predecessor and is emitted by the time-grid sampler
@@ -1797,7 +1990,7 @@ def frame_diff_keyframes(df: DataFrame, threshold: float = 15.0) -> DataFrame:
             vids = pdf[pdf["modality"] == "video"]
             out = {k.name: [] for k in _KEYFRAME_SCHEMA.fields}
             for mid, payload in zip(vids["media_id"], vids["payload"]):
-                dec = decode_y4m(payload) if payload is not None else None
+                dec = _decode_video(payload) if payload is not None else None
                 if dec is None:
                     continue
                 w, h, _fn, _fd, frames = dec
@@ -1902,7 +2095,7 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
                             if mono is not None:
                                 ok, ph = True, audio_fingerprint64(mono)
                         elif mod == "video":
-                            ok = decode_y4m(p) is not None
+                            ok = _decode_video(p) is not None
                 except Exception:
                     ok, ph = False, None
                 ids.append(mid)
