@@ -730,3 +730,37 @@ def test_mjpeg_video_stats_and_keyframes(spark):
         assert r.luma_diff == float(abs(g(r.frame_idx) - g(r.frame_idx - 1)))
     gate = {r.media_id: r.decode_ok for r in MM.media_gate_hash(media).collect()}
     assert all(gate.values()) and len(gate) == 10
+
+
+def test_mulaw_wav_decode_and_gates(spark):
+    """G.711 mu-law WAV (fmt tag 7): expansion anchors from the ITU
+    table (0xFF/0x7F -> ±0, 0x00 -> -32124, 0x80 -> +32124), full
+    fixture decode equals mulaw_expand of the code bytes, and
+    unsupported codec tags / PCM widths raise loudly instead of
+    reinterpreting garbage."""
+    assert MM.mulaw_expand(np.array([0xFF, 0x7F, 0x00, 0x80])).tolist() == [
+        0, 0, -32124, 32124,
+    ]
+
+    docs = load_table(spark, "documents", SF).limit(6)
+    media = MM.media_with_wav_mulaw(docs)
+    row = media.filter(F.col("media_id") == 3).collect()[0]
+    rate, ch, bits, n_frames, arr = MM.decode_wav(bytes(row.payload))
+    assert (rate, ch, bits, n_frames) == (8000, 1, 8, 64)
+    codes = (3 * 13 + np.arange(64) * 7) % 256
+    assert np.array_equal(arr, MM.mulaw_expand(codes.astype(np.uint8)))
+    stats = {r.media_id: r for r in MM.audio_stats(media).collect()}
+    for d in range(6):
+        exp = MM.mulaw_expand(((d * 13 + np.arange(64) * 7) % 256).astype(np.uint8))
+        assert stats[d].mean_amp == round(float(exp.astype(np.float64).mean()), 6)
+
+    # loud gates: ADPCM tag, 24-bit PCM
+    pay = bytearray(bytes(row.payload))
+    fmt_at = pay.index(b"fmt ") + 8
+    pay[fmt_at : fmt_at + 2] = (0x11).to_bytes(2, "little")  # IMA ADPCM
+    with pytest.raises(NotImplementedError, match="codec tag=17"):
+        MM.decode_wav(bytes(pay))
+    pay[fmt_at : fmt_at + 2] = (1).to_bytes(2, "little")
+    pay[fmt_at + 14 : fmt_at + 16] = (24).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="bits=24"):
+        MM.decode_wav(bytes(pay))

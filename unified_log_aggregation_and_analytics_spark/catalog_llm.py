@@ -1133,6 +1133,44 @@ def multimodal_audio_stats(spark, sf_dir):
     return MM.audio_stats(media)
 
 
+_MULAW_EXPAND_SQL = """CASE WHEN xor(({b}) % 256, 255) >= 128
+                    THEN 132 - ((((xor(({b}) % 256, 255) % 16) * 8) + 132)
+                                * CAST(pow(2, (xor(({b}) % 256, 255) // 16) % 8) AS BIGINT))
+                    ELSE ((((xor(({b}) % 256, 255) % 16) * 8) + 132)
+                          * CAST(pow(2, (xor(({b}) % 256, 255) // 16) % 8) AS BIGINT)) - 132
+               END"""
+
+
+@_register(
+    "multimodal_audio_stats_mulaw",
+    f"""
+    WITH e AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(0, 64), j ->
+               {_MULAW_EXPAND_SQL.format(b='media_id * 13 + j * 7')}) AS s
+      FROM documents
+    )
+    SELECT media_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
+           list_sum(list_transform(s, x -> CAST(x AS DOUBLE))) / 64 AS mean_amp
+    FROM e
+    """,
+)
+def multimodal_audio_stats_mulaw(spark, sf_dir):
+    """X5 — REAL COMPRESSED (companded) audio decode, value-matched:
+    payloads are genuine G.711 mu-law WAVs (fmt tag 7) and the engine
+    expands every code byte through the ITU integer formula
+    (operators/multimodal.py mulaw_expand); the oracle replays the
+    SAME expansion in SQL (complement, mantissa-shift, bias, sign —
+    verified equal for all 256 codes) over the closed-form byte
+    stream, so a hash match certifies the codec-tag dispatch AND the
+    expansion arithmetic. Completes the native compressed-decode set:
+    image (JPEG), video (MJPEG-AVI), audio (mu-law)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav_mulaw(docs)
+    return MM.audio_stats(media)
+
+
 # --- X2/X3 additions: embedding near-dup + IVF ANN ----------------------
 
 

@@ -977,23 +977,42 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
 WAV_MAGIC = b"RIFF"
 
 
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion, pure integer arithmetic (the ITU
+    decode: complement, mantissa-shift by the 3-bit exponent, bias
+    removal, sign): int16 linear samples from 8-bit companded codes.
+    Deterministic integer math end to end, which is what lets the
+    mu-law catalog oracle replay the expansion in SQL. Known anchors:
+    0xFF -> 0, 0x7F -> 0, 0x00 -> -32124."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
-    """REAL audio decode for PCM WAV: walk the RIFF chunk list, parse
-    the ``fmt `` chunk (channels, sample rate, bit depth) and
-    reinterpret the ``data`` chunk as samples (uint8 for 8-bit,
-    int16 for 16-bit). Returns (sample_rate, n_channels, bits,
-    n_frames, samples) or None when the payload is not RIFF/WAVE."""
+    """REAL audio decode for WAV: walk the RIFF chunk list, parse the
+    ``fmt `` chunk (codec tag, channels, sample rate, bit depth) and
+    decode the ``data`` chunk — linear PCM (uint8 for 8-bit, int16
+    for 16-bit) or G.711 mu-law (tag 7: 8-bit companded bytes
+    expanded to int16 through mulaw_expand — COMPRESSED audio decoded
+    natively). Returns (sample_rate, n_channels, bits, n_frames,
+    samples), None when the payload is not RIFF/WAVE or its chunk
+    data is malformed, and a loud NotImplementedError for codec tags
+    or PCM widths this decoder does not implement (ADPCM, float,
+    24/32-bit — the exotic-PNG policy: unsupported-but-valid files
+    fail loud, the streaming gate routes them to the DLQ)."""
     if payload is None or not payload.startswith(WAV_MAGIC) or payload[8:12] != b"WAVE":
         return None
     buf = bytes(payload)
     pos, n = 12, len(buf)
-    rate = channels = bits = None
+    rate = channels = bits = fmt_tag = None
     samples = None
     while pos + 8 <= n:
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
@@ -1002,6 +1021,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         return None
+    if fmt_tag == 7:  # G.711 mu-law
+        if bits != 8:
+            raise NotImplementedError(f"mu-law WAV with bits={bits}")
+        arr = mulaw_expand(np.frombuffer(samples, dtype=np.uint8))
+        n_frames = len(arr) // max(channels, 1)
+        return rate, channels, bits, n_frames, arr
+    if fmt_tag not in (None, 1) or bits not in (8, 16):
+        raise NotImplementedError(f"WAV codec tag={fmt_tag} bits={bits}")
     dtype = np.uint8 if bits == 8 else np.int16
     # malformed chunk data (a 16-bit data chunk with an odd byte
     # length — truncated payload, lying header) means "not decodable",
@@ -1102,6 +1129,50 @@ def media_with_wav(
             )
 
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_with_wav_mulaw(
+    docs: DataFrame, n_samples: int = 64, sample_rate: int = 8000
+) -> DataFrame:
+    """Media table with REAL G.711 mu-law WAV payloads (fmt tag 7 —
+    COMPRESSED/companded audio): code byte i of document d is
+    ``(d*13 + i*7) % 256``. The expansion is pure integer arithmetic
+    (mulaw_expand), so the decoded statistics have closed forms the
+    DuckDB oracle replays byte for byte — the compressed-audio twin
+    of media_with_wav."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        fmt = (
+            b"fmt \x10\x00\x00\x00"
+            + (7).to_bytes(2, "little")  # audio format 7 = G.711 mu-law
+            + (1).to_bytes(2, "little")  # mono
+            + sample_rate.to_bytes(4, "little")
+            + sample_rate.to_bytes(4, "little")  # byte rate (8-bit mono)
+            + (1).to_bytes(2, "little")  # block align
+            + (8).to_bytes(2, "little")  # bits per code byte
+        )
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                data = ((d * 13 + i * 7) % 256).astype(np.uint8).tobytes()
+                body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": "audio/basic",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
 
 
 def media_with_ppm(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
