@@ -550,6 +550,10 @@ def compact_index_delta(
         part_col,
         files_per_partition,
     )
+    # marker compression rides the same cadence (as merge_index_delta
+    # does): without it the per-trigger marker listing grows without
+    # bound even while the data stays compact
+    fence.rollup_markers(spark, fence.fence_root(path))
 
 
 def merge_index_delta(
@@ -587,7 +591,21 @@ def merge_index_delta(
         )
     committed = fence.committed_batches(spark, fence.fence_root(path))
     ids = [b for b in committed if b > _merged_through(path)]
+    if ids and not os.path.isdir(dpath) and fence.path_exists(spark, dpath):
+        # The delta exists on a NON-LOCAL filesystem: this merge's
+        # rename swap and journal are local-FS mechanics — silently
+        # returning would let a cadence believe maintenance happened
+        # while probe latency drifts unboundedly. Loud, with the
+        # portable alternative named.
+        raise NotImplementedError(
+            "merge_index_delta is local-FS offline maintenance (directory "
+            "rename + local journal); this index's delta is not on the "
+            "local filesystem — use compact_index_delta (marker-native, "
+            "object-store-correct) instead"
+        )
+    folded = 0
     if ids and os.path.isdir(dpath):
+        folded = len(ids)
         base = spark.read.parquet(_table_path(path))
         delta = (
             spark.read.parquet(dpath)
@@ -628,7 +646,7 @@ def merge_index_delta(
     # short-circuit; the rollup preserves exactly that semantics
     # while bounding the per-trigger listing)
     fence.rollup_markers(spark, fence.fence_root(path))
-    return len(ids)
+    return folded
 
 
 def load_centroids(spark: SparkSession, path: str, vec_col: str = "embedding") -> np.ndarray:

@@ -382,6 +382,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise NotImplementedError("JPEG marker stream desynchronized")
+        # ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+        # a marker code — skip them or a padded stream desyncs
+        while pos + 1 < n and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -828,7 +832,16 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         w, h, c, px = png
         rgb = px[:, :, :3] if c >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
         return w, h, rgb
-    jpg = decode_jpeg(payload)
+    try:
+        jpg = decode_jpeg(payload)
+    except NotImplementedError:
+        # a REAL JPEG outside the native decoder's baseline subset
+        # (progressive, >2x2 sampling): fall through to Pillow when it
+        # exists — the pre-r9 behavior — and stay loud when it doesn't
+        if _HAS_PIL:
+            jpg = None
+        else:
+            raise
     if jpg is not None:
         w, h, c, px = jpg
         rgb = px if c == 3 else np.repeat(px[:, :, :1], 3, axis=2)
@@ -1012,6 +1025,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                return None  # truncated fmt chunk: malformed, not exotic
             fmt_tag = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")

@@ -326,15 +326,31 @@ def compact_fenced(
     compression). Offline maintenance with respect to THIS path's
     writer; other paths of the pipeline are unaffected."""
     done = committed_batches(spark, root)
-    if not done or done[0] != 0 or not path_exists(spark, path):
+    if not done or not path_exists(spark, path):
         return  # nothing visible to compact
-    k = 0
+    names = list_dir_names(spark, path)
+    if done[0] != 0:
+        # committed ids that do not start at 0 (a recreated marker
+        # root, a re-pointed checkpoint): folding "everything <= k" is
+        # only safe if no batch BELOW the committed range could still
+        # replay into visibility — i.e. no data directory sits under
+        # the smallest committed id. With that established, the
+        # contiguous prefix starts at done[0] instead of 0.
+        for nm in names:
+            if nm.startswith(f"{BATCH_COL}="):
+                try:
+                    b = int(nm.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if 0 <= b < done[0]:
+                    return  # a pre-range batch could replay: skip
+    k = done[0]
     for b in done:
         if b == k:
             k += 1
         else:
             break
-    k -= 1  # largest id of the contiguous committed prefix 0..k
+    k -= 1  # largest id of the contiguous committed prefix
     cid_prev, _ = _compact_state(spark, path)
     df = fenced_read(spark, path, root, keep_batch_col=True)
     if df is None:
@@ -363,14 +379,18 @@ def compact_fenced(
         f"{path}/_compacted_{-cid}_upto_{k}"
     )
     fs.create(marker, True).close()  # THE visibility flip
-    # idempotent cleanup: everything the new marker superseded
+    # idempotent cleanup: everything the new marker superseded —
+    # committed batches <= k, and EVERY negative partition except the
+    # new cid (cid_prev's data, plus any older torn compaction
+    # attempt's orphan: all invisible the moment the new marker
+    # exists)
     for name in list_dir_names(spark, path):
         if name.startswith(f"{BATCH_COL}="):
             try:
                 b = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if (0 <= b <= k) or (cid_prev is not None and b == cid_prev):
+            if (0 <= b <= k) or (b < 0 and b != cid):
                 delete_path(spark, f"{path}/{name}")
         elif name.startswith("_compacted_") and name != f"_compacted_{-cid}_upto_{k}":
             delete_path(spark, f"{path}/{name}", recursive=False)

@@ -126,6 +126,11 @@ def semantic_ingest_batch(
     spark = batch_df.sparkSession
     root = fence.fence_root(table_path)
     if batch_id is None:
+        # manual/batch invocation: next free committed slot. CONTRACT:
+        # manual mode shares the stream's batch-id space — offline/
+        # bootstrap use only; against a LIVE checkpointed stream it
+        # would claim the stream's next id and that trigger would
+        # short-circuit as a replay (one dropped micro-batch)
         done = fence.committed_batches(spark, root)
         bid = (done[-1] + 1) if done else 0
     else:

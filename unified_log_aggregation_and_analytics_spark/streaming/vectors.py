@@ -92,7 +92,11 @@ def vector_ingest_batch(
         # manual/batch invocation: next free committed slot (the
         # corpus/media/semantic sinks' convention) — hardcoding 0 made
         # every manual call after the first hit is_committed and
-        # silently drop the batch
+        # silently drop the batch. CONTRACT: manual mode shares the
+        # stream's batch-id space, so it is for offline/bootstrap use
+        # only — a manual call against a LIVE checkpointed stream
+        # claims the stream's next id, and that trigger would then
+        # short-circuit as a replay (one dropped micro-batch)
         done = fence.committed_batches(spark, root)
         bid = (done[-1] + 1) if done else 0
     else:
@@ -210,8 +214,12 @@ def maybe_merge_delta(
     Returns batches folded (0 = below threshold). Safe from the
     writer's own foreachBatch: triggers are serialized, so there is
     no concurrent writer; concurrent PROBES racing a merge's swap
-    remain the documented compact_index caveat (the compact mode has
-    no such window — visibility flips on one marker file)."""
+    remain the documented compact_index caveat. The compact mode's
+    window is much smaller but not zero: a probe whose file listing
+    was planned BEFORE the visibility marker can still reference the
+    superseded partitions the cleanup deletes moments later — set
+    spark.sql.files.ignoreMissingFiles for readers that race live
+    maintenance."""
     from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
         _delta_path,
         _merged_through,
@@ -219,6 +227,8 @@ def maybe_merge_delta(
         merge_index_delta,
     )
 
+    if mode not in ("merge", "compact"):
+        raise ValueError(f"maintenance mode {mode!r} not in ('merge', 'compact')")
     root = fence.fence_root(index_path)
     ids = fence.committed_batches(spark, root)
     if mode == "compact":
