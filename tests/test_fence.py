@@ -305,3 +305,58 @@ def test_fenced_read_stays_partition_pruned_after_compaction(spark, tmp_path):
     pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
     assert "_commit_batch" in pf, pf
     assert {r["v"] for r in df.collect()} == {1, 2, 101, 102, 201, 202, 301, 302, 905}
+
+
+def test_compact_fenced_nonzero_based_committed_set(spark, tmp_path):
+    """A fence whose committed ids do not start at 0 (recreated marker
+    root, re-pointed checkpoint): compaction folds from the range
+    start — UNLESS a data directory below the committed range exists
+    (a batch that could still replay into visibility), in which case
+    it safely skips."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in (5, 6, 7):
+        _write(spark, path, bid, [1, 2])
+        fence.mark_committed(spark, root, bid)
+    before = _visible(spark, path, root)
+
+    # a pre-range torn batch exists -> compaction must refuse
+    _write(spark, path, 2, [9])
+    fence.compact_fenced(spark, path, root)
+    dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+    assert dirs == [f"_commit_batch={b}" for b in (2, 5, 6, 7)], dirs
+    assert _visible(spark, path, root) == before
+
+    # remove the pre-range dir -> the fold proceeds from id 5
+    import shutil
+
+    shutil.rmtree(Path(path) / "_commit_batch=2")
+    fence.compact_fenced(spark, path, root)
+    dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+    assert dirs == ["_commit_batch=-1"], dirs
+    assert (Path(path) / "_compacted_1_upto_7").exists()
+    assert _visible(spark, path, root) == before
+
+
+def test_compact_fenced_orphaned_torn_attempts_reclaimed(spark, tmp_path):
+    """Two consecutive crash-before-cleanup compactions leave an
+    ORPHANED older negative partition; the next completed run must
+    reclaim every negative partition except the live cid."""
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in range(3):
+        _write(spark, path, bid, [1])
+        fence.mark_committed(spark, root, bid)
+    before = _visible(spark, path, root)
+    # crash state A: cid -1 data + marker, cleanup never ran
+    fold = fence.fenced_read(spark, path, root).localCheckpoint()
+    fence.fenced_append(fold, path, -1)
+    (Path(path) / "_compacted_1_upto_2").touch()
+    # crash state B on top: cid -2 data, marker, still no cleanup
+    fence.fenced_append(fold, path, -2)
+    (Path(path) / "_compacted_2_upto_2").touch()
+    assert _visible(spark, path, root) == before  # no duplicates ever
+    fence.compact_fenced(spark, path, root)  # completed run
+    dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
+    assert dirs == ["_commit_batch=-3"], dirs  # -1 and -2 both reclaimed
+    assert _visible(spark, path, root) == before

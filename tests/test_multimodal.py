@@ -764,3 +764,18 @@ def test_mulaw_wav_decode_and_gates(spark):
     pay[fmt_at + 14 : fmt_at + 16] = (24).to_bytes(2, "little")
     with pytest.raises(NotImplementedError, match="bits=24"):
         MM.decode_wav(bytes(pay))
+
+
+def test_jpeg_fill_bytes_and_wav_truncated_fmt():
+    """Review-pinned edges: (a) legal 0xFF fill bytes before a marker
+    (ITU T.81 B.1.1.2) must not desync the walk; (b) a truncated fmt
+    chunk is MALFORMED (None), not exotic (raise) — one corrupt file
+    must not fail a stage that promises nulls for undecodables."""
+    enc = MM.encode_jpeg(np.full((8, 8), 70, dtype=np.uint8))
+    i = enc.index(b"\xff\xdb")
+    padded = enc[:i] + b"\xff\xff" + enc[i:]  # two fill bytes
+    assert np.all(MM.decode_jpeg(padded)[3] == 70)
+
+    body = b"WAVE" + b"fmt \x04\x00\x00\x00abcd" + b"data\x00\x00\x00\x00"
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert MM.decode_wav(wav) is None

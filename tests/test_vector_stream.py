@@ -528,3 +528,14 @@ def test_vector_pipeline_merge_cadence_e2e(spark, tmp_path):
     got = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
     want = [r["vec_id"] for r in ivf_probe(spark, rebuilt, q, k=5).collect()]
     assert got == want and got
+
+
+def test_maybe_merge_delta_validates_mode(spark, tmp_path):
+    """A typo'd maintenance mode must fail at the first trigger, not
+    silently fall through to the local-FS merge path."""
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        maybe_merge_delta,
+    )
+
+    with pytest.raises(ValueError, match="maintenance mode"):
+        maybe_merge_delta(spark, str(tmp_path / "ivf"), 4, mode="compacted")
