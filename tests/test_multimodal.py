@@ -779,3 +779,19 @@ def test_jpeg_fill_bytes_and_wav_truncated_fmt():
     body = b"WAVE" + b"fmt \x04\x00\x00\x00abcd" + b"data\x00\x00\x00\x00"
     wav = b"RIFF" + len(body).to_bytes(4, "little") + body
     assert MM.decode_wav(wav) is None
+
+
+def test_alaw_wav_decode(spark):
+    """A-law (fmt tag 6): g711.c anchors (0x55 -> -8, 0xD5 -> +8,
+    0xAA -> +32256), and the fixture decodes to alaw_expand of the
+    code bytes through the same tag-dispatched decode_wav path."""
+    assert MM.alaw_expand(np.array([0x55, 0xD5, 0xAA, 0x2A])).tolist() == [
+        -8, 8, 32256, -32256,
+    ]
+    docs = load_table(spark, "documents", SF).limit(4)
+    media = MM.media_with_wav_g711(docs, fmt_tag=6)
+    row = media.filter(F.col("media_id") == 2).collect()[0]
+    rate, ch, bits, n_frames, arr = MM.decode_wav(bytes(row.payload))
+    assert (rate, ch, bits, n_frames) == (8000, 1, 8, 64)
+    codes = ((2 * 13 + np.arange(64) * 7) % 256).astype(np.uint8)
+    assert np.array_equal(arr, MM.alaw_expand(codes))

@@ -1121,6 +1121,48 @@ def multimodal_dup_clusters(spark, sf_dir):
     FROM documents
     """,
 )
+@_register(
+    "multimodal_audio_stats_alaw",
+    """
+    WITH e AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(0, 64), j ->
+               CASE WHEN xor((media_id * 13 + j * 7) % 256, 85) >= 128
+                    THEN (CASE WHEN ((xor((media_id * 13 + j * 7) % 256, 85) % 128) // 16) = 0
+                               THEN ((xor((media_id * 13 + j * 7) % 256, 85) % 16) * 16) + 8
+                               WHEN ((xor((media_id * 13 + j * 7) % 256, 85) % 128) // 16) = 1
+                               THEN ((xor((media_id * 13 + j * 7) % 256, 85) % 16) * 16) + 264
+                               ELSE (((xor((media_id * 13 + j * 7) % 256, 85) % 16) * 16) + 264)
+                                    * CAST(pow(2, ((xor((media_id * 13 + j * 7) % 256, 85) % 128) // 16) - 1) AS BIGINT)
+                          END)
+                    ELSE -(CASE WHEN ((xor((media_id * 13 + j * 7) % 256, 85) % 128) // 16) = 0
+                                THEN ((xor((media_id * 13 + j * 7) % 256, 85) % 16) * 16) + 8
+                                WHEN ((xor((media_id * 13 + j * 7) % 256, 85) % 128) // 16) = 1
+                                THEN ((xor((media_id * 13 + j * 7) % 256, 85) % 16) * 16) + 264
+                                ELSE (((xor((media_id * 13 + j * 7) % 256, 85) % 16) * 16) + 264)
+                                     * CAST(pow(2, ((xor((media_id * 13 + j * 7) % 256, 85) % 128) // 16) - 1) AS BIGINT)
+                           END)
+               END) AS s
+      FROM documents
+    )
+    SELECT media_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
+           list_sum(list_transform(s, x -> CAST(x AS DOUBLE))) / 64 AS mean_amp
+    FROM e
+    """,
+)
+def multimodal_audio_stats_alaw(spark, sf_dir):
+    """X5 — the A-LAW half of G.711 (fmt tag 6, the European/telco
+    companding twin of multimodal_audio_stats_mulaw): same real-WAV
+    fixture, same closed-form byte stream, the oracle replaying the
+    classic g711.c expansion (XOR 0x55, segment shift, 0x108 bias,
+    sign bit 1 = positive) verified equal to alaw_expand for all 256
+    codes. Both G.711 variants now decode natively and certify."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav_g711(docs, fmt_tag=6)
+    return MM.audio_stats(media)
+
+
 def multimodal_audio_stats(spark, sf_dir):
     """X5 — REAL audio decode, value-matched: payloads are genuine
     8-bit mono PCM WAV files synthesized from a closed-form sample

@@ -1002,13 +1002,31 @@ def mulaw_expand(codes: np.ndarray) -> np.ndarray:
     return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
 
 
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion (the classic CCITT g711.c arithmetic:
+    XOR 0x55, segment shift, 0x108 bias above segment 0, sign bit 1 =
+    positive): int16 linear samples from 8-bit companded codes. Pure
+    integer math, SQL-replayed by the A-law catalog oracle (verified
+    equal for all 256 codes). Anchors: 0x55 -> -8, 0xD5 -> +8,
+    0xAA -> +32256."""
+    a = codes.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
     """REAL audio decode for WAV: walk the RIFF chunk list, parse the
     ``fmt `` chunk (codec tag, channels, sample rate, bit depth) and
     decode the ``data`` chunk — linear PCM (uint8 for 8-bit, int16
-    for 16-bit) or G.711 mu-law (tag 7: 8-bit companded bytes
-    expanded to int16 through mulaw_expand — COMPRESSED audio decoded
-    natively). Returns (sample_rate, n_channels, bits, n_frames,
+    for 16-bit) or G.711 companded audio (tag 6 A-law / tag 7 mu-law:
+    8-bit code bytes expanded to int16 through alaw_expand /
+    mulaw_expand — COMPRESSED audio decoded natively). Returns (sample_rate, n_channels, bits, n_frames,
     samples), None when the payload is not RIFF/WAVE or its chunk
     data is malformed, and a loud NotImplementedError for codec tags
     or PCM widths this decoder does not implement (ADPCM, float,
@@ -1036,10 +1054,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         return None
-    if fmt_tag == 7:  # G.711 mu-law
+    if fmt_tag in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
-            raise NotImplementedError(f"mu-law WAV with bits={bits}")
-        arr = mulaw_expand(np.frombuffer(samples, dtype=np.uint8))
+            raise NotImplementedError(f"G.711 WAV with bits={bits}")
+        expand = alaw_expand if fmt_tag == 6 else mulaw_expand
+        arr = expand(np.frombuffer(samples, dtype=np.uint8))
         n_frames = len(arr) // max(channels, 1)
         return rate, channels, bits, n_frames, arr
     if fmt_tag not in (None, 1) or bits not in (8, 16):
@@ -1146,21 +1165,24 @@ def media_with_wav(
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
-def media_with_wav_mulaw(
-    docs: DataFrame, n_samples: int = 64, sample_rate: int = 8000
+def media_with_wav_g711(
+    docs: DataFrame,
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+    fmt_tag: int = 7,
 ) -> DataFrame:
-    """Media table with REAL G.711 mu-law WAV payloads (fmt tag 7 —
-    COMPRESSED/companded audio): code byte i of document d is
-    ``(d*13 + i*7) % 256``. The expansion is pure integer arithmetic
-    (mulaw_expand), so the decoded statistics have closed forms the
-    DuckDB oracle replays byte for byte — the compressed-audio twin
-    of media_with_wav."""
+    """Media table with REAL G.711 companded WAV payloads (fmt tag 7
+    mu-law, tag 6 A-law): code byte i of document d is
+    ``(d*13 + i*7) % 256``. Both expansions are pure integer
+    arithmetic (mulaw_expand / alaw_expand), so the decoded
+    statistics have closed forms the DuckDB oracle replays byte for
+    byte — the compressed-audio twins of media_with_wav."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         i = np.arange(n_samples, dtype=np.int64)
         fmt = (
             b"fmt \x10\x00\x00\x00"
-            + (7).to_bytes(2, "little")  # audio format 7 = G.711 mu-law
+            + fmt_tag.to_bytes(2, "little")  # 7 = mu-law, 6 = A-law
             + (1).to_bytes(2, "little")  # mono
             + sample_rate.to_bytes(4, "little")
             + sample_rate.to_bytes(4, "little")  # byte rate (8-bit mono)
@@ -1933,6 +1955,11 @@ def media_with_mjpeg(
             )
 
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_with_wav_mulaw(docs, n_samples: int = 64, sample_rate: int = 8000):
+    """Back-compat alias: the mu-law (tag 7) G.711 fixture."""
+    return media_with_wav_g711(docs, n_samples, sample_rate, fmt_tag=7)
 
 
 def _decode_video(
