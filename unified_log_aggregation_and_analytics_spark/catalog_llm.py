@@ -1121,6 +1121,18 @@ def multimodal_dup_clusters(spark, sf_dir):
     FROM documents
     """,
 )
+def multimodal_audio_stats(spark, sf_dir):
+    """X5 — REAL audio decode, value-matched: payloads are genuine
+    8-bit mono PCM WAV files synthesized from a closed-form sample
+    formula (operators/multimodal.py media_with_wav); the engine walks
+    the RIFF chunks and reports rate/channels/frames/duration/mean
+    amplitude; the oracle predicts the same analytically WITHOUT a
+    decoder. 64 frames at 8 kHz -> 8 ms."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav(docs)
+    return MM.audio_stats(media)
+
+
 @_register(
     "multimodal_audio_stats_alaw",
     """
@@ -1160,18 +1172,6 @@ def multimodal_audio_stats_alaw(spark, sf_dir):
     codes. Both G.711 variants now decode natively and certify."""
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_with_wav_g711(docs, fmt_tag=6)
-    return MM.audio_stats(media)
-
-
-def multimodal_audio_stats(spark, sf_dir):
-    """X5 — REAL audio decode, value-matched: payloads are genuine
-    8-bit mono PCM WAV files synthesized from a closed-form sample
-    formula (operators/multimodal.py media_with_wav); the engine walks
-    the RIFF chunks and reports rate/channels/frames/duration/mean
-    amplitude; the oracle predicts the same analytically WITHOUT a
-    decoder. 64 frames at 8 kHz -> 8 ms."""
-    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
-    media = MM.media_with_wav(docs)
     return MM.audio_stats(media)
 
 

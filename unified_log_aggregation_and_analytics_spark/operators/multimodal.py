@@ -819,10 +819,12 @@ def _decode_rgb(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     (w, h, rgb-pixels) view; gray/alpha
     PNGs normalize to RGB (gray broadcast across channels, alpha
     dropped) so the stats schema is format-independent. When Pillow
-    is importable, any format it recognizes (JPEG, WEBP, ...) decodes
-    through it as the general fallback — gated, never silently
-    degraded: without Pillow those payloads simply return None
-    (non-decodable), as documented."""
+    is importable, any format it recognizes (WEBP, progressive or
+    deep-sampled JPEG — the cases the native baseline decoder raises
+    on — ...) decodes through it as the general fallback — gated,
+    never silently degraded: without Pillow those payloads raise the
+    native decoder's NotImplementedError (real-but-exotic JPEG) or
+    return None (unrecognized format), as documented."""
     ppm = decode_ppm(payload)
     if ppm is not None:
         w, h, _, px = ppm
