@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -329,6 +329,7 @@ def test_duplicated_spans_matches_bruteforce(spark, corpora, k):
     rst=st.sampled_from([0, 1, 2]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
+@example(w=3, h=3, color=False, subsample="444", rst=0, seed=2507)
 def test_jpeg_codec_property(w, h, color, subsample, rst, seed):
     """Baseline-JPEG invariants that hold for ARBITRARY content,
     shape, layout, subsampling, and restart cadence (pure
@@ -338,8 +339,11 @@ def test_jpeg_codec_property(w, h, color, subsample, rst, seed):
     envelope (64 coefficients x quant error 8 x max basis product
     1/4 = 128 — color noise has no such bound: 4:2:0 legitimately
     averages saturated random chroma away); and constant-color
-    images, whose blocks are DC-only, reconstruct within YCbCr
-    rounding."""
+    images, whose blocks are DC-only, reconstruct within the DC
+    quantization envelope: up to ~1 LSB error per YCbCr plane,
+    amplified by the inverse transform to |dB| <= |dY| +
+    1.772*|dCb| + rounding ~= 3.3, so the per-channel bound is 4
+    (seed 2507 / 3x3 flat (178,151,238) hits 3 legitimately)."""
     import numpy as np
 
     from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
@@ -362,4 +366,4 @@ def test_jpeg_codec_property(w, h, color, subsample, rst, seed):
 
     flat = np.full((h, w, 3), rng.randint(0, 256, size=3), dtype=np.uint8)
     fout = decode_jpeg(encode_jpeg(flat, subsample=sub))[3]
-    assert np.abs(fout.astype(int) - flat.astype(int)).max() <= 2
+    assert np.abs(fout.astype(int) - flat.astype(int)).max() <= 4
