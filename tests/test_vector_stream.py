@@ -507,6 +507,7 @@ def test_vector_pipeline_merge_cadence_e2e(spark, tmp_path):
         str(tmp_path / "ckpt"),
         trigger={"availableNow": True},
         merge_every=1,
+        maintenance="merge",  # explicit opt-in: merge is no longer the default
     )
     res.query.awaitTermination(120)
 
@@ -539,3 +540,80 @@ def test_maybe_merge_delta_validates_mode(spark, tmp_path):
 
     with pytest.raises(ValueError, match="maintenance mode"):
         maybe_merge_delta(spark, str(tmp_path / "ivf"), 4, mode="compacted")
+
+
+def test_vector_pipeline_default_compact_cadence_e2e(spark, tmp_path):
+    """run_vector_pipeline with the DEFAULT maintenance protocol
+    ('compact' since r10 — the object-store-correct, rename-free
+    fold) at merge_every=1: the in-stream fold must leave the base
+    table untouched, advance the compaction fence, and keep probes
+    identical to a batch rebuild."""
+    import os
+    import time
+    from pathlib import Path
+
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _delta_path,
+        _index_rows,
+        _merged_through,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    all_vecs = _vecs(50, seed=43)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(10)], VEC_SCHEMA),
+        index,
+        n_centroids=4,
+    )
+    base_files = sorted(
+        p.name for p in Path(index, "table").rglob("*.parquet")
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    for b in range(2):
+        rows = [
+            {"vec_id": i, "embedding": all_vecs[i]}
+            for i in range(10 + b * 20, 30 + b * 20)
+        ]
+        f = src / f"b{b}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(f, (now - 10 + b, now - 10 + b))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    res = run_vector_pipeline(
+        stream,
+        index,
+        str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        merge_every=1,
+        # maintenance NOT passed: the default must be the compact protocol
+    )
+    res.query.awaitTermination(120)
+
+    # base table untouched — compact never rewrites it
+    assert base_files == sorted(
+        p.name for p in Path(index, "table").rglob("*.parquet")
+    )
+    # merge journal never advanced (that is the merge protocol's fence)
+    assert _merged_through(index) == -1
+    # compaction fence covers both committed batches
+    _, upto = fence._compact_state(spark, _delta_path(index))
+    assert upto >= 1
+    assert _index_rows(spark, index).count() == 50
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(50)], VEC_SCHEMA),
+        rebuilt,
+        n_centroids=4,
+    )
+    q = all_vecs[3]
+    got = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
+    want = [r["vec_id"] for r in ivf_probe(spark, rebuilt, q, k=5).collect()]
+    assert got == want and got

@@ -255,7 +255,7 @@ def run_vector_pipeline(
     id_col: str = "vec_id",
     meta_cols: tuple[str, ...] = (),
     merge_every: int | None = 16,
-    maintenance: str = "merge",
+    maintenance: str = "compact",
 ) -> VectorPipelineResult:
     """readStream of embeddings -> foreachBatch(vector_ingest_batch):
     the continuously-probe-able vector index. Trigger defaults to the
@@ -265,8 +265,12 @@ def run_vector_pipeline(
     sit unfolded, the writer folds them between triggers, bounding
     probe latency at O(base + merge_every batches) of files instead
     of O(all batches ever). ``maintenance`` picks the protocol:
-    'merge' (fold into the base table — local-FS swap) or 'compact'
-    (marker-native delta fold — object-store-correct, no rename).
+    'compact' (DEFAULT: marker-native delta fold — no rename, safe
+    under concurrent probes and on object stores) or 'merge' (fold
+    into the base table via local-FS swap — explicit opt-in for
+    single-reader local deployments only; it rmtree+renames the base
+    table, which races concurrent probes and raises on non-local
+    filesystems, killing the stream from inside foreachBatch).
     merge_every=None disables the policy (the offline tools remain
     available)."""
     trigger = trigger or {"processingTime": "60 seconds"}
