@@ -597,6 +597,38 @@ def test_compact_log_table(spark, tmp_path):
     assert read_log_table(spark, table).count() == len(before) + 1
 
 
+def test_read_log_table_mixed_layouts(spark, tmp_path):
+    """A table holding BOTH layouts — per-source subtrees
+    (source=X/_commit_batch=N/...) AND a unified source=None write
+    (_commit_batch=N/source=X/...) — must return the union. Before
+    r10 the unified rows were silently dropped whenever any source
+    subtree had rows (the fallback only fired on empty), and a naive
+    root read would hit Spark's conflicting-partition-structure
+    error; only_dirs pins the root read to the root batch dirs."""
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        NORMALIZERS,
+        dlq_split,
+        read_log_table,
+    )
+
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    lines = spark.createDataFrame([(l,) for l in GOOD_LINES], "value string")
+    # per-source layout: 3 rows under source=ec2/
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ec2", batch_id=0)
+    # unified layout at the root: 3 more rows, _commit_batch= above source=
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source=None, batch_id=0)
+
+    got = read_log_table(spark, table)
+    assert got.count() == 2 * len(GOOD_LINES)
+    assert {r["source"] for r in got.select("source").distinct().collect()} == {
+        "ec2"
+    }
+    # each message appears exactly twice (once per layout)
+    dup = got.groupBy("message").count().collect()
+    assert all(r["count"] == 2 for r in dup) and len(dup) == len(GOOD_LINES)
+
+
 def test_sustained_trigger_state_bounded_by_watermark(spark, tmp_path):
     """ST2 scale probe under a SUSTAINED processing-time trigger: feed
     12 hourly windows over many micro-batches plus one late row, then

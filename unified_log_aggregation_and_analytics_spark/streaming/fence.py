@@ -401,17 +401,30 @@ def fenced_read(
     path: str,
     root: str,
     keep_batch_col: bool = False,
+    only_dirs: list[str] | None = None,
 ) -> DataFrame | None:
     """Read only COMMITTED rows of a fenced path: filter
     ``_commit_batch`` to the marker set (partition-pruned). Returns
     None when the path does not exist yet (first trigger), so callers
     can distinguish 'nothing ingested' from a real read error — a
     corrupt or unreadable path RAISES instead of silently skipping
-    (the r7 blanket-except hazard)."""
+    (the r7 blanket-except hazard). ``only_dirs`` restricts the scan
+    to the named immediate child partition dirs (read with
+    basePath=path so partition columns survive) — required when the
+    path also holds OTHER subtrees whose partition column order
+    conflicts with the batch layout (the mixed per-source + unified
+    log table)."""
     if not path_exists(spark, path):
         return None
     try:
-        df = spark.read.parquet(path)
+        if only_dirs is not None:
+            if not only_dirs:
+                return None
+            df = spark.read.option("basePath", path).parquet(
+                *[f"{path}/{d}" for d in only_dirs]
+            )
+        else:
+            df = spark.read.parquet(path)
     except Exception as e:  # narrow: schema-less dir == nothing ingested
         # An empty fenced append (e.g. a batch with zero rejects)
         # creates the directory with no parquet files; Spark then

@@ -296,11 +296,22 @@ def read_log_table(spark, table_path: str) -> DataFrame:
         )
         if df is not None:
             parts.append(df.withColumn("source", F.lit(src)))
-    if not parts and any(d.startswith(f"{fence.BATCH_COL}=") for d in entries):
+    root_batch_dirs = [d for d in entries if d.startswith(f"{fence.BATCH_COL}=")]
+    if root_batch_dirs:
         # unified layout (source=None writer): source= lives BELOW the
-        # batch partition and comes back via partition discovery
+        # batch partition and comes back via partition discovery.
+        # Read UNCONDITIONALLY whenever a root-level batch dir exists:
+        # a table can legitimately carry both layouts (per-source
+        # subtrees plus a source=None unified write), and gating this
+        # on the per-source reads being empty silently dropped the
+        # unified rows. only_dirs pins the scan to the root batch
+        # partitions so the per-source subtrees (whose partition
+        # column order conflicts) are never listed into this read.
         df = fence.fenced_read(
-            spark, table_path, _log_fence_root(table_path, None)
+            spark,
+            table_path,
+            _log_fence_root(table_path, None),
+            only_dirs=root_batch_dirs,
         )
         if df is not None:
             parts.append(df)
