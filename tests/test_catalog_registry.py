@@ -39,6 +39,32 @@ def test_oracle_entries_subset_of_queries():
     assert not orphans, f"oracle_sql without queries() entry: {orphans}"
 
 
+def test_oracle_backed_outputs_are_driver_canonicalizable(spark):
+    """Harness-parity guard (the r9 `multimodal_features` ERR, which
+    cost a ledger slot): the driver canonicalizes results with a
+    pandas ``sort_values`` over every output column, which raises
+    ``unhashable type`` on array/map/struct cells — so an
+    oracle-backed entry whose output carries a complex-typed column
+    can NEVER earn a green driver row, no matter how right its
+    values are. Ban the class at registration: every oracle-backed
+    entry's output schema must contain only scalar, sortable types
+    (arrays belong in rows-only twins, or posexploded/hashed into
+    scalars). Schema access is analysis-only — nothing executes."""
+    from pyspark.sql import types as T
+
+    qs = entry.queries()
+    bad = []
+    for name in entry.oracle_sql():
+        schema = qs[name](spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "oracle-backed entries with driver-uncanonicalizable (complex-typed) "
+        f"output columns: {bad}"
+    )
+
+
 def test_bench_queries_are_registered():
     import bench
 

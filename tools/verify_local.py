@@ -141,6 +141,28 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        if name in oracles:
+            # Harness parity (the r9 multimodal_features ERR): the
+            # DRIVER canonicalizes with pandas sort_values over every
+            # column, which dies on array/map/struct cells — this
+            # tool's repr-sort is list-safe and would pass where the
+            # driver errs. Fail such entries HERE so builder-green
+            # predicts driver-green.
+            from pyspark.sql import types as T
+
+            complex_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL  {name}: driver-uncanonicalizable complex-typed "
+                    f"output column(s): {', '.join(complex_cols)} (the driver's "
+                    "pandas sort_values raises on these — posexplode or hash them)"
+                )
+                n_fail += 1
+                continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
             n_rowsonly += 1

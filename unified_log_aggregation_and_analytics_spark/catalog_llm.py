@@ -939,11 +939,12 @@ _MM_FEATURES_ORACLE = """
            CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-           list_transform(range(0, 16), i -> CAST(CAST(
+           CAST(i AS INTEGER) AS dim,
+           round(CAST(CAST(CAST(
              (instr('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16
              + (instr('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
-             AS DOUBLE) / 255.0 AS FLOAT)) AS feature
-    FROM documents
+             AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS feature_val
+    FROM documents, (SELECT unnest(range(0, 16)) AS i) dims
 """
 
 
@@ -953,11 +954,22 @@ def multimodal_features(spark, sf_dir):
     mapInPandas (decode step stubbed deterministically; see
     operators/multimodal.py). Width capped at 8: Python-worker spawn
     dominates this small stage (measured 38s at width 32 cold vs 5.6s
-    at width 8). ORACLE-CHECKED since r9: the md5-stub feature bytes
-    replay as DuckDB hex arithmetic over the same UTF-8 payload."""
+    at width 8). ORACLE-CHECKED since r10: the md5-stub feature bytes
+    replay as DuckDB hex arithmetic over the same UTF-8 payload. The
+    feature vector is posexploded to (dim, feature_val) scalars —
+    the r9 registration returned the raw array<float> column, which
+    the driver's pandas canonicalizer cannot sort (unhashable list),
+    so the row could never certify; the exploded shape verifies every
+    element AND canonicalizes."""
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_from_documents(docs)
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        "payload_bytes",
+        F.posexplode("feature").alias("dim", "_fv"),
+    ).withColumn("feature_val", F.round(F.col("_fv").cast("double"), 6)).drop("_fv")
 
 
 @_register(
@@ -2177,6 +2189,13 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_ivf_index(emb, str(path), n_centroids=16, meta_cols=("label",))
         elif kind == "ivfpq":
             A.build_ivfpq_index(emb, str(path), n_centroids=16, m=4, codes=8)
+        elif kind == "ivfpq_seeded":
+            # train_iters=0 keeps the seeded (data-independent)
+            # codebooks, making the WHOLE two-level index — centroids,
+            # cell assignment, codes, ADC — DuckDB-replayable
+            A.build_ivfpq_index(
+                emb, str(path), n_centroids=16, m=4, codes=8, train_iters=0
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
@@ -3295,6 +3314,80 @@ def knn_pq_adc_seeded(spark, sf_dir):
     )
     qv = _query_vec(spark, sf_dir)
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
+
+
+def _ivfpq_seeded_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
+    """DuckDB twin of the SEEDED IVF-PQ index probe — the _ivf_oracle
+    cell machinery (centroids = 16 lowest-id vectors, argmax-cosine
+    assignment with first-min ties, top-4 probe cells with
+    argsort()[::-1] ties) composed with the _pq_adc_ctes encode chain:
+    ADC scores only for vectors whose assigned cell is probed."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    cb = PQ.seeded_pq_codebooks(64, m=m, codes=codes, seed=42)
+    sd = 64 // m
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in cw) + "]" for cw in sub
+            )
+            + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    return f"""
+    WITH {_pq_adc_ctes(cb_lit, m, codes, sd)},
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY {_cos_raw('ce', 'qe')} DESC, cid DESC LIMIT 4
+    ),
+    cellof AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id <> 0
+      ) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    )
+    SELECT b.vec_id,
+           round(SUM(
+             list_sum(list_transform(range(1, {sd + 1}),
+               j -> (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])
+                    * (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])))
+           ), 6) AS adc_dist
+    FROM best b JOIN cellof USING (vec_id) CROSS JOIN q CROSS JOIN cbt
+    GROUP BY b.vec_id
+    ORDER BY adc_dist, b.vec_id
+    LIMIT {k}
+"""
+
+
+@_register("knn_ivfpq_indexed_seeded", _ivfpq_seeded_oracle())
+def knn_ivfpq_indexed_seeded(spark, sf_dir):
+    """X3 — persisted IVF-PQ probe, certification path: the exact
+    knn_ivfpq_indexed plan (codes-only partitioned table, driver-side
+    centroid ranking, PartitionFilters on the 4 probed cells, codegen
+    ADC) but built with the SEEDED data-independent codebooks
+    (build_ivfpq_index train_iters=0), so the ENTIRE two-level path —
+    deterministic centroids, argmax-cosine cell assignment, probe-cell
+    choice, per-subspace code assignment, asymmetric distances, tie
+    order — replays in DuckDB (the knn_pq_adc ↔ knn_pq_adc_seeded
+    twin pattern lifted to the indexed plan). knn_ivfpq_indexed stays
+    the Lloyd-trained quality path (rows-only; recall + encode parity
+    pinned in tests/test_pq.py)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfpq_seeded")
+    return A.ivfpq_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
 @_register("knn_pq_adc", None)  # Lloyd-trained codebooks: rows-only
