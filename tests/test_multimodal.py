@@ -561,6 +561,42 @@ def test_jpeg_roundtrip_bounds_and_exact_constant():
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 60
 
 
+def test_jpeg_encode_tiny_qtable_clamps_not_keyerror():
+    """An all-1s qtable quantizes AC coefficients past the fixed
+    Huffman alphabet's 10-bit ceiling (and extreme DC swings past the
+    11-bit one). The encoder must CLAMP to the alphabet instead of
+    KeyError-ing deep in the bit writer — the stream stays decodable
+    and near-lossless for content whose coefficients fit, and the
+    worst offender (a 0/255 checkerboard, whose highest-frequency AC
+    coefficient exceeds 1023 at q=1) still round-trips with correct
+    geometry."""
+    ones = np.ones((8, 8), dtype=np.int32)
+
+    # benign content at q=1: effectively lossless
+    rng = np.random.default_rng(9)
+    px = rng.integers(64, 192, (16, 16), dtype=np.uint8)  # mid-range: small ACs
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(px, qtable=ones))
+    assert (w, h, c) == (16, 16, 1)
+    assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 2
+
+    # adversarial content: checkerboard maxes the hi-freq AC; before
+    # the clamp this raised KeyError from the AC Huffman table
+    cb = np.indices((16, 16)).sum(axis=0) % 2 * 255
+    enc = MM.encode_jpeg(cb.astype(np.uint8), qtable=ones)
+    w, h, c, out = MM.decode_jpeg(enc)
+    assert (w, h, c) == (16, 16, 1)
+
+    # DC swing: alternating all-black / all-white 8x8 blocks drives
+    # the DC diff to +/-2048 at q=1 — clamped to the 11-bit alphabet
+    stripes = np.zeros((8, 32), dtype=np.uint8)
+    stripes[:, 8:16] = 255
+    stripes[:, 24:32] = 255
+    w, h, c, out = MM.decode_jpeg(MM.encode_jpeg(stripes, qtable=ones))
+    assert (w, h, c) == (32, 8, 1)
+    # clamp costs at most 1 quantization step of DC per block
+    assert np.abs(out[:, :, 0].astype(int) - stripes.astype(int)).max() <= 16
+
+
 def test_jpeg_encode_deterministic_golden():
     """Byte-identical encodes across runs/hosts: the fixture path must
     be reproducible for the driver's hash gate."""
@@ -730,6 +766,76 @@ def test_mjpeg_video_stats_and_keyframes(spark):
         assert r.luma_diff == float(abs(g(r.frame_idx) - g(r.frame_idx - 1)))
     gate = {r.media_id: r.decode_ok for r in MM.media_gate_hash(media).collect()}
     assert all(gate.values()) and len(gate) == 10
+
+
+def test_ffmpeg_video_gate_loud_when_absent():
+    """decode_video_ffmpeg (the inter-frame-codec twin of the native
+    video path) must raise LOUDLY when the ffmpeg binary is absent —
+    the Pillow-gate convention, never silent degradation. Skipped on
+    hosts that DO have ffmpeg (there the e2e below runs instead)."""
+    if MM._ffmpeg_bin() is not None:
+        pytest.skip("ffmpeg present: the loud-gate branch is unreachable")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.decode_video_ffmpeg(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_ffmpeg_video_plumbing_via_injected_runner(spark):
+    """The ffmpeg seam end to end WITHOUT the binary: a fake runner
+    that transcodes MJPEG-AVI → Y4M exactly the way ffmpeg would
+    (decode frames, re-emit as yuv4mpegpipe) drives video_stats and
+    frame_diff_keyframes through decode_video_ffmpeg — schema, batch
+    shape, fps propagation, and values must be IDENTICAL to the
+    native path (Y4M is lossless, so the transcode hop preserves
+    every luma byte)."""
+
+    def fake_ffmpeg(data: bytes) -> bytes:
+        dec = MM.decode_mjpeg_avi(data)
+        if dec is None:
+            return b""  # ffmpeg-can't-decode → empty stdout
+        w, h, fn, fd, frames = dec
+        return MM.encode_y4m(np.stack(frames), fps_num=fn, fps_den=fd)
+
+    def via_ffmpeg(payload):
+        return MM.decode_video_ffmpeg(payload, runner=fake_ffmpeg)
+
+    docs = load_table(spark, "documents", SF).limit(8)
+    media = MM.media_with_mjpeg(docs)
+
+    native = sorted(map(tuple, MM.video_stats(media).collect()))
+    gated = sorted(map(tuple, MM.video_stats(media, decode=via_ffmpeg).collect()))
+    assert native == gated and native
+
+    nk = sorted(map(tuple, MM.frame_diff_keyframes(media).collect()))
+    gk = sorted(
+        map(tuple, MM.frame_diff_keyframes(media, decode=via_ffmpeg).collect())
+    )
+    assert nk == gk and nk
+
+    # undecodable payload routes to null stats, not a crash
+    bad = media.limit(1).withColumn("payload", F.lit(b"not a video"))
+    row = MM.video_stats(bad, decode=via_ffmpeg).collect()[0]
+    assert row.n_frames is None and row.mean_luma is None
+
+
+def test_ffmpeg_video_real_binary_e2e(spark):
+    """Real-ffmpeg cross-check (runs only where the binary exists):
+    ffmpeg decodes our MJPEG-AVI fixture through the gated path;
+    geometry, frame count, and fps must match the native decode
+    exactly, per-frame luma within JPEG-decoder tolerance (ffmpeg's
+    IDCT differs from ours in low bits)."""
+    if MM._ffmpeg_bin() is None:
+        pytest.skip("ffmpeg not on PATH")
+    frames = np.stack(
+        [np.full((16, 16), 40 * f + 20, dtype=np.uint8) for f in range(3)]
+    )
+    avi = MM.encode_mjpeg_avi(frames, fps_num=30)
+    native = MM.decode_mjpeg_avi(avi)
+    gated = MM.decode_video_ffmpeg(avi)
+    assert gated is not None
+    assert (gated[0], gated[1], gated[2], gated[3]) == native[:4]
+    assert len(gated[4]) == len(native[4])
+    for a, b in zip(gated[4], native[4]):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
 
 
 def test_mulaw_wav_decode_and_gates(spark):

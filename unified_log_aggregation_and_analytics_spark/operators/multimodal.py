@@ -643,10 +643,18 @@ def encode_jpeg(
     def put_block(ci: int, block: np.ndarray) -> None:
         coef = _DCT8 @ (block - 128.0) @ _DCT8.T
         q = np.round(coef / qtable).astype(np.int64)
+        # Alphabet clamps: the fixed DHT covers DC sizes 0-11
+        # (|diff| <= 2047) and AC sizes 0-10 (|coef| <= 1023). A
+        # caller qtable with tiny entries (e.g. all 1s) can quantize
+        # past both — clamp instead of KeyError-ing deep in the bit
+        # writer. pred tracks the CLAMPED DC so encoder and decoder
+        # predictions stay in sync (the clamp costs accuracy only in
+        # the pathological-qtable case, never with the default 16s).
         diff = int(q[0, 0]) - pred[ci]
-        pred[ci] = int(q[0, 0])
+        diff = max(-2047, min(2047, diff))
+        pred[ci] += diff
         put(diff, dc_enc)
-        zz = [int(q[r, c]) for r, c in _ZIGZAG[1:]]
+        zz = [max(-1023, min(1023, int(q[r, c]))) for r, c in _ZIGZAG[1:]]
         run = 0
         last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
         for i in range(last_nz + 1):
@@ -1976,6 +1984,79 @@ def _decode_video(
     return decode_mjpeg_avi(payload)
 
 
+def _ffmpeg_bin() -> str | None:
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def decode_video_ffmpeg(
+    payload: bytes,
+    runner=None,
+) -> tuple[int, int, int, int, list[np.ndarray]] | None:
+    """Inter-frame-codec video decode through the ffmpeg gate: pipe
+    the payload to ffmpeg, transcode ANY container/codec it knows
+    (H.264/HEVC/VP9/AV1 — the temporal-compression formats the native
+    decoders deliberately do not reimplement) to a YUV4MPEG2 stream
+    on stdout, and reuse decode_y4m — so the return contract
+    ``(width, height, fps_num, fps_den, [luma (h, w) uint8])`` and
+    every downstream operator (video_stats, frame_diff_keyframes,
+    frame_luma_stats, the streaming gate) are IDENTICAL to the native
+    path. ``runner`` is the transcode seam (container bytes in → Y4M
+    bytes out, empty = undecodable), injectable for tests; the
+    default shells to the ffmpeg binary and raises
+    NotImplementedError LOUDLY when it is absent (the Pillow-gate
+    convention: never silently degrade). ffmpeg-rejects-it → None —
+    the decode-gate DLQ convention, same as the native decoders."""
+    if runner is None:
+        bin_ = _ffmpeg_bin()
+        if bin_ is None:
+            raise NotImplementedError(
+                "inter-frame video decode (H.264/HEVC/VP9/AV1/...) requires "
+                "the ffmpeg binary on PATH; the native decoders cover Y4M "
+                "and MJPEG-AVI only"
+            )
+
+        def runner(data: bytes) -> bytes:
+            import subprocess
+
+            proc = subprocess.run(
+                [
+                    bin_,
+                    "-v", "error",
+                    "-i", "pipe:0",
+                    "-f", "yuv4mpegpipe",
+                    "-pix_fmt", "yuv420p",
+                    "pipe:1",
+                ],
+                input=data,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+            return proc.stdout if proc.returncode == 0 else b""
+
+    if not payload:
+        return None
+    out = runner(bytes(payload))
+    if not out:
+        return None
+    return decode_y4m(out)
+
+
+def _video_decoder(decode):
+    """Resolve the pluggable video-decode seam shared by video_stats /
+    frame_diff_keyframes / frame_luma_stats: None → the native
+    dispatch, 'ffmpeg' → the gated inter-frame path, a callable →
+    used as-is (payload → decode tuple)."""
+    if decode is None:
+        return _decode_video
+    if decode == "ffmpeg":
+        return decode_video_ffmpeg
+    if callable(decode):
+        return decode
+    raise ValueError(f"decode must be None, 'ffmpeg', or a callable: {decode!r}")
+
+
 _VIDEO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1989,23 +2070,25 @@ _VIDEO_STATS_SCHEMA = T.StructType(
 )
 
 
-def video_stats(df: DataFrame) -> DataFrame:
+def video_stats(df: DataFrame, decode=None) -> DataFrame:
     """X5 — per-video statistics from REAL video decode (Y4M, or
     compressed MJPEG-AVI through the native JPEG codec — see
-    _decode_video): container
+    _decode_video; ``decode='ffmpeg'`` routes through the gated
+    inter-frame path for H.264-class codecs): container
     geometry, frame rate, frame count, and mean luma over all frames.
     Arrow-batched mapInPandas, one decode per payload; accumulation
     is SEQUENTIAL python-float summation so the oracle's AVG replays
     the same association order (the same determinism contract the
     image/audio stats keep). Non-Y4M or undecodable videos emit null
     stats instead of being dropped — the decode-gate convention."""
+    decoder = _video_decoder(decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vids = pdf[pdf["modality"] == "video"]
             out = {k.name: [] for k in _VIDEO_STATS_SCHEMA.fields}
             for mid, payload in zip(vids["media_id"], vids["payload"]):
-                dec = _decode_video(payload) if payload is not None else None
+                dec = decoder(payload) if payload is not None else None
                 out["media_id"].append(int(mid))
                 if dec is None:
                     for k in ("width", "height", "fps_num", "fps_den", "n_frames"):
@@ -2085,11 +2168,15 @@ _KEYFRAME_SCHEMA = T.StructType(
 )
 
 
-def frame_diff_keyframes(df: DataFrame, threshold: float = 15.0) -> DataFrame:
+def frame_diff_keyframes(
+    df: DataFrame, threshold: float = 15.0, decode=None
+) -> DataFrame:
     """X5 — shot-boundary / keyframe detection, the frame-selection
     stage of a video-training-data pipeline (sample WHERE the content
     changes, not on a blind time grid): decode the video (Y4M or
-    compressed MJPEG-AVI), score every
+    compressed MJPEG-AVI natively; ``decode='ffmpeg'`` is the gated
+    inter-frame twin for temporally-compressed codecs — H.264/HEVC/
+    VP9 — via decode_video_ffmpeg), score every
     consecutive-frame pair by mean absolute luma difference, flag
     frames whose change exceeds ``threshold`` as keyframes. Frame 0
     has no predecessor and is emitted by the time-grid sampler
@@ -2099,13 +2186,14 @@ def frame_diff_keyframes(df: DataFrame, threshold: float = 15.0) -> DataFrame:
     decode per payload, per-pair numpy subtraction, rows out ~
     total frames — the comparison is per-video-local so the operator
     is map-only, no shuffle."""
+    decoder = _video_decoder(decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vids = pdf[pdf["modality"] == "video"]
             out = {k.name: [] for k in _KEYFRAME_SCHEMA.fields}
             for mid, payload in zip(vids["media_id"], vids["payload"]):
-                dec = _decode_video(payload) if payload is not None else None
+                dec = decoder(payload) if payload is not None else None
                 if dec is None:
                     continue
                 w, h, _fn, _fd, frames = dec
