@@ -35,6 +35,10 @@ def test_features_deterministic_md5_fold(spark, media):
 
 
 def test_resize_updates_image_rows_only(spark, media):
+    """media_from_documents carries opaque text-byte 'image' payloads
+    — the real decoder can't read them, so resize emits payload=None
+    with null geometry (the decode-gate convention) and leaves
+    non-image rows untouched."""
     out = MM.resize_media(media, 64, 32)
     rows = out.collect()
     # schema-stable pass (nullability flags may differ)
@@ -43,10 +47,57 @@ def test_resize_updates_image_rows_only(spark, media):
     ]
     for r in rows:
         if r.modality == "image":
-            assert (r.width, r.height) == (64, 32)
-            assert len(bytes(r.payload)) == 64 * 32 // 64
+            assert r.payload is None and r.width is None and r.height is None
         else:
+            assert r.payload is not None
             assert r.width is None and r.height is None
+
+
+def test_resize_rgb_kernels():
+    """The deterministic resize kernel both ways: divisible dims →
+    integer-sum area average with floor(x+0.5) rounding (hand-checked
+    4x4 → 2x2 block means); non-divisible → center-nearest via
+    (2i+1)*src // (2*dst) integer indexing (hand-checked 3 → 2)."""
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = MM.resize_rgb(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    blk = px[:2, :2, 0].astype(int)
+    assert small[0, 0, 0] == int(np.floor(blk.sum() / 4 + 0.5))
+    # exactness: every output byte equals its block's rounded mean
+    ref = np.floor(
+        px.astype(np.int64).reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) / 4.0 + 0.5
+    ).astype(np.uint8)
+    assert np.array_equal(small, ref)
+
+    px3 = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    near = MM.resize_rgb(px3, 2, 2)
+    # center mapping for dst=2, src=3: indices (2i+1)*3 // 4 -> 0, 2
+    assert np.array_equal(near, px3[np.ix_([0, 2], [0, 2])])
+
+    with pytest.raises(ValueError, match="geometry"):
+        MM.resize_rgb(px, 0, 2)
+
+
+def test_resize_media_real_roundtrip(spark):
+    """REAL end-to-end resize: closed-form PPM fixtures decode,
+    area-average to 2x2, re-encode as P6 — the decoded output bytes
+    equal the numpy reference computed straight from the pixel
+    formula, and geometry/mime metadata reflect the new container."""
+    docs = load_table(spark, "documents", SF).limit(6)
+    media = MM.media_with_ppm(docs, width=4, height=4)
+    out = {r.media_id: r for r in MM.resize_media(media, 2, 2).collect()}
+    i = np.arange(4 * 4 * 3, dtype=np.int64)
+    for d in range(6):
+        r = out[d]
+        assert (r.width, r.height) == (2, 2)
+        assert r.mime == "image/x-portable-pixmap"
+        w, h, _maxval, px = MM.decode_ppm(bytes(r.payload))
+        assert (w, h) == (2, 2)
+        src = ((d * 7 + i * 13) % 256).astype(np.uint8).reshape(4, 4, 3)
+        ref = np.floor(
+            src.astype(np.int64).reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) / 4.0 + 0.5
+        ).astype(np.uint8)
+        assert np.array_equal(px, ref), d
 
 
 def test_sample_frames_fanout(spark, media):

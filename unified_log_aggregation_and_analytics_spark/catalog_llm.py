@@ -999,6 +999,46 @@ def multimodal_image_stats(spark, sf_dir):
     return MM.image_stats(media)
 
 
+def _mm_resize_mean(c: int) -> str:
+    """Analytic channel-c mean of the 4x4 PPM fixture area-averaged
+    to 2x2: output pixel o (0..3) is floor(mean of its 2x2 source
+    block + 0.5); source byte index for (o, sub-position s) follows
+    the row-major interleaved layout of media_with_ppm."""
+    return (
+        "list_sum(list_transform(range(0, 4), o -> "
+        "floor(list_sum(list_transform(range(0, 4), s -> "
+        "CAST((doc_id * 7 + (((2 * (o // 2) + s // 2) * 4 "
+        f"+ 2 * (o % 2) + s % 2) * 3 + {c}) * 13) % 256 AS DOUBLE)"
+        ")) / 4.0 + 0.5))) / 4"
+    )
+
+
+_MM_RESIZE_ORACLE = f"""
+    SELECT doc_id AS media_id, 2 AS width, 2 AS height,
+           {_mm_resize_mean(0)} AS mean_r,
+           {_mm_resize_mean(1)} AS mean_g,
+           {_mm_resize_mean(2)} AS mean_b
+    FROM documents
+"""
+
+
+@_register("multimodal_image_resize", _MM_RESIZE_ORACLE)
+def multimodal_image_resize(spark, sf_dir):
+    """X5 — REAL image resize certified end to end (the training-
+    pipeline thumbnail/normalization step; this retired the last
+    stubbed decode path in r10): closed-form P6 PPM fixtures decode
+    natively, area-average to 2x2 through resize_rgb (integer-sum
+    block means, floor(x+0.5) rounding — exact and order-free, so an
+    independent engine replays the bytes), re-encode as lossless P6
+    (resize_media), and the channel stats of the RESIZED corpus are
+    predicted analytically by the oracle WITHOUT any decoder — a
+    hash match proves decode -> resize -> re-encode -> decode
+    reconstructs every output pixel."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_ppm(docs, width=4, height=4)
+    return MM.image_stats(MM.resize_media(media, 2, 2))
+
+
 @_register("multimodal_image_stats_png", QUERIES["multimodal_image_stats"].oracle)
 def multimodal_image_stats_png(spark, sf_dir):
     """X5 — REAL COMPRESSED image decode, value-matched: the same
