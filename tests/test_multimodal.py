@@ -889,6 +889,45 @@ def test_ffmpeg_video_real_binary_e2e(spark):
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
 
 
+def test_resample_audio_real_roundtrip(spark):
+    """REAL end-to-end decimation: 64-sample 8 kHz fixtures decode,
+    4x-average to 16 samples at 2 kHz, re-encode as PCM — decoded
+    output samples equal the numpy reference from the closed form,
+    metadata (rate, duration) reflects the new container, and
+    non-audio / undecodable rows follow the pass-through / null
+    conventions."""
+    docs = load_table(spark, "documents", SF).limit(6)
+    media = MM.media_with_wav(docs)
+    out = {r.media_id: r for r in MM.resample_audio(media, 4).collect()}
+    i = np.arange(64, dtype=np.int64)
+    for d in range(6):
+        r = out[d]
+        assert r.mime == "audio/wav" and r.duration_ms == 8
+        rate, ch, bits, n_frames, arr = MM.decode_wav(bytes(r.payload))
+        assert (rate, ch, bits, n_frames) == (2000, 1, 8, 16)
+        src = ((d * 11 + i * 17) % 256).astype(np.int64)
+        ref = np.floor(src.reshape(16, 4).sum(axis=1) / 4.0 + 0.5).astype(np.uint8)
+        assert np.array_equal(arr, ref), d
+
+    # G.711 input comes back as LINEAR 16-bit PCM at the new rate
+    g711 = MM.media_with_wav_mulaw(docs.limit(1))
+    rr = MM.resample_audio(g711, 4).collect()[0]
+    rate, ch, bits, n_frames, arr = MM.decode_wav(bytes(rr.payload))
+    assert (rate, bits, n_frames) == (2000, 16, 16)
+    codes = ((0 * 13 + np.arange(64) * 7) % 256).astype(np.uint8)
+    lin = MM.mulaw_expand(codes).astype(np.int64)
+    ref = np.floor(lin.reshape(16, 4).sum(axis=1) / 4.0 + 0.5).astype(np.int16)
+    assert np.array_equal(arr, ref)
+
+    # undecodable audio payload -> null payload/duration, not a crash
+    bad = media.limit(1).withColumn("payload", F.lit(b"not a wav"))
+    row = MM.resample_audio(bad, 4).collect()[0]
+    assert row.payload is None and row.duration_ms is None
+
+    with pytest.raises(ValueError, match="factor"):
+        MM.resample_audio(media, 0)
+
+
 def test_mulaw_wav_decode_and_gates(spark):
     """G.711 mu-law WAV (fmt tag 7): expansion anchors from the ITU
     table (0xFF/0x7F -> ±0, 0x00 -> -32124, 0x80 -> +32124), full

@@ -1100,6 +1100,33 @@ def multimodal_image_near_dup(spark, sf_dir):
     return MM.image_near_dup(media, max_hamming=6)
 
 
+_MM_RESAMPLE_ORACLE = """
+    SELECT doc_id AS media_id, 2000 AS sample_rate, 1 AS n_channels,
+           CAST(16 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS duration_ms,
+           list_sum(list_transform(range(0, 16), b ->
+             floor(list_sum(list_transform(range(0, 4), s ->
+               CAST((doc_id * 11 + (b * 4 + s) * 17) % 256 AS DOUBLE)
+             )) / 4.0 + 0.5)
+           )) / 16 AS mean_amp
+    FROM documents
+"""
+
+
+@_register("multimodal_audio_resample", _MM_RESAMPLE_ORACLE)
+def multimodal_audio_resample(spark, sf_dir):
+    """X5 — REAL audio resample certified end to end (the sample-
+    rate-normalization step; audio twin of multimodal_image_resize):
+    the closed-form 8-bit PCM WAV fixtures (64 samples @ 8 kHz)
+    decode natively, decimate 4x through resample_audio (integer-sum
+    block means over each 4-frame run, floor(x+0.5) rounding), and
+    re-encode as 2 kHz PCM; the stats of the RESAMPLED corpus match
+    an oracle that predicts every output sample analytically without
+    a decoder — proving decode -> decimate -> re-encode -> decode."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav(docs)
+    return MM.audio_stats(MM.resample_audio(media, 4))
+
+
 @_register("multimodal_audio_near_dup", None)  # decode+spectral hash: rows-only
 def multimodal_audio_near_dup(spark, sf_dir):
     """X5/X2 — AUDIO near-duplicate detection: real WAV decode →

@@ -1133,6 +1133,86 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, np.ndarray] | None:
     return rate, channels, bits, n_frames, arr
 
 
+def encode_wav_pcm(
+    samples: np.ndarray, sample_rate: int, channels: int = 1
+) -> bytes:
+    """Encode uint8 (8-bit) or int16 (16-bit) PCM samples — flat
+    interleaved or (frames, channels) — as a RIFF/WAVE payload: the
+    inverse of decode_wav's PCM path and the lossless re-encode
+    target of resample_audio."""
+    arr = np.ascontiguousarray(samples)
+    if arr.dtype == np.uint8:
+        bits = 8
+    elif arr.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError(f"PCM dtype must be uint8 or int16: {arr.dtype}")
+    data = arr.tobytes()
+    block = channels * bits // 8
+    fmt = (
+        b"fmt \x10\x00\x00\x00"
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def resample_audio(df: DataFrame, factor: int) -> DataFrame:
+    """X5 — REAL audio resample by integer decimation (the
+    sample-rate-normalization step of an audio-training pipeline;
+    the audio twin of resize_media): decode the WAV (PCM, or G.711
+    through its expansion — companded inputs come back as linear
+    16-bit PCM), average each run of ``factor`` frames per channel
+    with integer sums and floor(x + 0.5) rounding (exact and
+    order-free, so a SQL oracle replays the output bytes), and
+    re-encode as PCM at rate // factor with geometry metadata
+    updated. Non-audio rows pass through untouched; undecodable
+    audio payloads emit payload=None with null duration (the
+    decode-gate convention); exotic codecs keep decode_wav's loud
+    NotImplementedError. A trailing partial block (n_frames %
+    factor) is dropped, as every hop-based resampler does."""
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1: {factor}")
+
+    def _resample(payload):
+        if payload is None:
+            return None, None
+        wav = decode_wav(bytes(payload))
+        if wav is None:
+            return None, None
+        rate, ch, _bits, n_frames, arr = wav
+        ch = max(ch, 1)
+        usable = (n_frames // factor) * factor
+        if usable == 0 or rate // factor == 0:
+            return None, None
+        frames = arr[: usable * ch].reshape(usable, ch)
+        sums = frames.astype(np.int64).reshape(usable // factor, factor, ch).sum(axis=1)
+        dec = np.floor(sums.astype(np.float64) / factor + 0.5)
+        out = dec.astype(arr.dtype)
+        new_rate = rate // factor
+        dur = (usable // factor) * 1000 // new_rate
+        return encode_wav_pcm(out, new_rate, ch), dur
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            is_aud = pdf["modality"] == "audio"
+            pairs = pdf.loc[is_aud, "payload"].map(_resample)
+            pdf.loc[is_aud, "payload"] = pairs.map(lambda t: t[0])
+            pdf.loc[is_aud, "duration_ms"] = pairs.map(lambda t: t[1])
+            ok = is_aud & pdf["payload"].notna()
+            pdf.loc[ok, "mime"] = "audio/wav"
+            pdf["duration_ms"] = pdf["duration_ms"].astype("Int64")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 _AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
