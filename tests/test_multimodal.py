@@ -889,6 +889,47 @@ def test_ffmpeg_video_real_binary_e2e(spark):
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
 
 
+def test_resize_video_real_roundtrip(spark):
+    """REAL end-to-end video resize: 4x4 Y4M fixtures decode, every
+    luma frame area-averages to 2x2 (shared resize_rgb gray path),
+    the stream re-encodes as 2x2 Y4M at the original fps — decoded
+    output frames equal the numpy reference from the closed form,
+    and MJPEG-AVI input flows through the same dispatch."""
+    docs = load_table(spark, "documents", SF).limit(6)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    out = {r.media_id: r for r in MM.resize_video(media, 2, 2).collect()}
+    p = np.arange(16, dtype=np.int64)
+    for d in range(6):
+        r = out[d]
+        assert (r.width, r.height) == (2, 2)
+        assert r.mime == "video/x-yuv4mpeg"
+        w, h, fn, fd, frames = MM.decode_y4m(bytes(r.payload))
+        assert (w, h, fn, fd, len(frames)) == (2, 2, 25, 1, 1 + d % 4)
+        for f, fr in enumerate(frames):
+            src = ((d * 31 + f * 7 + p * p) % 256).reshape(4, 4)
+            ref = np.floor(
+                src.reshape(2, 2, 2, 2).sum(axis=(1, 3)) / 4.0 + 0.5
+            ).astype(np.uint8)
+            assert np.array_equal(fr, ref), (d, f)
+
+    # compressed input path: MJPEG-AVI decodes through the same dispatch
+    avi = MM.encode_mjpeg_avi(
+        [np.full((16, 16), 40 * f + 20, dtype=np.uint8) for f in range(2)],
+        fps_num=30,
+    )
+    one = media.limit(1).withColumn("payload", F.lit(avi))
+    rr = MM.resize_video(one, 4, 4).collect()[0]
+    w, h, fn, fd, frames = MM.decode_y4m(bytes(rr.payload))
+    assert (w, h, fn, len(frames)) == (4, 4, 30, 2)
+    # constant even-gray frames survive MJPEG + resize exactly
+    assert np.all(frames[0] == 20) and np.all(frames[1] == 60)
+
+    # undecodable video -> null payload/geometry
+    bad = media.limit(1).withColumn("payload", F.lit(b"junk"))
+    row = MM.resize_video(bad, 2, 2).collect()[0]
+    assert row.payload is None and row.width is None
+
+
 def test_resample_audio_real_roundtrip(spark):
     """REAL end-to-end decimation: 64-sample 8 kHz fixtures decode,
     4x-average to 16 samples at 2 kHz, re-encode as PCM — decoded

@@ -3457,6 +3457,58 @@ def knn_ivfpq_indexed_seeded(spark, sf_dir):
     return A.ivfpq_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
+def _ivfpq_recall_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
+    """Recall@k certificate twin for the seeded IVF-PQ index: the
+    cell-restricted ADC top-k (the _ivfpq_seeded_oracle chain)
+    intersected with the EXACT squared-L2 top-k, both with (dist, id)
+    tie order — one row (k, recall_at_k). Measures what the TWO
+    approximations together (coarse cell pruning + PQ distances)
+    cost, the number a user checks before trusting the index."""
+    base = _ivfpq_seeded_oracle(m=m, codes=codes, k=k)
+    # reuse the seeded chain verbatim as a CTE: wrap its final SELECT
+    head, final = base.rsplit(")\n    SELECT", 1)
+    return f"""{head}),
+    adc AS (SELECT{final}
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE))
+                    * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE)))), 6)
+               AS l2_dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY l2_dist, e.vec_id
+      LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(COUNT(*) / {float(k)!r}, 6) AS recall_at_k
+    FROM adc JOIN exact USING (vec_id)
+"""
+
+
+@_register("knn_ivfpq_recall", _ivfpq_recall_oracle())
+def knn_ivfpq_recall(spark, sf_dir):
+    """X3 — IVF-PQ recall certificate, oracle-checked in-plan (the
+    two-level twin of pq_recall_report / ann_recall_report): overlap
+    of the seeded indexed IVF-PQ top-10 (coarse cell pruning + ADC)
+    with the exact squared-L2 top-10, both engines replaying cell
+    assignment, probe choice, encode, scoring, and tie order. One
+    row (k, recall_at_k) — what BOTH approximations together cost."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfpq_seeded")
+    adc = A.ivfpq_probe(spark, path, list(qv), k=10, n_probe=4).select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    exact = PQ.l2_topk(emb, list(qv), k=10).select("vec_id")
+    return adc.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
+
+
 @_register("knn_pq_adc", None)  # Lloyd-trained codebooks: rows-only
 def knn_pq_adc(spark, sf_dir):
     """X3 — product-quantized ADC search, production path: codebooks
@@ -4102,6 +4154,53 @@ def multimodal_video_stats(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
     media = MM.media_with_y4m(docs, width=4, height=4)
     return MM.video_stats(media)
+
+
+_Y4M_RESIZED_LUMA_SQL = """
+         list_sum(list_transform(range(0, 4), o ->
+           floor(list_sum(list_transform(range(0, 4), s ->
+             CAST((media_id * 31 + {f} * 7
+               + ((2 * (o // 2) + s // 2) * 4 + 2 * (o % 2) + s % 2)
+               * ((2 * (o // 2) + s // 2) * 4 + 2 * (o % 2) + s % 2)
+             ) % 256 AS DOUBLE)
+           )) / 4.0 + 0.5)
+         )) / 4
+"""
+
+
+@_register(
+    "multimodal_video_resize",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS n_frames FROM documents
+    ), fr AS (
+      SELECT media_id, n_frames, unnest(range(0, n_frames)) AS fi FROM d
+    ), fm AS (
+      SELECT media_id, n_frames, fi,
+             {_Y4M_RESIZED_LUMA_SQL.format(f='fi')} AS luma
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+           CAST(n_frames AS INT) AS n_frames,
+           round(SUM(luma) / n_frames, 6) AS mean_luma
+    FROM fm
+    GROUP BY media_id, n_frames
+    """,
+)
+def multimodal_video_resize(spark, sf_dir):
+    """X5 — REAL video resize certified end to end (spatial
+    normalization; the video member of the r10 resize/resample
+    family): 4x4 Y4M fixtures decode, every luma frame area-averages
+    to 2x2 through the shared resize_rgb kernel (gray path), and the
+    stream re-encodes as 2x2 YUV4MPEG2 at the original frame rate
+    (resize_video); the stats of the RESIZED corpus match an oracle
+    that predicts every output pixel analytically — proving
+    decode -> per-frame resize -> re-encode -> decode."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    return MM.video_stats(MM.resize_video(media, 2, 2))
 
 
 _MJPEG_LUMA_SQL = "CAST(2 * ((media_id * 17 + {f} * 29) % 128) AS DOUBLE)"

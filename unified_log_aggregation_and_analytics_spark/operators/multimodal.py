@@ -113,22 +113,28 @@ def resize_rgb(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     index (2i+1)*src // (2*dst), pure integer arithmetic). The two
     strategies cover the training-pipeline cases: power-of-two
     downscale for thumbnails/features, arbitrary-geometry snap for
-    normalization."""
-    h, w = px.shape[:2]
+    normalization. Accepts (h, w, c) channel-last or (h, w) gray —
+    gray in, gray out (the video luma-frame path)."""
+    squeeze = px.ndim == 2
+    if squeeze:
+        px = px[:, :, None]
+    h, w, c = px.shape
     if out_h <= 0 or out_w <= 0:
         raise ValueError(f"target geometry must be positive: {out_w}x{out_h}")
     if h % out_h == 0 and w % out_w == 0:
         fy, fx = h // out_h, w // out_w
         sums = (
             px.astype(np.int64)
-            .reshape(out_h, fy, out_w, fx, 3)
+            .reshape(out_h, fy, out_w, fx, c)
             .sum(axis=(1, 3))
             .astype(np.float64)
         )
-        return np.floor(sums / (fy * fx) + 0.5).astype(np.uint8)
-    ys = ((2 * np.arange(out_h, dtype=np.int64) + 1) * h) // (2 * out_h)
-    xs = ((2 * np.arange(out_w, dtype=np.int64) + 1) * w) // (2 * out_w)
-    return px[np.ix_(ys, xs)]
+        out = np.floor(sums / (fy * fx) + 0.5).astype(np.uint8)
+    else:
+        ys = ((2 * np.arange(out_h, dtype=np.int64) + 1) * h) // (2 * out_h)
+        xs = ((2 * np.arange(out_w, dtype=np.int64) + 1) * w) // (2 * out_w)
+        out = px[np.ix_(ys, xs)]
+    return out[:, :, 0] if squeeze else out
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -977,6 +983,49 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             pdf.loc[ok, "mime"] = "image/x-portable-pixmap"
             pdf.loc[is_img & ~ok, "width"] = None
             pdf.loc[is_img & ~ok, "height"] = None
+            pdf["width"] = pdf["width"].astype("Int32")
+            pdf["height"] = pdf["height"].astype("Int32")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def resize_video(df: DataFrame, width: int, height: int) -> DataFrame:
+    """X5 — REAL video resize (the spatial-normalization step of a
+    video-training pipeline; the video twin of resize_media): decode
+    through the codec dispatch (Y4M / MJPEG-AVI), resize every luma
+    frame with the same deterministic resize_rgb kernel (integer-sum
+    area average / center-nearest, gray path), re-encode as lossless
+    YUV4MPEG2 at the original frame rate with geometry metadata and
+    mime updated. Non-video rows pass through untouched; undecodable
+    video payloads emit payload=None with null geometry (decode-gate
+    convention)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target geometry must be positive: {width}x{height}")
+
+    def _resize(payload):
+        if payload is None:
+            return None
+        dec = _decode_video(bytes(payload))
+        if dec is None:
+            return None
+        _w, _h, fn, fd, frames = dec
+        if not frames:
+            return None
+        small = np.stack([resize_rgb(f, width, height) for f in frames])
+        return encode_y4m(small, fps_num=fn, fps_den=fd)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            is_vid = pdf["modality"] == "video"
+            pdf.loc[is_vid, "payload"] = pdf.loc[is_vid, "payload"].map(_resize)
+            ok = is_vid & pdf["payload"].notna()
+            pdf.loc[ok, "width"] = width
+            pdf.loc[ok, "height"] = height
+            pdf.loc[ok, "mime"] = "video/x-yuv4mpeg"
+            pdf.loc[is_vid & ~ok, "width"] = None
+            pdf.loc[is_vid & ~ok, "height"] = None
             pdf["width"] = pdf["width"].astype("Int32")
             pdf["height"] = pdf["height"].astype("Int32")
             yield pdf
