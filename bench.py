@@ -179,6 +179,10 @@ SCALE_QUERIES = [
     # r9: native JPEG decode throughput at 10x (50k Huffman+IDCT
     # decodes through mapInPandas — the Python-codec scaling row)
     "multimodal_image_stats_jpeg",
+    # r10: the decode -> resize -> re-encode -> decode pipeline at 10x
+    # (two decode passes + the area-average kernel per payload — the
+    # heaviest per-row media transform, so its growth row matters)
+    "multimodal_image_resize",
 ]
 
 
