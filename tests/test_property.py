@@ -367,3 +367,85 @@ def test_jpeg_codec_property(w, h, color, subsample, rst, seed):
     flat = np.full((h, w, 3), rng.randint(0, 256, size=3), dtype=np.uint8)
     fout = decode_jpeg(encode_jpeg(flat, subsample=sub))[3]
     assert np.abs(fout.astype(int) - flat.astype(int)).max() <= 4
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    oh=st.integers(min_value=1, max_value=12),
+    ow=st.integers(min_value=1, max_value=12),
+    gray=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resize_rgb_property(h, w, oh, ow, gray, seed):
+    """resize_rgb invariants for arbitrary geometry (pure numpy):
+    output shape/dtype always match the request; on divisible dims
+    every output byte equals the independently-computed rounded block
+    mean (so values stay inside the block's [min, max]); on
+    non-divisible dims every output pixel IS some source pixel at the
+    integer center-mapped index; constant images are resize-invariant
+    under BOTH strategies."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
+        resize_rgb,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = resize_rgb(px, ow, oh)
+    assert out.dtype == np.uint8
+    assert out.shape == ((oh, ow) if gray else (oh, ow, 3))
+
+    px3 = px[:, :, None] if gray else px
+    out3 = out[:, :, None] if gray else out
+    if h % oh == 0 and w % ow == 0:
+        fy, fx = h // oh, w // ow
+        ref = np.floor(
+            px3.astype(np.int64).reshape(oh, fy, ow, fx, -1).sum(axis=(1, 3))
+            / (fy * fx)
+            + 0.5
+        )
+        assert np.array_equal(out3, ref.astype(np.uint8))
+    else:
+        ys = ((2 * np.arange(oh) + 1) * h) // (2 * oh)
+        xs = ((2 * np.arange(ow) + 1) * w) // (2 * ow)
+        assert np.array_equal(out3, px3[np.ix_(ys, xs)])
+
+    flat = np.full_like(px, px.reshape(-1)[0])
+    assert np.all(resize_rgb(flat, ow, oh) == px.reshape(-1)[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    ch=st.integers(min_value=1, max_value=2),
+    bits16=st.booleans(),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_pcm_encode_decode_roundtrip_property(n, ch, bits16, rate, seed):
+    """encode_wav_pcm ∘ decode_wav is the identity on PCM sample
+    arrays for arbitrary length/channels/width/rate — byte-exact
+    container round-trip, the contract resample_audio's re-encode
+    relies on."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.RandomState(seed)
+    if bits16:
+        samples = rng.randint(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+    else:
+        samples = rng.randint(0, 256, size=(n, ch), dtype=np.uint8)
+    payload = encode_wav_pcm(samples, rate, channels=ch)
+    got_rate, got_ch, got_bits, got_frames, arr = decode_wav(payload)
+    assert (got_rate, got_ch, got_bits, got_frames) == (
+        rate, ch, 16 if bits16 else 8, n,
+    )
+    assert np.array_equal(arr.reshape(n, ch), samples)
