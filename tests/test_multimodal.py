@@ -930,6 +930,27 @@ def test_resize_video_real_roundtrip(spark):
     assert row.payload is None and row.width is None
 
 
+def test_resample_video_real_roundtrip(spark):
+    """Temporal decimation end to end: every 2nd frame survives, the
+    re-encoded stream carries fps_den*2 (duration-preserving), and
+    the kept frames are byte-identical to the even-index originals."""
+    docs = load_table(spark, "documents", SF).limit(8)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    out = {r.media_id: r for r in MM.resample_video(media, 2).collect()}
+    p = np.arange(16, dtype=np.int64)
+    for d in range(8):
+        n = 1 + d % 4
+        w, h, fn, fd, frames = MM.decode_y4m(bytes(out[d].payload))
+        assert (w, h, fn, fd) == (4, 4, 25, 2)
+        assert len(frames) == (n + 1) // 2
+        for j, fr in enumerate(frames):
+            src = ((d * 31 + (2 * j) * 7 + p * p) % 256).reshape(4, 4)
+            assert np.array_equal(fr, src.astype(np.uint8)), (d, j)
+
+    with pytest.raises(ValueError, match="factor"):
+        MM.resample_video(media, 0)
+
+
 def test_resample_audio_real_roundtrip(spark):
     """REAL end-to-end decimation: 64-sample 8 kHz fixtures decode,
     4x-average to 16 samples at 2 kHz, re-encode as PCM — decoded

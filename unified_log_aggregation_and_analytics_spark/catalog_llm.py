@@ -4203,6 +4203,40 @@ def multimodal_video_resize(spark, sf_dir):
     return MM.video_stats(MM.resize_video(media, 2, 2))
 
 
+@_register(
+    "multimodal_video_resample",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS nf FROM documents
+    ), fr AS (
+      SELECT media_id, nf, unnest(range(0, nf)) AS fi FROM d
+    ), fm AS (
+      SELECT media_id, nf, fi,
+             {_Y4M_LUMA_SQL.format(f='fi')} AS luma
+      FROM fr WHERE fi % 2 = 0
+    )
+    SELECT media_id,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(25 AS INT) AS fps_num, CAST(2 AS INT) AS fps_den,
+           CAST((nf + 1) // 2 AS INT) AS n_frames,
+           round(SUM(luma) / ((nf + 1) // 2), 6) AS mean_luma
+    FROM fm
+    GROUP BY media_id, nf
+    """,
+)
+def multimodal_video_resample(spark, sf_dir):
+    """X5 — REAL temporal video resample certified end to end (fps
+    normalization; the time-axis member of the resize/resample
+    family): Y4M fixtures decode, every 2nd frame survives
+    (resample_video hop 2), the stream re-encodes at 25/2 fps so
+    duration is preserved, and the stats of the RESAMPLED corpus —
+    frame count ceil(n/2), halved frame rate, mean luma over the
+    kept even-index frames — match a decoder-free analytic oracle."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m(docs, width=4, height=4)
+    return MM.video_stats(MM.resample_video(media, 2))
+
+
 _MJPEG_LUMA_SQL = "CAST(2 * ((media_id * 17 + {f} * 29) % 128) AS DOUBLE)"
 
 

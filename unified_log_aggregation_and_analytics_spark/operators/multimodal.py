@@ -1033,6 +1033,43 @@ def resize_video(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def resample_video(df: DataFrame, factor: int) -> DataFrame:
+    """X5 — REAL temporal video resample (fps normalization, the
+    time-axis member of the r10 resize/resample family; the spatial
+    member is resize_video, the audio member resample_audio): decode
+    through the codec dispatch, keep every ``factor``-th frame
+    starting at 0 (the standard hop), re-encode as lossless Y4M at
+    fps_num/(fps_den*factor) so playback duration is preserved.
+    Geometry metadata is unchanged; non-video rows pass through;
+    undecodable video payloads emit payload=None (decode-gate
+    convention)."""
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1: {factor}")
+
+    def _resample(payload):
+        if payload is None:
+            return None
+        dec = _decode_video(bytes(payload))
+        if dec is None:
+            return None
+        _w, _h, fn, fd, frames = dec
+        kept = frames[::factor]
+        if not kept:
+            return None
+        return encode_y4m(np.stack(kept), fps_num=fn, fps_den=fd * factor)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            is_vid = pdf["modality"] == "video"
+            pdf.loc[is_vid, "payload"] = pdf.loc[is_vid, "payload"].map(_resample)
+            ok = is_vid & pdf["payload"].notna()
+            pdf.loc[ok, "mime"] = "video/x-yuv4mpeg"
+            yield pdf
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 _FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
