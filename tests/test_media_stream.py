@@ -345,3 +345,51 @@ def test_media_torn_batch_replay_no_duplicates(spark, tmp_path, monkeypatch):
     # committed replay: exact no-op
     SM.media_ingest_batch(b2, table, rej, batch_id=1)
     assert fence.fenced_read(spark, table, root).count() == 4
+
+
+def test_media_pipeline_ingest_time_normalization(spark, tmp_path):
+    """run_media_pipeline(transform=...) — ingest-time media
+    normalization e2e: every stored image is the RESIZED (8x8 P6)
+    payload, two inputs that differ only pre-normalization (same
+    pixels at different byte layout is impossible for PPM, so use an
+    exact byte duplicate) still dedup, and a payload the transform
+    cannot decode routes to the DLQ as undecodable."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [(0, _ppm_payload(0, 0)), (1, _ppm_payload(1, 0)),
+            (2, _ppm_payload(0, 0)),  # exact duplicate of 0
+            (3, b"not an image at all")]
+    _media_rows(spark, rows).write.mode("append").parquet(str(src))
+
+    res = SM.run_media_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "media_table"),
+        str(tmp_path / "media_rejected"),
+        str(tmp_path / "media_ckpt"),
+        max_hamming=3,
+        transform=lambda df: MM.resize_media(df, 8, 8),
+    )
+    res.query.awaitTermination(120)
+
+    table = {r.media_id: r for r in spark.read.parquet(str(tmp_path / "media_table")).collect()}
+    # survivors: 0 (keep-min of the exact-dup pair) and 1
+    assert set(table) == {0, 1}
+    for mid, r in table.items():
+        assert (r.width, r.height) == (8, 8)
+        w, h, _mx, px = MM.decode_ppm(bytes(r.payload))
+        assert (w, h) == (8, 8)
+        # stored bytes ARE the normalized ones: recompute from source
+        _sw, _sh, _smx, spx = MM.decode_ppm(_ppm_payload(mid, 0))
+        assert np.array_equal(px, MM.resize_rgb(spx, 8, 8))
+
+    rej = spark.read.parquet(str(tmp_path / "media_rejected")).collect()
+    errs = {r.media_id: r._error for r in rej}
+    assert errs[3] == "undecodable"
+    # the exact duplicate (2) is silently dropped (keep-min contract)
+    # and accounted in the metrics sidecar, not the DLQ
+    assert 2 not in errs
+    m = spark.read.parquet(str(tmp_path / "media_table") + "_metrics")
+    tot = {r.outcome: r.n for r in m.groupBy("outcome").agg(F.sum("n").alias("n")).collect()}
+    assert tot["duplicate"] == 1 and tot["ingested"] == 2
+    assert tot["rejected:undecodable"] == 1

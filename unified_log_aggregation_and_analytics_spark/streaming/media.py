@@ -325,23 +325,40 @@ def run_media_pipeline(
     checkpoint_dir: str,
     max_hamming: int = 3,
     available_now: bool = True,
+    transform=None,
 ) -> MediaPipelineResult:
     """File-source streaming media ingest: parquet media batches land
     in ``source_dir``; each micro-batch runs media_ingest_batch via
     foreachBatch (checkpointed — replay semantics per the module
     docstring). ``available_now`` drains what exists and stops — the
     test/backfill trigger; production uses the default processing-
-    time trigger."""
+    time trigger.
+
+    ``transform`` (optional): a MEDIA_SCHEMA-preserving DataFrame ->
+    DataFrame normalization applied to every micro-batch BEFORE the
+    gate/dedup/ingest — e.g. ``lambda df: resize_media(df, 256, 256)``
+    or a resample_audio/resample_video composition. The stored corpus
+    and every dedup decision then operate on the NORMALIZED payloads
+    (train-ready bytes in the table; inputs that differ only
+    pre-normalization collapse as duplicates), and payloads the
+    transform cannot decode arrive at the gate as payload=None and
+    route to the DLQ as undecodable. Replays re-apply the same
+    deterministic transform, so the fenced exactly-once contract is
+    unchanged."""
     stream = (
         spark.readStream.schema(MEDIA_SCHEMA)
         .parquet(source_dir)
     )
-    writer = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: media_ingest_batch(
-                df, table_path, rejected_path, max_hamming=max_hamming, batch_id=bid
-            )
+
+    def _handle(df: DataFrame, bid: int) -> None:
+        if transform is not None:
+            df = transform(df)
+        media_ingest_batch(
+            df, table_path, rejected_path, max_hamming=max_hamming, batch_id=bid
         )
+
+    writer = (
+        stream.writeStream.foreachBatch(_handle)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
