@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     # round-8: DoReMi-style domain reweighting (LM-proxy scoring
     # dominates; the EG step itself is k-row arithmetic)
     "docs_doremi_mixture",
+    # round-10: the decode -> resize -> re-encode -> decode media
+    # normalization pipeline (two full decode passes per payload —
+    # the heaviest per-row media transform in the catalog)
+    "multimodal_image_resize",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
