@@ -183,6 +183,24 @@ def test_rolling_fingerprint_chain(spark):
     assert got[1] == expect
     assert got[1] != got[2]  # order-sensitive
 
+    # md5-chain twin: Python-reference parity + the same order
+    # sensitivity (the oracle-checkable variant, text_fingerprint_md5)
+    import hashlib
+
+    def md5_chain(toks):
+        acc = "0" * 16
+        for t in toks:
+            acc = hashlib.md5((acc + t).encode()).hexdigest()[:16]
+        return acc
+
+    got5 = {
+        r.doc_id: r.fp_roll
+        for r in X.rolling_fingerprint(df, hash_fn="md5").collect()
+    }
+    assert got5[1] == md5_chain(["a", "b", "c"])
+    assert got5[2] == md5_chain(["c", "b", "a"])
+    assert got5[1] != got5[2]
+
 
 def test_hash_split_stable_and_proportional(spark, docs):
     """Split membership is a pure function of doc_id (identical across

@@ -1337,6 +1337,28 @@ def knn_ivf(spark, sf_dir):
     return S.knn_ivf(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+@_register(
+    "text_fingerprint_md5",
+    """
+    SELECT doc_id,
+           list_reduce(list_prepend('0000000000000000', str_split(text, ' ')),
+                       (acc, x) -> substr(md5(acc || x), 1, 16)) AS fp_roll
+    FROM documents
+    """,
+)
+def text_fingerprint_md5(spark, sf_dir):
+    """X4 — ORACLE-CHECKED twin of text_fingerprint_rolling (the
+    minhash/simhash md5-twin convention applied to the last
+    chain-hash rows-only entry): the same left fold with the hash
+    swapped to a 16-hex md5-prefix chain, which DuckDB replays via
+    list_reduce over the seed-prepended token list — certifying the
+    ORDER-SENSITIVE fold itself cross-engine (any token edit OR
+    transposition changes the fingerprint). The xxhash64 chain stays
+    the fast engine-native path (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.rolling_fingerprint(docs, hash_fn="md5").select("doc_id", "fp_roll")
+
+
 @_register("text_fingerprint_rolling", None)  # xxhash64 chain: engine-specific, rows-only
 def text_fingerprint_rolling(spark, sf_dir):
     """X4 — rolling (order-sensitive) token-stream fingerprint:

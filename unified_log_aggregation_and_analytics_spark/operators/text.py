@@ -153,19 +153,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
     """X4 — order-sensitive rolling hash over the token stream:
-    ``h_i = xxhash64(h_{i-1}, token_i)`` folded left-to-right. The
+    ``h_i = hash(h_{i-1}, token_i)`` folded left-to-right. The
     chained-hash form is ANSI-overflow-safe (no multiply) while
     keeping the rolling property: any token edit changes the
     fingerprint, and prefix-equal documents share hash prefixes during
     the fold (useful for streaming/incremental fingerprinting).
-    """
-    roll = F.aggregate(
-        tokens(text_col),
-        F.lit(0).cast("long"),
-        lambda acc, t: F.xxhash64(acc, t),
-    )
+
+    ``hash_fn='md5'`` chains the 16-hex md5 prefix of (acc || token)
+    instead — bit-identical in DuckDB via ``list_reduce`` over the
+    seed-prepended token list, making the ORDER-SENSITIVE fold itself
+    oracle-checkable (the simhash64/minhash md5-twin convention);
+    xxhash64 stays the fast engine-native default. The md5 chain's
+    fp_roll is a 16-hex string; the xxhash64 chain's is a long."""
+    if hash_fn == "xxhash64":
+        roll = F.aggregate(
+            tokens(text_col),
+            F.lit(0).cast("long"),
+            lambda acc, t: F.xxhash64(acc, t),
+        )
+    elif hash_fn == "md5":
+        roll = F.aggregate(
+            tokens(text_col),
+            F.lit("0" * 16),
+            lambda acc, t: F.substring(
+                F.md5(F.concat(acc, t).cast("binary")), 1, 16
+            ),
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return df.withColumn("fp_roll", roll)
 
 
