@@ -4678,6 +4678,102 @@ def docs_cluster_split(spark, sf_dir):
     return cluster_split(docs, comp).select("doc_id", "cluster_key", "split")
 
 
+# FIXED, data-independent BPE merges for the encode-certification
+# entry: rank order is the merge priority; the chain
+# t->ta->tab->tabl->table (and q->qu->que->quer->query) exercises
+# multi-level merging, (e,r) fires standalone inside merge/customer/
+# order — so the oracle discriminates rank-priority bugs.
+_BPE_SEED_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("q", "u"), ("qu", "e"), ("e", "r"), ("que", "r"), ("quer", "y"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of the greedy rank-min BPE ENCODER over the seeded
+    merge table: a RECURSIVE CTE carries each distinct word's symbol
+    list; every step ranks all adjacent pairs against the merge
+    literals (chr(1)-joined keys; list_position = rank+1, first
+    occurrence = the encoder's leftmost tie rule), merges exactly the
+    leftmost minimum-rank pair, and stops when no pair is in the
+    table — the terminal rows are the encoded words, re-weighted by
+    corpus word frequency into top-30 token counts."""
+    keys = "[" + ", ".join(
+        f"'{a}'||chr(1)||'{b}'" for a, b in _BPE_SEED_MERGES
+    ) + "]"
+    ranks = (
+        "list_transform(range(1, len(syms)), "
+        f"i -> nullif(list_position({keys}, "
+        "syms[i] || chr(1) || syms[i+1]), 0))"
+    )
+    return f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest(str_split_regex(lower(text), '\\s+')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    enc AS (
+      SELECT word, str_split(word, '') AS syms FROM words
+      UNION ALL
+      SELECT word,
+             list_concat(list_concat(
+               syms[1:best_i-1],
+               [syms[best_i] || syms[best_i+1]]),
+               syms[best_i+2:]) AS syms
+      FROM (
+        SELECT word, syms,
+               list_position(ranks,
+                 list_min(list_filter(ranks, x -> x IS NOT NULL))) AS best_i
+        FROM (SELECT word, syms, {ranks} AS ranks FROM enc)
+      ) WHERE best_i IS NOT NULL AND best_i > 0
+    ),
+    final AS (
+      SELECT word, syms FROM (
+        SELECT word, syms, {ranks} AS ranks FROM enc
+      ) WHERE len(list_filter(ranks, x -> x IS NOT NULL)) = 0
+    )
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+    FROM (SELECT word, unnest(syms) AS token FROM final) u
+    JOIN words USING (word)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 30
+"""
+
+
+@_register("text_bpe_encode_seeded", _bpe_encode_oracle())
+def text_bpe_encode_seeded(spark, sf_dir):
+    """X4 — BPE ENCODING certified cross-engine (the
+    knn_pq_adc_seeded pattern applied to the tokenizer): a FIXED
+    data-independent merge table drives the greedy rank-min encoder
+    (tokenizer.BPETokenizer) through the same Arrow seam the trained
+    path uses, and a DuckDB RECURSIVE CTE replays the merge loop
+    exactly — per-word symbol state, leftmost-minimum-rank pair
+    choice, one merge per step, stop when no pair remains — so the
+    top-30 token frequencies hash-match. Tokenizer TRAINING
+    (text_bpe_tokens) remains the honest rows-only sequential-argmax
+    step; this entry certifies everything downstream of it."""
+    from unified_log_aggregation_and_analytics_spark.operators.tokenizer import (
+        ArrowTokenizer,
+        BPETokenizer,
+        with_subword_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = with_subword_tokens(
+        docs, tokenizer=ArrowTokenizer(BPETokenizer(_BPE_SEED_MERGES))
+    )
+    return (
+        toked.select(F.explode("_subword_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )
+
+
 @_register("text_bpe_tokens", None)  # iterative driver-side merge training: no SQL oracle; pytest pins hand-computed merges
 def text_bpe_tokens(spark, sf_dir):
     """X4 — tokenizer TRAINING end to end: the corpus reduces to its
