@@ -1053,3 +1053,88 @@ def test_alaw_wav_decode(spark):
     assert (rate, ch, bits, n_frames) == (8000, 1, 8, 64)
     codes = ((2 * 13 + np.arange(64) * 7) % 256).astype(np.uint8)
     assert np.array_equal(arr, MM.alaw_expand(codes))
+
+
+def test_encode_wav_pcm_geometry_validation():
+    """A channels/geometry mismatch must fail loudly (r11): silently
+    emitting a parseable WAV whose block-align and frame count lie
+    about the layout is worse than a crash."""
+    stereo = np.zeros((4, 2), dtype=np.uint8)
+    assert MM.decode_wav(MM.encode_wav_pcm(stereo, 8000, channels=2))[1] == 2
+    with pytest.raises(ValueError, match="channels"):
+        MM.encode_wav_pcm(stereo, 8000, channels=1)
+    with pytest.raises(ValueError, match="whole number"):
+        MM.encode_wav_pcm(np.zeros(5, dtype=np.uint8), 8000, channels=2)
+    # flat interleaved stereo of whole frames stays accepted
+    flat = MM.encode_wav_pcm(np.zeros(6, dtype=np.uint8), 8000, channels=2)
+    assert MM.decode_wav(flat)[3] == 3
+
+
+def test_frame_luma_stats_decode_seam(spark):
+    """frame_luma_stats shares the pluggable decode seam with
+    video_stats / frame_diff_keyframes (r11 — the seam's docstring
+    promised this): an injected runner that transcodes MJPEG-AVI to
+    Y4M drives the time-grid sampler to IDENTICAL rows as the native
+    path (the transcode hop is lossless)."""
+
+    def fake_ffmpeg(data: bytes) -> bytes:
+        dec = MM.decode_mjpeg_avi(data)
+        if dec is None:
+            return b""
+        w, h, fn, fd, frames = dec
+        return MM.encode_y4m(np.stack(frames), fps_num=fn, fps_den=fd)
+
+    def via_ffmpeg(payload):
+        return MM.decode_video_ffmpeg(payload, runner=fake_ffmpeg)
+
+    docs = load_table(spark, "documents", SF).limit(6)
+    media = MM.media_with_mjpeg(docs)
+    native = sorted(map(tuple, MM.frame_luma_stats(media, every_ms=100).collect()))
+    gated = sorted(
+        map(tuple, MM.frame_luma_stats(media, every_ms=100, decode=via_ffmpeg).collect())
+    )
+    assert native == gated and native
+
+
+def test_resize_media_on_exotic_null(spark):
+    """on_exotic='null' (r11): a REAL-but-exotic image payload
+    (progressive JPEG without Pillow) maps to payload=None — the
+    streaming-ingest valve that routes it to the DLQ instead of
+    aborting the micro-batch — while the batch default stays the loud
+    NotImplementedError."""
+    if MM._HAS_PIL:
+        pytest.skip("Pillow present: progressive JPEG decodes instead")
+    prog = MM.encode_jpeg(np.full((8, 8), 100, dtype=np.uint8)).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+    docs = load_table(spark, "documents", SF).limit(1)
+    media = MM.media_with_jpeg(docs).withColumn("payload", F.lit(prog))
+
+    row = MM.resize_media(media, 4, 4, on_exotic="null").collect()[0]
+    assert row.payload is None and row.width is None and row.height is None
+
+    with pytest.raises(Exception, match="non-baseline"):
+        MM.resize_media(media, 4, 4).collect()
+    with pytest.raises(ValueError, match="on_exotic"):
+        MM.resize_media(media, 4, 4, on_exotic="drop")
+
+
+def test_resample_audio_on_exotic_null(spark):
+    """Audio twin of the exotic valve (r11): an unsupported WAV codec
+    tag (2 = ADPCM) maps to payload=None under on_exotic='null' and
+    keeps decode_wav's loud NotImplementedError by default."""
+    docs = load_table(spark, "documents", SF).limit(1)
+    media = MM.media_with_wav(docs)
+    payload = bytearray(bytes(media.collect()[0].payload))
+    payload[20:22] = (2).to_bytes(2, "little")  # fmt tag: PCM -> ADPCM
+    with pytest.raises(NotImplementedError, match="codec tag"):
+        MM.decode_wav(bytes(payload))
+    exotic = media.withColumn("payload", F.lit(bytes(payload)))
+
+    row = MM.resample_audio(exotic, 4, on_exotic="null").collect()[0]
+    assert row.payload is None and row.duration_ms is None
+
+    with pytest.raises(Exception, match="codec tag"):
+        MM.resample_audio(exotic, 4).collect()
+    with pytest.raises(ValueError, match="on_exotic"):
+        MM.resample_audio(exotic, 4, on_exotic="drop")

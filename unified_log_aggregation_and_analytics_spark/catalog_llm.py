@@ -1341,7 +1341,7 @@ def knn_ivf(spark, sf_dir):
     "text_fingerprint_md5",
     """
     SELECT doc_id,
-           list_reduce(list_prepend('0000000000000000', str_split(text, ' ')),
+           list_reduce(list_prepend('0000000000000000', str_split_regex(text, '\\s+')),
                        (acc, x) -> substr(md5(acc || x), 1, 16)) AS fp_roll
     FROM documents
     """,
@@ -3405,12 +3405,14 @@ def knn_pq_adc_seeded(spark, sf_dir):
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
 
 
-def _ivfpq_seeded_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
-    """DuckDB twin of the SEEDED IVF-PQ index probe — the _ivf_oracle
+def _ivfpq_chain(m: int = 4, codes: int = 8, k: int = 10) -> tuple[str, str]:
+    """Shared SQL pieces of the SEEDED IVF-PQ probe — the _ivf_oracle
     cell machinery (centroids = 16 lowest-id vectors, argmax-cosine
     assignment with first-min ties, top-4 probe cells with
-    argsort()[::-1] ties) composed with the _pq_adc_ctes encode chain:
-    ADC scores only for vectors whose assigned cell is probed."""
+    argsort()[::-1] ties) composed with the _pq_adc_ctes encode
+    chain. Returns ``(ctes, adc_select)`` so _ivfpq_seeded_oracle and
+    _ivfpq_recall_oracle COMPOSE the chain instead of re-splitting a
+    formatted SQL string (the r10 rsplit was whitespace-coupled)."""
     from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
 
     cb = PQ.seeded_pq_codebooks(64, m=m, codes=codes, seed=42)
@@ -3427,8 +3429,7 @@ def _ivfpq_seeded_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
         )
         + "]"
     )
-    return f"""
-    WITH {_pq_adc_ctes(cb_lit, m, codes, sd)},
+    ctes = f"""{_pq_adc_ctes(cb_lit, m, codes, sd)},
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
           WHERE vec_id BETWEEN 1 AND 16),
     probe AS (
@@ -3445,8 +3446,8 @@ def _ivfpq_seeded_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
         FROM embeddings e CROSS JOIN c
         WHERE e.vec_id <> 0
       ) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
-    )
-    SELECT b.vec_id,
+    )"""
+    adc_select = f"""SELECT b.vec_id,
            round(SUM(
              list_sum(list_transform(range(1, {sd + 1}),
                j -> (CAST(q.qe[b.mi * {sd} + j] AS DOUBLE) - cbt.cb[b.mi + 1][b.ci + 1][j])
@@ -3455,7 +3456,17 @@ def _ivfpq_seeded_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
     FROM best b JOIN cellof USING (vec_id) CROSS JOIN q CROSS JOIN cbt
     GROUP BY b.vec_id
     ORDER BY adc_dist, b.vec_id
-    LIMIT {k}
+    LIMIT {k}"""
+    return ctes, adc_select
+
+
+def _ivfpq_seeded_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
+    """DuckDB twin of the SEEDED IVF-PQ index probe: ADC scores only
+    for vectors whose assigned cell is probed (chain in _ivfpq_chain)."""
+    ctes, adc_select = _ivfpq_chain(m=m, codes=codes, k=k)
+    return f"""
+    WITH {ctes}
+    {adc_select}
 """
 
 
@@ -3486,11 +3497,11 @@ def _ivfpq_recall_oracle(m: int = 4, codes: int = 8, k: int = 10) -> str:
     tie order — one row (k, recall_at_k). Measures what the TWO
     approximations together (coarse cell pruning + PQ distances)
     cost, the number a user checks before trusting the index."""
-    base = _ivfpq_seeded_oracle(m=m, codes=codes, k=k)
-    # reuse the seeded chain verbatim as a CTE: wrap its final SELECT
-    head, final = base.rsplit(")\n    SELECT", 1)
-    return f"""{head}),
-    adc AS (SELECT{final}
+    ctes, adc_select = _ivfpq_chain(m=m, codes=codes, k=k)
+    return f"""
+    WITH {ctes},
+    adc AS (
+      {adc_select}
     ),
     exact AS (
       SELECT e.vec_id,

@@ -950,7 +950,9 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=_IMAGE_STATS_SCHEMA)
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(
+    df: DataFrame, width: int, height: int, on_exotic: str = "raise"
+) -> DataFrame:
     """Resize images to (width, height) via mapInPandas — REAL since
     r10 (this was the last stubbed decode step): each image payload
     decodes through the native codec dispatch (_decode_rgb —
@@ -960,13 +962,28 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     geometry metadata and mime updated. Non-image rows pass through
     untouched; an UNDECODABLE image payload emits payload=None with
     null geometry (the decode-gate convention: a downstream gate
-    routes it, the batch never crashes), while a real-but-exotic
-    format keeps the dispatcher's loud NotImplementedError."""
+    routes it, the batch never crashes).
+
+    ``on_exotic`` governs real-but-exotic formats (e.g. progressive
+    JPEG without Pillow): the default ``'raise'`` keeps the
+    dispatcher's loud NotImplementedError — right for batch jobs,
+    where silently dropping a decodable-in-principle corpus slice is
+    worse than crashing; ``'null'`` maps them to payload=None like
+    any undecodable input — the streaming-ingest setting, where one
+    exotic payload must route to the DLQ, not abort the micro-batch
+    (see run_media_pipeline)."""
+    if on_exotic not in ("raise", "null"):
+        raise ValueError(f"on_exotic must be 'raise' or 'null': {on_exotic!r}")
 
     def _resize(payload) -> bytes | None:
         if payload is None:
             return None
-        dec = _decode_rgb(bytes(payload))
+        try:
+            dec = _decode_rgb(bytes(payload))
+        except NotImplementedError:
+            if on_exotic == "null":
+                return None
+            raise
         if dec is None:
             return None
         _w, _h, px = dec
@@ -1233,6 +1250,18 @@ def encode_wav_pcm(
         bits = 16
     else:
         raise ValueError(f"PCM dtype must be uint8 or int16: {arr.dtype}")
+    # Geometry must agree with `channels` or the emitted header lies
+    # (wrong block-align / frame count) — fail loudly instead.
+    if arr.ndim == 2 and arr.shape[1] != channels:
+        raise ValueError(
+            f"(frames, channels) input has {arr.shape[1]} channels, "
+            f"channels={channels}"
+        )
+    if arr.ndim == 1 and channels > 1 and arr.size % channels:
+        raise ValueError(
+            f"flat length {arr.size} is not a whole number of "
+            f"{channels}-channel frames"
+        )
     data = arr.tobytes()
     block = channels * bits // 8
     fmt = (
@@ -1248,7 +1277,7 @@ def encode_wav_pcm(
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def resample_audio(df: DataFrame, factor: int) -> DataFrame:
+def resample_audio(df: DataFrame, factor: int, on_exotic: str = "raise") -> DataFrame:
     """X5 — REAL audio resample by integer decimation (the
     sample-rate-normalization step of an audio-training pipeline;
     the audio twin of resize_media): decode the WAV (PCM, or G.711
@@ -1260,15 +1289,25 @@ def resample_audio(df: DataFrame, factor: int) -> DataFrame:
     updated. Non-audio rows pass through untouched; undecodable
     audio payloads emit payload=None with null duration (the
     decode-gate convention); exotic codecs keep decode_wav's loud
-    NotImplementedError. A trailing partial block (n_frames %
-    factor) is dropped, as every hop-based resampler does."""
+    NotImplementedError by default — ``on_exotic='null'`` maps them
+    to payload=None instead, the streaming-ingest setting (see
+    resize_media / run_media_pipeline). A trailing partial block
+    (n_frames % factor) is dropped, as every hop-based resampler
+    does."""
     if factor < 1:
         raise ValueError(f"decimation factor must be >= 1: {factor}")
+    if on_exotic not in ("raise", "null"):
+        raise ValueError(f"on_exotic must be 'raise' or 'null': {on_exotic!r}")
 
     def _resample(payload):
         if payload is None:
             return None, None
-        wav = decode_wav(bytes(payload))
+        try:
+            wav = decode_wav(bytes(payload))
+        except NotImplementedError:
+            if on_exotic == "null":
+                return None, None
+            raise
         if wav is None:
             return None, None
         rate, ch, _bits, n_frames, arr = wav
@@ -2337,20 +2376,24 @@ _FRAME_LUMA_SCHEMA = T.StructType(
 
 
 def frame_luma_stats(
-    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, decode=None
 ) -> DataFrame:
-    """X5 — REAL frame sampling: decode Y4M, pick the frame under
-    each ``every_ms`` grid point (frame_idx = ts*fps//1000, integer
-    arithmetic — engine-replayable), cap at ``max_frames``, emit per-
-    frame luma means. This is the genuine form of the sample_frames
-    plumbing stub: 1-to-N fan-out with decoded content."""
+    """X5 — REAL frame sampling: decode the video (Y4M or MJPEG-AVI
+    natively; ``decode='ffmpeg'`` routes through the gated inter-frame
+    path, same seam as video_stats / frame_diff_keyframes), pick the
+    frame under each ``every_ms`` grid point (frame_idx =
+    ts*fps//1000, integer arithmetic — engine-replayable), cap at
+    ``max_frames``, emit per-frame luma means. This is the genuine
+    form of the sample_frames plumbing stub: 1-to-N fan-out with
+    decoded content."""
+    decoder = _video_decoder(decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vids = pdf[pdf["modality"] == "video"]
             out = {k.name: [] for k in _FRAME_LUMA_SCHEMA.fields}
             for mid, payload in zip(vids["media_id"], vids["payload"]):
-                dec = _decode_video(payload) if payload is not None else None
+                dec = decoder(payload) if payload is not None else None
                 if dec is None:
                     continue
                 w, h, fn, fd, frames = dec

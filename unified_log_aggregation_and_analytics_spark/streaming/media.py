@@ -344,7 +344,18 @@ def run_media_pipeline(
     transform cannot decode arrive at the gate as payload=None and
     route to the DLQ as undecodable. Replays re-apply the same
     deterministic transform, so the fenced exactly-once contract is
-    unchanged."""
+    unchanged.
+
+    CAUTION — exotic formats: the decode kernels' DEFAULT for a
+    real-but-exotic payload (progressive JPEG without Pillow, an
+    uncommon WAV codec) is a loud NotImplementedError, which here
+    would abort the micro-batch from inside foreachBatch and kill the
+    stream. Streaming transforms should pass the kernels'
+    ``on_exotic='null'`` valve (e.g. ``lambda df: resize_media(df,
+    256, 256, on_exotic='null')``) so those payloads become
+    payload=None and route to the DLQ as undecodable like any other
+    bad input; keep the raising default only when an exotic payload
+    reaching this pipeline is a deploy bug you want fatal."""
     stream = (
         spark.readStream.schema(MEDIA_SCHEMA)
         .parquet(source_dir)
