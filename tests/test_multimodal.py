@@ -1138,3 +1138,71 @@ def test_resample_audio_on_exotic_null(spark):
         MM.resample_audio(exotic, 4).collect()
     with pytest.raises(ValueError, match="on_exotic"):
         MM.resample_audio(exotic, 4, on_exotic="drop")
+
+
+def test_audio_dft_fingerprint_parity_and_margin(spark):
+    """The DFT-twin fingerprint (r11 — the certification path of the
+    spectral near-dup family): (1) the Spark audio_hash_dft column
+    equals the pure-Python audio_dft_fingerprint64 reference on the
+    closed-form fixture; (2) the fixture's smallest nonzero
+    window-to-window band-energy gap stays orders of magnitude above
+    summation-order noise (the margin that makes the transition bits
+    engine-stable — the catalog docstring cites this pin); (3) the
+    zero-pad path for short clips is deterministic."""
+    docs = load_table(spark, "documents", SF).limit(40)
+    media = MM.media_with_wav_dft_groups(docs, group_size=4)
+    got = {r.media_id: r.afp for r in MM.audio_hash_dft(media).collect()}
+    assert len(got) == 40
+
+    j = np.arange(160, dtype=np.int64)
+    min_gap = float("inf")
+    for d in range(40):
+        g, m = d // 4, d % 4
+        h = g * 2654435761 + j * 2246822519 + 12345
+        v = (h ^ (h >> 9) ^ (h >> 17)) % 256
+        if m:
+            pert = (v + m * (7 + 3 * j)) % 256
+            v = np.where((j >= 64) & (j < 80), pert, v)
+        ref = MM.audio_dft_fingerprint64(v.astype(np.float64))
+        assert got[d] == ref, d
+        # re-derive the energies to pin the comparison margin
+        vals = [float(x) for x in v[:144]]
+        E = []
+        for w in range(9):
+            row = []
+            for k in range(1, 9):
+                re = im = 0.0
+                for n in range(16):
+                    re += vals[w * 16 + n] * MM.DFT_COS_16[(k * n) % 16]
+                    im += vals[w * 16 + n] * MM.DFT_SIN_16[(k * n) % 16]
+                row.append(round(re * re + im * im, 6))
+            E.append(row)
+        for w in range(1, 9):
+            for b in range(8):
+                gap = abs(E[w][b] - E[w - 1][b])
+                if gap:
+                    min_gap = min(min_gap, gap)
+    assert min_gap > 1.0, min_gap
+
+    short = MM.audio_dft_fingerprint64(np.arange(10, dtype=np.float64))
+    assert short == MM.audio_dft_fingerprint64(
+        np.pad(np.arange(10, dtype=np.float64), (0, 134))
+    )
+
+
+def test_audio_near_dup_dft_group_structure(spark):
+    """audio_near_dup_dft finds EVERY within-group pair on the DFT
+    fixture (the member perturbation is confined to window 4, so at
+    most the 16 bits of transitions 3->4 / 4->5 differ and bands 0/3
+    are always shared — candidate recall is structural, not
+    probabilistic) and, on this fixture, nothing else."""
+    docs = load_table(spark, "documents", SF).limit(48)
+    media = MM.media_with_wav_dft_groups(docs, group_size=4)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in MM.audio_near_dup_dft(media).collect()}
+    for g in range(12):
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert (g * 4 + a, g * 4 + b) in pairs
+    for (a, b), h in pairs.items():
+        assert a // 4 == b // 4, (a, b)
+        assert 0 <= h <= 12

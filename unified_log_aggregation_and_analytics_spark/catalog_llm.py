@@ -1145,6 +1145,96 @@ def multimodal_audio_near_dup(spark, sf_dir):
     return MM.audio_near_dup(media, max_hamming=8)
 
 
+def _audio_dft_oracle(max_hamming: int = 12, bands: int = 4) -> str:
+    """DuckDB replay of the ENTIRE DFT-twin audio near-dup path —
+    the last rows-only family's certification (r11): fixture samples
+    (integer xor-fold closed form, media_with_wav_dft_groups), the
+    O(N^2) DFT as explicit sum-of-products over the SHARED 12-decimal
+    trig literals (multimodal.DFT_COS_16/DFT_SIN_16 — embedded below
+    via repr, so both engines use bit-identical tables and no trig is
+    evaluated cross-engine), band energies round(Re^2+Im^2, 6)
+    (bit-identical before rounding: integer samples are exact in
+    float64 and list_sum's left-to-right association matches the
+    kernel's sequential Python loop), transition bits packed into a
+    signed BIGINT exactly like audio_dft_fingerprint64 (bit 63 via
+    the -2^63 offset), then the SAME banded Hamming join as
+    _IMG_PAIRS_CTES ((afp >> 16b) & 65535 equals Spark's
+    shiftrightunsigned slice because the mask keeps only the low 16
+    bits of the arithmetic shift)."""
+    c_lit = "[" + ", ".join(repr(v) for v in MM.DFT_COS_16) + "]"
+    s_lit = "[" + ", ".join(repr(v) for v in MM.DFT_SIN_16) + "]"
+    return f"""
+    WITH trig AS (SELECT {c_lit}::DOUBLE[] AS c, {s_lit}::DOUBLE[] AS s),
+    samp AS (
+      SELECT doc_id AS media_id,
+        list_transform(range(0, 144), j ->
+          CAST((
+            xor(xor((doc_id//4)*2654435761 + j*2246822519 + 12345,
+                    ((doc_id//4)*2654435761 + j*2246822519 + 12345) >> 9),
+                ((doc_id//4)*2654435761 + j*2246822519 + 12345) >> 17) % 256
+            + CASE WHEN doc_id%4 > 0 AND j >= 64 AND j < 80
+                   THEN (doc_id%4)*(7 + 3*j) ELSE 0 END
+          ) % 256 AS DOUBLE)) AS x
+      FROM documents
+    ),
+    en AS (
+      SELECT media_id,
+        list_transform(range(0, 9), w ->
+          list_transform(range(1, 9), k ->
+            round(
+              pow(list_sum(list_transform(range(0, 16),
+                n -> x[w*16+n+1] * trig.c[(k*n)%16 + 1])), 2)
+            + pow(list_sum(list_transform(range(0, 16),
+                n -> x[w*16+n+1] * trig.s[(k*n)%16 + 1])), 2)
+            , 6))) AS E
+      FROM samp CROSS JOIN trig
+    ),
+    fp AS (
+      SELECT media_id,
+        CAST(list_sum(list_transform(range(0, 63), i ->
+          CASE WHEN E[i//8 + 2][i%8 + 1] > E[i//8 + 1][i%8 + 1]
+               THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+        + CASE WHEN E[9][8] > E[8][8]
+               THEN CAST(-9223372036854775808 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS afp
+      FROM en
+    ),
+    bnd AS (
+      SELECT media_id, afp, b AS band_idx,
+             (afp >> (16 * CAST(b AS INTEGER))) & 65535 AS band_val
+      FROM fp CROSS JOIN (SELECT unnest(range(0, {bands})) AS b)
+    )
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+    FROM bnd a JOIN bnd b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
+"""
+
+
+@_register("multimodal_audio_near_dup_dft", _audio_dft_oracle())
+def multimodal_audio_near_dup_dft(spark, sf_dir):
+    """X5/X2 — the SPECTRAL fingerprint certified cross-engine (r11,
+    closing the last twin-less rows-only residual): WAV decode →
+    explicit N=16 DFT fingerprint (audio_dft_fingerprint64 — the
+    knn_pq_adc_seeded twin convention applied to the rFFT path: same
+    pipeline shape, the transform replayed as closed-form arithmetic)
+    → the SAME banded Hamming join audio_near_dup uses. The oracle
+    (_audio_dft_oracle) replays fixture bytes, every DFT sum, the
+    6-decimal energy rounding, bit packing, banding, and the pair
+    filter in DuckDB list arithmetic. Comparison robustness: the
+    fixture's smallest nonzero window-to-window energy gap is ~4.7
+    (pinned in tests/test_multimodal.py), nine orders above any
+    summation-order noise, so the transition bits cannot flip between
+    engines. audio_near_dup (rFFT, xxhash-speed) stays the fast
+    default; this entry certifies its semantics."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_wav_dft_groups(docs, group_size=4)
+    return MM.audio_near_dup_dft(media, max_hamming=12)
+
+
 @_register("multimodal_feature_knn", _FEATURE_KNN_ORACLE)
 def multimodal_feature_knn(spark, sf_dir):
     """X5/X3 — media RETRIEVAL end to end: decode images to

@@ -1839,6 +1839,75 @@ def audio_fingerprint64(samples: np.ndarray, n_windows: int = 9, n_bands: int = 
     return bits_val
 
 
+# Shared trig tables of the N=16 DFT twin: the 16 distinct values of
+# cos/sin(2*pi*j/16), rounded to 12 decimals so the ORACLE can embed
+# the identical float64 literals (repr round-trips exactly) — no
+# cross-engine trig evaluation anywhere. math.cos here and DuckDB's
+# cos may differ in the last ulp; a 12-decimal round of values this
+# far from any rounding boundary is bit-stable either way, and using
+# ONE Python-computed table on both sides removes even that risk.
+import math as _math
+
+DFT_COS_16: tuple[float, ...] = tuple(
+    round(_math.cos(2 * _math.pi * j / 16), 12) for j in range(16)
+)
+DFT_SIN_16: tuple[float, ...] = tuple(
+    round(_math.sin(2 * _math.pi * j / 16), 12) for j in range(16)
+)
+
+
+def audio_dft_fingerprint64(
+    samples: np.ndarray, n_windows: int = 9, window: int = 16
+) -> int:
+    """Seeded DFT twin of audio_fingerprint64 (the spectral
+    fingerprint's certification path): the first ``n_windows`` fixed
+    ``window``-sample windows, per-window DFT coefficients k=1..8 as
+    EXPLICIT O(N^2) sums Re_k = sum_n x[n]*cos(2*pi*(k*n mod 16)/16)
+    (and Im_k likewise; k=0 is skipped, which makes mean subtraction
+    unnecessary — the DC term is the only coefficient it touches),
+    band energy E = round(Re^2 + Im^2, 6), one bit per (window, k)
+    energy INCREASE vs the previous window — 8 transitions x 8
+    coefficients = 64 bits, packed exactly like audio_fingerprint64.
+
+    Determinism contract (why a DuckDB oracle replays this bit for
+    bit): samples are integers (exact in float64), the trig tables
+    are shared literals (DFT_COS_16/DFT_SIN_16), and the inner sums
+    accumulate SEQUENTIALLY left to right in plain Python — the same
+    association order as DuckDB's list_sum — so the energies are
+    bit-identical across engines before the round(6) even applies
+    (measured 0/1440 mismatches on the fixture). numpy's pairwise
+    sum would NOT replay, which is why this kernel deliberately stays
+    a scalar loop: 2.3k multiply-adds per clip, certification-grade
+    throughput; audio_fingerprint64's rFFT stays the fast default."""
+    need = n_windows * window
+    x = samples.astype(np.float64)
+    if x.size < need:
+        x = np.pad(x, (0, need - x.size))
+    vals = [float(v) for v in x[:need]]
+    energies = []
+    for w in range(n_windows):
+        row = []
+        for k in range(1, 9):
+            re = 0.0
+            im = 0.0
+            for n in range(window):
+                v = vals[w * window + n]
+                re += v * DFT_COS_16[(k * n) % 16]
+                im += v * DFT_SIN_16[(k * n) % 16]
+            row.append(round(re * re + im * im, 6))
+        energies.append(row)
+    bits_val = 0
+    i = 0
+    for wi in range(1, n_windows):
+        for bi in range(8):
+            if energies[wi][bi] > energies[wi - 1][bi]:
+                bits_val |= 1 << i
+            i += 1
+    if bits_val >= 1 << 63:
+        bits_val -= 1 << 64
+    return bits_val
+
+
 def _wav_mono(wav: tuple) -> np.ndarray | None:
     """Channel-mean mono mix of a decode_wav result — the ONE copy of
     the reshape both the batch fingerprint op and the streaming gate
@@ -1889,6 +1958,49 @@ def audio_near_dup(
     )
 
 
+def audio_hash_dft(df: DataFrame) -> DataFrame:
+    """Certification twin of audio_hash: the same WAV decode +
+    channel-mean mono mix, fingerprinted by audio_dft_fingerprint64
+    (explicit N=16 DFT sums, oracle-replayable) instead of the rFFT
+    path. Same (media_id, afp) contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prints = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                wav = decode_wav(p) if p is not None else None
+                mono = _wav_mono(wav) if wav is not None else None
+                if mono is None:
+                    continue
+                ids.append(mid)
+                prints.append(audio_dft_fingerprint64(mono))
+            yield pd.DataFrame({"media_id": ids, "afp": pd.Series(prints, dtype="int64")})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def audio_near_dup_dft(
+    df: DataFrame,
+    max_hamming: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """X5/X2 — audio near-duplicate pairs over the DFT-twin
+    fingerprint: identical banded Hamming join (plan shape, recall
+    semantics, output contract) as audio_near_dup, with every stage —
+    decode, DFT, transition bits, banding, pair filter — replayable
+    in DuckDB arithmetic (the multimodal_audio_near_dup_dft oracle).
+    audio_near_dup's rFFT fingerprint stays the fast default."""
+    return hamming_near_dup(
+        audio_hash_dft(df), "afp", max_hamming=max_hamming, bands=bands
+    )
+
+
 def media_with_wav_groups(
     docs: DataFrame,
     group_size: int = 4,
@@ -1924,6 +2036,69 @@ def media_with_wav_groups(
                 if m:
                     base = base + 0.15 * np.sin(2 * np.pi * (m + 29) * i / 64.0)
                 data = (127.5 + 100.0 * base / np.abs(base).max()).astype(np.uint8)
+                body = (
+                    b"WAVE" + fmt + b"data"
+                    + len(data).to_bytes(4, "little") + data.tobytes()
+                )
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_with_wav_dft_groups(
+    docs: DataFrame,
+    group_size: int = 4,
+    n_samples: int = 160,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Near-dup-structured audio fixture for the DFT twin, built from
+    INTEGER arithmetic only so a SQL oracle replays every sample
+    byte: sample j of group g is an xor-fold hash
+    ``h = g*2654435761 + j*2246822519 + 12345;
+    v = (h ^ (h>>9) ^ (h>>17)) % 256`` — spectrally rich content
+    (deliberately NOT a polynomial in j: quadratic-phase sequences
+    have near-flat DFT magnitudes — Gauss sums — which makes the
+    energy-transition bits degenerate; and NOT merely offset per
+    group: any polynomial in g collapses mod 256). Members m > 0 add
+    ``m*(7 + 3*j)`` inside window 4 only (samples 64..79), so
+    within-group fingerprints differ in at most the 16 bits of
+    transitions 3->4 and 4->5 — bands 0 and 3 always shared, the
+    banded join finds every within-group pair — while cross-group
+    prints are ~32 bits apart. 8-bit mono PCM, closed form, exact."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(n_samples, dtype=np.int64)
+        fmt = (
+            b"fmt \x10\x00\x00\x00"
+            + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+        )
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                g, m = int(d) // group_size, int(d) % group_size
+                h = g * 2654435761 + j * 2246822519 + 12345
+                v = (h ^ (h >> 9) ^ (h >> 17)) % 256
+                if m:
+                    pert = (v + m * (7 + 3 * j)) % 256
+                    v = np.where((j >= 64) & (j < 80), pert, v)
+                data = v.astype(np.uint8)
                 body = (
                     b"WAVE" + fmt + b"data"
                     + len(data).to_bytes(4, "little") + data.tobytes()
