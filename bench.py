@@ -187,6 +187,16 @@ SCALE_QUERIES = [
     # (two decode passes + the area-average kernel per payload — the
     # heaviest per-row media transform, so its growth row matters)
     "multimodal_image_resize",
+    # r11 (verdict item 4): standing scale rows for the certified-but-
+    # never-scale-benched families. GD training (24 full-batch steps
+    # over the checkpointed feature frame — eager-by-contract, the
+    # whole train run is inside the clock; r7 measured it ad hoc at
+    # ~21 s, now tracked round-over-round) and the persisted-index
+    # BM25 probe (index builds once per process via tableExists
+    # memoization; the timed region is the probe — index-probe
+    # latency tracked like the vector-index probes are).
+    "text_quality_train",
+    "q02e_indexed_bm25",
 ]
 
 
@@ -224,9 +234,43 @@ def _scale_extra_queries():
         )
         return S.knn_join(emb, k=5, n_bits=7, dim=64, multiprobe_bits=1)
 
+    def _scaled_edges(spark, sf_dir):
+        # Same graph the catalog entries build, at the 10x-appropriate
+        # bucket granularity (n_bits 4 -> 7, see the docstring above)
+        # and the same all-bit multiprobe policy; materialized eagerly
+        # exactly like the catalog entries (localCheckpoint) so the
+        # rank/degree rounds re-read a 2-column edge list.
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(32)
+        )
+        edges = S.knn_join(
+            emb, k=5, n_bits=7, dim=64, multiprobe_bits=1
+        ).select("src", "nbr")
+        return edges.localCheckpoint(eager=True)
+
+    def knn_graph_pagerank_scaled(spark, sf_dir):
+        # r11: the one X3 component with no 10x row — 3 unrolled
+        # PageRank rounds over the materialized kNN graph. Eager-by-
+        # contract (graph build + rounds all inside the clock).
+        from unified_log_aggregation_and_analytics_spark.operators.graph import (
+            pagerank,
+        )
+
+        return pagerank(_scaled_edges(spark, sf_dir)).orderBy("id")
+
+    def knn_graph_degrees_scaled(spark, sf_dir):
+        from unified_log_aggregation_and_analytics_spark.operators.graph import (
+            degree_profile,
+        )
+
+        return degree_profile(_scaled_edges(spark, sf_dir)).orderBy("id")
+
     return {
         "knn_join_graph_nbits7": knn_join_graph_scaled,
         "knn_join_graph_nbits7_allbits": knn_join_graph_allbits,
+        "knn_graph_pagerank_nbits7": knn_graph_pagerank_scaled,
+        "knn_graph_degrees_nbits7": knn_graph_degrees_scaled,
     }
 
 
@@ -246,6 +290,12 @@ EAGER_QUERIES = {
     "multimodal_ingest_report",
     # LM-proxy scoring materializes at construction (localCheckpoint)
     "docs_doremi_mixture",
+    # r11: GD training checkpoints features + runs 24 aggregate jobs
+    # at construction; the graph entries localCheckpoint the kNN edge
+    # list eagerly before the rank/degree rounds
+    "text_quality_train",
+    "knn_graph_pagerank_nbits7",
+    "knn_graph_degrees_nbits7",
 }
 
 
