@@ -378,6 +378,19 @@ def test_jpeg_codec_property(w, h, color, subsample, rst, seed):
     gray=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
+# r11: the non-divisible edge cases pinned as standing examples (the
+# JPEG-property-test convention) so they run every session, not only
+# when Hypothesis happens to generate them: odd->even (center-nearest
+# on both axes), 1xN / Nx1 degenerate strips (each axis alone), mixed
+# divisible-row / non-divisible-column, and upscale (oh > h: the
+# center-map (2i+1)*src // (2*dst) must stay in range and repeat
+# source pixels, never read out of bounds).
+@example(h=3, w=5, oh=2, ow=2, gray=False, seed=7)
+@example(h=1, w=7, oh=1, ow=3, gray=True, seed=11)
+@example(h=7, w=1, oh=3, ow=1, gray=False, seed=13)
+@example(h=6, w=7, oh=3, ow=3, gray=False, seed=17)
+@example(h=2, w=3, oh=5, ow=9, gray=True, seed=19)
+@example(h=1, w=1, oh=12, ow=12, gray=False, seed=23)
 def test_resize_rgb_property(h, w, oh, ow, gray, seed):
     """resize_rgb invariants for arbitrary geometry (pure numpy):
     output shape/dtype always match the request; on divisible dims
