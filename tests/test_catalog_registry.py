@@ -147,7 +147,13 @@ def test_bench_names_are_registered():
     names = set(entry.queries())
     missing = [n for n in bench.BENCH_QUERIES + bench.SCALE_QUERIES if n not in names]
     assert not missing, f"bench references unregistered queries: {missing}"
-    assert set(bench._scale_extra_queries()).isdisjoint(names)
+    extras = set(bench._scale_extra_queries())
+    assert extras.isdisjoint(names)
+    # An EAGER_QUERIES typo doesn't crash — it silently un-eagers the
+    # entry, moving its construction cost OUT of the timed region (the
+    # r6 docs_dsir_sample artifact). Every eager name must resolve.
+    stale = sorted(bench.EAGER_QUERIES - names - extras)
+    assert not stale, f"EAGER_QUERIES names nothing runnable: {stale}"
 
 
 def test_gate_certified_matches_ledger():
