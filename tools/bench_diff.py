@@ -1,0 +1,68 @@
+"""Diff two bench JSON artifacts (BENCH_LOCAL_r*.json, or the
+driver's BENCH_r*.json when untruncated) and flag movers beyond the
+established host-variance band — the comparison every round's verdict
+performs by hand over whatever rows survived tail-truncation.
+
+Bands (SURVEY §6 precedent): entries >= 2 s move ±35% across rounds on
+identical code (r5/r7/r9 same-host A/Bs); sub-2 s entries are noisier
+still, so the default flags only >= 2 s entries beyond ±35% and any
+entry beyond ±100%. A flagged mover's protocol is tools/probe_media_ab
+(same-host min-of-N), not a bisect — and only if it moves TWICE.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [--band 0.35]
+Prints one JSON line: common/added/removed counts, per-section totals,
+and the flagged movers with their ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        return json.loads(f.read().strip().splitlines()[-1])
+
+
+def _diff(old: dict, new: dict, band: float) -> dict:
+    common = sorted(set(old) & set(new))
+    movers = []
+    for name in common:
+        a, b = old[name], new[name]
+        if not a:
+            continue
+        ratio = b / a
+        big = max(a, b) >= 2.0 and abs(ratio - 1) > band
+        huge = abs(ratio - 1) > 1.0
+        if big or huge:
+            movers.append(
+                {"query": name, "old": a, "new": b, "ratio": round(ratio, 2)}
+            )
+    movers.sort(key=lambda m: abs(m["ratio"] - 1), reverse=True)
+    return {
+        "n_common": len(common),
+        "added": sorted(set(new) - set(old)),
+        "removed": sorted(set(old) - set(new)),
+        "common_total_old": round(sum(old[n] for n in common), 3),
+        "common_total_new": round(sum(new[n] for n in common), 3),
+        "flagged": movers,
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    band = 0.35
+    if "--band" in sys.argv:
+        band = float(sys.argv[sys.argv.index("--band") + 1])
+    old, new = _load(args[0]), _load(args[1])
+    out = {"band": band, "headline": _diff(old["queries"], new["queries"], band)}
+    if "scale" in old and "scale" in new:
+        out["scale"] = _diff(
+            old["scale"]["queries"], new["scale"]["queries"], band
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
