@@ -160,10 +160,11 @@ def _y4m_payload() -> bytes:
 
 def test_media_pipeline_routes_every_modality(spark, tmp_path):
     """The decode gate dispatches per modality: valid audio and video
-    ingest (audio with a spectral fingerprint in the sidecar, video
-    with exact dedup only), garbage of any modality dead-letters, and
-    a cross-batch audio near-dup is caught through the
-    modality-qualified band join."""
+    ingest, EACH with its perceptual fingerprint in the sidecar
+    (audio spectral print; video temporal-mean dHash since r11),
+    garbage of any modality dead-letters, and cross-batch audio AND
+    video near-dups are caught through the modality-qualified band
+    join."""
     rows1 = [
         (1, "image", _ppm_payload(0, 0), "image/x-portable-pixmap"),
         (2, "audio", _wav_payload(3), "audio/wav"),
@@ -188,20 +189,28 @@ def test_media_pipeline_routes_every_modality(spark, tmp_path):
     assert rej == {4: "undecodable"}
     hashes = spark.read.parquet(str(tmp_path / "media_table_dhashes"))
     assert {(r.media_id, r.modality) for r in hashes.collect()} == {
-        (1, "image"), (2, "audio")
-    }  # video carries no perceptual fingerprint
+        (1, "image"), (2, "audio"), (3, "video")
+    }  # every perceptual modality fingerprints, video included (r11)
 
     # batch 2: same audio content (identical samples -> identical
     # spectral print, but different payload bytes via an appended
     # ignored trailer would change fp; use an exact re-synthesis with
-    # one sample nudged so fp differs but the fingerprint matches)
+    # one sample nudged so fp differs but the fingerprint matches),
+    # plus a video whose single frame differs by one pixel from media
+    # 3's (temporal-mean dHash 1 bit apart — a video near-dup)
     import numpy as np
 
     base = _wav_payload(3)
     nudged = bytearray(base)
     nudged[-1] ^= 0x01  # flip one low bit of the last sample
+    vid_frame = np.zeros((4, 4), dtype=np.uint8)
+    vid_frame[1, 2] = 9
+    near_vid = MM.encode_y4m(vid_frame[None, :, :])
     df2 = spark.createDataFrame(
-        [(10, "audio", bytes(nudged), "audio/wav", None, None, None)],
+        [
+            (10, "audio", bytes(nudged), "audio/wav", None, None, None),
+            (11, "video", near_vid, "video/x-yuv4mpeg", None, None, None),
+        ],
         MM.MEDIA_SCHEMA,
     )
     df2.write.mode("append").parquet(str(src))
@@ -209,6 +218,7 @@ def test_media_pipeline_routes_every_modality(spark, tmp_path):
     rej2 = {r.media_id: r._error
             for r in spark.read.parquet(str(tmp_path / "media_rejected")).collect()}
     assert rej2[10] == "near_duplicate"  # cross-batch, same modality
+    assert rej2[11] == "near_duplicate"  # cross-batch VIDEO near-dup
 
 
 def test_media_gate_poison_payloads_dead_letter_not_crash(spark, tmp_path):
@@ -239,11 +249,15 @@ def test_media_gate_poison_payloads_dead_letter_not_crash(spark, tmp_path):
 
 
 def test_media_pipeline_survives_hashless_first_batch(spark, tmp_path):
-    """A first batch with only video rows writes perceptual sidecars
-    with no part files; the next batch's cross-batch probe must treat
-    that as 'no fingerprints yet', not crash on schema inference."""
+    """A first batch whose only row decodes but carries NO perceptual
+    fingerprint (a header-only zero-frame Y4M — since r11 normal
+    videos fingerprint, so the temporal mean needs at least one
+    frame) writes perceptual sidecars with no part files; the next
+    batch's cross-batch probe must treat that as 'no fingerprints
+    yet', not crash on schema inference."""
     df1 = spark.createDataFrame(
-        [(1, "video", _y4m_payload(), "video/x-yuv4mpeg", None, None, None)],
+        [(1, "video", b"YUV4MPEG2 W4 H4 F25:1 C420\n", "video/x-yuv4mpeg",
+          None, None, None)],
         MM.MEDIA_SCHEMA,
     )
     src = tmp_path / "in"

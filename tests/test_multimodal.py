@@ -1206,3 +1206,90 @@ def test_audio_near_dup_dft_group_structure(spark):
     for (a, b), h in pairs.items():
         assert a // 4 == b // 4, (a, b)
         assert 0 <= h <= 12
+
+
+def test_video_fingerprint_parity_and_group_structure(spark):
+    """Video near-dup end to end (r11 — the modality triple's last
+    leg): (1) Spark video_hash equals the pure-Python
+    video_fingerprint64 reference over the closed-form Y4M fixture;
+    (2) video_near_dup's pairs equal the brute-force banded reference
+    (same banding, same threshold — candidate recall is banded on
+    BOTH sides by design); (3) pairs stay within groups on this
+    fixture; (4) zero-frame videos drop out of the hash (no
+    fingerprint to compare)."""
+    docs = load_table(spark, "documents", SF).limit(48)
+    media = MM.media_with_y4m_groups(docs, group_size=4)
+    got = {r.media_id: r.vfp for r in MM.video_hash(media).collect()}
+    assert len(got) == 48
+
+    wh = 256
+    p = np.arange(wh, dtype=np.int64)
+    ref = {}
+    for d in range(48):
+        g, m = d // 4, d % 4
+        frames = []
+        for f in range(4):
+            h = g * 2654435761 + (f * wh + p) * 2246822519 + 99991
+            v = (h ^ (h >> 9) ^ (h >> 17)) % 256
+            if m and f == 1:
+                lo = (m * 61) % (wh - 12)
+                v = v.copy()
+                v[lo : lo + 12] = 255 - v[lo : lo + 12]
+            frames.append(v.reshape(16, 16).astype(np.uint8))
+        ref[d] = MM.video_fingerprint64(frames)
+    assert got == ref
+
+    def u(x):
+        return x & ((1 << 64) - 1)
+
+    expected = set()
+    for a in range(48):
+        for b in range(a + 1, 48):
+            fa, fb = u(ref[a]), u(ref[b])
+            hm = bin(fa ^ fb).count("1")
+            if hm <= 8 and any(
+                ((fa >> (16 * k)) & 65535) == ((fb >> (16 * k)) & 65535)
+                for k in range(4)
+            ):
+                expected.add((a, b, hm))
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in MM.video_near_dup(media, max_hamming=8).collect()
+    }
+    assert pairs == expected and pairs
+    assert all(a // 4 == b // 4 for a, b, _ in pairs)
+
+    headless = media.limit(1).withColumn(
+        "payload", F.lit(b"YUV4MPEG2 W4 H4 F25:1 C420\n")
+    )
+    assert MM.video_hash(headless).count() == 0
+
+
+def test_media_gate_hash_video_fingerprint(spark):
+    """The streaming decode gate fingerprints video rows (r11): the
+    gate's dhash column equals video_fingerprint64 for decodable
+    clips, stays null for zero-frame clips (decode_ok still true),
+    and MJPEG-AVI clips fingerprint through the same dispatch."""
+    docs = load_table(spark, "documents", SF).limit(4)
+    media = MM.media_with_y4m_groups(docs, group_size=4)
+    gate = {r.media_id: r for r in MM.media_gate_hash(media).collect()}
+    ref = {r.media_id: r.vfp for r in MM.video_hash(media).collect()}
+    for d in range(4):
+        assert gate[d].decode_ok and gate[d].dhash == ref[d]
+
+    headless = media.limit(1).withColumn(
+        "payload", F.lit(b"YUV4MPEG2 W4 H4 F25:1 C420\n")
+    )
+    row = MM.media_gate_hash(headless).collect()[0]
+    assert row.decode_ok and row.dhash is None
+
+    frames = np.stack(
+        [np.full((16, 16), 40 * f + 20, dtype=np.uint8) for f in range(3)]
+    )
+    avi = MM.encode_mjpeg_avi(frames, fps_num=30)
+    mj = media.limit(1).withColumn("payload", F.lit(avi)).withColumn(
+        "mime", F.lit("video/avi")
+    )
+    row = MM.media_gate_hash(mj).collect()[0]
+    dec = MM.decode_mjpeg_avi(avi)
+    assert row.decode_ok and row.dhash == MM.video_fingerprint64(dec[4])

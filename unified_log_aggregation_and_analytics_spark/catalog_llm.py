@@ -1214,6 +1214,99 @@ def _audio_dft_oracle(max_hamming: int = 12, bands: int = 4) -> str:
 """
 
 
+def _dhash_gray_sql_expr(lst: str, width: int = 16, height: int = 16) -> str:
+    """dHash of a WIDTHxHEIGHT gray-value LIST column (1-based) as one
+    SQL expression — the gray twin of _dhash_sql_expr, shared by the
+    video temporal-mean fingerprint oracle: np.array_split(16 rows, 8)
+    -> 2-row groups; np.array_split(16 cols, 9) -> widths [2]*7+[1]*2;
+    block mean = row-major sum / count (counts are powers of two and
+    the values are integers, so every block mean is EXACT — no
+    rounding discipline needed); bit 8*R+j set iff col-mean j+1 > j;
+    bit 63 via the signed offset."""
+    assert width == 16 and height == 16, "fixture geometry"
+    starts = [0, 2, 4, 6, 8, 10, 12, 14, 15]
+    widths = [2] * 7 + [1] * 2
+
+    def bm(R: int, j: int) -> str:
+        terms = [
+            f"{lst}[{16 * r + c + 1}]"
+            for r in (2 * R, 2 * R + 1)
+            for c in range(starts[j], starts[j] + widths[j])
+        ]
+        return "((" + " + ".join(terms) + f") / {2 * widths[j]})"
+
+    bits = []
+    for R in range(8):
+        for j in range(8):
+            i = 8 * R + j
+            val = (
+                f"(CAST(1 AS BIGINT) << {i})"
+                if i < 63
+                else "CAST(-9223372036854775808 AS BIGINT)"
+            )
+            bits.append(f"CASE WHEN {bm(R, j + 1)} > {bm(R, j)} THEN {val} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def _video_near_dup_oracle(max_hamming: int = 8, bands: int = 4) -> str:
+    """DuckDB replay of the VIDEO near-dup path (r11): fixture luma
+    bytes (media_with_y4m_groups' xor-fold closed form with the
+    member inversion in frame 1), the integer temporal mean
+    floor(sum/4 + 0.5) per pixel, the gray dHash
+    (_dhash_gray_sql_expr — exact block means), then the identical
+    banded Hamming join the image/audio oracles use. Every stage is
+    integer or power-of-two-exact arithmetic — no rounding calls at
+    all."""
+    h = "( (media_id//4)*2654435761 + (f*256 + p)*2246822519 + 99991 )"
+    base = f"xor(xor({h}, {h} >> 9), {h} >> 17) % 256"
+    lo = "((media_id%4)*61) % 244"
+    val = (
+        f"CASE WHEN f = 1 AND media_id%4 > 0 AND p >= {lo} AND p < {lo} + 12 "
+        f"THEN 255 - ({base}) ELSE ({base}) END"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+        list_transform(range(0, 256), p ->
+          floor(list_sum(list_transform(range(0, 4), f ->
+            CAST(({val}) AS DOUBLE))) / 4 + 0.5)
+        ) AS g
+      FROM documents
+    ),
+    dh AS (SELECT media_id, {_dhash_gray_sql_expr('g')} AS vfp FROM m),
+    bnd AS (
+      SELECT media_id, vfp, b AS band_idx,
+             (vfp >> (16 * CAST(b AS INTEGER))) & 65535 AS band_val
+      FROM dh CROSS JOIN (SELECT unnest(range(0, {bands})) AS b)
+    )
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
+    FROM bnd a JOIN bnd b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= {max_hamming}
+"""
+
+
+@_register("multimodal_video_near_dup", _video_near_dup_oracle())
+def multimodal_video_near_dup(spark, sf_dir):
+    """X5/X2 — VIDEO near-duplicate detection, oracle-checked end to
+    end (r11 — completes the perceptual-dedup modality triple and
+    lands the frame-level fingerprint the streaming pipeline
+    documented as its extension): real Y4M decode → temporal-mean
+    luma frame (integer floor(sum/n + 0.5), exact) → the SAME 8x9
+    dHash grid the image path uses (multimodal.video_fingerprint64)
+    → the shared banded Hamming join. The oracle replays fixture
+    bytes, the temporal mean, every block mean (integer sums over
+    power-of-two counts — exact floats on both engines, no rounding
+    discipline needed), bit packing, banding, and the pair filter.
+    Fixture separation measured over 400 docs: within-group <= 8
+    bits, cross-group >= 9 (tests pin parity + structure)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m_groups(docs, group_size=4)
+    return MM.video_near_dup(media, max_hamming=8)
+
+
 @_register("multimodal_audio_near_dup_dft", _audio_dft_oracle())
 def multimodal_audio_near_dup_dft(spark, sf_dir):
     """X5/X2 — the SPECTRAL fingerprint certified cross-engine (r11,

@@ -1568,16 +1568,13 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 # --- image near-duplicate detection (dHash) ---------------------------
 
 
-def dhash64(px: np.ndarray) -> int:
-    """Difference hash of an RGB pixel array (Krawetz's dHash): gray
-    via channel mean, area-downsample to an 8x9 block grid
-    (np.array_split — deterministic, no resampling library), one bit
-    per horizontal neighbor comparison, packed row-major into a
-    SIGNED 64-bit int (Spark LongType). Perceptual: small pixel
-    noise, brightness shifts, and re-encodes move few bits; different
-    images are ~32 bits apart. Pure numpy — the same function is the
-    Python reference in tests."""
-    g = px.astype(np.float64).mean(axis=2)
+def _dhash_bits(g: np.ndarray) -> int:
+    """dHash bit packing over a 2-D gray array — the ONE copy of the
+    block-grid comparison shared by the image (channel-mean gray) and
+    video (temporal-mean luma) fingerprints: area-downsample to an
+    8x9 block grid (np.array_split — deterministic, no resampling
+    library), one bit per horizontal neighbor comparison, packed
+    row-major into a SIGNED 64-bit int (Spark LongType)."""
     rows = np.array_split(g, 8, axis=0)
     bits_val = 0
     i = 0
@@ -1592,6 +1589,35 @@ def dhash64(px: np.ndarray) -> int:
     if bits_val >= 1 << 63:
         bits_val -= 1 << 64
     return bits_val
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash of an RGB pixel array (Krawetz's dHash): gray
+    via channel mean, then the shared 8x9 block-grid comparison
+    (_dhash_bits). Perceptual: small pixel noise, brightness shifts,
+    and re-encodes move few bits; different images are ~32 bits
+    apart. Pure numpy — the same function is the Python reference in
+    tests."""
+    return _dhash_bits(px.astype(np.float64).mean(axis=2))
+
+
+def video_fingerprint64(frames: list) -> int:
+    """64-bit perceptual VIDEO fingerprint (r11 — the frame-level
+    fingerprint the streaming media pipeline documented as its
+    extension): integer temporal-mean luma frame (per-pixel
+    floor(sum/n + 0.5) — exact, order-free, SQL-replayable), then the
+    SAME 8x9 dHash block grid the image path uses (_dhash_bits).
+    Gain- and re-encode-robust like dHash; robust to frame drops and
+    fps resampling because the temporal mean moves only by the
+    dropped frames' deviation from it. Different videos are ~32 bits
+    apart; block means are integer-sum divisions, so both engines
+    compute IDENTICAL floats — no rounding discipline needed beyond
+    the integer mean. Pure numpy — the Python reference in tests."""
+    s = np.zeros_like(frames[0], dtype=np.int64)
+    for f in frames:
+        s += f.astype(np.int64)
+    mean = np.floor(s / len(frames) + 0.5)
+    return _dhash_bits(mean)
 
 
 def image_dhash(df: DataFrame) -> DataFrame:
@@ -2056,6 +2082,100 @@ def media_with_wav_groups(
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def video_hash(df: DataFrame) -> DataFrame:
+    """X5/X2 — per-video fingerprint column ``(media_id, vfp)``: video
+    decode (Y4M / MJPEG-AVI via the codec dispatch) + temporal-mean
+    dHash in one mapInPandas pass. Non-decodable or zero-frame
+    payloads drop out (inner dedup semantics)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prints = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = _decode_video(bytes(p)) if p is not None else None
+                if dec is None or not dec[4]:
+                    continue
+                ids.append(mid)
+                prints.append(video_fingerprint64(dec[4]))
+            yield pd.DataFrame({"media_id": ids, "vfp": pd.Series(prints, dtype="int64")})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("vfp", T.LongType()),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def video_near_dup(
+    df: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X5/X2 — video near-duplicate pairs: temporal-mean dHash
+    fingerprints through the same banded Hamming join as images and
+    audio (see hamming_near_dup for the plan shape). Completes the
+    modality triple: pair graphs and downstream cluster resolution
+    are fingerprint-agnostic."""
+    return hamming_near_dup(
+        video_hash(df), "vfp", max_hamming=max_hamming, bands=bands
+    )
+
+
+def media_with_y4m_groups(
+    docs: DataFrame,
+    group_size: int = 4,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Near-dup-structured VIDEO fixture: clips in the same group
+    (``doc_id // group_size``) share base frames whose luma pixel p
+    of frame f is the SQL-replayable xor-fold hash
+    ``h = g*2654435761 + (f*wh + p)*2246822519 + 99991;
+    v = (h ^ (h>>9) ^ (h>>17)) % 256`` (the media_with_wav_dft_groups
+    mix — polynomial content collapses mod 256 across groups, the
+    measured failure mode); members m > 0 invert a 12-pixel run of
+    frame 1 only, so the temporal mean moves at those pixels by
+    ~|255-2v|/n_frames — a few dHash bits within a group, ~32 across
+    groups (measured: within <= 8, cross >= 9 over 400 docs).
+    Real YUV4MPEG2 payloads (encode_y4m), deterministic closed
+    form."""
+    wh = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(wh, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                g, m = int(d) // group_size, int(d) % group_size
+                frames = []
+                for f in range(n_frames):
+                    h = g * 2654435761 + (f * wh + p) * 2246822519 + 99991
+                    v = (h ^ (h >> 9) ^ (h >> 17)) % 256
+                    if m and f == 1:
+                        lo = (m * 61) % (wh - 12)
+                        v = v.copy()
+                        v[lo : lo + 12] = 255 - v[lo : lo + 12]
+                    frames.append(v.reshape(height, width).astype(np.uint8))
+                payloads.append(encode_y4m(np.stack(frames)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/x-yuv4mpeg",
+                    "width": pd.Series([width] * len(ids), dtype="Int32"),
+                    "height": pd.Series([height] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.Series([None] * len(ids), dtype="Int64"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def media_with_wav_dft_groups(
     docs: DataFrame,
     group_size: int = 4,
@@ -2303,8 +2423,12 @@ def encode_mjpeg_avi(
     'avih', a 'vids'/'MJPG' 'strh' + BITMAPINFOHEADER 'strf'), a
     'movi' LIST of '00dc' JPEG chunks (each frame through the native
     encoder, padded to even), and an 'idx1' index. Plays in any
-    standard player; round-trips through decode_mjpeg_avi."""
-    if not frames:
+    standard player; round-trips through decode_mjpeg_avi. Accepts a
+    list of (h, w) frames or an (n, h, w) stack — ``not frames`` on
+    an ndarray raises ambiguous-truth, so test via len (r11: the
+    stack path was only exercised by an ffmpeg-gated test that
+    auto-skips, which hid this)."""
+    if len(frames) == 0:
         raise ValueError("encode_mjpeg_avi needs at least one frame")
     h, w = frames[0].shape[:2]
 
@@ -2695,8 +2819,9 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
     """X5 — modality-aware decode gate + perceptual hash in ONE Arrow
     pass: images decode (PPM/PNG stdlib, Pillow-gated rest) to a
     dHash; audio decodes (PCM WAV) to the spectral fingerprint; video
-    decodes (Y4M header+frames) with no perceptual hash (frame-level
-    fingerprints are the documented extension); any other modality or
+    decodes (Y4M / MJPEG-AVI) to the temporal-mean dHash
+    (video_fingerprint64 — frame-level fingerprints landed in r11,
+    closing the documented extension); any other modality or
     undecodable payload fails the gate. Output: ``(media_id,
     decode_ok, dhash nullable)``.
 
@@ -2729,7 +2854,11 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
                             if mono is not None:
                                 ok, ph = True, audio_fingerprint64(mono)
                         elif mod == "video":
-                            ok = _decode_video(p) is not None
+                            dec = _decode_video(p)
+                            if dec is not None:
+                                ok = True
+                                if dec[4]:
+                                    ph = video_fingerprint64(dec[4])
                 except Exception:
                     ok, ph = False, None
                 ids.append(mid)

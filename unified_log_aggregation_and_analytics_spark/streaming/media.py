@@ -4,10 +4,9 @@ quality gate = "does it decode UNDER ITS OWN MODALITY's decoder"
 (image PPM/PNG, audio PCM-WAV, video Y4M —
 multimodal.media_gate_hash), exact dedup = payload fingerprint for
 every modality, perceptual near-dup = 64-bit fingerprints (image
-dHash, audio spectral prints) through the banded Hamming machinery,
-with the MODALITY riding every candidate join so the incompatible
-hash families never cross. Video rows pass the gate and dedup
-exactly; frame-level fingerprints are the documented extension.
+dHash, audio spectral prints, video temporal-mean dHash since r11)
+through the banded Hamming machinery, with the MODALITY riding every
+candidate join so the incompatible hash families never cross.
 
 Sidecars (flat one-coalesced-file-per-committed-batch layout since
 round 8 — bucket keys ride as data columns; no reader pruned their
@@ -53,11 +52,13 @@ from unified_log_aggregation_and_analytics_spark.operators.multimodal import (
 from unified_log_aggregation_and_analytics_spark.streaming import fence
 
 # Modalities whose perceptual near-dup runs through the banded
-# Hamming machinery (64-bit fingerprint families). Video passes the
-# decode gate but only exact-payload dedup applies until frame-level
-# fingerprints land. Hash families are INCOMPATIBLE across
-# modalities, so every candidate join below keys on modality too.
-PERCEPTUAL_MODALITIES = ("image", "audio")
+# Hamming machinery (64-bit fingerprint families): image dHash,
+# audio spectral prints, and (since r11) video temporal-mean dHash
+# (multimodal.video_fingerprint64 — the frame-level fingerprint this
+# constant's comment used to document as the pending extension).
+# Hash families are INCOMPATIBLE across modalities, so every
+# candidate join below keys on modality too.
+PERCEPTUAL_MODALITIES = ("image", "audio", "video")
 
 N_BUCKETS = 64
 HASH_BANDS = 4
