@@ -237,16 +237,20 @@ def _scale_extra_queries():
     def _scaled_edges(spark, sf_dir):
         # Same graph the catalog entries build, at the 10x-appropriate
         # bucket granularity (n_bits 4 -> 7, see the docstring above)
-        # and the same all-bit multiprobe policy; materialized eagerly
-        # exactly like the catalog entries (localCheckpoint) so the
-        # rank/degree rounds re-read a 2-column edge list.
+        # and the DEFAULT margin-2 multiprobe — the constant-
+        # replication policy the operator prescribes for corpus
+        # growth (the catalog entries pin all-bit because their
+        # oracles replay it; the all-bit build cost is already
+        # tracked by knn_join_graph_nbits7_allbits, and folding its
+        # 11 s into every rank/degree run would drown the 4 s the
+        # rows exist to measure). Materialized eagerly exactly like
+        # the catalog entries (localCheckpoint) so the rank/degree
+        # rounds re-read a 2-column edge list.
         emb = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .repartition(32)
         )
-        edges = S.knn_join(
-            emb, k=5, n_bits=7, dim=64, multiprobe_bits=1
-        ).select("src", "nbr")
+        edges = S.knn_join(emb, k=5, n_bits=7, dim=64).select("src", "nbr")
         return edges.localCheckpoint(eager=True)
 
     def knn_graph_pagerank_scaled(spark, sf_dir):
