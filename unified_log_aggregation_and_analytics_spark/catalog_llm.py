@@ -281,6 +281,114 @@ _KNN_ORACLE = """
 """
 
 
+def _cos_raw(a: str, b: str) -> str:
+    """Unrounded DuckDB cosine between two list columns (used for
+    ORDER BY / argmax; final output sims are rounded separately)."""
+    return (
+        f"(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+    )
+
+
+def _prefix_chain(k: int = 10, pd: int = 16, sl: int = 50) -> tuple[str, str]:
+    """Shared SQL pieces of the matryoshka prefix-refine retrieval
+    (the _ivfpq_chain composition pattern): prefix-dim cosine over
+    dims 1..pd (rounded 6, id tie-break) -> shortlist of sl -> exact
+    full-dim cosine re-rank. Returns (ctes, final_select) so the
+    probe oracle and the recall certificate compose it."""
+
+    def cos_pd(a: str, b: str) -> str:
+        rng = f"range(1, {pd + 1})"
+        return (
+            f"(list_sum(list_transform({rng},"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform({rng},"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform({rng},"
+            f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+        )
+
+    ctes = f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pref AS (
+      SELECT e.vec_id, e.embedding,
+             round({cos_pd('e.embedding', 'q.qe')}, 6) AS pref_sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    short AS (
+      SELECT vec_id, embedding FROM pref
+      ORDER BY pref_sim DESC, vec_id LIMIT {sl}
+    )"""
+    sel = f"""SELECT s.vec_id,
+           round({_cos_raw('s.embedding', 'q.qe')}, 6) AS cos_sim
+    FROM short s, q
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT {k}"""
+    return ctes, sel
+
+
+def _prefix_refine_oracle(k: int = 10, pd: int = 16, sl: int = 50) -> str:
+    ctes, sel = _prefix_chain(k, pd, sl)
+    return f"""
+    WITH {ctes}
+    {sel}
+"""
+
+
+def _prefix_recall_oracle(k: int = 10, pd: int = 16, sl: int = 50) -> str:
+    ctes, sel = _prefix_chain(k, pd, sl)
+    return f"""
+    WITH {ctes},
+    refined AS ({sel}),
+    exact AS (
+      SELECT e.vec_id,
+             round({_cos_raw('e.embedding', 'q.qe')}, 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY cos_sim DESC, e.vec_id LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(COUNT(*) / {float(k)!r}, 6) AS recall_at_k
+    FROM refined JOIN exact USING (vec_id)
+"""
+
+
+@_register("knn_prefix_refine", _prefix_refine_oracle())
+def knn_prefix_refine(spark, sf_dir):
+    """X3 — matryoshka-style prefix-dim retrieval, oracle-checked end
+    to end (r11): score the corpus on the first 16 of 64 dimensions
+    (4x less arithmetic; with a dimension-split layout, 4x less scan
+    IO — the adaptive-retrieval pattern of MRL, Kusupati et al.
+    NeurIPS'22), shortlist 50, exact full-dim re-rank to top-10
+    (operators/similarity.py knn_prefix_refine). Both stages round
+    to 6 decimals with id tie-break, so the oracle replays BOTH rank
+    orders including the shortlist boundary."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    return S.knn_prefix_refine(emb, list(qv), k=10, prefix_dim=16, shortlist=50)
+
+
+@_register("knn_prefix_recall", _prefix_recall_oracle())
+def knn_prefix_recall(spark, sf_dir):
+    """X3 — recall@10 certificate for the prefix-refine path
+    (the knn_ivfpq_recall pattern): overlap of the two-stage top-10
+    with the exact full-dim top-10, both engines replaying prefix
+    scoring, shortlist cut, re-rank, and tie order. One row
+    (k, recall_at_k) — what the 16-dim coarse stage costs on THIS
+    embedding family (synthetic, non-MRL-trained: the number is the
+    honest baseline, not a trained-prefix showcase)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    refined = S.knn_prefix_refine(emb, list(qv), k=10).select("vec_id")
+    exact = S.knn_brute_force(emb, list(qv), k=10).select("vec_id")
+    return refined.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
+
+
 @_register("knn_cosine", _KNN_ORACLE)
 def knn_cosine(spark, sf_dir):
     """X3 — exact brute-force top-10 cosine neighbors of vec_id 0.
@@ -1248,15 +1356,16 @@ def _dhash_gray_sql_expr(lst: str, width: int = 16, height: int = 16) -> str:
     return " + ".join(bits)
 
 
-def _video_near_dup_oracle(max_hamming: int = 8, bands: int = 4) -> str:
-    """DuckDB replay of the VIDEO near-dup path (r11): fixture luma
-    bytes (media_with_y4m_groups' xor-fold closed form with the
-    member inversion in frame 1), the integer temporal mean
-    floor(sum/4 + 0.5) per pixel, the gray dHash
-    (_dhash_gray_sql_expr — exact block means), then the identical
-    banded Hamming join the image/audio oracles use. Every stage is
-    integer or power-of-two-exact arithmetic — no rounding calls at
-    all."""
+def _video_pairs_ctes(max_hamming: int = 8, bands: int = 4) -> str:
+    """Shared CTE chain of the VIDEO near-dup replay (r11; the
+    _ivfpq_chain composition pattern): fixture luma bytes
+    (media_with_y4m_groups' xor-fold closed form with the member
+    inversion in frame 1), the integer temporal mean floor(sum/4 +
+    0.5) per pixel, the gray dHash (_dhash_gray_sql_expr — exact
+    block means), then the identical banded Hamming join the
+    image/audio oracles use, ending in a ``vcand`` CTE of
+    (id_a, id_b, hamming). Every stage is integer or
+    power-of-two-exact arithmetic — no rounding calls at all."""
     h = "( (media_id//4)*2654435761 + (f*256 + p)*2246822519 + 99991 )"
     base = f"xor(xor({h}, {h} >> 9), {h} >> 17) % 256"
     lo = "((media_id%4)*61) % 244"
@@ -1264,8 +1373,7 @@ def _video_near_dup_oracle(max_hamming: int = 8, bands: int = 4) -> str:
         f"CASE WHEN f = 1 AND media_id%4 > 0 AND p >= {lo} AND p < {lo} + 12 "
         f"THEN 255 - ({base}) ELSE ({base}) END"
     )
-    return f"""
-    WITH m AS (
+    return f"""m AS (
       SELECT doc_id AS media_id,
         list_transform(range(0, 256), p ->
           floor(list_sum(list_transform(range(0, 4), f ->
@@ -1278,14 +1386,56 @@ def _video_near_dup_oracle(max_hamming: int = 8, bands: int = 4) -> str:
       SELECT media_id, vfp, b AS band_idx,
              (vfp >> (16 * CAST(b AS INTEGER))) & 65535 AS band_val
       FROM dh CROSS JOIN (SELECT unnest(range(0, {bands})) AS b)
-    )
-    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-           CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
-    FROM bnd a JOIN bnd b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.media_id < b.media_id
-    WHERE bit_count(xor(a.vfp, b.vfp)) <= {max_hamming}
+    ),
+    vcand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.vfp, b.vfp)) <= {max_hamming}
+    )"""
+
+
+def _video_near_dup_oracle(max_hamming: int = 8, bands: int = 4) -> str:
+    return f"""
+    WITH {_video_pairs_ctes(max_hamming, bands)}
+    SELECT id_a, id_b, hamming FROM vcand
 """
+
+
+_VIDEO_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_video_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM vcand
+      UNION SELECT id_b, id_a FROM vcand
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@_register("multimodal_video_dup_clusters", _VIDEO_CLUSTERS_ORACLE)
+def multimodal_video_dup_clusters(spark, sf_dir):
+    """X5/X2 — VIDEO dedup cluster resolution (r11): the temporal-mean
+    dHash near-dup pairs into connected components, returning
+    (media_id, cluster_id = min member) — keep-one-per-cluster is
+    then ``media_id == cluster_id``, the actionable output of video
+    near-dup. Same min-label-propagation operator and recursive-CTE
+    oracle closure as the image twin (multimodal_dup_clusters) —
+    pair graphs are modality-agnostic by construction."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    media = MM.media_with_y4m_groups(docs, group_size=4)
+    pairs = MM.video_near_dup(media, max_hamming=8)
+    return connected_components(pairs, "id_a", "id_b")
 
 
 @_register("multimodal_video_near_dup", _video_near_dup_oracle())
@@ -2472,19 +2622,6 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
     return str(path)
-
-
-def _cos_raw(a: str, b: str) -> str:
-    """Unrounded DuckDB cosine between two list columns (used for
-    ORDER BY / argmax; final output sims are rounded separately)."""
-    return (
-        f"(list_sum(list_transform(range(1, len({a}) + 1),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
-        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
-    )
 
 
 def _ivf_oracle() -> str:
