@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     # normalization pipeline (two full decode passes per payload —
     # the heaviest per-row media transform in the catalog)
     "multimodal_image_resize",
+    # r11: matryoshka prefix-refine retrieval next to its brute-force
+    # baseline knn_cosine (the row pair shows the coarse-stage
+    # arithmetic saving directly)
+    "knn_prefix_refine",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -197,6 +201,9 @@ SCALE_QUERIES = [
     # latency tracked like the vector-index probes are).
     "text_quality_train",
     "q02e_indexed_bm25",
+    # r11: the prefix-refine scale row pairs with knn_cosine's —
+    # coarse-stage arithmetic saving must survive 10x rows
+    "knn_prefix_refine",
 ]
 
 
