@@ -407,3 +407,56 @@ def test_media_pipeline_ingest_time_normalization(spark, tmp_path):
     tot = {r.outcome: r.n for r in m.groupBy("outcome").agg(F.sum("n").alias("n")).collect()}
     assert tot["duplicate"] == 1 and tot["ingested"] == 2
     assert tot["rejected:undecodable"] == 1
+
+
+def test_media_torn_batch_replay_with_transform(spark, tmp_path, monkeypatch):
+    """The r10 ingest-time transform hook under the kill-point
+    protocol (r11): the pipeline normalizes (resize to 8x8), the
+    batch dies between the media-table append and the payload-fp
+    sidecar append, and the REPLAY re-applies the SAME deterministic
+    transform — no duplicate media_ids, the cross-batch exact dup of
+    a NORMALIZED payload still collapses, and every stored payload is
+    the normalized bytes. The fenced contract's premise is that the
+    transform is deterministic across replays; this pins it under an
+    actual torn commit."""
+    import numpy as np
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    table = str(tmp_path / "media_table")
+    rej = str(tmp_path / "media_rejected")
+
+    def tf(df):
+        return MM.resize_media(df, 8, 8, on_exotic="null")
+
+    b1 = tf(_media_rows(spark, [(g * 4, _ppm_payload(g, 0)) for g in range(2)]))
+    SM.media_ingest_batch(b1, table, rej, batch_id=0)
+
+    real_append = fence.fenced_append
+
+    def killed_at_fps(df, path, batch_id, partition_cols=()):
+        if path.endswith("_payload_fps"):
+            raise RuntimeError("simulated kill between table and sidecar appends")
+        return real_append(df, path, batch_id, partition_cols)
+
+    b2_rows = [
+        (100, _ppm_payload(0, 0)),  # normalizes to id 0's stored bytes
+        (101, _ppm_payload(9, 0)),  # fresh group
+    ]
+    monkeypatch.setattr(fence, "fenced_append", killed_at_fps)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        SM.media_ingest_batch(tf(_media_rows(spark, b2_rows)), table, rej, batch_id=1)
+    monkeypatch.undo()
+
+    root = fence.fence_root(table)
+    assert not fence.is_committed(spark, root, 1)
+
+    SM.media_ingest_batch(tf(_media_rows(spark, b2_rows)), table, rej, batch_id=1)
+    visible = fence.fenced_read(spark, table, root)
+    rows = {r.media_id: r for r in visible.collect()}
+    assert 100 not in rows, "normalized exact dup must collapse across batches"
+    assert {0, 4, 101} <= set(rows)
+    assert visible.groupBy("media_id").count().filter("count > 1").count() == 0
+    for mid, gid in ((0, 0), (4, 1), (101, 9)):
+        _sw, _sh, _smx, spx = MM.decode_ppm(_ppm_payload(gid, 0))
+        _w, _h, _mx, px = MM.decode_ppm(bytes(rows[mid].payload))
+        assert np.array_equal(px, MM.resize_rgb(spx, 8, 8)), mid
