@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     # baseline knn_cosine (the row pair shows the coarse-stage
     # arithmetic saving directly)
     "knn_prefix_refine",
+    # r11: SQ8 asymmetric search — the int8 storage-compression scan
+    # next to knn_cosine's float scan (the 4x-fewer-bytes play)
+    "knn_sq8_adc",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -204,6 +207,9 @@ SCALE_QUERIES = [
     # r11: the prefix-refine scale row pairs with knn_cosine's —
     # coarse-stage arithmetic saving must survive 10x rows
     "knn_prefix_refine",
+    # r11: SQ8 asymmetric scan at 10x rows — per-vector dequant
+    # arithmetic is map-only, so growth must stay linear-or-better
+    "knn_sq8_adc",
 ]
 
 

@@ -141,3 +141,51 @@ def test_adc_recall_vs_exact(spark, emb):
     assert dists == sorted(dists)
     recall = len(set(exact) & {r.vec_id for r in got}) / 10
     assert recall >= 0.2, f"ADC recall {recall} below floor"
+
+
+def test_sq8_adc_matches_numpy_reference(spark, emb):
+    """SQ8 ADC top-10 equals a straight numpy replay of per-vector
+    255-level range quantization + asymmetric reconstruction L2 —
+    pins code assignment (floor(x+0.5) half-ties), the (min, scale)
+    dequant arithmetic, and the rank/tie order."""
+    from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(list(r.embedding), dtype=np.float64) for r in rows])
+    q = M[0]
+    qid = int(ids[0])
+    keep = ids != qid
+    ids, M = ids[keep], M[keep]
+    mn = M.min(axis=1, keepdims=True)
+    sc = (M.max(axis=1, keepdims=True) - mn) / 255.0
+    codes = np.where(sc == 0, 0.0, np.floor((M - mn) / np.where(sc == 0, 1.0, sc) + 0.5))
+    recon = mn + codes * sc
+    d = np.round(((q[None, :] - recon) ** 2).sum(axis=1), 6)
+    order = sorted(range(len(ids)), key=lambda i: (d[i], int(ids[i])))[:10]
+    want = [(int(ids[i]), float(d[i])) for i in order]
+
+    got = S.sq8_adc_topk(emb.filter(F.col("vec_id") != qid), list(q), k=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got] == pytest.approx(want)
+
+
+def test_sq8_recall_vs_exact(spark, emb):
+    """255 levels per vector is nearly lossless — the SQ8 top-10 must
+    recover at least 8 of the exact squared-L2 top-10 (in practice
+    all 10); distances are monotone in rank."""
+    from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(list(r.embedding), dtype=np.float64) for r in rows])
+    q = M[0]
+    qid = int(ids[0])
+    d = ((M - q[None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d, kind="stable")
+    exact = [int(ids[i]) for i in order if int(ids[i]) != qid][:10]
+
+    got = S.sq8_adc_topk(emb.filter(F.col("vec_id") != qid), list(q), k=10).collect()
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+    recall = len(set(exact) & {r.vec_id for r in got}) / 10
+    assert recall >= 0.8, f"SQ8 recall {recall} below floor"

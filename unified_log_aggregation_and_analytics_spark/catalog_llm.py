@@ -3725,6 +3725,106 @@ def knn_pq_adc_seeded(spark, sf_dir):
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
 
 
+def _sq8_chain(k: int = 10) -> str:
+    """Shared CTE chain of the SQ8 ADC search (the _ivfpq_chain
+    composition pattern): per-vector (min, scale) -> 255-level codes
+    with floor(x + 0.5) half-tie behavior -> asymmetric squared-L2
+    against the float query, reconstruction ``mn + code * sc`` inline.
+    Every arithmetic step mirrors operators/similarity.py
+    sq8_adc_topk expression for expression, so both engines produce
+    bit-identical doubles before the round-6."""
+    return f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    p AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+             (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+              - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    codes AS (
+      SELECT vec_id, mn, sc,
+             CASE WHEN sc = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                       x -> floor((CAST(x AS DOUBLE) - mn) / sc + 0.5))
+             END AS qv
+      FROM p
+    ),
+    adc AS (
+      SELECT c.vec_id,
+             round(list_sum(list_transform(range(1, len(c.qv) + 1),
+               j -> (CAST(q.qe[j] AS DOUBLE) - (c.mn + c.qv[j] * c.sc))
+                    * (CAST(q.qe[j] AS DOUBLE) - (c.mn + c.qv[j] * c.sc)))), 6)
+               AS adc_dist
+      FROM codes c CROSS JOIN q
+      ORDER BY adc_dist, c.vec_id
+      LIMIT {k}
+    )"""
+
+
+def _sq8_adc_oracle(k: int = 10) -> str:
+    return f"""
+    WITH {_sq8_chain(k)}
+    SELECT vec_id, adc_dist FROM adc
+"""
+
+
+def _sq8_recall_oracle(k: int = 10) -> str:
+    return f"""
+    WITH {_sq8_chain(k)},
+    exact AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE))
+                    * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE)))), 6)
+               AS l2_dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY l2_dist, e.vec_id
+      LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(COUNT(*) / {float(k)!r}, 6) AS recall_at_k
+    FROM adc JOIN exact USING (vec_id)
+"""
+
+
+@_register("knn_sq8_adc", _sq8_adc_oracle())
+def knn_sq8_adc(spark, sf_dir):
+    """X3 — scalar-quantization (SQ8) asymmetric search: the query
+    path over the int8 corpus that quantize_embeddings
+    (emb_quantize_certificate) compresses. Per-vector (min, scale)
+    dequantization inside the distance fold — the Lucene/FAISS SQ8
+    storage play where the 100 TB scan reads ~4x fewer bytes while
+    staying a shuffle-free map + TakeOrderedAndProject. The ENTIRE
+    path — code assignment with floor(x+0.5) half-ties,
+    reconstruction, fold order, round-6, id tie-break — replays in
+    DuckDB (_sq8_chain)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    return S.sq8_adc_topk(emb, list(qv), k=10)
+
+
+@_register("knn_sq8_recall", _sq8_recall_oracle())
+def knn_sq8_recall(spark, sf_dir):
+    """X3 — recall@10 certificate for the SQ8 path (the
+    pq_recall_report pattern): overlap of the SQ8 ADC top-10 with the
+    exact squared-L2 top-10, both engines replaying quantization,
+    reconstruction scoring, exact distances, and tie order. One row
+    (k, recall_at_k) — what per-vector 8-bit range quantization costs
+    on THIS embedding family."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    sq8 = S.sq8_adc_topk(emb, list(qv), k=10).select("vec_id")
+    exact = PQ.l2_topk(emb, list(qv), k=10).select("vec_id")
+    return sq8.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
+
+
 def _ivfpq_chain(m: int = 4, codes: int = 8, k: int = 10) -> tuple[str, str]:
     """Shared SQL pieces of the SEEDED IVF-PQ probe — the _ivf_oracle
     cell machinery (centroids = 16 lowest-id vectors, argmax-cosine

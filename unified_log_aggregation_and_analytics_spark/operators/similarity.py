@@ -448,6 +448,80 @@ def quantize_embeddings(
     )
 
 
+def sq8_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X3 — scalar-quantization (SQ8) asymmetric-distance search: the
+    search path over the int8-compressed corpus that
+    ``quantize_embeddings`` produces. Each corpus vector is stored as
+    255-level codes with its own ``(min, scale)`` pair; the float
+    query is scored against the RECONSTRUCTED values
+    ``min + code * scale`` (asymmetric: query unquantized, corpus
+    quantized) with squared L2, rounded to 6 decimals, id tie-break.
+
+    This is the Lucene/FAISS ``SQ8`` storage-compression play: at
+    100 TB the embedding column shrinks ~4x (int8 codes + 2 floats
+    per vector instead of float32s), so the brute-force scan reads a
+    quarter of the bytes while staying embarrassingly parallel
+    (map + TakeOrderedAndProject, no shuffle, no Python). Composes
+    with IVF cell pruning unchanged — the codes table partitions by
+    cell exactly like the PQ codes table.
+
+    Same staged explode(array(struct(...))) barriers as
+    ``quantize_embeddings``: interpreted HOF lambdas re-evaluate
+    in-lined outer ARRAY expressions per element (O(dim^2) per row);
+    materializing (mn, sc) then qv keeps every pass linear. The
+    reconstruction lambda only reads scalar struct fields — O(1) per
+    element."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s1 = df.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.struct(
+                    e.alias("e"),
+                    F.array_min(e).alias("mn"),
+                    ((F.array_max(e) - F.array_min(e)) / F.lit(255.0)).alias("sc"),
+                )
+            )
+        ).alias("b1"),
+    )
+    mn, sc = F.col("b1.mn"), F.col("b1.sc")
+    qv = F.when(
+        sc == 0, F.transform(F.col("b1.e"), lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            F.col("b1.e"),
+            lambda x: F.floor((x - mn) / sc + F.lit(0.5)).cast("double"),
+        )
+    )
+    s2 = s1.select(
+        id_col,
+        F.explode(
+            F.array(F.struct(mn.alias("mn"), sc.alias("sc"), qv.alias("qv")))
+        ).alias("b2"),
+    )
+    mn2, sc2 = F.col("b2.mn"), F.col("b2.sc")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("b2.qv"),
+            q,
+            lambda c, y: (y - (mn2 + c * sc2)) * (y - (mn2 + c * sc2))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        s2.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,
