@@ -189,3 +189,43 @@ def test_sq8_recall_vs_exact(spark, emb):
     assert dists == sorted(dists)
     recall = len(set(exact) & {r.vec_id for r in got}) / 10
     assert recall >= 0.8, f"SQ8 recall {recall} below floor"
+
+
+def test_sq8_index_build_probe_append(spark, emb, tmp_path):
+    """Persisted SQ8 path: build -> probe equals the scan-time
+    sq8_adc_topk exactly; the stored schema is codes-only (no float
+    vectors); the binary column is the byte-packed codes array; and an
+    append (data-independent quantizer — no frozen model) makes the
+    new rows visible to the next probe."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    q = [float(x) for x in rows[0].embedding]
+    qid = int(rows[0].vec_id)
+    corpus = emb.filter(F.col("vec_id") != qid)
+    head = corpus.filter(F.col("vec_id") % 2 == 0)
+    tail = corpus.filter(F.col("vec_id") % 2 != 0)
+
+    path = str(tmp_path / "sq8")
+    A.build_sq8_index(head, path)
+    stored = spark.read.parquet(f"{path}/table")
+    assert sorted(stored.columns) == ["mn", "sc", "sq8_code", "sq8_codes", "vec_id"]
+    for r in stored.limit(20).collect():
+        assert list(r.sq8_code) == list(r.sq8_codes)
+        assert all(0 <= c <= 255 for c in r.sq8_codes)
+
+    got_head = A.sq8_probe(spark, path, q, k=10).collect()
+    want_head = S.sq8_adc_topk(head, q, k=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got_head] == [
+        (r.vec_id, r.adc_dist) for r in want_head
+    ]
+
+    A.append_sq8_index(tail, path)
+    got_all = A.sq8_probe(spark, path, q, k=10).collect()
+    want_all = S.sq8_adc_topk(corpus, q, k=10).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got_all] == [
+        (r.vec_id, r.adc_dist) for r in want_all
+    ]

@@ -2618,6 +2618,8 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_ivfpq_index(
                 emb, str(path), n_centroids=16, m=4, codes=8, train_iters=0
             )
+        elif kind == "sq8":
+            A.build_sq8_index(emb, str(path))
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
@@ -2693,6 +2695,24 @@ def knn_ivf_indexed(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     path = _ann_index_path(spark, sf_dir, "ivf16")
     return A.ivf_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
+@_register("knn_sq8_indexed", None)  # oracle attached below (shares _sq8_adc_oracle)
+def knn_sq8_indexed(spark, sf_dir):
+    """X3 — persisted-SQ8-index probe: the corpus is quantized once
+    into a codes-only table (operators/ann_index.py build_sq8_index —
+    (id, mn, sc, codes), no float vectors, ~3.5x fewer scan bytes at
+    dim=64); the probe reconstructs ``mn + code * sc`` inside the
+    distance fold over the WHOLE table — SQ8 shrinks how much a scan
+    reads where IVF bounds where it reads. The Arrow encoder and the
+    JVM scan-time expressions share one IEEE operation order, so this
+    must equal knn_sq8_adc exactly (same oracle; roundtrip + binary
+    packing pinned in tests/test_pq.py)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "sq8")
+    return A.sq8_probe(spark, path, list(qv), k=10)
 
 
 def _ivf_filtered_oracle(label: int) -> str:
@@ -3767,6 +3787,14 @@ def _sq8_adc_oracle(k: int = 10) -> str:
     WITH {_sq8_chain(k)}
     SELECT vec_id, adc_dist FROM adc
 """
+
+
+# The persisted-index probe computes the same codes/scores as the
+# scan-time path, so it shares the oracle; attach it now that the
+# builder is defined (registration order put the entry earlier).
+QUERIES["knn_sq8_indexed"] = QuerySpec(
+    QUERIES["knn_sq8_indexed"].spark_fn, _sq8_adc_oracle()
+)
 
 
 def _sq8_recall_oracle(k: int = 10) -> str:

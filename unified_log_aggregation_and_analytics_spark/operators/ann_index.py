@@ -898,6 +898,82 @@ def ivfpq_probe(
     return pq_adc_topk(cand, codebooks, list(query_vec), k=k, id_col=id_col)
 
 
+def build_sq8_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """SQ8 index build — the int8 storage-compression play (Lucene's
+    scalar-quantized vector format) without a pruning structure: the
+    persisted table stores ``(id, mn, sc, sq8_codes, sq8_code)`` and
+    NO float vectors. At dim=64/float32 the scan-relevant bytes are
+    1/dim codes + two doubles per vector (~3.5x smaller); the probe
+    stays a shuffle-free map + TakeOrderedAndProject over the whole
+    table — SQ8 shrinks HOW MUCH a scan reads, IVF bounds WHERE it
+    reads, and the two compose (partition this table by cell exactly
+    like build_ivfpq_index does for PQ codes). One Arrow encode pass
+    (similarity.sq8_encode); a manifest version records the build."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        sq8_encode,
+    )
+
+    dim = _peek_dim(df, vec_col)
+    (
+        sq8_encode(df, vec_col=vec_col, id_col=id_col)
+        .write.mode("overwrite")
+        .parquet(_table_path(path))
+    )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(
+        path, "build", df.sparkSession.read.parquet(_table_path(path)).count(), dim=dim
+    )
+
+
+def append_sq8_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental SQ8 ingest: per-vector (min, scale) pairs make the
+    quantizer data-INDEPENDENT across rows — unlike IVF/PQ there is
+    no frozen model to drift, so an append is just the encode pass
+    over the delta. The manifest records it."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        sq8_encode,
+    )
+
+    if df_new.isEmpty():
+        return
+    (
+        sq8_encode(df_new, vec_col=vec_col, id_col=id_col)
+        .write.mode("append")
+        .parquet(_table_path(path))
+    )
+    _record_version(path, "append", df_new.count())
+
+
+def sq8_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SQ8 probe: scan the persisted codes table (never floats),
+    reconstruct ``mn + code * sc`` inside the distance fold, top-k by
+    TakeOrderedAndProject. Scores are bit-identical to the scan-time
+    ``sq8_adc_topk`` (same IEEE operation order), so the persisted
+    path inherits the scan path's oracle."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        sq8_score_topk,
+    )
+
+    idx = _index_rows(spark, path).select(id_col, "mn", "sc", "sq8_codes")
+    return sq8_score_topk(idx, list(query_vec), k=k, id_col=id_col)
+
+
 def hard_negatives_probe(
     spark: SparkSession,
     path: str,

@@ -522,6 +522,95 @@ def sq8_adc_topk(
     )
 
 
+def sq8_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Throughput-path SQ8 encoding (the pq_encode shape): ``(id, mn
+    double, sc double, sq8_codes array<int>, sq8_code binary)`` — the
+    binary column is the storage format (1 byte/dim; codes are always
+    0..255 because (x - mn)/sc <= 255 by construction). One Arrow
+    batch in, vectorized numpy quantization out; no shuffle (fused
+    into the scan). The arithmetic — double cast, per-vector
+    (min, scale), ``floor(v + 0.5)`` half-ties, sc == 0 -> code 0 —
+    mirrors ``sq8_adc_topk``'s JVM expressions step for step (IEEE
+    doubles, same operation order), so the persisted codes reproduce
+    the scan-time scores exactly (pinned in tests/test_pq.py)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("mn", DoubleType()),
+            StructField("sc", DoubleType()),
+            StructField("sq8_codes", ArrayType(IntegerType())),
+            StructField("sq8_code", BinaryType()),
+        ]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = X.min(axis=1)
+            sc = (X.max(axis=1) - mn) / 255.0
+            safe = np.where(sc == 0, 1.0, sc)
+            codes = np.floor((X - mn[:, None]) / safe[:, None] + 0.5)
+            codes = np.where(sc[:, None] == 0, 0.0, codes).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "mn": mn,
+                    "sc": sc,
+                    "sq8_codes": [list(map(int, r)) for r in codes],
+                    "sq8_code": [bytes(r.astype(np.uint8)) for r in codes],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(enc, out_schema)
+
+
+def sq8_score_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score persisted SQ8 rows ``(id, mn, sc, sq8_codes)`` against a
+    float query: asymmetric squared L2 over the reconstruction
+    ``mn + code * sc``, identical fold/round/tie discipline to
+    ``sq8_adc_topk`` — whole-stage codegen, TakeOrderedAndProject.
+    The lambdas read only scalar row columns (mn, sc), so interpreted
+    HOF evaluation stays linear in dim."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    mn, sc = F.col("mn"), F.col("sc")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sq8_codes"),
+            q,
+            lambda c, y: (y - (mn + c.cast("double") * sc))
+            * (y - (mn + c.cast("double") * sc)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,
