@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     # r11: SQ8 asymmetric search — the int8 storage-compression scan
     # next to knn_cosine's float scan (the 4x-fewer-bytes play)
     "knn_sq8_adc",
+    # r11: MMR diversified rerank — shortlist scan + bounded 50x50
+    # pair-sim join + greedy loop, all inside the clock (eager)
+    "knn_mmr_rerank",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -313,6 +316,9 @@ EAGER_QUERIES = {
     "text_quality_train",
     "knn_graph_pagerank_nbits7",
     "knn_graph_degrees_nbits7",
+    # r11: MMR collects the shortlist + pair sims at construction;
+    # the greedy rerank itself is bounded driver arithmetic
+    "knn_mmr_rerank",
 }
 
 

@@ -1741,3 +1741,43 @@ def test_knn_prefix_refine_recall_and_semantics(spark, emb, query_vec):
 
     with pytest.raises(ValueError, match="prefix_dim"):
         S.knn_prefix_refine(corpus, query_vec, prefix_dim=0)
+
+
+def test_mmr_rerank_semantics(spark, emb, query_vec):
+    """MMR (r11): (1) the first pick IS the relevance top-1; (2) the
+    output is k unique ids drawn from the top-`shortlist` relevance
+    set, ranked 1..k; (3) lambda=1 degenerates to plain relevance
+    ranking (the diversity term vanishes); (4) planting an exact copy
+    of the best hit demotes it — plain top-k returns the twin pair
+    back to back, MMR does not pick the copy second."""
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in S.knn_brute_force(corpus, query_vec, k=10).collect()]
+
+    got = S.mmr_rerank(corpus, query_vec, k=10, shortlist=50, lam=0.7).collect()
+    assert [r.rank for r in got] == list(range(1, 11))
+    ids = [r.vec_id for r in got]
+    assert len(set(ids)) == 10
+    assert ids[0] == exact[0]
+    short50 = {
+        r.vec_id for r in S.knn_brute_force(corpus, query_vec, k=50).collect()
+    }
+    assert set(ids) <= short50
+
+    pure_rel = S.mmr_rerank(corpus, query_vec, k=10, shortlist=50, lam=1.0).collect()
+    assert [r.vec_id for r in pure_rel] == exact
+
+    # plant an exact duplicate of the best hit under a fresh id
+    best_vec = (
+        corpus.filter(F.col("vec_id") == exact[0]).select("embedding").first()[0]
+    )
+    twin_id = 10_000_000
+    twin = spark.createDataFrame(
+        [(twin_id, list(best_vec), 0)], schema=corpus.schema
+    )
+    planted = corpus.unionByName(twin)
+    plain = [r.vec_id for r in S.knn_brute_force(planted, query_vec, k=10).collect()]
+    assert {plain[0], plain[1]} == {exact[0], twin_id}  # twins adjacent
+    diverse = [
+        r.vec_id for r in S.mmr_rerank(planted, query_vec, k=10, lam=0.7).collect()
+    ]
+    assert diverse[1] not in {exact[0], twin_id}  # the copy is demoted

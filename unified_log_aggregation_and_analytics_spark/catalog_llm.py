@@ -3797,6 +3797,69 @@ QUERIES["knn_sq8_indexed"] = QuerySpec(
 )
 
 
+def _mmr_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
+    """DuckDB twin of the MMR rerank: the greedy selection loop as a
+    recursive CTE (the text_bpe_encode_seeded merge-loop machinery) —
+    each recursion step picks the candidate maximizing
+    ``lam * rel - (1 - lam) * max sim(c, picked)`` with ascending-id
+    ties. The literals embed repr(1.0 - lam) so the SQL double equals
+    the Python double exactly (1 - 0.7 is NOT 0.3 in IEEE)."""
+    lam_sql, om_sql = repr(float(lam)), repr(1.0 - float(lam))
+    return f"""
+    WITH RECURSIVE q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    short AS (
+      SELECT e.vec_id, e.embedding,
+             round({_cos_raw('e.embedding', 'q.qe')}, 6) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT {shortlist}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round({_cos_raw('a.embedding', 'b.embedding')}, 6) AS s
+      FROM short a JOIN short b ON a.vec_id <> b.vec_id
+    ),
+    mmr AS (
+      SELECT 1 AS step,
+             [(SELECT vec_id FROM short ORDER BY rel DESC, vec_id LIMIT 1)]
+               AS picked
+      UNION ALL
+      SELECT m.step + 1,
+             list_append(m.picked, (
+               SELECT c.vec_id FROM short c
+               WHERE NOT list_contains(m.picked, c.vec_id)
+               ORDER BY ({lam_sql} * c.rel - {om_sql} * (
+                 SELECT MAX(p.s) FROM pairs p
+                 WHERE p.ia = c.vec_id AND list_contains(m.picked, p.ib)
+               )) DESC, c.vec_id
+               LIMIT 1
+             ))
+      FROM mmr m WHERE m.step < {k}
+    ),
+    final AS (SELECT picked FROM mmr WHERE step = {k})
+    SELECT CAST(t.range AS INT) AS rank,
+           f.picked[t.range] AS vec_id,
+           (SELECT s.rel FROM short s WHERE s.vec_id = f.picked[t.range])
+             AS cos_sim
+    FROM final f, range(1, {k + 1}) t
+"""
+
+
+@_register("knn_mmr_rerank", _mmr_oracle())
+def knn_mmr_rerank(spark, sf_dir):
+    """X3 — diversified retrieval: Maximal Marginal Relevance rerank
+    (Carbonell & Goldstein SIGIR'98) of the exact top-50 shortlist,
+    lambda=0.7, k=10 — the post-retrieval stage that stops a result
+    page (or a RAG context window) from being k near-copies of one
+    document. Distributed shortlist scan + certified round-6 pair
+    similarities (bounded 50x50 broadcast self-join); the greedy
+    argmax loop is bounded driver state, replayed step for step by a
+    DuckDB recursive CTE (operators/similarity.py mmr_rerank)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    return S.mmr_rerank(emb, list(qv), k=10, shortlist=50, lam=0.7)
+
+
 def _sq8_recall_oracle(k: int = 10) -> str:
     return f"""
     WITH {_sq8_chain(k)},

@@ -611,6 +611,88 @@ def sq8_score_topk(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X3 — diversified retrieval via Maximal Marginal Relevance
+    (Carbonell & Goldstein, SIGIR'98): greedily pick ``k`` results
+    maximizing ``lam * rel(q, d) - (1 - lam) * max sim(d, selected)``
+    — the rerank stage every production RAG/retrieval stack runs after
+    candidate generation to avoid returning k near-copies.
+
+    Two stages, scale-split exactly like knn_prefix_refine:
+    - Distributed: exact top-``shortlist`` cosine scan (one pass over
+      the corpus, TakeOrderedAndProject), then the shortlist's
+      pairwise similarities via a broadcast self-join — bounded at
+      ``shortlist^2`` rows by construction (LIMITed input), every
+      similarity a certified round-6 JVM fold.
+    - Bounded: the greedy argmax loop runs driver-side over the
+      collected (shortlist + pairs) rows — O(k * shortlist) float
+      ops on values ALREADY rounded by the JVM, the bounded-model-
+      state convention (seed centroids, IVF probe ranking). At any
+      corpus size the rerank state is shortlist-sized; only the
+      candidate scan grows.
+
+    Determinism: relevance and pair similarities round to 6 decimals
+    in the JVM; the greedy score combines them with plain double
+    arithmetic (``lam * rel - (1 - lam) * maxsim``, no re-rounding)
+    and breaks ties by ascending id — every comparison replayable by
+    the DuckDB recursive-CTE oracle with identical IEEE doubles.
+    Returns (rank, id, cos_sim) in selection order."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    short = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    a = short.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("ea"))
+    b = short.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("eb"))
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("s"),
+        )
+        .collect()
+    )
+    rel_rows = short.select(id_col, "rel").collect()
+    rel = {r[0]: float(r[1]) for r in rel_rows}
+    sims: dict[tuple, float] = {(r.ia, r.ib): float(r.s) for r in pair_rows}
+    one_minus = 1.0 - lam
+
+    ordered = sorted(rel, key=lambda i: (-rel[i], i))
+    picked = [ordered[0]]
+    remaining = set(ordered[1:])
+    while len(picked) < min(k, len(ordered)):
+        best = min(
+            remaining,
+            key=lambda c: (
+                -(lam * rel[c] - one_minus * max(sims[(c, p)] for p in picked)),
+                c,
+            ),
+        )
+        picked.append(best)
+        remaining.discard(best)
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i + 1, pid, rel[pid]) for i, pid in enumerate(picked)],
+        schema=f"rank int, {id_col} {id_type}, cos_sim double",
+    )
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,
