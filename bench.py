@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     # r11: MMR diversified rerank — shortlist scan + bounded 50x50
     # pair-sim join + greedy loop, all inside the clock (eager)
     "knn_mmr_rerank",
+    # r11: the composed IVF+SQ8 probe — partition-pruned cells x
+    # compressed rows, tracked like the other index-probe latencies
+    "knn_ivfsq8_indexed",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run

@@ -229,3 +229,56 @@ def test_sq8_index_build_probe_append(spark, emb, tmp_path):
     assert [(r.vec_id, r.adc_dist) for r in got_all] == [
         (r.vec_id, r.adc_dist) for r in want_all
     ]
+
+
+def test_ivfsq8_index_build_probe(spark, emb, tmp_path):
+    """Composed IVF+SQ8: (a) the table stores cell-partitioned codes,
+    no float vectors; (b) the probe scan is partition-pruned
+    (PartitionFilters on cell); (c) probe results equal the scan-time
+    sq8_adc_topk restricted to the probed cells' members — cell
+    pruning and SQ8 scoring compose without changing either; (d)
+    recall vs exact L2 clears the IVF floor."""
+    import io
+    from contextlib import redirect_stdout
+
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    q = [float(x) for x in rows[0].embedding]
+    qid = int(rows[0].vec_id)
+    corpus = emb.filter(F.col("vec_id") != qid)
+    path = str(tmp_path / "ivfsq8")
+    A.build_ivfsq8_index(corpus, path, n_centroids=8)
+
+    idx = spark.read.parquet(f"{path}/table")
+    assert set(idx.columns) == {"vec_id", "mn", "sc", "sq8_codes", "sq8_code", "cell"}
+    assert idx.count() == corpus.count()
+
+    probe = A.ivfsq8_probe(spark, path, q, k=10, n_probe=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    got = [(r.vec_id, r.adc_dist) for r in probe.collect()]
+
+    # replay: same centroids ranking driver-side, then scan-time SQ8
+    # over exactly the probed cells' members
+    centroids = S.deterministic_centroids(corpus, 8)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    cells = [int(c) for c in (cn @ qn).argsort()[::-1][:3]]
+    assigned = S.ivf_assign(corpus.select("vec_id", "embedding"), centroids)
+    members = assigned.filter(F.col("cell").isin(cells)).drop("cell")
+    want = [(r.vec_id, r.adc_dist) for r in S.sq8_adc_topk(members, q, k=10).collect()]
+    assert got == want
+
+    M = np.stack([np.asarray(list(r.embedding), dtype=np.float64) for r in rows[1:]])
+    ids = [int(r.vec_id) for r in rows[1:]]
+    d = ((M - np.asarray(q)[None, :]) ** 2).sum(axis=1)
+    exact = [ids[i] for i in np.argsort(d, kind="stable")][:10]
+    recall = len(set(exact) & {g[0] for g in got}) / 10
+    assert recall >= 0.2, f"IVF-SQ8 recall {recall} below floor"

@@ -2620,6 +2620,8 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             )
         elif kind == "sq8":
             A.build_sq8_index(emb, str(path))
+        elif kind == "ivfsq8":
+            A.build_ivfsq8_index(emb, str(path), n_centroids=16)
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
@@ -3745,21 +3747,23 @@ def knn_pq_adc_seeded(spark, sf_dir):
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
 
 
-def _sq8_chain(k: int = 10) -> str:
+def _sq8_chain(k: int = 10, cand_join: str = "") -> str:
     """Shared CTE chain of the SQ8 ADC search (the _ivfpq_chain
     composition pattern): per-vector (min, scale) -> 255-level codes
     with floor(x + 0.5) half-tie behavior -> asymmetric squared-L2
     against the float query, reconstruction ``mn + code * sc`` inline.
     Every arithmetic step mirrors operators/similarity.py
     sq8_adc_topk expression for expression, so both engines produce
-    bit-identical doubles before the round-6."""
+    bit-identical doubles before the round-6. ``cand_join`` (e.g.
+    ``JOIN cellof USING (vec_id)``) restricts the scored rows — how
+    the IVF-composed oracle bolts cell pruning onto the same chain."""
     return f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     p AS (
-      SELECT vec_id, embedding,
-             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
-             (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-              - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
-      FROM embeddings WHERE vec_id <> 0
+      SELECT e.vec_id, e.embedding,
+             list_min(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS mn,
+             (list_max(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+              - list_min(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
+      FROM embeddings e {cand_join} WHERE e.vec_id <> 0
     ),
     codes AS (
       SELECT vec_id, mn, sc,
@@ -3795,6 +3799,55 @@ def _sq8_adc_oracle(k: int = 10) -> str:
 QUERIES["knn_sq8_indexed"] = QuerySpec(
     QUERIES["knn_sq8_indexed"].spark_fn, _sq8_adc_oracle()
 )
+
+
+def _ivfsq8_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """DuckDB twin of the composed IVF+SQ8 probe: the _ivf_oracle
+    cell machinery (seed centroids = 16 lowest-id vectors,
+    argmax-cosine assignment with first-min ties, top-4 probe cells
+    with argsort()[::-1] ties) bolted onto the _sq8_chain scoring via
+    its cand_join hook — SQ8 distances computed ONLY for vectors
+    whose assigned cell is probed."""
+    return f"""
+    WITH cq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+    probe AS (
+      SELECT cid FROM c, cq
+      ORDER BY {_cos_raw('ce', 'qe')} DESC, cid DESC LIMIT {n_probe}
+    ),
+    cellof AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_raw('e.embedding', 'c.ce')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id <> 0
+      ) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    ),
+    {_sq8_chain(k, cand_join="JOIN cellof USING (vec_id)")}
+    SELECT vec_id, adc_dist FROM adc
+"""
+
+
+@_register("knn_ivfsq8_indexed", _ivfsq8_oracle())
+def knn_ivfsq8_indexed(spark, sf_dir):
+    """X3 — composed IVF+SQ8 persisted probe: cells bound WHERE the
+    probe reads (PartitionFilters on the 4 probed cells), SQ8 codes
+    bound HOW MUCH it reads per row (codes + two doubles, no float
+    vectors). Deterministic seed centroids keep the whole path
+    replayable — assignment, probe choice, per-vector quantization,
+    reconstruction scoring (ann_index.py build_ivfsq8_index /
+    ivfsq8_probe). Unlike IVF-PQ there is no trained codebook, so
+    this composed index is fully oracle-backed with NO seeded-twin
+    split needed."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfsq8")
+    return A.ivfsq8_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
 def _mmr_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:

@@ -954,6 +954,83 @@ def append_sq8_index(
     _record_version(path, "append", df_new.count())
 
 
+def build_ivfsq8_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF + SQ8 composed index — the two knobs a 100 TB vector scan
+    has, composed: IVF cells bound WHERE a probe reads (partition
+    pruning), SQ8 codes bound HOW MUCH it reads per row (~3.5x fewer
+    bytes at dim=64). The persisted table stores ``(id, mn, sc,
+    codes, packed binary)`` partitioned by cell, no float vectors;
+    centroids persist like build_ivf_index's. Deterministic seed
+    centroids (the n lowest-id vectors) keep the ENTIRE path —
+    assignment, probe choice, quantization, reconstruction scoring —
+    DuckDB-replayable, the build_ivfpq_index(train_iters=0)
+    convention. Unlike IVF-PQ there is no codebook to train or
+    freeze: the per-vector quantizer is data-independent, so appends
+    only need the frozen centroids."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        sq8_encode,
+    )
+
+    centroids = deterministic_centroids(df, n_centroids, vec_col, id_col)
+    dim = centroids.shape[1]
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, schema=f"cell int, {vec_col} array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_centroids_path(path))
+    )
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    (
+        sq8_encode(assigned, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_table_path(path))
+    )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(
+        path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
+    )
+
+
+def ivfsq8_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ8 probe: rank the persisted centroids driver-side, read
+    only the ``n_probe`` nearest CODE partitions (PartitionFilters on
+    ``cell``), reconstruct ``mn + code * sc`` inside the distance
+    fold — whole-stage codegen, TakeOrderedAndProject. Same cell
+    choice as ivfpq_probe, same scoring as sq8_probe."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        sq8_score_topk,
+    )
+
+    centroids = load_centroids(spark, path)
+    norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (norm @ qn).argsort()[::-1][:n_probe]]
+    idx = _index_rows(spark, path)
+    cand = idx.filter(F.col("cell").isin(probe_cells)).select(
+        id_col, "mn", "sc", "sq8_codes"
+    )
+    return sq8_score_topk(cand, list(query_vec), k=k, id_col=id_col)
+
+
 def sq8_probe(
     spark: SparkSession,
     path: str,

@@ -526,6 +526,7 @@ def sq8_encode(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Throughput-path SQ8 encoding (the pq_encode shape): ``(id, mn
     double, sc double, sq8_codes array<int>, sq8_code binary)`` — the
@@ -548,8 +549,9 @@ def sq8_encode(
     )
 
     out_schema = StructType(
-        [
-            StructField(id_col, df.schema[id_col].dataType),
+        [StructField(id_col, df.schema[id_col].dataType)]
+        + [StructField(c, df.schema[c].dataType) for c in passthrough]
+        + [
             StructField("mn", DoubleType()),
             StructField("sc", DoubleType()),
             StructField("sq8_codes", ArrayType(IntegerType())),
@@ -567,17 +569,16 @@ def sq8_encode(
             safe = np.where(sc == 0, 1.0, sc)
             codes = np.floor((X - mn[:, None]) / safe[:, None] + 0.5)
             codes = np.where(sc[:, None] == 0, 0.0, codes).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "mn": mn,
-                    "sc": sc,
-                    "sq8_codes": [list(map(int, r)) for r in codes],
-                    "sq8_code": [bytes(r.astype(np.uint8)) for r in codes],
-                }
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            out["mn"] = mn
+            out["sc"] = sc
+            out["sq8_codes"] = [list(map(int, r)) for r in codes]
+            out["sq8_code"] = [bytes(r.astype(np.uint8)) for r in codes]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(enc, out_schema)
+    return df.select(id_col, *passthrough, vec_col).mapInPandas(enc, out_schema)
 
 
 def sq8_score_topk(
