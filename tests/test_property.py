@@ -462,3 +462,62 @@ def test_wav_pcm_encode_decode_roundtrip_property(n, ch, bits16, rate, seed):
         rate, ch, 16 if bits16 else 8, n,
     )
     assert np.array_equal(arr.reshape(n, ch), samples)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1),
+)
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@example(vecs=[[0.0, 0.0, 0.0, 0.0]])          # constant vector: sc == 0
+@example(vecs=[[1e-12, 0.0, -1e-12, 0.0]])     # near-degenerate range
+def test_sq8_property(spark, vecs):
+    """SQ8 invariants on adversarial vectors (Hypothesis): (1) codes
+    stay in [0, 255]; (2) the Arrow encoder and the scan-time JVM
+    expressions assign IDENTICAL codes (the IEEE-parity claim the
+    persisted index rests on); (3) the reconstruction error of every
+    element is bounded by sc/2 (+1 ulp slack) — the provable envelope
+    of round-to-nearest range quantization; constant vectors
+    reconstruct exactly."""
+    from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+
+    dim = len(vecs[0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id bigint, embedding array<double>",
+    )
+    enc = {r.vec_id: r for r in S.sq8_encode(df).collect()}
+    assert set(enc) == set(range(len(vecs)))
+
+    for i, v in enumerate(vecs):
+        r = enc[i]
+        assert list(r.sq8_code) == list(r.sq8_codes)
+        assert all(0 <= c <= 255 for c in r.sq8_codes)
+        mn, mx = min(v), max(v)
+        sc = (mx - mn) / 255.0
+        # JVM scan-time replay of the same quantization
+        if sc == 0:
+            jvm = [0] * dim
+        else:
+            import math
+
+            jvm = [int(math.floor((x - mn) / sc + 0.5)) for x in v]
+        assert list(r.sq8_codes) == jvm, "Arrow encoder != JVM arithmetic"
+        for x, c in zip(v, r.sq8_codes):
+            recon = r.mn + c * r.sc
+            bound = (r.sc / 2.0) * (1 + 1e-9) + 1e-15
+            assert abs(x - recon) <= bound, (x, recon, r.sc)
