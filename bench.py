@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     # r11: the composed IVF+SQ8 probe — partition-pruned cells x
     # compressed rows, tracked like the other index-probe latencies
     "knn_ivfsq8_indexed",
+    # r11: similarity search directly on text (feature hashing) —
+    # explode + two hash aggs + a broadcast bucket join
+    "text_hash_embed_knn",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run

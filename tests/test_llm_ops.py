@@ -1781,3 +1781,32 @@ def test_mmr_rerank_semantics(spark, emb, query_vec):
         r.vec_id for r in S.mmr_rerank(planted, query_vec, k=10, lam=0.7).collect()
     ]
     assert diverse[1] not in {exact[0], twin_id}  # the copy is demoted
+
+
+def test_hash_embed_knn_semantics(spark, docs):
+    """Feature-hashing (r11): (1) hash_embed buckets lie in [0, dim)
+    and every value is a nonzero integer (zero-sum buckets drop out of
+    the aggregation only if no token landed; signs may cancel to an
+    explicit 0 which is kept — both are valid long-form states); (2) a
+    verbatim copy of the query document scores cos_sim = 1.0 and
+    ranks first; (3) scores are within [-1, 1] and descending."""
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    vecs = X.hash_embed(docs, dim=64)
+    bad = vecs.filter((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count()
+    assert bad == 0
+
+    qrow = docs.filter(F.col("doc_id") == 0).select("text").first()
+    twin_id = 10_000_000
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(twin_id, qrow[0], "en", "synthetic", len(qrow[0]))],
+            schema=docs.schema,
+        )
+    )
+    got = X.hash_embed_knn(planted, query_id=0, k=10).collect()
+    assert got[0].doc_id == twin_id
+    assert got[0].cos_sim == 1.0
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)

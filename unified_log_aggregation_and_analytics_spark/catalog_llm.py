@@ -1692,6 +1692,75 @@ def text_fingerprint_md5(spark, sf_dir):
     return X.rolling_fingerprint(docs, hash_fn="md5").select("doc_id", "fp_roll")
 
 
+_HASH_EMBED_CTES = r"""tok AS (
+      SELECT doc_id, unnest(str_split_regex(text, '\s+')) AS t FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 64 AS BIGINT)
+               AS bucket,
+             CASE WHEN substr(md5(t), 9, 1) IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE -1 END AS s
+      FROM tok
+    ),
+    vecs AS (
+      SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS val
+      FROM hv GROUP BY doc_id, bucket
+    )"""
+
+
+@_register(
+    "text_hash_embed",
+    f"""
+    WITH {_HASH_EMBED_CTES}
+    SELECT doc_id, bucket, val FROM vecs
+    """,
+)
+def text_hash_embed(spark, sf_dir):
+    """X4 — feature-hashed document vectors (the hashing trick,
+    Weinberger et al. ICML'09) in long (doc_id, bucket, val) form:
+    every token occurrence adds +-1 to one of 64 buckets (bucket from
+    the first 8 md5 hex digits, sign from the 9th). Values are exact
+    integers — no float discipline anywhere — so the certification is
+    arithmetic-free (operators/text.py hash_embed)."""
+    return X.hash_embed(_spread(_t(spark, sf_dir, "documents")))
+
+
+@_register(
+    "text_hash_embed_knn",
+    f"""
+    WITH {_HASH_EMBED_CTES},
+    qv AS (SELECT bucket, val AS qval FROM vecs WHERE doc_id = 0),
+    qn AS (SELECT SUM(qval * qval) AS qnrm FROM qv),
+    sc AS (
+      SELECT v.doc_id,
+             SUM(v.val * v.val) AS nrm,
+             SUM(v.val * COALESCE(q.qval, 0)) AS dot
+      FROM vecs v LEFT JOIN qv q USING (bucket)
+      WHERE v.doc_id <> 0
+      GROUP BY v.doc_id
+      HAVING SUM(v.val * v.val) > 0
+    )
+    SELECT doc_id,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))), 6)
+             AS cos_sim
+    FROM sc, qn
+    ORDER BY cos_sim DESC, doc_id LIMIT 10
+    """,
+)
+def text_hash_embed_knn(spark, sf_dir):
+    """X4 x X3 — similarity search directly on TEXT, no embedding
+    model: top-10 nearest documents to doc 0 by cosine over the
+    feature-hashed vectors. Dot products and norms are exact integer
+    sums riding one bucket equi-join + one hash aggregation; the only
+    float step is the final normalize (two separately-rooted factors
+    so nothing exceeds 2^53), round-6, id tie-break — the whole path
+    replays in DuckDB with zero rounding discipline beyond the output
+    round (operators/text.py hash_embed_knn)."""
+    return X.hash_embed_knn(_spread(_t(spark, sf_dir, "documents")), query_id=0, k=10)
+
+
 @_register("text_fingerprint_rolling", None)  # xxhash64 chain: engine-specific, rows-only
 def text_fingerprint_rolling(spark, sf_dir):
     """X4 — rolling (order-sensitive) token-stream fingerprint:

@@ -153,6 +153,80 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """X4 — feature-hashed document vectors (the "hashing trick",
+    Weinberger et al. ICML'09): every token OCCURRENCE adds ±1 to one
+    of ``dim`` buckets — bucket from the token's first 8 md5 hex
+    digits, sign from the 9th. Long form ``(id, bucket, val)`` with
+    INTEGER values: exact, addition-order-free, engine-identical —
+    text gets a similarity-searchable vector with no embedding model
+    and no float discipline at all. One explode + one hash
+    aggregation keyed on (id, bucket): at 100 TB the shuffle carries
+    |docs| x dim partial sums, never token lists."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
+
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    h = F.md5(F.col("_t").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
+    sign = F.when(F.substring(h, 9, 1).isin(*"01234567"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return ex.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
+        F.sum(sign).alias("val")
+    )
+
+
+def hash_embed_knn(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """X4 x X3 — nearest documents by cosine over feature-hashed
+    vectors: similarity search directly on text, no embedding model.
+    The query document's ``dim``-bucket vector broadcasts (bounded by
+    construction); dots ride a bucket equi-join, norms the same
+    aggregation — one pass over the hashed long form for both. All
+    sums are exact integers; the only float step is the final
+    ``dot / (sqrt(nrm) * sqrt(qnrm))`` (two separately-rooted factors
+    — ``sqrt(nrm * qnrm)`` could exceed 2^53 and lose integer
+    exactness), round-6, id tie-break. Zero-norm documents (a text of
+    pure whitespace hashes to nothing) are excluded on both engines
+    rather than dividing by zero differently."""
+    vecs = hash_embed(df, text_col=text_col, id_col=id_col, dim=dim)
+    qv = (
+        vecs.filter(F.col(id_col) == query_id)
+        .select("bucket", F.col("val").alias("qval"))
+    )
+    qn = qv.agg(F.sum(F.col("qval") * F.col("qval")).alias("qnrm"))
+    scored = (
+        vecs.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(qv), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("val") * F.col("val")).alias("nrm"),
+            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0))).alias("dot"),
+        )
+        .filter(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(qn))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("qnrm").cast("double"))
+    )
+    return (
+        scored.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
 ) -> DataFrame:
