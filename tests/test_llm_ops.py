@@ -1810,3 +1810,18 @@ def test_hash_embed_knn_semantics(spark, docs):
     sims = [r.cos_sim for r in got]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_mmr_rerank_small_and_empty_corpus(spark, emb, query_vec):
+    """MMR contract at the edges: an empty corpus yields an empty
+    frame (not IndexError); a corpus smaller than k yields exactly
+    min(k, corpus) ranked rows — mirrored by the oracle's NULL-pad
+    filter."""
+    empty = emb.filter(F.col("vec_id") < 0)
+    got = S.mmr_rerank(empty, query_vec, k=10).collect()
+    assert got == []
+
+    tiny = emb.filter(F.col("vec_id").isin(1, 2, 3))
+    got = S.mmr_rerank(tiny, query_vec, k=10).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert len({r.vec_id for r in got}) == 3

@@ -282,3 +282,29 @@ def test_ivfsq8_index_build_probe(spark, emb, tmp_path):
     exact = [ids[i] for i in np.argsort(d, kind="stable")][:10]
     recall = len(set(exact) & {g[0] for g in got}) / 10
     assert recall >= 0.2, f"IVF-SQ8 recall {recall} below floor"
+
+
+def test_ivfsq8_append_and_wrong_append_guard(spark, emb, tmp_path):
+    """IVF-SQ8 appends: a delta assigned against the FROZEN centroids
+    lands in the cell partitions and is findable by the next probe;
+    manifest records build then append; and append_sq8_index on a
+    cell-partitioned path fails loudly instead of writing unassigned
+    rows that cell-pruned probes would silently never see."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    base = emb.filter(F.col("vec_id") <= 300)
+    delta = emb.filter(F.col("vec_id") > 300)
+    path = str(tmp_path / "ivfsq8a")
+    A.build_ivfsq8_index(base, path, n_centroids=8)
+
+    with pytest.raises(ValueError, match="append_ivfsq8_index"):
+        A.append_sq8_index(delta, path)
+
+    A.append_ivfsq8_index(delta, path)
+    idx = spark.read.parquet(f"{path}/table")
+    assert idx.count() == base.count() + delta.count()
+    assert idx.filter(F.col("cell").isNull()).count() == 0
+    dq = [float(x) for x in delta.select("embedding").first()[0]]
+    hits = {r.vec_id for r in A.ivfsq8_probe(spark, path, dq, k=5, n_probe=8).collect()}
+    assert hits & {r.vec_id for r in delta.select("vec_id").collect()}
+    assert [v["op"] for v in A.read_manifest(path)] == ["build", "append"]

@@ -1693,6 +1693,8 @@ def text_fingerprint_md5(spark, sf_dir):
 
 
 _HASH_EMBED_CTES = r"""tok AS (
+      -- t <> '' on both engines: Java split drops trailing empty
+      -- tokens but keeps a leading one, str_split_regex keeps both
       SELECT doc_id, unnest(str_split_regex(text, '\s+')) AS t FROM documents
     ),
     hv AS (
@@ -1701,7 +1703,7 @@ _HASH_EMBED_CTES = r"""tok AS (
                AS bucket,
              CASE WHEN substr(md5(t), 9, 1) IN ('0','1','2','3','4','5','6','7')
                   THEN 1 ELSE -1 END AS s
-      FROM tok
+      FROM tok WHERE t <> ''
     ),
     vecs AS (
       SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS val
@@ -3964,6 +3966,7 @@ def _mmr_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
            (SELECT s.rel FROM short s WHERE s.vec_id = f.picked[t.range])
              AS cos_sim
     FROM final f, range(1, {k + 1}) t
+    WHERE f.picked[t.range] IS NOT NULL
 """
 
 

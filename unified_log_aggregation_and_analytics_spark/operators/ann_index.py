@@ -946,6 +946,12 @@ def append_sq8_index(
 
     if df_new.isEmpty():
         return
+    if "cell" in df_new.sparkSession.read.parquet(_table_path(path)).columns:
+        raise ValueError(
+            "append_sq8_index called on a cell-partitioned (IVF-SQ8) "
+            "index — use append_ivfsq8_index, or rows land unassigned "
+            "and invisible to cell-pruned probes"
+        )
     (
         sq8_encode(df_new, vec_col=vec_col, id_col=id_col)
         .write.mode("append")
@@ -1000,6 +1006,36 @@ def build_ivfsq8_index(
     _record_version(
         path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
     )
+
+
+def append_ivfsq8_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF-SQ8 ingest: the delta is assigned against the
+    FROZEN persisted centroids (recomputing them would re-key
+    existing rows) and SQ8-encoded into the per-cell partitions — the
+    per-vector quantizer itself needs no frozen state. One Arrow pass
+    over the delta."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        ivf_assign,
+        sq8_encode,
+    )
+
+    if df_new.isEmpty():
+        return
+    spark = df_new.sparkSession
+    centroids = load_centroids(spark, path, vec_col)
+    assigned = ivf_assign(df_new.select(id_col, vec_col), centroids, vec_col)
+    (
+        sq8_encode(assigned, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_table_path(path))
+    )
+    _record_version(path, "append", df_new.count())
 
 
 def ivfsq8_probe(

@@ -645,9 +645,12 @@ def mmr_rerank(
     arithmetic (``lam * rel - (1 - lam) * maxsim``, no re-rounding)
     and breaks ties by ascending id — every comparison replayable by
     the DuckDB recursive-CTE oracle with identical IEEE doubles.
-    Returns (rank, id, cos_sim) in selection order."""
+    Returns (rank, id, cos_sim) in selection order — min(k, corpus)
+    rows; an empty corpus yields an empty frame."""
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    short = (
+    short_rows = (
         df.select(
             F.col(id_col),
             F.col(vec_col),
@@ -655,9 +658,23 @@ def mmr_rerank(
         )
         .orderBy(F.col("rel").desc(), F.col(id_col))
         .limit(shortlist)
+        .collect()  # ONE corpus scan; everything below is 50-row state
     )
-    a = short.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("ea"))
-    b = short.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("eb"))
+    if not short_rows:
+        return spark.createDataFrame(
+            [], schema=f"rank int, {id_col} {id_type}, cos_sim double"
+        )
+    # Pair similarities still computed by the certified JVM fold — but
+    # over a LOCAL 50-row relation rebuilt from the collect (float32
+    # -> Python float -> double is exact widening, the same doubles
+    # CAST(embedding AS DOUBLE) yields), not by re-scanning the corpus
+    # for each join side.
+    local = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in short_rows],
+        schema=f"{id_col} {id_type}, {vec_col} array<double>",
+    )
+    a = local.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("ea"))
+    b = local.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("eb"))
     pair_rows = (
         a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
         .select(
@@ -667,8 +684,7 @@ def mmr_rerank(
         )
         .collect()
     )
-    rel_rows = short.select(id_col, "rel").collect()
-    rel = {r[0]: float(r[1]) for r in rel_rows}
+    rel = {r[0]: float(r[2]) for r in short_rows}
     sims: dict[tuple, float] = {(r.ia, r.ib): float(r.s) for r in pair_rows}
     one_minus = 1.0 - lam
 
@@ -686,8 +702,6 @@ def mmr_rerank(
         picked.append(best)
         remaining.discard(best)
 
-    spark = df.sparkSession
-    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(i + 1, pid, rel[pid]) for i, pid in enumerate(picked)],
         schema=f"rank int, {id_col} {id_type}, cos_sim double",

@@ -170,7 +170,13 @@ def hash_embed(
     |docs| x dim partial sums, never token lists."""
     from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
 
-    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    # Drop empty tokens explicitly: Java split drops TRAILING empties
+    # but keeps a leading one, DuckDB str_split_regex keeps both —
+    # filtering '' on both engines is the only split-convention-free
+    # contract (and an empty token is not a feature anyway).
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
     h = F.md5(F.col("_t").cast("binary"))
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
     sign = F.when(F.substring(h, 9, 1).isin(*"01234567"), F.lit(1)).otherwise(
