@@ -219,6 +219,9 @@ SCALE_QUERIES = [
     # r11: SQ8 asymmetric scan at 10x rows — per-vector dequant
     # arithmetic is map-only, so growth must stay linear-or-better
     "knn_sq8_adc",
+    # r11: feature-hashed text knn at 10x docs — the explode + two
+    # hash aggs carry |docs| x 64 partial sums, growth must be linear
+    "text_hash_embed_knn",
 ]
 
 

@@ -521,3 +521,54 @@ def test_sq8_property(spark, vecs):
             recon = r.mn + c * r.sc
             bound = (r.sc / 2.0) * (1 + 1e-9) + 1e-15
             assert abs(x - recon) <= bound, (x, recon, r.sc)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=" \t\nabcxyz019",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@example(texts=[" leading space"])
+@example(texts=["trailing space "])
+@example(texts=["\t\n  "])          # whitespace-only: zero tokens
+@example(texts=["a  b\tc\nd"])      # runs of mixed whitespace
+def test_hash_embed_cross_engine_property(spark, texts):
+    """hash_embed vs the catalog's DuckDB CTE chain on ADVERSARIAL
+    whitespace (Hypothesis): leading/trailing/mixed/empty. Pins the
+    empty-token contract — Java split drops trailing empties, DuckDB
+    str_split_regex keeps both, and the operator/oracle pair must
+    filter '' identically on both engines."""
+    import duckdb
+
+    from unified_log_aggregation_and_analytics_spark.catalog_llm import (
+        _HASH_EMBED_CTES,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.bucket): r.val for r in X.hash_embed(df, dim=64).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            f"WITH {_HASH_EMBED_CTES} SELECT doc_id, bucket, val FROM vecs"
+        ).fetchall()
+    }
+    assert got == want
