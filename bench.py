@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     # r11: similarity search directly on text (feature hashing) —
     # explode + two hash aggs + a broadcast bucket join
     "text_hash_embed_knn",
+    # r11: chunk-level RAG retrieval — chunker fan-out + hashed
+    # passage vectors + query ranking in one plan
+    "text_rag_retrieve",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run

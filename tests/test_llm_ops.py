@@ -1825,3 +1825,31 @@ def test_mmr_rerank_small_and_empty_corpus(spark, emb, query_vec):
     got = S.mmr_rerank(tiny, query_vec, k=10).collect()
     assert [r.rank for r in got] == [1, 2, 3]
     assert len({r.vec_id for r in got}) == 3
+
+
+def test_hash_embed_retrieve_rag_shape(spark, docs):
+    """Chunk-level retrieval (r11): a query that IS one candidate's
+    text scores that candidate 1.0 and first; extra_cols ride the
+    composite id through; results sorted, unique, k-bounded."""
+    from unified_log_aggregation_and_analytics_spark.operators import text as X
+
+    chunks = X.chunk_text(
+        docs.filter(F.col("doc_id") != 0), chunk_tokens=64, stride=48, min_tail=8
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+    )
+    target = chunks.orderBy("cid").first()
+    qdf = spark.createDataFrame(
+        [(0, target.chunk)], schema="cid long, chunk string"
+    )
+    got = X.hash_embed_retrieve(
+        chunks, qdf, k=10, text_col="chunk", id_col="cid",
+        extra_cols=("doc_id", "chunk_idx"),
+    ).collect()
+    assert len(got) == 10
+    assert len({(r.doc_id, r.chunk_idx) for r in got}) == 10
+    assert (got[0].doc_id, got[0].chunk_idx) == (target.doc_id, target.chunk_idx)
+    assert got[0].cos_sim == 1.0

@@ -568,7 +568,7 @@ def test_hash_embed_cross_engine_property(spark, texts):
     want = {
         (r[0], r[1]): r[2]
         for r in con.execute(
-            f"WITH {_HASH_EMBED_CTES} SELECT doc_id, bucket, val FROM vecs"
+            f"WITH {_HASH_EMBED_CTES} SELECT doc_id, bucket, val FROM vecs_named"
         ).fetchall()
     }
     assert got == want

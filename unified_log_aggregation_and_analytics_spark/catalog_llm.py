@@ -1692,30 +1692,47 @@ def text_fingerprint_md5(spark, sf_dir):
     return X.rolling_fingerprint(docs, hash_fn="md5").select("doc_id", "fp_roll")
 
 
-_HASH_EMBED_CTES = r"""tok AS (
+def _hash_embed_ctes(
+    src: str = "documents",
+    text: str = "text",
+    id_: str = "doc_id",
+    suffix: str = "",
+) -> str:
+    """The feature-hashing CTE chain over an arbitrary (id, text)
+    source — tok/hv/vecs names get ``suffix`` so two chains (corpus +
+    query) compose in one statement. Arithmetic mirrors
+    operators/text.py hash_embed exactly."""
+    return rf"""tok{suffix} AS (
       -- t <> '' on both engines: Java split drops trailing empty
       -- tokens but keeps a leading one, str_split_regex keeps both
-      SELECT doc_id, unnest(str_split_regex(text, '\s+')) AS t FROM documents
+      SELECT {id_} AS hid, unnest(str_split_regex({text}, '\s+')) AS t FROM {src}
     ),
-    hv AS (
-      SELECT doc_id,
+    hv{suffix} AS (
+      SELECT hid,
              CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 64 AS BIGINT)
                AS bucket,
              CASE WHEN substr(md5(t), 9, 1) IN ('0','1','2','3','4','5','6','7')
                   THEN 1 ELSE -1 END AS s
-      FROM tok WHERE t <> ''
+      FROM tok{suffix} WHERE t <> ''
     ),
-    vecs AS (
-      SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS val
-      FROM hv GROUP BY doc_id, bucket
+    vecs{suffix} AS (
+      SELECT hid, bucket, CAST(SUM(s) AS BIGINT) AS val
+      FROM hv{suffix} GROUP BY hid, bucket
     )"""
+
+
+_HASH_EMBED_CTES = (
+    _hash_embed_ctes()
+    + r""",
+    vecs_named AS (SELECT hid AS doc_id, bucket, val FROM vecs)"""
+)
 
 
 @_register(
     "text_hash_embed",
     f"""
     WITH {_HASH_EMBED_CTES}
-    SELECT doc_id, bucket, val FROM vecs
+    SELECT doc_id, bucket, val FROM vecs_named
     """,
 )
 def text_hash_embed(spark, sf_dir):
@@ -1732,13 +1749,13 @@ def text_hash_embed(spark, sf_dir):
     "text_hash_embed_knn",
     f"""
     WITH {_HASH_EMBED_CTES},
-    qv AS (SELECT bucket, val AS qval FROM vecs WHERE doc_id = 0),
+    qv AS (SELECT bucket, val AS qval FROM vecs_named WHERE doc_id = 0),
     qn AS (SELECT SUM(qval * qval) AS qnrm FROM qv),
     sc AS (
       SELECT v.doc_id,
              SUM(v.val * v.val) AS nrm,
              SUM(v.val * COALESCE(q.qval, 0)) AS dot
-      FROM vecs v LEFT JOIN qv q USING (bucket)
+      FROM vecs_named v LEFT JOIN qv q USING (bucket)
       WHERE v.doc_id <> 0
       GROUP BY v.doc_id
       HAVING SUM(v.val * v.val) > 0
@@ -1761,6 +1778,90 @@ def text_hash_embed_knn(spark, sf_dir):
     replays in DuckDB with zero rounding discipline beyond the output
     round (operators/text.py hash_embed_knn)."""
     return X.hash_embed_knn(_spread(_t(spark, sf_dir, "documents")), query_id=0, k=10)
+
+
+def _rag_retrieve_oracle(k: int = 10) -> str:
+    """DuckDB twin of the chunk-level RAG retrieval: the certified
+    chunker CTEs (text_chunks_rag) produce the candidate chunks with
+    a composite cid, two _hash_embed_ctes chains embed candidates and
+    the query document, and the integer dot/norm scoring replays
+    hash_embed_retrieve exactly."""
+    corpus_chain = _hash_embed_ctes(src="ch", text="chunk", id_="cid")
+    query_chain = _hash_embed_ctes(
+        src="(SELECT 0 AS qid, text FROM documents WHERE doc_id = 0) qd",
+        text="text",
+        id_="qid",
+        suffix="_q",
+    )
+    return f"""
+    WITH sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents WHERE doc_id <> 0
+    ), st AS (
+      SELECT doc_id, s,
+             unnest(range(1, greatest(len(s), 1) + 1, 48)) AS start
+      FROM sp
+    ), ch AS (
+      SELECT doc_id * 1000 + CAST((start - 1) / 48 AS BIGINT) AS cid,
+             array_to_string(s[start : start + 63], ' ') AS chunk
+      FROM st
+      WHERE NOT (start > 1 AND start - 48 + 63 >= len(s))
+        AND ((start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8)
+    ),
+    {corpus_chain},
+    {query_chain},
+    qn AS (SELECT SUM(val * val) AS qnrm FROM vecs_q),
+    sc AS (
+      SELECT v.hid AS cid,
+             SUM(v.val * v.val) AS nrm,
+             SUM(v.val * COALESCE(q.qval, 0)) AS dot
+      FROM vecs v LEFT JOIN
+           (SELECT bucket, val AS qval FROM vecs_q) q USING (bucket)
+      GROUP BY v.hid
+      HAVING SUM(v.val * v.val) > 0
+    ),
+    ranked AS (
+      SELECT cid,
+             round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))), 6)
+               AS cos_sim
+      FROM sc, qn
+      ORDER BY cos_sim DESC, cid LIMIT {k}
+    )
+    SELECT CAST(cid // 1000 AS BIGINT) AS doc_id,
+           CAST(cid % 1000 AS BIGINT) AS chunk_idx,
+           cos_sim
+    FROM ranked
+"""
+
+
+@_register("text_rag_retrieve", _rag_retrieve_oracle())
+def text_rag_retrieve(spark, sf_dir):
+    """X4 x X3 — chunk-level RAG retrieval end to end: the certified
+    overlapping-window chunker (text_chunks_rag: 64-token windows,
+    stride 48) fans the corpus into passages, every passage gets a
+    feature-hashed vector, and the query document's vector ranks them
+    — the retrieve stage of a RAG stack, running entirely on integer
+    arithmetic with no embedding model. Composite cid = doc_id*1000 +
+    chunk_idx keys the chunk vectors (fixture docs chunk far below
+    1000); one explode + two hash aggs + a broadcast bucket join
+    (operators/text.py chunk_text + hash_embed_retrieve)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    cands = X.chunk_text(
+        docs.filter(F.col("doc_id") != 0), chunk_tokens=64, stride=48, min_tail=8
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+    )
+    qdf = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.lit(0).cast("long").alias("cid"), F.col("text").alias("chunk"))
+    )
+    return X.hash_embed_retrieve(
+        cands, qdf, k=10, text_col="chunk", id_col="cid",
+        extra_cols=("doc_id", "chunk_idx"),
+    ).select("doc_id", "chunk_idx", "cos_sim")
 
 
 @_register("text_fingerprint_rolling", None)  # xxhash64 chain: engine-specific, rows-only

@@ -187,6 +187,57 @@ def hash_embed(
     )
 
 
+def hash_embed_retrieve(
+    cand_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """X4 x X3 — generic hashed-vector retrieval: score CANDIDATE
+    texts against a QUERY text from a different frame (the RAG shape:
+    candidates are chunks, the query is a question/document).
+    ``query_df`` must contain exactly one row; its feature-hashed
+    vector broadcasts. Same integer-exact dots/norms and two-factor
+    normalize as ``hash_embed_knn``; ``extra_cols`` ride the
+    candidate id through the aggregation (e.g. (doc_id, chunk_idx)
+    alongside a composite chunk id)."""
+    vecs = hash_embed(cand_df, text_col=text_col, id_col=id_col, dim=dim)
+    qv = (
+        hash_embed(query_df, text_col=text_col, id_col=id_col, dim=dim)
+        .select("bucket", F.col("val").alias("qval"))
+    )
+    qn = qv.agg(F.sum(F.col("qval") * F.col("qval")).alias("qnrm"))
+    scored = (
+        vecs.join(F.broadcast(qv), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("val") * F.col("val")).alias("nrm"),
+            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0))).alias("dot"),
+        )
+        .filter(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(qn))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("qnrm").cast("double"))
+    )
+    ranked = (
+        scored.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+    if extra_cols:
+        meta = cand_df.select(id_col, *extra_cols).dropDuplicates([id_col])
+        ranked = (
+            ranked.join(meta, id_col)
+            .select(id_col, *extra_cols, "cos_sim")
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))  # joins drop order
+        )
+    return ranked
+
+
 def hash_embed_knn(
     df: DataFrame,
     query_id: int = 0,
