@@ -360,3 +360,40 @@ def test_compact_fenced_orphaned_torn_attempts_reclaimed(spark, tmp_path):
     dirs = sorted(p.name for p in Path(path).glob("_commit_batch=*"))
     assert dirs == ["_commit_batch=-3"], dirs  # -1 and -2 both reclaimed
     assert _visible(spark, path, root) == before
+
+
+def test_fenced_read_as_of_snapshot(spark, tmp_path):
+    """Time-travel (r11): as_of_batch pins the visible set to batches
+    <= the snapshot id; later appends do not change a pinned read
+    (the reproducible-training-run contract); a snapshot older than
+    the compaction horizon raises instead of silently returning the
+    folded superset; as_of at/after the horizon still sees the
+    compaction partition plus live batches."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    root = str(tmp_path / "t_commits")
+    for bid in range(3):
+        _write(spark, path, bid, [1, 2])
+        fence.mark_committed(spark, root, bid)
+
+    def seen(as_of):
+        df = fence.fenced_read(spark, path, root, as_of_batch=as_of)
+        return {r["v"] for r in df.collect()}
+
+    snap1 = {b * 100 + v for b in (0, 1) for v in (1, 2)}
+    assert seen(1) == snap1
+
+    # appends after the snapshot id are invisible to the pinned read
+    _write(spark, path, 3, [1, 2])
+    fence.mark_committed(spark, root, 3)
+    assert seen(1) == snap1
+    assert seen(3) == {b * 100 + v for b in range(4) for v in (1, 2)}
+    # an as_of beyond the newest commit is simply "everything so far"
+    assert seen(99) == seen(3)
+
+    # compaction destroys per-batch lineage below its horizon
+    fence.compact_fenced(spark, path, root)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        seen(1)
+    assert seen(3) == {b * 100 + v for b in range(4) for v in (1, 2)}

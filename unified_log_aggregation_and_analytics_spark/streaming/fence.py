@@ -402,6 +402,7 @@ def fenced_read(
     root: str,
     keep_batch_col: bool = False,
     only_dirs: list[str] | None = None,
+    as_of_batch: int | None = None,
 ) -> DataFrame | None:
     """Read only COMMITTED rows of a fenced path: filter
     ``_commit_batch`` to the marker set (partition-pruned). Returns
@@ -413,7 +414,18 @@ def fenced_read(
     basePath=path so partition columns survive) — required when the
     path also holds OTHER subtrees whose partition column order
     conflicts with the batch layout (the mixed per-source + unified
-    log table)."""
+    log table).
+
+    ``as_of_batch`` is the SNAPSHOT read: only batches committed with
+    id <= as_of_batch are visible — the time-travel contract that
+    makes a training run reproducible against a live sink (record the
+    max committed id at run start; every re-read sees that exact
+    corpus regardless of later appends). Append-only lineage makes
+    this free: batch partitions are immutable once marked, so a
+    snapshot is just a tighter partition predicate. Compaction is the
+    one destroyer of per-batch lineage — a snapshot OLDER than the
+    newest compaction horizon k raises instead of silently returning
+    the folded superset."""
     if not path_exists(spark, path):
         return None
     try:
@@ -439,6 +451,16 @@ def fenced_read(
     # the cid partition, so they are excluded even when their
     # directories still exist (crash-before-cleanup window).
     cid, k = _compact_state(spark, path)
+    if as_of_batch is not None:
+        if as_of_batch < k:
+            raise ValueError(
+                f"snapshot as_of_batch={as_of_batch} predates the "
+                f"compaction horizon k={k} of {path!r}: batches <= k "
+                "were folded and their per-batch lineage no longer "
+                "exists; retain snapshots by compacting less often or "
+                "pinning before compaction"
+            )
+        ids = [b for b in ids if b <= as_of_batch]
     live = [b for b in ids if b > k]
     conds = []
     if cid is not None:

@@ -268,7 +268,9 @@ def dlq_split(
     return (0, 0)
 
 
-def read_log_table(spark, table_path: str) -> DataFrame:
+def read_log_table(
+    spark, table_path: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Committed rows of a fenced log table. Handles BOTH layouts
     dlq_split can write: the per-source layout run_pipeline uses
     (``table/source=X/_commit_batch=N/log_date=...`` with per-source
@@ -282,7 +284,14 @@ def read_log_table(spark, table_path: str) -> DataFrame:
     Hadoop FS API so the committed-read entry point works on whatever
     filesystem the sink wrote to. Raw ``spark.read.parquet`` remains
     available and differs only when a torn batch is sitting
-    unreplayed on disk."""
+    unreplayed on disk.
+
+    ``as_of_batch`` gives a SNAPSHOT read (fence.fenced_read's
+    time-travel contract): only batches with id <= as_of_batch are
+    visible. Batch ids are per WRITER — exact for the single-writer
+    unified layout; for per-source subtrees the bound applies to each
+    source's own id space, which is the trigger-aligned cut when the
+    sources share a cadence."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     entries = fence.list_dir_names(spark, table_path)
@@ -292,7 +301,10 @@ def read_log_table(spark, table_path: str) -> DataFrame:
             continue
         src = d.split("=", 1)[1]
         df = fence.fenced_read(
-            spark, f"{table_path}/{d}", _log_fence_root(table_path, src)
+            spark,
+            f"{table_path}/{d}",
+            _log_fence_root(table_path, src),
+            as_of_batch=as_of_batch,
         )
         if df is not None:
             parts.append(df.withColumn("source", F.lit(src)))
@@ -312,6 +324,7 @@ def read_log_table(spark, table_path: str) -> DataFrame:
             table_path,
             _log_fence_root(table_path, None),
             only_dirs=root_batch_dirs,
+            as_of_batch=as_of_batch,
         )
         if df is not None:
             parts.append(df)
