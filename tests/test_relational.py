@@ -14,3 +14,34 @@ def test_glob_to_like_escapes():
     assert _glob_to_like("a_b") == r"a\_b"
     assert _glob_to_like("a\\") == "a\\\\"
     assert _glob_to_like(r"c\\d") == "c\\\\d"
+
+
+def test_term_suggest_ranking(spark):
+    """Term suggester (r11): hand-computed corrections for a 4-doc
+    corpus — distance ascending first, document frequency (distinct
+    docs) breaking distance ties, token breaking frequency ties; the
+    query term itself never suggested; max_edits respected."""
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        term_suggest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table batch table"),   # 'table' twice in one doc: df=1
+            (1, "table cable"),
+            (2, "cable label batch"),
+            (3, "tab tabled stable"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.token, r.distance, r.doc_freq) for r in
+           term_suggest(docs, "tabel", k=10, max_edits=2).collect()]
+    # Levenshtein to 'tabel' (no transposition primitive): label 1;
+    # table/tab/tabled 2; cable/stable 3 (out); batch 4 (out).
+    # 'table' appears in docs 0 and 1 but twice in doc 0 -> df=2.
+    assert got == [
+        ("label", 1, 1),
+        ("table", 2, 2),
+        ("tab", 2, 1),
+        ("tabled", 2, 1),
+    ]

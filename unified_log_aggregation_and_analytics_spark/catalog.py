@@ -2995,6 +2995,34 @@ def q02q_wildcard_indexed(spark, sf_dir):
 
 
 @_register(
+    "q02r_term_suggest",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tok WHERE token <> '' GROUP BY token
+    )
+    SELECT token, CAST(levenshtein(token, 'dat') AS INT) AS distance, doc_freq
+    FROM vocab
+    WHERE levenshtein(token, 'dat') <= 2 AND token <> 'dat'
+    ORDER BY distance, doc_freq DESC, token LIMIT 10
+    """,
+)
+def q02r_term_suggest(spark, sf_dir):
+    """Q2 — OpenSearch term suggester ('did you mean'): dictionary
+    terms within 2 edits of the misspelled 'dat', ranked by
+    (distance, doc_freq desc, term) — closer corrections first,
+    popularity breaking ties (operators/relational.py term_suggest;
+    Levenshtein runs once per dictionary term, never per
+    occurrence)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.term_suggest(docs, "dat", k=10, max_edits=2, text_col="text")
+
+
+@_register(
     "q06f_composite_agg",
     """
     SELECT source, lang, COUNT(*) AS n

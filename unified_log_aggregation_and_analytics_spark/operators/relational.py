@@ -1005,6 +1005,43 @@ def prefix_suggest(
     )
 
 
+def term_suggest(
+    df: DataFrame,
+    term: str,
+    k: int = 10,
+    max_edits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Q2 — term suggester (OpenSearch "did you mean"): vocabulary
+    terms within ``max_edits`` Levenshtein distance of a (possibly
+    misspelled) query term, ranked by (distance asc, document
+    frequency desc, term) — closer corrections first, popularity
+    breaking distance ties, exactly the suggester's default sort.
+    Vocabulary-first like fuzzy_search: one corpus explode into a
+    DISTINCT-per-doc token set -> doc-frequency agg bounded at |vocab|
+    rows -> the Levenshtein filter runs once per dictionary term,
+    never per occurrence. The query term itself is excluded (a
+    suggester proposes corrections, not the input)."""
+    t = term.lower()
+    vocab = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        vocab.withColumn("distance", F.levenshtein(F.col("token"), F.lit(t)))
+        .filter((F.col("distance") <= max_edits) & (F.col("token") != t))
+        .select("token", "distance", "doc_freq")
+        .orderBy(F.col("distance").asc(), F.col("doc_freq").desc(), "token")
+        .limit(k)
+    )
+
+
 def percolate(
     docs: DataFrame,
     queries: DataFrame,
