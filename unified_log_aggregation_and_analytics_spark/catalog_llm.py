@@ -1858,10 +1858,14 @@ def text_rag_retrieve(spark, sf_dir):
         docs.filter(F.col("doc_id") == 0)
         .select(F.lit(0).cast("long").alias("cid"), F.col("text").alias("chunk"))
     )
-    return X.hash_embed_retrieve(
-        cands, qdf, k=10, text_col="chunk", id_col="cid",
-        extra_cols=("doc_id", "chunk_idx"),
-    ).select("doc_id", "chunk_idx", "cos_sim")
+    ranked = X.hash_embed_retrieve(cands, qdf, k=10, text_col="chunk", id_col="cid")
+    # the composite cid decodes arithmetically — no meta join, no
+    # second corpus scan
+    return ranked.select(
+        F.expr("CAST(cid DIV 1000 AS BIGINT)").alias("doc_id"),
+        (F.col("cid") % 1000).alias("chunk_idx"),
+        "cos_sim",
+    )
 
 
 @_register("text_fingerprint_rolling", None)  # xxhash64 chain: engine-specific, rows-only

@@ -187,6 +187,55 @@ def hash_embed(
     )
 
 
+def _hash_embed_score(
+    vecs: DataFrame,
+    qvec: dict[int, int],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Score hashed long-form vectors against a COLLECTED query
+    vector (dict bucket -> integer value, <= dim entries — bounded
+    model state, the _query_vec convention): the query rides the plan
+    as a literal map lookup, so scoring is ONE pass over ``vecs``
+    with zero joins — no scalar crossJoin, no re-derivation of the
+    corpus aggregation per consumer. Dots and norms stay exact
+    integer sums; sqrt(qnrm) is an in-plan JVM sqrt of an exact
+    integer-valued double literal (identical to the oracle's
+    sqrt(CAST(qnrm AS DOUBLE)))."""
+    qnrm = sum(v * v for v in qvec.values())
+    if qnrm == 0:
+        # a query of pure whitespace hashes to nothing: no similarity
+        # is defined — empty result beats an engine-dependent x/0
+        spark = vecs.sparkSession
+        id_type = vecs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], schema=f"{id_col} {id_type}, cos_sim double"
+        )
+    if qvec:
+        qmap = F.create_map(
+            *[F.lit(x) for kv in qvec.items() for x in kv]
+        )
+        qval = F.coalesce(qmap[F.col("bucket")], F.lit(0))
+    else:
+        qval = F.lit(0)
+    scored = (
+        vecs.groupBy(id_col)
+        .agg(
+            F.sum(F.col("val") * F.col("val")).alias("nrm"),
+            F.sum(F.col("val") * qval).alias("dot"),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.lit(float(qnrm)))
+    )
+    return (
+        scored.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hash_embed_retrieve(
     cand_df: DataFrame,
     query_df: DataFrame,
@@ -200,34 +249,19 @@ def hash_embed_retrieve(
     texts against a QUERY text from a different frame (the RAG shape:
     candidates are chunks, the query is a question/document).
     ``query_df`` must contain exactly one row; its feature-hashed
-    vector broadcasts. Same integer-exact dots/norms and two-factor
-    normalize as ``hash_embed_knn``; ``extra_cols`` ride the
-    candidate id through the aggregation (e.g. (doc_id, chunk_idx)
-    alongside a composite chunk id)."""
+    vector (<= dim integers) collects driver-side and rides the
+    candidate pass as a literal map — ONE scan of the candidates,
+    zero joins. ``extra_cols`` ride the candidate id through the
+    aggregation (e.g. (doc_id, chunk_idx) alongside a composite
+    chunk id)."""
     vecs = hash_embed(cand_df, text_col=text_col, id_col=id_col, dim=dim)
-    qv = (
-        hash_embed(query_df, text_col=text_col, id_col=id_col, dim=dim)
-        .select("bucket", F.col("val").alias("qval"))
-    )
-    qn = qv.agg(F.sum(F.col("qval") * F.col("qval")).alias("qnrm"))
-    scored = (
-        vecs.join(F.broadcast(qv), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("val") * F.col("val")).alias("nrm"),
-            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0))).alias("dot"),
-        )
-        .filter(F.col("nrm") > 0)
-        .crossJoin(F.broadcast(qn))
-    )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("qnrm").cast("double"))
-    )
-    ranked = (
-        scored.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
-    )
+    qvec = {
+        int(r.bucket): int(r.val)
+        for r in hash_embed(
+            query_df, text_col=text_col, id_col=id_col, dim=dim
+        ).collect()
+    }
+    ranked = _hash_embed_score(vecs, qvec, k, id_col)
     if extra_cols:
         meta = cand_df.select(id_col, *extra_cols).dropDuplicates([id_col])
         ranked = (
@@ -248,39 +282,23 @@ def hash_embed_knn(
 ) -> DataFrame:
     """X4 x X3 — nearest documents by cosine over feature-hashed
     vectors: similarity search directly on text, no embedding model.
-    The query document's ``dim``-bucket vector broadcasts (bounded by
-    construction); dots ride a bucket equi-join, norms the same
-    aggregation — one pass over the hashed long form for both. All
-    sums are exact integers; the only float step is the final
-    ``dot / (sqrt(nrm) * sqrt(qnrm))`` (two separately-rooted factors
-    — ``sqrt(nrm * qnrm)`` could exceed 2^53 and lose integer
+    The query document's hashed vector (<= dim integers) collects
+    driver-side (the _query_vec bounded-model-state convention) and
+    rides the corpus pass as a literal map lookup — ONE corpus scan,
+    zero joins, no re-derivation of the hash aggregation per
+    consumer. All sums are exact integers; the only float step is the
+    final ``dot / (sqrt(nrm) * sqrt(qnrm))`` (two separately-rooted
+    factors — ``sqrt(nrm * qnrm)`` could exceed 2^53 and lose integer
     exactness), round-6, id tie-break. Zero-norm documents (a text of
     pure whitespace hashes to nothing) are excluded on both engines
     rather than dividing by zero differently."""
     vecs = hash_embed(df, text_col=text_col, id_col=id_col, dim=dim)
-    qv = (
-        vecs.filter(F.col(id_col) == query_id)
-        .select("bucket", F.col("val").alias("qval"))
-    )
-    qn = qv.agg(F.sum(F.col("qval") * F.col("qval")).alias("qnrm"))
-    scored = (
-        vecs.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(qv), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("val") * F.col("val")).alias("nrm"),
-            F.sum(F.col("val") * F.coalesce(F.col("qval"), F.lit(0))).alias("dot"),
-        )
-        .filter(F.col("nrm") > 0)
-        .crossJoin(F.broadcast(qn))
-    )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("qnrm").cast("double"))
-    )
-    return (
-        scored.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
+    qvec = {
+        int(r.bucket): int(r.val)
+        for r in vecs.filter(F.col(id_col) == query_id).collect()
+    }
+    return _hash_embed_score(
+        vecs.filter(F.col(id_col) != query_id), qvec, k, id_col
     )
 
 
