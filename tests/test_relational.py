@@ -45,3 +45,35 @@ def test_term_suggest_ranking(spark):
         ("tab", 2, 1),
         ("tabled", 2, 1),
     ]
+
+
+def test_phrase_suggest_collocation_gate(spark):
+    """Phrase suggester (r11): only CO-OCCURRING word pairs can be
+    suggested — per-term-valid corrections whose pair never appears
+    as a corpus bigram are absent; ranking is (total distance asc,
+    bigram frequency desc); the input phrase itself is excluded;
+    non-two-word input is loud."""
+    import pytest
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        phrase_suggest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "fast table fast table fast table"),
+            (1, "fast label"),
+            (2, "query label"),  # 'label' co-occurs only after 'query'
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.suggestion, r.distance, r.n_occurrences) for r in
+           phrase_suggest(docs, "fsat tabel", k=10, max_edits=2).collect()]
+    # 'label' is the best per-term correction of 'tabel' (1 edit) but
+    # is only suggested in pairs that actually occur: 'fast label'
+    # (3, once) ranks first; 'query label' is absent (query>2 edits);
+    # 'fast table' (2+2=4) follows with its frequency of 3 — the two
+    # interleaved 'table fast' occurrences are a different bigram.
+    assert got == [("fast label", 3, 1), ("fast table", 4, 3)]
+    with pytest.raises(ValueError, match="two-word"):
+        phrase_suggest(docs, "one two three")

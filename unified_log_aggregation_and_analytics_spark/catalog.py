@@ -3023,6 +3023,46 @@ def q02r_term_suggest(spark, sf_dir):
 
 
 @_register(
+    "q02s_phrase_suggest",
+    """
+    WITH b AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(str_split_regex(lower(text), '\\s+')), 2)),
+               i -> array_to_string(
+                      list_slice(str_split_regex(lower(text), '\\s+'), i, i + 1),
+                      ' ')
+             )) AS ngram
+      FROM documents
+    ),
+    bi AS (SELECT ngram, COUNT(*) AS n_occurrences FROM b GROUP BY 1),
+    cand AS (
+      SELECT ngram AS suggestion,
+             CAST(levenshtein(str_split(ngram, ' ')[1], 'sot')
+                  + levenshtein(str_split(ngram, ' ')[2], 'kay') AS INT)
+               AS distance,
+             n_occurrences
+      FROM bi
+      WHERE len(str_split(ngram, ' ')) = 2
+        AND levenshtein(str_split(ngram, ' ')[1], 'sot') <= 2
+        AND levenshtein(str_split(ngram, ' ')[2], 'kay') <= 2
+        AND ngram <> 'sot kay'
+    )
+    SELECT suggestion, distance, n_occurrences
+    FROM cand ORDER BY distance, n_occurrences DESC, suggestion LIMIT 5
+    """,
+)
+def q02s_phrase_suggest(spark, sf_dir):
+    """Q2 — OpenSearch phrase suggester: whole-phrase corrections for
+    the doubly-misspelled 'sot kay', ranked by (total edit
+    distance, corpus bigram frequency desc, phrase) — the corpus
+    bigram table is the collocation gate (only co-occurring pairs can
+    be suggested), which per-term correction cannot express
+    (operators/relational.py phrase_suggest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.phrase_suggest(docs, "sot kay", k=5, max_edits=2, text_col="text")
+
+
+@_register(
     "q06f_composite_agg",
     """
     SELECT source, lang, COUNT(*) AS n

@@ -1042,6 +1042,58 @@ def term_suggest(
     )
 
 
+def phrase_suggest(
+    df: DataFrame,
+    phrase: str,
+    k: int = 5,
+    max_edits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Q2 — phrase suggester (OpenSearch whole-phrase "did you
+    mean"): corrected two-word phrases for a (possibly doubly
+    misspelled) query, ranked by (total edit distance asc, corpus
+    bigram frequency desc, phrase) — the term suggester's sort lifted
+    to phrases, with the corpus bigram table standing in for the
+    suggester's language model: only word pairs that actually occur
+    can be suggested, which is the collocation gate that per-term
+    correction alone cannot express. One corpus explode into the
+    shared bigram kernel -> |bigrams|-bounded agg -> two Levenshtein
+    evaluations per DICTIONARY bigram, never per occurrence."""
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        token_ngrams,
+    )
+
+    words = phrase.lower().split()
+    if len(words) != 2:
+        raise ValueError("phrase_suggest corrects two-word phrases")
+    w1, w2 = words
+    bi = (
+        df.select(
+            F.explode(
+                token_ngrams(F.split(F.lower(F.col(text_col)), r"\s+"), 2)
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    parts = F.split(F.col("ngram"), " ")
+    d = F.levenshtein(F.element_at(parts, 1), F.lit(w1)) + F.levenshtein(
+        F.element_at(parts, 2), F.lit(w2)
+    )
+    return (
+        bi.filter(F.size(parts) == 2)
+        .withColumn("distance", d)
+        .filter(
+            (F.levenshtein(F.element_at(parts, 1), F.lit(w1)) <= max_edits)
+            & (F.levenshtein(F.element_at(parts, 2), F.lit(w2)) <= max_edits)
+            & (F.col("ngram") != f"{w1} {w2}")
+        )
+        .select(F.col("ngram").alias("suggestion"), "distance", "n_occurrences")
+        .orderBy(F.col("distance").asc(), F.col("n_occurrences").desc(), "suggestion")
+        .limit(k)
+    )
+
+
 def percolate(
     docs: DataFrame,
     queries: DataFrame,
