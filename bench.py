@@ -219,6 +219,9 @@ SCALE_QUERIES = [
     # r11: the prefix-refine scale row pairs with knn_cosine's —
     # coarse-stage arithmetic saving must survive 10x rows
     "knn_prefix_refine",
+    # r11: MMR at 10x — only the shortlist scan grows; the pair join
+    # and greedy loop are shortlist-bounded by construction
+    "knn_mmr_rerank",
     # r11: SQ8 asymmetric scan at 10x rows — per-vector dequant
     # arithmetic is map-only, so growth must stay linear-or-better
     "knn_sq8_adc",

@@ -3022,6 +3022,16 @@ def q02r_term_suggest(spark, sf_dir):
     return R.term_suggest(docs, "dat", k=10, max_edits=2, text_col="text")
 
 
+@_register("q02t_term_suggest_indexed", QUERIES["q02r_term_suggest"].oracle)
+def q02t_term_suggest_indexed(spark, sf_dir):
+    """Q2 persisted-index term suggester: dictionary walk + doc
+    frequency straight off the bucketed postings table — zero corpus
+    scans at query time; must equal the scan-time q02r result, hence
+    shares its oracle (operators/relational.py term_suggest_indexed)."""
+    name = _token_index_table(spark, sf_dir)
+    return R.term_suggest_indexed(spark, name, "dat", k=10, max_edits=2)
+
+
 @_register(
     "q02s_phrase_suggest",
     """

@@ -1042,6 +1042,36 @@ def term_suggest(
     )
 
 
+def term_suggest_indexed(
+    spark: SparkSession,
+    table_name: str,
+    term: str,
+    k: int = 10,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Q2 persisted-index term suggester: the dictionary walk runs
+    over the INDEX's vocabulary — the postings table holds one row
+    per (token, document), so the doc-frequency aggregation is a
+    bucketed-layout count with NO corpus scan at query time; then the
+    same Levenshtein filter and (distance, doc_freq desc, term) rank
+    as the scan-time term_suggest, whose oracle it shares (the q02d
+    index ≡ scan proof, applied to the suggester)."""
+    t = term.lower()
+    idx = spark.table(table_name)
+    vocab = (
+        idx.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        vocab.withColumn("distance", F.levenshtein(F.col("token"), F.lit(t)))
+        .filter((F.col("distance") <= max_edits) & (F.col("token") != t))
+        .select("token", "distance", "doc_freq")
+        .orderBy(F.col("distance").asc(), F.col("doc_freq").desc(), "token")
+        .limit(k)
+    )
+
+
 def phrase_suggest(
     df: DataFrame,
     phrase: str,
