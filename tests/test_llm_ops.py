@@ -1836,7 +1836,7 @@ def test_hash_embed_retrieve_rag_shape(spark, docs):
     chunks = X.chunk_text(
         docs.filter(F.col("doc_id") != 0), chunk_tokens=64, stride=48, min_tail=8
     ).select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("cid"),
         "doc_id",
         "chunk_idx",
         "chunk",

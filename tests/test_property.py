@@ -543,9 +543,10 @@ def test_sq8_property(spark, vecs):
 def test_hash_embed_cross_engine_property(spark, texts):
     """hash_embed vs the catalog's DuckDB CTE chain on ADVERSARIAL
     whitespace (Hypothesis): leading/trailing/mixed/empty. Pins the
-    empty-token contract — Java split drops trailing empties, DuckDB
-    str_split_regex keeps both, and the operator/oracle pair must
-    filter '' identically on both engines."""
+    empty-token contract — BOTH engines keep edge empties from a \s+
+    split (Spark's F.split uses limit=-1, DuckDB's str_split_regex
+    likewise), and the operator/oracle pair must filter '' identically
+    on both."""
     import duckdb
 
     from unified_log_aggregation_and_analytics_spark.catalog_llm import (

@@ -1262,3 +1262,47 @@ def test_retention_prunes_inside_compacted_layout(spark, tmp_path):
     got = read_log_table(spark, table)
     assert got.count() == 1
     assert got.collect()[0]["log_date"].isoformat() == "2021-07-30"
+
+
+def test_read_log_table_as_of_snapshot(spark, tmp_path):
+    """Per-writer snapshot reads (r11): log_table_snapshot records
+    the max committed id in EACH writer's own id space; re-reads with
+    that dict are unchanged by (a) later batches in existing sources,
+    (b) an OLD batch id committed by a slower source after the
+    snapshot (the mixed-cadence hole a single global max has), and
+    (c) a brand-new source appearing later. The int form still
+    applies one global bound to every writer."""
+    from unified_log_aggregation_and_analytics_spark.streaming.pipeline import (
+        NORMALIZERS,
+        dlq_split,
+        log_table_snapshot,
+        read_log_table,
+    )
+
+    table = str(tmp_path / "table")
+    rej = str(tmp_path / "rej")
+    lines = spark.createDataFrame([(l,) for l in GOOD_LINES], "value string")
+    n = len(GOOD_LINES)
+
+    # fast source: batches 0 and 5 committed; slow source: batch 0 only
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ec2", batch_id=0)
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ec2", batch_id=5)
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="eks", batch_id=0)
+
+    snap = log_table_snapshot(spark, table)
+    assert snap == {"ec2": 5, "eks": 0}
+    base = read_log_table(spark, table, as_of_batch=snap).count()
+    assert base == read_log_table(spark, table).count()
+
+    # (a) a later ec2 batch, (b) the slow eks source commits batch 3
+    # (<= ec2's pinned 5 — the global-int hole), (c) a new source
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ec2", batch_id=6)
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="eks", batch_id=3)
+    dlq_split(NORMALIZERS["ec2"](lines), table, rej, source="ecs", batch_id=0)
+
+    assert read_log_table(spark, table, as_of_batch=snap).count() == base
+    # the int form admits eks batch 3 (<= 5) — exactly the documented
+    # mixed-cadence caveat the dict form closes
+    assert read_log_table(spark, table, as_of_batch=5).count() > base
+    # unpinned read sees everything
+    assert read_log_table(spark, table).count() > base + n

@@ -3035,14 +3035,18 @@ def q02t_term_suggest_indexed(spark, sf_dir):
 @_register(
     "q02s_phrase_suggest",
     """
-    WITH b AS (
-      SELECT unnest(list_transform(
-               range(1, greatest(len(str_split_regex(lower(text), '\\s+')), 2)),
-               i -> array_to_string(
-                      list_slice(str_split_regex(lower(text), '\\s+'), i, i + 1),
-                      ' ')
-             )) AS ngram
+    WITH sp AS (
+      -- drop EDGE empties like the operator: both engines keep them
+      SELECT list_filter(str_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS s
       FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(s), 2)),
+               i -> array_to_string(list_slice(s, i, i + 1), ' ')
+             )) AS ngram
+      FROM sp
     ),
     bi AS (SELECT ngram, COUNT(*) AS n_occurrences FROM b GROUP BY 1),
     cand AS (

@@ -1703,8 +1703,8 @@ def _hash_embed_ctes(
     query) compose in one statement. Arithmetic mirrors
     operators/text.py hash_embed exactly."""
     return rf"""tok{suffix} AS (
-      -- t <> '' on both engines: Java split drops trailing empty
-      -- tokens but keeps a leading one, str_split_regex keeps both
+      -- t <> '' on both engines: a \s+ split keeps EDGE empties in
+      -- BOTH (Spark F.split uses limit=-1; str_split_regex likewise)
       SELECT {id_} AS hid, unnest(str_split_regex({text}, '\s+')) AS t FROM {src}
     ),
     hv{suffix} AS (
@@ -1780,6 +1780,27 @@ def text_hash_embed_knn(spark, sf_dir):
     return X.hash_embed_knn(_spread(_t(spark, sf_dir, "documents")), query_id=0, k=10)
 
 
+def _chunk_ctes(doc_filter: str = "") -> tuple[str, str]:
+    """Shared SQL of the certified 64/48 overlapping-window chunker
+    (text_chunks_rag's oracle — the _hash_embed_ctes factoring
+    pattern, so the RAG-retrieval oracle composes the SAME chunker
+    instead of carrying a drift-prone copy). Returns ``(ctes,
+    where)``: the sp/st CTE chain (``doc_filter`` narrows the source,
+    e.g. "WHERE doc_id <> 0") and the window-validity predicate
+    (redundant-tail + min-tail rules)."""
+    ctes = f"""sp AS (
+      SELECT doc_id, str_split(text, ' ') AS s FROM documents {doc_filter}
+    ), st AS (
+      SELECT doc_id, s,
+             unnest(range(1, greatest(len(s), 1) + 1, 48)) AS start
+      FROM sp
+    )"""
+    where = """NOT (start > 1 AND start - 48 + 63 >= len(s))
+      AND ((start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8)"""
+    return ctes, where
+
+
+
 def _rag_retrieve_oracle(k: int = 10) -> str:
     """DuckDB twin of the chunk-level RAG retrieval: the certified
     chunker CTEs (text_chunks_rag) produce the candidate chunks with
@@ -1793,19 +1814,13 @@ def _rag_retrieve_oracle(k: int = 10) -> str:
         id_="qid",
         suffix="_q",
     )
+    chunk_ctes, chunk_where = _chunk_ctes(doc_filter="WHERE doc_id <> 0")
     return f"""
-    WITH sp AS (
-      SELECT doc_id, str_split(text, ' ') AS s FROM documents WHERE doc_id <> 0
-    ), st AS (
-      SELECT doc_id, s,
-             unnest(range(1, greatest(len(s), 1) + 1, 48)) AS start
-      FROM sp
-    ), ch AS (
-      SELECT doc_id * 1000 + CAST((start - 1) / 48 AS BIGINT) AS cid,
+    WITH {chunk_ctes}, ch AS (
+      SELECT doc_id * 1000000 + CAST((start - 1) / 48 AS BIGINT) AS cid,
              array_to_string(s[start : start + 63], ' ') AS chunk
       FROM st
-      WHERE NOT (start > 1 AND start - 48 + 63 >= len(s))
-        AND ((start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8)
+      WHERE {chunk_where}
     ),
     {corpus_chain},
     {query_chain},
@@ -1827,8 +1842,8 @@ def _rag_retrieve_oracle(k: int = 10) -> str:
       FROM sc, qn
       ORDER BY cos_sim DESC, cid LIMIT {k}
     )
-    SELECT CAST(cid // 1000 AS BIGINT) AS doc_id,
-           CAST(cid % 1000 AS BIGINT) AS chunk_idx,
+    SELECT CAST(cid // 1000000 AS BIGINT) AS doc_id,
+           CAST(cid % 1000000 AS BIGINT) AS chunk_idx,
            cos_sim
     FROM ranked
 """
@@ -1841,15 +1856,16 @@ def text_rag_retrieve(spark, sf_dir):
     stride 48) fans the corpus into passages, every passage gets a
     feature-hashed vector, and the query document's vector ranks them
     — the retrieve stage of a RAG stack, running entirely on integer
-    arithmetic with no embedding model. Composite cid = doc_id*1000 +
-    chunk_idx keys the chunk vectors (fixture docs chunk far below
-    1000); one explode + two hash aggs + a broadcast bucket join
+    arithmetic with no embedding model. Composite cid = doc_id*10^6 +
+    chunk_idx keys the chunk vectors — chunk_idx < 10^6 holds for any
+    document under ~48M tokens at stride 48, far past Gopher's
+    max-words ceiling, and the product stays well inside int64; one explode + two hash aggs + a broadcast bucket join
     (operators/text.py chunk_text + hash_embed_retrieve)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     cands = X.chunk_text(
         docs.filter(F.col("doc_id") != 0), chunk_tokens=64, stride=48, min_tail=8
     ).select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("cid"),
         "doc_id",
         "chunk_idx",
         "chunk",
@@ -1862,8 +1878,8 @@ def text_rag_retrieve(spark, sf_dir):
     # the composite cid decodes arithmetically — no meta join, no
     # second corpus scan
     return ranked.select(
-        F.expr("CAST(cid DIV 1000 AS BIGINT)").alias("doc_id"),
-        (F.col("cid") % 1000).alias("chunk_idx"),
+        F.expr("CAST(cid DIV 1000000 AS BIGINT)").alias("doc_id"),
+        (F.col("cid") % 1000000).alias("chunk_idx"),
         "cos_sim",
     )
 
@@ -4602,23 +4618,19 @@ def text_gopher_rules(spark, sf_dir):
     )
 
 
+_CHUNK_CTES, _CHUNK_WHERE = _chunk_ctes()
+
+
 @_register(
     "text_chunks_rag",
-    """
-    WITH sp AS (
-      SELECT doc_id, str_split(text, ' ') AS s FROM documents
-    ), st AS (
-      SELECT doc_id, s,
-             unnest(range(1, greatest(len(s), 1) + 1, 48)) AS start
-      FROM sp
-    )
+    f"""
+    WITH {_CHUNK_CTES}
     SELECT doc_id,
            CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
            CAST(least(64, len(s) - start + 1) AS BIGINT) AS n_chunk_tokens,
            array_to_string(s[start : start + 63], ' ') AS chunk
     FROM st
-    WHERE NOT (start > 1 AND start - 48 + 63 >= len(s))
-      AND ((start - 1) / 48 = 0 OR least(64, len(s) - start + 1) >= 8)
+    WHERE {_CHUNK_WHERE}
     """,
 )
 def text_chunks_rag(spark, sf_dir):

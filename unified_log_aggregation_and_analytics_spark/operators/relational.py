@@ -1097,12 +1097,17 @@ def phrase_suggest(
     if len(words) != 2:
         raise ValueError("phrase_suggest corrects two-word phrases")
     w1, w2 = words
+    # \s+ split keeps EDGE empties on both engines (Spark's F.split
+    # uses limit=-1); dropping them before the bigram build stops a
+    # leading/trailing-whitespace document from minting garbage
+    # bigrams like ' ab' whose empty side is within max_edits of any
+    # short query word. Interior adjacency is unaffected — \s+ never
+    # yields interior empties.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     bi = (
-        df.select(
-            F.explode(
-                token_ngrams(F.split(F.lower(F.col(text_col)), r"\s+"), 2)
-            ).alias("ngram")
-        )
+        df.select(F.explode(token_ngrams(toks, 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

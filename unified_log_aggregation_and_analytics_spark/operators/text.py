@@ -170,10 +170,11 @@ def hash_embed(
     |docs| x dim partial sums, never token lists."""
     from unified_log_aggregation_and_analytics_spark.operators.dedup import tokens
 
-    # Drop empty tokens explicitly: Java split drops TRAILING empties
-    # but keeps a leading one, DuckDB str_split_regex keeps both —
-    # filtering '' on both engines is the only split-convention-free
-    # contract (and an empty token is not a feature anyway).
+    # Drop empty tokens explicitly: BOTH engines keep edge empties
+    # from a \s+ split (Spark's F.split uses limit=-1, so leading AND
+    # trailing empties survive; DuckDB str_split_regex likewise) —
+    # filtering '' is the split-convention-free contract, and an
+    # empty token is not a feature anyway.
     ex = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).filter(F.col("_t") != "")
@@ -211,13 +212,9 @@ def _hash_embed_score(
         return spark.createDataFrame(
             [], schema=f"{id_col} {id_type}, cos_sim double"
         )
-    if qvec:
-        qmap = F.create_map(
-            *[F.lit(x) for kv in qvec.items() for x in kv]
-        )
-        qval = F.coalesce(qmap[F.col("bucket")], F.lit(0))
-    else:
-        qval = F.lit(0)
+    # qnrm > 0 implies qvec is non-empty — the map is safe to build
+    qmap = F.create_map(*[F.lit(x) for kv in qvec.items() for x in kv])
+    qval = F.coalesce(qmap[F.col("bucket")], F.lit(0))
     scored = (
         vecs.groupBy(id_col)
         .agg(
@@ -255,12 +252,16 @@ def hash_embed_retrieve(
     aggregation (e.g. (doc_id, chunk_idx) alongside a composite
     chunk id)."""
     vecs = hash_embed(cand_df, text_col=text_col, id_col=id_col, dim=dim)
-    qvec = {
-        int(r.bucket): int(r.val)
-        for r in hash_embed(
-            query_df, text_col=text_col, id_col=id_col, dim=dim
-        ).collect()
-    }
+    qrows = hash_embed(
+        query_df, text_col=text_col, id_col=id_col, dim=dim
+    ).collect()
+    if len({r[0] for r in qrows}) > 1:
+        raise ValueError(
+            "hash_embed_retrieve expects exactly one query row — got "
+            f"{len({r[0] for r in qrows})} distinct ids; merging them "
+            "by bucket would score a nondeterministic chimera vector"
+        )
+    qvec = {int(r.bucket): int(r.val) for r in qrows}
     ranked = _hash_embed_score(vecs, qvec, k, id_col)
     if extra_cols:
         meta = cand_df.select(id_col, *extra_cols).dropDuplicates([id_col])

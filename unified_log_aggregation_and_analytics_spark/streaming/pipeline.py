@@ -268,8 +268,36 @@ def dlq_split(
     return (0, 0)
 
 
+def log_table_snapshot(spark, table_path: str) -> dict[str | None, int]:
+    """The reproducibility pin for ``read_log_table(as_of_batch=)``:
+    the max COMMITTED batch id per WRITER — one entry per
+    ``source=`` subtree plus ``None`` for the unified single-writer
+    layout when present. Record this at training-run start and pass
+    the dict back on every re-read: each writer is bounded in its OWN
+    id space, so a slow source committing an old batch id after the
+    snapshot can never leak into the pinned read (the mixed-cadence
+    hole a single global max id has). Writers that appear later are
+    absent from the dict and therefore excluded — at snapshot time
+    they had contributed nothing. O(writers) tiny marker listings."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    snap: dict[str | None, int] = {}
+    entries = fence.list_dir_names(spark, table_path)
+    for d in entries:
+        if d.startswith("source="):
+            src = d.split("=", 1)[1]
+            ids = fence.committed_batches(spark, _log_fence_root(table_path, src))
+            if ids:
+                snap[src] = ids[-1]
+    if any(d.startswith(f"{fence.BATCH_COL}=") for d in entries):
+        ids = fence.committed_batches(spark, _log_fence_root(table_path, None))
+        if ids:
+            snap[None] = ids[-1]
+    return snap
+
+
 def read_log_table(
-    spark, table_path: str, as_of_batch: int | None = None
+    spark, table_path: str, as_of_batch: int | dict[str | None, int] | None = None
 ) -> DataFrame:
     """Committed rows of a fenced log table. Handles BOTH layouts
     dlq_split can write: the per-source layout run_pipeline uses
@@ -287,11 +315,14 @@ def read_log_table(
     unreplayed on disk.
 
     ``as_of_batch`` gives a SNAPSHOT read (fence.fenced_read's
-    time-travel contract): only batches with id <= as_of_batch are
-    visible. Batch ids are per WRITER — exact for the single-writer
-    unified layout; for per-source subtrees the bound applies to each
-    source's own id space, which is the trigger-aligned cut when the
-    sources share a cadence."""
+    time-travel contract): only batches with id <= the bound are
+    visible. Batch ids are per WRITER, so the REPRODUCIBLE form is a
+    dict from ``log_table_snapshot`` — each writer bounded in its own
+    id space, writers absent from the dict excluded entirely (they
+    had contributed nothing at snapshot time). A plain int applies
+    one bound to every writer: exact for the single-writer unified
+    layout, a trigger-aligned cut for per-source subtrees only when
+    the sources share a cadence."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     entries = fence.list_dir_names(spark, table_path)
@@ -300,11 +331,14 @@ def read_log_table(
         if not d.startswith("source="):
             continue
         src = d.split("=", 1)[1]
+        if isinstance(as_of_batch, dict) and src not in as_of_batch:
+            continue  # writer absent from the snapshot: contributed nothing
+        bound = as_of_batch.get(src) if isinstance(as_of_batch, dict) else as_of_batch
         df = fence.fenced_read(
             spark,
             f"{table_path}/{d}",
             _log_fence_root(table_path, src),
-            as_of_batch=as_of_batch,
+            as_of_batch=bound,
         )
         if df is not None:
             parts.append(df.withColumn("source", F.lit(src)))
@@ -319,12 +353,20 @@ def read_log_table(
         # unified rows. only_dirs pins the scan to the root batch
         # partitions so the per-source subtrees (whose partition
         # column order conflicts) are never listed into this read.
-        df = fence.fenced_read(
-            spark,
-            table_path,
-            _log_fence_root(table_path, None),
-            only_dirs=root_batch_dirs,
-            as_of_batch=as_of_batch,
+        unified_bound = (
+            as_of_batch.get(None) if isinstance(as_of_batch, dict) else as_of_batch
+        )
+        unified_excluded = isinstance(as_of_batch, dict) and None not in as_of_batch
+        df = (
+            None
+            if unified_excluded
+            else fence.fenced_read(
+                spark,
+                table_path,
+                _log_fence_root(table_path, None),
+                only_dirs=root_batch_dirs,
+                as_of_batch=unified_bound,
+            )
         )
         if df is not None:
             parts.append(df)
