@@ -541,7 +541,7 @@ def test_sq8_property(spark, vecs):
 @example(texts=["\t\n  "])          # whitespace-only: zero tokens
 @example(texts=["a  b\tc\nd"])      # runs of mixed whitespace
 def test_hash_embed_cross_engine_property(spark, texts):
-    """hash_embed vs the catalog's DuckDB CTE chain on ADVERSARIAL
+    r"""hash_embed vs the catalog's DuckDB CTE chain on ADVERSARIAL
     whitespace (Hypothesis): leading/trailing/mixed/empty. Pins the
     empty-token contract — BOTH engines keep edge empties from a \s+
     split (Spark's F.split uses limit=-1, DuckDB's str_split_regex
