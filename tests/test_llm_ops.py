@@ -1853,3 +1853,21 @@ def test_hash_embed_retrieve_rag_shape(spark, docs):
     assert len({(r.doc_id, r.chunk_idx) for r in got}) == 10
     assert (got[0].doc_id, got[0].chunk_idx) == (target.doc_id, target.chunk_idx)
     assert got[0].cos_sim == 1.0
+
+
+def test_mmr_diversity_certificate(spark, emb, query_vec):
+    """The diversity report must show MMR strictly reducing mean
+    intra-set pairwise similarity vs the plain relevance top-k on
+    this corpus (0.099 -> 0.055 at the catalog knobs) — the claim
+    the rerank exists to make."""
+    import unified_log_aggregation_and_analytics_spark.catalog_llm  # noqa: F401
+    from unified_log_aggregation_and_analytics_spark.catalog import QUERIES
+
+    rows = {
+        r.set_name: r.mean_pairwise_sim
+        for r in QUERIES["knn_mmr_diversity"].spark_fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"plain", "mmr"}
+    assert rows["mmr"] < rows["plain"]

@@ -4042,16 +4042,18 @@ def knn_ivfsq8_indexed(spark, sf_dir):
     return A.ivfsq8_probe(spark, path, list(qv), k=10, n_probe=4)
 
 
-def _mmr_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
-    """DuckDB twin of the MMR rerank: the greedy selection loop as a
-    recursive CTE (the text_bpe_encode_seeded merge-loop machinery) —
-    each recursion step picks the candidate maximizing
+def _mmr_chain(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
+    """Shared CTE chain of the MMR rerank (the _ivfpq_chain
+    composition pattern): the greedy selection loop as a recursive
+    CTE (the text_bpe_encode_seeded merge-loop machinery) — each
+    recursion step picks the candidate maximizing
     ``lam * rel - (1 - lam) * max sim(c, picked)`` with ascending-id
     ties. The literals embed repr(1.0 - lam) so the SQL double equals
-    the Python double exactly (1 - 0.7 is NOT 0.3 in IEEE)."""
+    the Python double exactly (1 - 0.7 is NOT 0.3 in IEEE). Ends at
+    the ``final`` CTE (the picked list) so _mmr_oracle and the
+    diversity report compose it."""
     lam_sql, om_sql = repr(float(lam)), repr(1.0 - float(lam))
-    return f"""
-    WITH RECURSIVE q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    return f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     short AS (
       SELECT e.vec_id, e.embedding,
              round({_cos_raw('e.embedding', 'q.qe')}, 6) AS rel
@@ -4081,13 +4083,50 @@ def _mmr_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
              ))
       FROM mmr m WHERE m.step < {k}
     ),
-    final AS (SELECT picked FROM mmr WHERE step = {k})
+    final AS (SELECT picked FROM mmr WHERE step = {k})"""
+
+
+def _mmr_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
+    """DuckDB twin of the MMR rerank: the _mmr_chain greedy loop,
+    unnested into (rank, id, relevance) rows."""
+    return f"""
+    WITH RECURSIVE {_mmr_chain(k, shortlist, lam)}
     SELECT CAST(t.range AS INT) AS rank,
            f.picked[t.range] AS vec_id,
            (SELECT s.rel FROM short s WHERE s.vec_id = f.picked[t.range])
              AS cos_sim
     FROM final f, range(1, {k + 1}) t
     WHERE f.picked[t.range] IS NOT NULL
+"""
+
+
+def _mmr_diversity_oracle(k: int = 10, shortlist: int = 50, lam: float = 0.7) -> str:
+    """The MMR quality certificate: mean pairwise similarity WITHIN
+    the plain relevance top-k vs WITHIN the MMR top-k — both sets'
+    pair sims read from the chain's certified ``pairs`` CTE, averaged
+    decimal-exactly (SUM of DECIMAL(9,6), order-free) so the two
+    engines produce identical means."""
+    return f"""
+    WITH RECURSIVE {_mmr_chain(k, shortlist, lam)},
+    plainids AS (
+      SELECT vec_id FROM short ORDER BY rel DESC, vec_id LIMIT {k}
+    ),
+    mmrids AS (SELECT unnest(picked) AS vec_id FROM final),
+    tagged AS (
+      SELECT 'plain' AS set_name, vec_id FROM plainids
+      UNION ALL
+      SELECT 'mmr' AS set_name, vec_id FROM mmrids
+    ),
+    p2 AS (
+      SELECT t1.set_name, p.s
+      FROM tagged t1
+      JOIN tagged t2 ON t1.set_name = t2.set_name AND t1.vec_id < t2.vec_id
+      JOIN pairs p ON p.ia = t1.vec_id AND p.ib = t2.vec_id
+    )
+    SELECT set_name,
+           round(CAST(SUM(CAST(s AS DECIMAL(9,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_pairwise_sim
+    FROM p2 GROUP BY set_name
 """
 
 
@@ -4104,6 +4143,55 @@ def knn_mmr_rerank(spark, sf_dir):
     emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
     return S.mmr_rerank(emb, list(qv), k=10, shortlist=50, lam=0.7)
+
+
+@_register("knn_mmr_diversity", _mmr_diversity_oracle())
+def knn_mmr_diversity(spark, sf_dir):
+    """X3 — the MMR quality certificate: mean pairwise cosine WITHIN
+    the plain relevance top-10 vs WITHIN the MMR top-10 (lambda=0.7)
+    — the number that proves the rerank actually buys diversity
+    instead of shuffling ranks. Both id sets are bounded driver state
+    (10 each); their pair similarities are certified round-6 JVM
+    folds over a local tagged frame (equi-join on the set label —
+    BroadcastHashJoin, not a nested loop), averaged decimal-exactly
+    (SUM of DECIMAL(9,6) is order-free) so both engines produce the
+    identical two means."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    plain = [int(r.vec_id) for r in S.knn_brute_force(emb, list(qv), k=10).collect()]
+    mmr = [int(r.vec_id) for r in S.mmr_rerank(emb, list(qv), k=10).collect()]
+    wanted = sorted(set(plain) | set(mmr))
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(wanted))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    tagged = spark.createDataFrame(
+        [("plain", i, vecs[i]) for i in plain] + [("mmr", i, vecs[i]) for i in mmr],
+        schema="set_name string, vec_id bigint, embedding array<double>",
+    )
+    a = tagged.select(
+        "set_name", F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = tagged.select(
+        F.col("set_name").alias("sb"),
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("set_name") == F.col("sb")) & (F.col("ia") < F.col("ib"))
+    ).select(
+        "set_name",
+        F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("s"),
+    )
+    return pairs.groupBy("set_name").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(9,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_pairwise_sim")
+    )
 
 
 def _sq8_recall_oracle(k: int = 10) -> str:
