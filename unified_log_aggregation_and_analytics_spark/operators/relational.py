@@ -1022,7 +1022,6 @@ def term_suggest(
     rows -> the Levenshtein filter runs once per dictionary term,
     never per occurrence. The query term itself is excluded (a
     suggester proposes corrections, not the input)."""
-    t = term.lower()
     vocab = (
         df.select(
             F.explode(
@@ -1033,6 +1032,15 @@ def term_suggest(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
+    return _suggest_rank(vocab, term, k, max_edits)
+
+
+def _suggest_rank(vocab: DataFrame, term: str, k: int, max_edits: int) -> DataFrame:
+    """Shared tail of the term suggesters: Levenshtein over the
+    (token, doc_freq) vocabulary, (distance asc, doc_freq desc, term)
+    rank, input term excluded — one code path for the scan-time and
+    persisted-index forms so their shared oracle cannot drift."""
+    t = term.lower()
     return (
         vocab.withColumn("distance", F.levenshtein(F.col("token"), F.lit(t)))
         .filter((F.col("distance") <= max_edits) & (F.col("token") != t))
@@ -1056,20 +1064,13 @@ def term_suggest_indexed(
     same Levenshtein filter and (distance, doc_freq desc, term) rank
     as the scan-time term_suggest, whose oracle it shares (the q02d
     index ≡ scan proof, applied to the suggester)."""
-    t = term.lower()
-    idx = spark.table(table_name)
     vocab = (
-        idx.filter(F.col("token") != "")
+        spark.table(table_name)
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
-    return (
-        vocab.withColumn("distance", F.levenshtein(F.col("token"), F.lit(t)))
-        .filter((F.col("distance") <= max_edits) & (F.col("token") != t))
-        .select("token", "distance", "doc_freq")
-        .orderBy(F.col("distance").asc(), F.col("doc_freq").desc(), "token")
-        .limit(k)
-    )
+    return _suggest_rank(vocab, term, k, max_edits)
 
 
 def phrase_suggest(

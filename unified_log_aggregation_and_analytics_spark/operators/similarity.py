@@ -477,7 +477,6 @@ def sq8_adc_topk(
     materializing (mn, sc) then qv keeps every pass linear. The
     reconstruction lambda only reads scalar struct fields — O(1) per
     element."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     s1 = df.select(
         id_col,
@@ -506,19 +505,18 @@ def sq8_adc_topk(
             F.array(F.struct(mn.alias("mn"), sc.alias("sc"), qv.alias("qv")))
         ).alias("b2"),
     )
-    mn2, sc2 = F.col("b2.mn"), F.col("b2.sc")
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("b2.qv"),
-            q,
-            lambda c, y: (y - (mn2 + c * sc2)) * (y - (mn2 + c * sc2))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        s2.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
-        .limit(k)
+    # the scoring tail IS the persisted-index scorer: same columns,
+    # same fold (double->double cast is a no-op), one code path
+    return sq8_score_topk(
+        s2.select(
+            id_col,
+            F.col("b2.mn").alias("mn"),
+            F.col("b2.sc").alias("sc"),
+            F.col("b2.qv").alias("sq8_codes"),
+        ),
+        query_vec,
+        k=k,
+        id_col=id_col,
     )
 
 

@@ -255,11 +255,12 @@ def hash_embed_retrieve(
     qrows = hash_embed(
         query_df, text_col=text_col, id_col=id_col, dim=dim
     ).collect()
-    if len({r[0] for r in qrows}) > 1:
+    n_query_ids = len({r[0] for r in qrows})
+    if n_query_ids > 1:
         raise ValueError(
             "hash_embed_retrieve expects exactly one query row — got "
-            f"{len({r[0] for r in qrows})} distinct ids; merging them "
-            "by bucket would score a nondeterministic chimera vector"
+            f"{n_query_ids} distinct ids; merging them by bucket "
+            "would score a nondeterministic chimera vector"
         )
     qvec = {int(r.bucket): int(r.val) for r in qrows}
     ranked = _hash_embed_score(vecs, qvec, k, id_col)
