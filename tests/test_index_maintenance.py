@@ -396,3 +396,48 @@ def test_compact_index_delta_object_store_path(spark, tmp_path):
     assert A.merge_index_delta(spark, index2) == 1
     with pytest.raises(ValueError, match="merge_index_delta"):
         A.compact_index_delta(spark, index2)
+
+
+def test_index_probe_as_of_snapshot(spark, emb, qvec, tmp_path):
+    """Snapshot probes over the streaming-maintained IVF index (r11):
+    a probe pinned to as_of_batch N ignores delta batches committed
+    after N (the reproducible-training-run contract applied to vector
+    search); an unpinned probe sees them; and a snapshot older than
+    the merge horizon raises loudly after merge_index_delta folds the
+    delta into the base."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    base = emb.filter(F.col("vec_id") <= 300)
+    d1 = emb.filter((F.col("vec_id") > 300) & (F.col("vec_id") <= 400))
+    d2 = emb.filter(F.col("vec_id") > 400)
+    path = str(tmp_path / "ivf_asof")
+    A.build_ivf_index(base, path, n_centroids=8)
+    root = fence.fence_root(path)
+
+    A.append_ivf_index_fenced(d1, path, batch_id=0)
+    fence.mark_committed(spark, root, 0)
+    pinned = {r.vec_id for r in A.ivf_probe(
+        spark, path, qvec, k=50, n_probe=8, as_of_batch=0
+    ).collect()}
+
+    A.append_ivf_index_fenced(d2, path, batch_id=1)
+    fence.mark_committed(spark, root, 1)
+    d2_ids = {r.vec_id for r in d2.select("vec_id").collect()}
+
+    again = {r.vec_id for r in A.ivf_probe(
+        spark, path, qvec, k=50, n_probe=8, as_of_batch=0
+    ).collect()}
+    assert again == pinned
+    assert not (again & d2_ids), "pinned probe leaked post-snapshot rows"
+    unpinned = {r.vec_id for r in A.ivf_probe(
+        spark, path, qvec, k=50, n_probe=8
+    ).collect()}
+    assert unpinned & d2_ids, "unpinned probe should see the new batch"
+
+    A.merge_index_delta(spark, path)
+    with pytest.raises(ValueError, match="merge horizon"):
+        A.ivf_probe(spark, path, qvec, k=5, n_probe=8, as_of_batch=0).collect()
+    after = {r.vec_id for r in A.ivf_probe(
+        spark, path, qvec, k=50, n_probe=8, as_of_batch=1
+    ).collect()}
+    assert after == unpinned

@@ -97,7 +97,9 @@ def _merged_through(path: str) -> int:
         return -1
 
 
-def _index_rows(spark: SparkSession, path: str) -> DataFrame:
+def _index_rows(
+    spark: SparkSession, path: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Every visible row of the index: the base table plus COMMITTED
     streaming-delta batches (manifest-fenced — a torn micro-batch's
     rows are invisible until its marker lands, see streaming/fence.py)
@@ -107,12 +109,33 @@ def _index_rows(spark: SparkSession, path: str) -> DataFrame:
     base read when no delta area exists, so batch-built indexes pay
     nothing. Cell/bucket predicates prune on both sides of the union;
     the delta side additionally prunes on the committed-batch
-    partition filter."""
+    partition filter.
+
+    ``as_of_batch`` is the SNAPSHOT form (fence.fenced_read's
+    time-travel contract applied to the index): only delta batches
+    with id <= the snapshot are visible — a training run records the
+    max committed id at start and every probe replays against that
+    exact index regardless of later streaming appends. Merge folds
+    batches <= ``_merged_through`` INTO the base and so destroys
+    their per-batch lineage — a snapshot older than the merge horizon
+    raises loudly (the fence-compaction rule, applied to merges)."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     base = spark.read.parquet(_table_path(path))
+    m_horizon = _merged_through(path)
+    if as_of_batch is not None and as_of_batch < m_horizon:
+        raise ValueError(
+            f"snapshot as_of_batch={as_of_batch} predates the merge "
+            f"horizon m={m_horizon} of index {path!r}: merged batches "
+            "were folded into the base table and have no per-batch "
+            "lineage; merge less often or pin snapshots before merging"
+        )
     delta = fence.fenced_read(
-        spark, _delta_path(path), fence.fence_root(path), keep_batch_col=True
+        spark,
+        _delta_path(path),
+        fence.fence_root(path),
+        keep_batch_col=True,
+        as_of_batch=as_of_batch,
     )
     if delta is None:
         return base
@@ -314,6 +337,7 @@ def lsh_probe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     candidate_filter: Column | None = None,
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """Indexed ANN probe: enumerate the bucket ids within
     ``multiprobe_bits`` of the query's bucket (driver-side, over bit
@@ -335,7 +359,7 @@ def lsh_probe(
             for b in bits:
                 flip |= 1 << b
             probe.append(q_bucket ^ flip)
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("bucket").isin(probe)).drop("bucket")
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
@@ -353,6 +377,7 @@ def lsh_probe_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     candidate_filter: Column | None = None,
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """Batch ANN over the persisted LSH index — the retrieval-workload
     shape (Q queries, one index read). Per-query probe buckets are
@@ -388,7 +413,7 @@ def lsh_probe_batch(
         qrows.append((qid, [float(x) for x in vec]))
     probe_df = spark.createDataFrame(pairs, "q_id long, bucket long")
     qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("bucket").isin(sorted({b for _, b in pairs})))
     if candidate_filter is not None:
         # applied BEFORE scoring/ranking (e.g. exclude the query set)
@@ -664,6 +689,7 @@ def ivf_probe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     candidate_filter: Column | None = None,
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """Indexed IVF probe: rank the persisted centroids against the
     query on the driver (n_centroids-sized matmul), then read only the
@@ -684,7 +710,7 @@ def ivf_probe(
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(c) for c in (norm @ q).argsort()[::-1][:n_probe]]
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
@@ -700,6 +726,7 @@ def ivf_probe_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     candidate_filter: Column | None = None,
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """Batch IVF retrieval over the persisted index — Q queries, ONE
     index read. Centroid ranking happens on the driver (Q × n_centroids
@@ -728,7 +755,7 @@ def ivf_probe_batch(
         qrows.append((qid, [float(x) for x in vec]))
     probe_df = spark.createDataFrame(pairs, "q_id long, cell int")
     qdf = spark.createDataFrame(qrows, "q_id long, qe array<double>")
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("cell").isin(sorted({c for _, c in pairs})))
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
@@ -877,6 +904,7 @@ def ivfpq_probe(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """IVF-PQ probe: rank the persisted centroids driver-side, read
     only the ``n_probe`` nearest CODE partitions (PartitionFilters on
@@ -893,7 +921,7 @@ def ivfpq_probe(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(c) for c in (norm @ qn).argsort()[::-1][:n_probe]]
     codebooks = load_codebooks(spark, path)
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("cell").isin(probe_cells)).drop("cell")
     return pq_adc_topk(cand, codebooks, list(query_vec), k=k, id_col=id_col)
 
@@ -1045,6 +1073,7 @@ def ivfsq8_probe(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """IVF-SQ8 probe: rank the persisted centroids driver-side, read
     only the ``n_probe`` nearest CODE partitions (PartitionFilters on
@@ -1060,7 +1089,7 @@ def ivfsq8_probe(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(c) for c in (norm @ qn).argsort()[::-1][:n_probe]]
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("cell").isin(probe_cells)).select(
         id_col, "mn", "sc", "sq8_codes"
     )
@@ -1073,6 +1102,7 @@ def sq8_probe(
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """SQ8 probe: scan the persisted codes table (never floats),
     reconstruct ``mn + code * sc`` inside the distance fold, top-k by
@@ -1083,7 +1113,7 @@ def sq8_probe(
         sq8_score_topk,
     )
 
-    idx = _index_rows(spark, path).select(id_col, "mn", "sc", "sq8_codes")
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(id_col, "mn", "sc", "sq8_codes")
     return sq8_score_topk(idx, list(query_vec), k=k, id_col=id_col)
 
 
@@ -1098,6 +1128,7 @@ def hard_negatives_probe(
     id_col: str = "vec_id",
     label_col: str = "label",
     candidate_filter: Column | None = None,
+    as_of_batch: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining over the persisted IVF index — the scale
     path similarity.hard_negatives promises: each anchor (id, vector,
@@ -1129,7 +1160,7 @@ def hard_negatives_probe(
         qrows.append((aid, [float(x) for x in vec], label))
     probe_df = spark.createDataFrame(pairs, "anchor_id long, cell int")
     qdf = spark.createDataFrame(qrows, ["anchor_id", "qe", "q_label"])
-    idx = _index_rows(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("cell").isin(sorted({c for _, c in pairs})))
     if candidate_filter is not None:
         cand = cand.filter(candidate_filter)
