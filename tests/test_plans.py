@@ -220,6 +220,8 @@ SCALAR_BROADCAST_OK = {
     "knn_hard_negatives",  # 20-row bounded anchor broadcast — the
     #   map-side Q x N scoring pass, same family as knn_batch; the
     #   label filter prunes inside the BNLJ's condition
+    "knn_batch_sq8_indexed",  # 4-row bounded query broadcast over the
+    #   codes table — the knn_batch shape on the compressed tier
     "text_ccnet_buckets",  # composes text_lm_score's whitelisted
     #   1-row vocabulary-size scalar
     "docs_doremi_mixture",  # 1-row EG-normalizer scalar over the

@@ -308,3 +308,30 @@ def test_ivfsq8_append_and_wrong_append_guard(spark, emb, tmp_path):
     hits = {r.vec_id for r in A.ivfsq8_probe(spark, path, dq, k=5, n_probe=8).collect()}
     assert hits & {r.vec_id for r in delta.select("vec_id").collect()}
     assert [v["op"] for v in A.read_manifest(path)] == ["build", "append"]
+
+
+def test_sq8_probe_batch_matches_single_probes(spark, emb, tmp_path):
+    """Batch SQ8 retrieval equals Q independent single-query scans
+    over the same codes (same fold, same tie order), and exclude_ids
+    drops the query vectors from every candidate set."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+    qids = tuple(q[0] for q in queries)
+    path = str(tmp_path / "sq8b")
+    A.build_sq8_index(emb, path)
+
+    got = A.sq8_probe_batch(spark, path, queries, k=5, exclude_ids=qids).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.vec_id, r.adc_dist))
+    cand = emb.filter(~F.col("vec_id").isin(list(qids)))
+    for qid, vec in queries:
+        want = [(r.vec_id, r.adc_dist)
+                for r in S.sq8_adc_topk(cand, vec, k=5).collect()]
+        assert by_q[qid] == want
+        assert not ({v for v, _ in by_q[qid]} & set(qids))

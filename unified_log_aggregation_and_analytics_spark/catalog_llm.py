@@ -3939,6 +3939,29 @@ def knn_pq_adc_seeded(spark, sf_dir):
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
 
 
+def _sq8_codes_ctes(cand_join: str = "", where: str = "e.vec_id <> 0") -> str:
+    """The quantization half of the SQ8 chain (p + codes CTEs) —
+    factored so the single-query chain, the IVF composition, and the
+    batch oracle all share one copy of the (min, scale) -> floor(x +
+    0.5) code arithmetic."""
+    return f"""p AS (
+      SELECT e.vec_id, e.embedding,
+             list_min(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS mn,
+             (list_max(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+              - list_min(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
+      FROM embeddings e {cand_join} WHERE {where}
+    ),
+    codes AS (
+      SELECT vec_id, mn, sc,
+             CASE WHEN sc = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                       x -> floor((CAST(x AS DOUBLE) - mn) / sc + 0.5))
+             END AS qv
+      FROM p
+    )"""
+
+
 def _sq8_chain(k: int = 10, cand_join: str = "") -> str:
     """Shared CTE chain of the SQ8 ADC search (the _ivfpq_chain
     composition pattern): per-vector (min, scale) -> 255-level codes
@@ -3950,22 +3973,7 @@ def _sq8_chain(k: int = 10, cand_join: str = "") -> str:
     ``JOIN cellof USING (vec_id)``) restricts the scored rows — how
     the IVF-composed oracle bolts cell pruning onto the same chain."""
     return f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    p AS (
-      SELECT e.vec_id, e.embedding,
-             list_min(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS mn,
-             (list_max(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
-              - list_min(list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS sc
-      FROM embeddings e {cand_join} WHERE e.vec_id <> 0
-    ),
-    codes AS (
-      SELECT vec_id, mn, sc,
-             CASE WHEN sc = 0
-                  THEN list_transform(embedding, x -> 0.0)
-                  ELSE list_transform(embedding,
-                       x -> floor((CAST(x AS DOUBLE) - mn) / sc + 0.5))
-             END AS qv
-      FROM p
-    ),
+    {_sq8_codes_ctes(cand_join)},
     adc AS (
       SELECT c.vec_id,
              round(list_sum(list_transform(range(1, len(c.qv) + 1),
@@ -4192,6 +4200,52 @@ def knn_mmr_diversity(spark, sf_dir):
             6,
         ).alias("mean_pairwise_sim")
     )
+
+
+def _sq8_batch_oracle(n_queries: int = 4, k: int = 5) -> str:
+    """Batch twin: the factored _sq8_codes_ctes quantization with a
+    Q-query scoring pass and a per-query rank window — the knn_batch
+    oracle shape over reconstructed codes."""
+    qids = ", ".join(str(i) for i in range(n_queries))
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {n_queries}
+    ),
+    {_sq8_codes_ctes(where=f"e.vec_id NOT IN ({qids})")},
+    sims AS (
+      SELECT qs.q_id, c.vec_id,
+             round(list_sum(list_transform(range(1, len(c.qv) + 1),
+               j -> (CAST(qs.qe[j] AS DOUBLE) - (c.mn + c.qv[j] * c.sc))
+                    * (CAST(qs.qe[j] AS DOUBLE) - (c.mn + c.qv[j] * c.sc)))), 6)
+               AS adc_dist
+      FROM codes c CROSS JOIN qs
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_dist, vec_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT q_id, vec_id, adc_dist FROM ranked WHERE rn <= {k}
+"""
+
+
+@_register("knn_batch_sq8_indexed", _sq8_batch_oracle())
+def knn_batch_sq8_indexed(spark, sf_dir):
+    """X3 — batch retrieval over the persisted SQ8 index (the
+    knn_batch_ivf_indexed pattern applied to the compressed tier):
+    4 float queries broadcast against ONE codes-table read,
+    reconstruction inside the distance fold, per-query window top-5.
+    The oracle replays quantization, Q x N scoring, and the rank
+    window; candidate set = the index minus the query ids
+    (ann_index.py sq8_probe_batch)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    path = _ann_index_path(spark, sf_dir, "sq8")
+    queries = [(i, _query_vec(spark, sf_dir, i)) for i in range(4)]
+    return A.sq8_probe_batch(spark, path, queries, k=5, exclude_ids=(0, 1, 2, 3))
 
 
 def _sq8_recall_oracle(k: int = 10) -> str:

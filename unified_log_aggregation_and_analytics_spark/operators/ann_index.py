@@ -988,6 +988,56 @@ def append_sq8_index(
     _record_version(path, "append", df_new.count())
 
 
+def sq8_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    exclude_ids: tuple[int, ...] = (),
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Batch retrieval over the persisted SQ8 index — the
+    retrieval-workload shape (Q queries, ONE compressed index read).
+    The Q float queries broadcast; every index partition reconstructs
+    ``mn + code * sc`` once per (row, query) inside the distance fold
+    (Q x N distances never hit disk), then a per-query window rank
+    keeps k — the knn_batch plan over codes instead of floats.
+    ``exclude_ids`` drops the query vectors themselves from the
+    candidate set (the knn_batch convention)."""
+    from pyspark.sql import Window
+
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(
+        id_col, "mn", "sc", "sq8_codes"
+    )
+    if exclude_ids:
+        idx = idx.filter(~F.col(id_col).isin(list(exclude_ids)))
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        schema="q_id bigint, qe array<double>",
+    )
+    mn, sc = F.col("mn"), F.col("sc")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sq8_codes"),
+            F.col("qe"),
+            lambda c, y: (y - (mn + c.cast("double") * sc))
+            * (y - (mn + c.cast("double") * sc)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = idx.crossJoin(F.broadcast(qdf)).select(
+        "q_id", F.col(id_col), F.round(dist, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col(id_col))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, "adc_dist")
+    )
+
+
 def build_ivfsq8_index(
     df: DataFrame,
     path: str,
