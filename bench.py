@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     # r11: chunk-level RAG retrieval — chunker fan-out + hashed
     # passage vectors + query ranking in one plan
     "text_rag_retrieve",
+    # r11 (late): Q queries over one compressed index read — the
+    # batch shape on the SQ8 tier (not in BENCH_LOCAL_r11; first
+    # numbers come from the driver's own run)
+    "knn_batch_sq8_indexed",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
