@@ -3022,6 +3022,17 @@ def q02r_term_suggest(spark, sf_dir):
     return R.term_suggest(docs, "dat", k=10, max_edits=2, text_col="text")
 
 
+@_register("q02u_prefix_suggest_indexed", QUERIES["q02n_prefix_suggest"].oracle)
+def q02u_prefix_suggest_indexed(spark, sf_dir):
+    """Q2 persisted-index completion suggester: prefix walk over the
+    index vocabulary, occurrence rank from SUM(tf) over the postings
+    — zero corpus scans at query time; must equal the scan-time q02n
+    result, hence shares its oracle (operators/relational.py
+    prefix_suggest_indexed)."""
+    name = _token_index_table(spark, sf_dir)
+    return R.prefix_suggest_indexed(spark, name, "s", k=10)
+
+
 @_register("q02t_term_suggest_indexed", QUERIES["q02r_term_suggest"].oracle)
 def q02t_term_suggest_indexed(spark, sf_dir):
     """Q2 persisted-index term suggester: dictionary walk + doc

@@ -1050,6 +1050,29 @@ def _suggest_rank(vocab: DataFrame, term: str, k: int, max_edits: int) -> DataFr
     )
 
 
+def prefix_suggest_indexed(
+    spark: SparkSession,
+    table_name: str,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """Q2 persisted-index completion suggester: the prefix walk runs
+    over the INDEX vocabulary and the occurrence rank comes from
+    ``SUM(tf)`` — the postings carry per-(token, doc) term
+    frequencies, so total occurrences reconstruct without any corpus
+    scan. Must equal the scan-time prefix_suggest (shared oracle —
+    the q02d index ≡ scan proof, applied to completion)."""
+    p = prefix.lower()
+    return (
+        spark.table(table_name)
+        .filter(F.col("token").startswith(p) & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )
+
+
 def term_suggest_indexed(
     spark: SparkSession,
     table_name: str,
