@@ -25,7 +25,7 @@ WRITE ORDER: the survivor frame's lineage reads all three sidecars
 (anti-joins); it is ``localCheckpoint``-ed BEFORE any sidecar append
 (appending to a parquet path invalidates and re-reads every cached
 plan scanning it — the lineage hazard documented in
-.claude/skills/verify and streaming/corpus.py), after which append
+streaming/corpus.py), after which append
 order is free. Replay semantics match the corpus pipeline
 (manifest-fenced commits since round 8, streaming/fence.py):
 EXACTLY-ONCE as observed by probes — every per-batch write lands under

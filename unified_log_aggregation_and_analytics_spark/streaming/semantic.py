@@ -30,7 +30,7 @@ Each micro-batch:
 WRITE ORDER: the survivor frame's lineage reads the cell sidecar (the
 cross-batch check), so it is ``localCheckpoint``-ed BEFORE the sidecar
 append — appending to a parquet path invalidates and re-reads every
-cached plan over it (see .claude/skills/verify and streaming/corpus.py
+cached plan over it (see streaming/corpus.py
 for the incident this guards against). Delivery is EXACTLY-ONCE as
 observed by probes (manifest-fenced commits since round 8,
 streaming/fence.py): every per-batch write lands under a
