@@ -441,3 +441,50 @@ def test_index_probe_as_of_snapshot(spark, emb, qvec, tmp_path):
         spark, path, qvec, k=50, n_probe=8, as_of_batch=1
     ).collect()}
     assert after == unpinned
+
+
+def test_snapshot_rejects_post_pin_unfenced_append(spark, emb, qvec, tmp_path):
+    """r12 (ADVICE): unfenced appends write straight into the base
+    table with no per-batch lineage, so a pinned probe would silently
+    see rows appended AFTER its snapshot point. Each unfenced append
+    now records the fence position it happened at; a pin older than
+    that position raises, a pin at-or-newer still works, and an
+    append that predates any fenced delta (fence_pos=-1) never blocks
+    a pin."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    base = emb.filter(F.col("vec_id") <= 300)
+    pre = emb.filter((F.col("vec_id") > 300) & (F.col("vec_id") <= 350))
+    d1 = emb.filter((F.col("vec_id") > 350) & (F.col("vec_id") <= 400))
+    d2 = emb.filter((F.col("vec_id") > 400) & (F.col("vec_id") <= 450))
+    post = emb.filter(F.col("vec_id") > 450)
+    path = str(tmp_path / "ivf_unfenced_pin")
+    A.build_ivf_index(base, path, n_centroids=8)
+    root = fence.fence_root(path)
+
+    # Unfenced append BEFORE any fenced delta: fence_pos=-1, any pin ok.
+    A.append_ivf_index(pre, path)
+    manifest = A.read_manifest(path)
+    assert manifest[-1]["op"] == "append" and manifest[-1]["fence_pos"] == -1
+
+    A.append_ivf_index_fenced(d1, path, batch_id=0)
+    fence.mark_committed(spark, root, 0)
+    A.append_ivf_index_fenced(d2, path, batch_id=1)
+    fence.mark_committed(spark, root, 1)
+
+    # Pin at batch 1 is sound: the only unfenced append predates it.
+    pinned = A.ivf_probe(spark, path, qvec, k=50, n_probe=8, as_of_batch=1)
+    assert pinned.count() > 0
+
+    # Unfenced append AFTER batch 1 committed: fence_pos=1. Pins older
+    # than that position are now unsound and must raise; a pin at the
+    # recorded position (or newer) remains legal.
+    A.append_ivf_index(post, path)
+    assert A.read_manifest(path)[-1]["fence_pos"] == 1
+    with pytest.raises(ValueError, match="UNFENCED append"):
+        A.ivf_probe(spark, path, qvec, k=5, n_probe=8, as_of_batch=0).collect()
+    post_ids = {r.vec_id for r in post.select("vec_id").collect()}
+    at_pos = {r.vec_id for r in A.ivf_probe(
+        spark, path, qvec, k=500, n_probe=8, as_of_batch=1
+    ).collect()}
+    assert post_ids <= at_pos

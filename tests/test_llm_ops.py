@@ -1854,6 +1854,20 @@ def test_hash_embed_retrieve_rag_shape(spark, docs):
     assert (got[0].doc_id, got[0].chunk_idx) == (target.doc_id, target.chunk_idx)
     assert got[0].cos_sim == 1.0
 
+    # r12 (ADVICE): a ZERO-ROW query_df is a caller bug and raises;
+    # a present-but-whitespace query is a legitimate zero vector and
+    # still yields the empty result.
+    import pytest as _pytest
+
+    empty_q = spark.createDataFrame([], schema="cid long, chunk string")
+    with _pytest.raises(ValueError, match="empty query_df"):
+        X.hash_embed_retrieve(chunks, empty_q, k=5, text_col="chunk", id_col="cid")
+    ws_q = spark.createDataFrame([(0, "   \t ")], schema="cid long, chunk string")
+    assert (
+        X.hash_embed_retrieve(chunks, ws_q, k=5, text_col="chunk", id_col="cid").count()
+        == 0
+    )
+
 
 def test_mmr_diversity_certificate(spark, emb, query_vec):
     """The diversity report must show MMR strictly reducing mean

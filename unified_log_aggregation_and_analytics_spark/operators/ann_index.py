@@ -82,6 +82,17 @@ def _delta_path(path: str) -> str:
     return f"{path}/delta"
 
 
+def _fence_pos(spark: SparkSession, path: str) -> int:
+    """Max committed fenced-delta batch id of the index at ``path``
+    (-1 when no fenced delta exists). Recorded into each UNFENCED
+    append's manifest entry so snapshot probes can order the append
+    against the fence timeline (see _index_rows)."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    ids = fence.committed_batches(spark, fence.fence_root(path))
+    return max(ids) if ids else -1
+
+
 def _merged_through(path: str) -> int:
     """Max delta batch id folded into the base table, read from the
     ``_merged_through`` journal INSIDE the table directory. The
@@ -122,6 +133,34 @@ def _index_rows(
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
     base = spark.read.parquet(_table_path(path))
+    if as_of_batch is not None:
+        # UNFENCED appends (append_*_index) land directly in the base
+        # table with no per-batch lineage, so a pinned probe always
+        # sees them. That is only correct when the append happened at
+        # or before the snapshot point — each append manifest entry
+        # records the max committed fenced batch id at append time
+        # (fence_pos); an append newer than the pin (or one old enough
+        # to predate the recording) makes the snapshot unsound, so
+        # raise instead of silently including post-snapshot rows.
+        for entry in read_manifest(path):
+            if entry.get("op") != "append":
+                continue
+            fp = entry.get("fence_pos")
+            if fp is None or fp > as_of_batch:
+                raise ValueError(
+                    f"snapshot as_of_batch={as_of_batch} over index "
+                    f"{path!r} is unsound: manifest version "
+                    f"{entry['version']} records an UNFENCED append "
+                    + (
+                        "with no fence position (pre-snapshot-era "
+                        "manifest)"
+                        if fp is None
+                        else f"at fence position {fp} > the pin"
+                    )
+                    + "; unfenced appends have no per-batch lineage — "
+                    "use the fenced append path for snapshot-pinned "
+                    "indexes, or rebuild"
+                )
     m_horizon = _merged_through(path)
     if as_of_batch is not None and as_of_batch < m_horizon:
         raise ValueError(
@@ -168,18 +207,29 @@ def read_manifest(path: str) -> list[dict]:
     return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
 
 
-def _record_version(path: str, op: str, rows: int, dim: int | None = None) -> None:
+def _record_version(
+    path: str,
+    op: str,
+    rows: int,
+    dim: int | None = None,
+    fence_pos: int | None = None,
+) -> None:
     """Append a version row to the index manifest. The manifest is a
     driver-side artifact (bounded: one line per maintenance op); on an
     object store the append becomes a conditional-put of a new version
     object under the same prefix — the deployment's commit protocol,
     like the compaction swap below. ``dim`` is recorded at build time
     so later appends derive the plane set from metadata instead of
-    scanning the delta."""
+    scanning the delta. ``fence_pos`` (unfenced appends only) records
+    the max committed fenced-delta batch id at append time — the
+    ordering fact ``_index_rows`` needs to decide whether a pinned
+    ``as_of_batch`` probe may legally see the appended rows."""
     versions = read_manifest(path)
     entry = {"version": len(versions) + 1, "op": op, "rows": int(rows)}
     if dim is not None:
         entry["dim"] = int(dim)
+    if fence_pos is not None:
+        entry["fence_pos"] = int(fence_pos)
     Path(path).mkdir(parents=True, exist_ok=True)
     with open(_manifest_path(path), "a") as fh:
         fh.write(json.dumps(entry) + "\n")
@@ -279,7 +329,10 @@ def append_lsh_index(
         "bucket", sign_sketch(vec_col, planes)
     )
     delta.write.mode("append").partitionBy("bucket").parquet(_table_path(path))
-    _record_version(path, "append", df_new.count(), dim=dim)
+    _record_version(
+        path, "append", df_new.count(), dim=dim,
+        fence_pos=_fence_pos(df_new.sparkSession, path),
+    )
 
 
 def compact_index(
@@ -512,7 +565,10 @@ def append_ivf_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
-    _record_version(path, "append", df_new.count())
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(df_new.sparkSession, path),
+    )
 
 
 def append_ivf_index_fenced(
@@ -894,7 +950,10 @@ def append_ivfpq_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
-    _record_version(path, "append", df_new.count())
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(df_new.sparkSession, path),
+    )
 
 
 def ivfpq_probe(
@@ -985,7 +1044,10 @@ def append_sq8_index(
         .write.mode("append")
         .parquet(_table_path(path))
     )
-    _record_version(path, "append", df_new.count())
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(df_new.sparkSession, path),
+    )
 
 
 def sq8_probe_batch(
@@ -1113,7 +1175,10 @@ def append_ivfsq8_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
-    _record_version(path, "append", df_new.count())
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(df_new.sparkSession, path),
+    )
 
 
 def ivfsq8_probe(

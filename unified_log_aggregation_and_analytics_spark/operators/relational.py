@@ -1136,17 +1136,21 @@ def phrase_suggest(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     parts = F.split(F.col("ngram"), " ")
-    d = F.levenshtein(F.element_at(parts, 1), F.lit(w1)) + F.levenshtein(
-        F.element_at(parts, 2), F.lit(w2)
-    )
+    # Materialize each per-term Levenshtein ONCE as a column and
+    # filter/sum over the columns — Catalyst does not CSE interpreted
+    # string-distance expressions, so inlining them in both the
+    # distance and the predicates would run each O(|bigrams|) pass
+    # twice.
     return (
         bi.filter(F.size(parts) == 2)
-        .withColumn("distance", d)
+        .withColumn("d1", F.levenshtein(F.element_at(parts, 1), F.lit(w1)))
+        .withColumn("d2", F.levenshtein(F.element_at(parts, 2), F.lit(w2)))
         .filter(
-            (F.levenshtein(F.element_at(parts, 1), F.lit(w1)) <= max_edits)
-            & (F.levenshtein(F.element_at(parts, 2), F.lit(w2)) <= max_edits)
+            (F.col("d1") <= max_edits)
+            & (F.col("d2") <= max_edits)
             & (F.col("ngram") != f"{w1} {w2}")
         )
+        .withColumn("distance", F.col("d1") + F.col("d2"))
         .select(F.col("ngram").alias("suggestion"), "distance", "n_occurrences")
         .orderBy(F.col("distance").asc(), F.col("n_occurrences").desc(), "suggestion")
         .limit(k)

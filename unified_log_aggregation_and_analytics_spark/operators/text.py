@@ -255,6 +255,14 @@ def hash_embed_retrieve(
     qrows = hash_embed(
         query_df, text_col=text_col, id_col=id_col, dim=dim
     ).collect()
+    if not qrows and query_df.limit(1).count() == 0:
+        # Distinguish "no query row at all" (caller bug — raise) from
+        # "query present but hashes to nothing" (whitespace-only text
+        # -> zero vector -> legitimately empty result below).
+        raise ValueError(
+            "hash_embed_retrieve got an empty query_df — expected "
+            "exactly one query row"
+        )
     n_query_ids = len({r[0] for r in qrows})
     if n_query_ids > 1:
         raise ValueError(
