@@ -77,3 +77,71 @@ def test_phrase_suggest_collocation_gate(spark):
     assert got == [("fast label", 3, 1), ("fast table", 4, 3)]
     with pytest.raises(ValueError, match="two-word"):
         phrase_suggest(docs, "one two three")
+
+
+def test_collapse_hits_semantics(spark):
+    """Field collapsing (r12): page shows the top page_size GROUPS by
+    their best hit, each with up to inner_hits rows tagged hit_rank;
+    a group with one row yields one row; groups outside the page are
+    absent even when their second-best hit beats a paged group's
+    best."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        collapse_hits,
+    )
+
+    rows = [
+        # (custkey, orderkey, price)
+        (1, 10, 900.0), (1, 11, 850.0), (1, 12, 800.0),
+        (2, 20, 1000.0),                      # single-order customer
+        (3, 30, 700.0), (3, 31, 650.0),
+        (4, 40, 600.0),                        # best hit below the page
+    ]
+    df = spark.createDataFrame(rows, "ck long, ok long, price double")
+    got = [
+        (r.ck, r.ok, r.hit_rank)
+        for r in collapse_hits(
+            df, "ck", [F.col("price").desc(), F.col("ok")], page_size=3, inner_hits=2
+        ).orderBy(F.col("price").desc(), "ok").collect()
+    ]
+    # Page = customers 2 (1000), 1 (900), 3 (700); cust 1's third
+    # order is cut by inner_hits=2; cust 4 is off the page entirely.
+    assert got == [
+        (2, 20, 1),
+        (1, 10, 1), (1, 11, 2),
+        (3, 30, 1), (3, 31, 2),
+    ]
+
+
+def test_grouped_top_hits_matches_plain_window(spark):
+    """Salted two-phase top_hits (r12): result set is EXACTLY the
+    plain single-window per-group top-k (every true top-k row
+    survives phase 1 because local rank <= global rank), for k both
+    below and above the group sizes, at several salt widths."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        grouped_top_hits,
+    )
+
+    rows = [(i % 3, i, float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    order = [F.col("v").desc(), F.col("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+    for k in (1, 5, 100):
+        expect = {
+            (r.g, r.id, r.rk)
+            for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .collect()
+        }
+        for n_salt in (1, 4, 32):
+            got = {
+                (r.g, r.id, r.hit_rank)
+                for r in grouped_top_hits(
+                    df, ["g"], order, k=k, salt_col="id", n_salt=n_salt
+                ).collect()
+            }
+            assert got == expect, (k, n_salt)

@@ -631,6 +631,46 @@ def q09b_search_after(spark, sf_dir):
 
 
 @_register(
+    "q09c_collapse",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS hit_rank
+      FROM orders
+    ), page AS (
+      SELECT o_custkey FROM ranked WHERE hit_rank = 1
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    )
+    SELECT r.o_custkey, r.o_orderkey, r.o_totalprice, r.o_orderdate, r.hit_rank
+    FROM ranked r JOIN page USING (o_custkey)
+    WHERE r.hit_rank <= 2
+    """,
+)
+def q09c_collapse(spark, sf_dir):
+    """Q9/Q10 — OpenSearch field collapsing with inner_hits
+    (Discover's "dedupe by field" view, reference README.md:295-314):
+    the 10 customers whose best order ranks highest by price, each
+    with its top-2 orders tagged hit_rank. One window over the
+    high-cardinality collapse key, rank filter prunes to <=2 rows per
+    key before the TakeOrderedAndProject page pick, picked keys
+    broadcast back as a semi-join (operators/relational.py
+    collapse_hits)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return R.collapse_hits(
+        o,
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        page_size=10,
+        inner_hits=2,
+    )
+
+
+@_register(
     "q10_topk_users",
     """
     SELECT user_id, COUNT(*) AS n
@@ -3169,6 +3209,49 @@ def q06g_rare_terms(spark, sf_dir):
         )
         .filter(F.col("n") <= 2000)
         .orderBy("n", "event_type")
+    )
+
+
+@_register(
+    "q06h_top_hits",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY date_trunc('microseconds', ts) DESC, event_id
+             ) AS hit_rank
+      FROM events
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    )
+    SELECT r.event_type, a.n_events, r.hit_rank, r.event_id, r.user_id
+    FROM ranked r JOIN agg a USING (event_type)
+    WHERE r.hit_rank <= 2
+    """,
+)
+def q06h_top_hits(spark, sf_dir):
+    """Q6/Q10 — the OpenSearch ``top_hits`` sub-aggregation: per
+    event-type bucket, the bucket's doc count PLUS its 2 most recent
+    documents (the "show me sample docs per bucket" Dashboards view).
+    Terms buckets are FEW, so a naive per-bucket window is the 100 TB
+    trap (one reducer sorts a whole bucket); grouped_top_hits ranks
+    in two salted phases — 32-way parallel local top-2, then a rank
+    over the <=64-row survivor set per bucket — while the doc counts
+    come from an ordinary partial+final agg broadcast back onto the
+    hits. Oracle ranks on date_trunc('microseconds', ts) to match
+    Spark's microsecond timestamps (the logs_sessionize convention)."""
+    ev = _t(spark, sf_dir, "events")
+    hits = R.grouped_top_hits(
+        ev,
+        ["event_type"],
+        [F.col("ts").desc(), F.col("event_id")],
+        k=2,
+        salt_col="event_id",
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return hits.join(F.broadcast(counts), "event_type").select(
+        "event_type", "n_events", "hit_rank", "event_id", "user_id"
     )
 
 

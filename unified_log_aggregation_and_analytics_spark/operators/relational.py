@@ -455,6 +455,80 @@ def top_k(
     return df.orderBy(*order_by).limit(k)
 
 
+def collapse_hits(
+    df: DataFrame,
+    collapse_col: str,
+    order_by: Sequence[Column],
+    page_size: int,
+    inner_hits: int = 1,
+) -> DataFrame:
+    """Q9/Q10 — OpenSearch field collapsing (``collapse`` +
+    ``inner_hits``): the result page shows the top ``page_size``
+    GROUPS (one per distinct ``collapse_col``, ranked by each group's
+    best hit under ``order_by``), and for each group up to
+    ``inner_hits`` of its own best hits, tagged ``hit_rank`` 1..n —
+    the "best order per customer / latest log per host" dedup view
+    (reference README.md:295-314 Dashboards discover surface).
+
+    Plan shape: ONE window rank over the collapse key (collapse keys
+    are high-cardinality by design — a user/host/session id — so the
+    per-key partitions stay small; for few-valued bucket columns use
+    grouped_top_hits' salted two-phase instead), a rank<=inner_hits
+    filter that prunes BEFORE anything else, a page_size group pick
+    that compiles to TakeOrderedAndProject over the rank-1 rows only,
+    and a broadcast semi-join of the picked keys back onto the pruned
+    hits — the full table is scanned once and shuffled once.
+    ``order_by`` must be a total order (tie-break on a unique key)."""
+    w = Window.partitionBy(collapse_col).orderBy(*order_by)
+    ranked = df.withColumn("hit_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("hit_rank") <= inner_hits
+    )
+    top_groups = (
+        ranked.filter(F.col("hit_rank") == 1)
+        .orderBy(*order_by)
+        .limit(page_size)
+        .select(collapse_col)
+    )
+    return ranked.join(F.broadcast(top_groups), collapse_col, "semi")
+
+
+def grouped_top_hits(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    salt_col: str,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Q6/Q10 — the OpenSearch ``top_hits`` sub-aggregation: inside
+    each bucket of a terms aggregation, the top ``k`` DOCUMENTS under
+    ``order_by`` (latest error per event type, sample docs per
+    category...), tagged ``hit_rank`` 1..k.
+
+    A naive window over the bucket column is the 100 TB trap: terms
+    buckets are FEW (event types, log levels), so one reducer would
+    sort an entire bucket's rows. Two-phase salted rank instead:
+    phase 1 ranks within (bucket, xxhash64(salt_col) mod n_salt) —
+    n_salt-way parallel, each cell keeps <= k rows, and every true
+    top-k row survives because its local rank can only be <= its
+    global rank; phase 2 re-ranks the <= k*n_salt survivors per
+    bucket — driver-trivial. ``order_by`` must be a total order and
+    ``salt_col`` any stable column (uniqueness not required — the
+    salt only spreads rows). Same shape works streaming-side per
+    micro-batch."""
+    cells = [*group_cols, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt))]
+    w1 = Window.partitionBy(*cells).orderBy(*order_by)
+    local = (
+        df.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return local.withColumn("hit_rank", F.row_number().over(w2).cast("long")).filter(
+        F.col("hit_rank") <= k
+    )
+
+
 # --- Q13: as-of (temporal) join ----------------------------------------
 
 
