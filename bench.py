@@ -151,6 +151,10 @@ BENCH_QUERIES = [
     # batch shape on the SQ8 tier (not in BENCH_LOCAL_r11; first
     # numbers come from the driver's own run)
     "knn_batch_sq8_indexed",
+    # r12: prefix-refine over the persisted dimension-split layout —
+    # the coarse stage scans (id, prefix) only, so this row vs
+    # knn_prefix_refine is the IO-vs-arithmetic delta of the split
+    "knn_prefix_refine_indexed",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -232,7 +236,25 @@ SCALE_QUERIES = [
     # r11: feature-hashed text knn at 10x docs — the explode + two
     # hash aggs carry |docs| x 64 partial sums, growth must be linear
     "text_hash_embed_knn",
+    # r12: the dimension-split prefix index at 10x — coarse stage
+    # reads 500k (id, prefix-16) rows instead of full 64-dim vectors;
+    # pairs with knn_prefix_refine's fused-column row above
+    "knn_prefix_refine_indexed",
 ]
+
+# r12 (verdict item 6): the scale section splits into SCALE PATHS —
+# the partition-pruned / compressed / salted / banded algorithms whose
+# drift a verdict needs to see at a glance — and RETAINED BASELINES —
+# brute-force twins and eager-training rows kept for recall/cost
+# comparison, which dominate the raw total and obscure path drift.
+# Membership below; everything not named is a scale path.
+SCALE_BASELINES = {
+    "knn_cosine",              # brute-force float scan (vs sq8/prefix/ivf rows)
+    "knn_batch",               # brute-force batch scan (vs *_indexed batch rows)
+    "knn_hard_negatives",      # brute-force twin of knn_hard_negatives_indexed
+    "knn_join_graph_nbits7_allbits",  # exhaustive all-bit multiprobe baseline
+    "text_quality_train",      # eager GD training (24 full-batch steps)
+}
 
 
 def _scale_extra_queries():
@@ -338,6 +360,10 @@ EAGER_QUERIES = {
     # r11: MMR collects the shortlist + pair sims at construction;
     # the greedy rerank itself is bounded driver arithmetic
     "knn_mmr_rerank",
+    # r12: the prefix probe's coarse stage collects the shortlist ids
+    # at construction — rebuilding per run keeps the coarse scan (the
+    # IO the split exists to cut) inside the clock
+    "knn_prefix_refine_indexed",
 }
 
 
@@ -432,11 +458,28 @@ def main() -> None:
                 scale_qs, name, spark, scale_dir, n_runs=2
             )
             spark.catalog.clearCache()  # same cross-query cache hygiene
+        paths = {
+            n: t for n, t in scale_timings.items() if n not in SCALE_BASELINES
+        }
+        baselines = {
+            n: t for n, t in scale_timings.items() if n in SCALE_BASELINES
+        }
         out["scale"] = {
             "sf": 1.0,
             "replicas": 10,
             "queries": scale_timings,
             "total": round(sum(scale_timings.values()), 3),
+            # r12: keyed sections so path drift is visible without the
+            # baselines' raw seconds drowning it (tools/bench_diff.py
+            # diffs them separately)
+            "scale_paths": {
+                "queries": paths,
+                "total": round(sum(paths.values()), 3),
+            },
+            "retained_baselines": {
+                "queries": baselines,
+                "total": round(sum(baselines.values()), 3),
+            },
         }
 
     print(json.dumps(out))

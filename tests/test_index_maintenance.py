@@ -488,3 +488,26 @@ def test_snapshot_rejects_post_pin_unfenced_append(spark, emb, qvec, tmp_path):
         spark, path, qvec, k=500, n_probe=8, as_of_batch=1
     ).collect()}
     assert post_ids <= at_pos
+
+
+def test_prefix_index_append_equals_rebuild(spark, emb, qvec, tmp_path):
+    """Dimension-split prefix index (r12): base build over half the
+    corpus + append of the other half must probe identically to a
+    fresh full build (the split is a pure projection — nothing frozen
+    to drift), and the manifest records build dim/prefix_dim plus the
+    append's fence position."""
+    base = emb.filter(F.col("vec_id") <= 300)
+    delta = emb.filter(F.col("vec_id") > 300)
+    p1 = str(tmp_path / "pfx_incr")
+    p2 = str(tmp_path / "pfx_full")
+    A.build_prefix_index(base, p1, prefix_dim=16)
+    A.append_prefix_index(delta, p1)
+    A.build_prefix_index(emb, p2, prefix_dim=16)
+    got = A.prefix_refine_probe(spark, p1, qvec, k=10, shortlist=50).collect()
+    want = A.prefix_refine_probe(spark, p2, qvec, k=10, shortlist=50).collect()
+    assert got == want
+    m = A.read_manifest(p1)
+    assert [e["op"] for e in m] == ["build", "append"]
+    assert m[0]["dim"] == 64 and m[0]["prefix_dim"] == 16
+    assert m[1]["fence_pos"] == -1
+    assert A.manifest_prefix_dim(p1) == 16

@@ -593,3 +593,58 @@ def test_positional_index_bucket_pruned(spark):
         assert idx == scan
     finally:
         spark.sql("DROP TABLE IF EXISTS pos_idx_plan_test")
+
+
+def test_prefix_index_coarse_stage_reads_prefix_only(spark, tmp_path):
+    """The dimension-split prefix index (r12) exists to cut coarse-
+    stage scan IO: the stage-1 plan's ReadSchema must carry (vec_id,
+    prefix) and NOT the rest column, and the full two-stage probe
+    must equal the fused-column scan path bit-for-bit (index ≡
+    scan)."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        knn_prefix_refine,
+    )
+    from unified_log_aggregation_and_analytics_spark.sources.batch import load_table
+
+    emb = load_table(spark, "embeddings", SF).filter(F.col("vec_id") != 0)
+    qv = [
+        float(x)
+        for x in load_table(spark, "embeddings", SF)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    path = str(tmp_path / "prefix16")
+    A.build_prefix_index(emb, path, prefix_dim=16)
+
+    # Rebuild exactly the coarse-stage frame the probe plans
+    idx = A._index_rows(spark, path)
+    q_pref = F.array(*[F.lit(float(x)) for x in qv[:16]])
+    coarse = (
+        idx.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("prefix"), q_pref, dim=16), 6).alias(
+                "pref_sim"
+            ),
+        )
+        .orderBy(F.col("pref_sim").desc(), "vec_id")
+        .limit(50)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        coarse.explain("formatted")
+    read_schema = [
+        l for l in buf.getvalue().splitlines() if "ReadSchema" in l
+    ][0]
+    assert "prefix" in read_schema and "vec_id" in read_schema
+    assert "rest" not in read_schema, read_schema
+
+    probe = A.prefix_refine_probe(spark, path, qv, k=10, shortlist=50)
+    scan = knn_prefix_refine(emb, qv, k=10, prefix_dim=16, shortlist=50)
+    assert probe.collect() == scan.collect()

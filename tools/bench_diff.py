@@ -61,6 +61,16 @@ def main() -> None:
         out["scale"] = _diff(
             old["scale"]["queries"], new["scale"]["queries"], band
         )
+        # r12: diff the keyed sections separately when both artifacts
+        # carry them (scale paths vs retained baselines), so path
+        # drift is visible without the baselines' seconds drowning it.
+        for sec in ("scale_paths", "retained_baselines"):
+            if sec in old["scale"] and sec in new["scale"]:
+                out[sec] = _diff(
+                    old["scale"][sec]["queries"],
+                    new["scale"][sec]["queries"],
+                    band,
+                )
     print(json.dumps(out))
 
 

@@ -370,6 +370,24 @@ def knn_prefix_refine(spark, sf_dir):
     return S.knn_prefix_refine(emb, list(qv), k=10, prefix_dim=16, shortlist=50)
 
 
+@_register("knn_prefix_refine_indexed", _prefix_refine_oracle())
+def knn_prefix_refine_indexed(spark, sf_dir):
+    """X3 — prefix-refine over the persisted DIMENSION-SPLIT layout
+    (r12): the corpus is stored as (id, prefix, rest) parquet columns
+    (operators/ann_index.py build_prefix_index), so the coarse stage
+    scans ~4x fewer vector bytes at dim 64 / prefix 16 — the IO half
+    of the MRL adaptive-retrieval win the fused-column scan
+    (knn_prefix_refine) only gets as arithmetic. The refine stage
+    re-reads just the 50 shortlist ids (IN-list over id-sorted files:
+    row-group pruning); concat(prefix, rest) restores the exact fold
+    order, so this shares the scan path's oracle — index ≡ scan."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "prefix16")
+    return A.prefix_refine_probe(spark, path, list(qv), k=10, shortlist=50)
+
+
 @_register("knn_prefix_recall", _prefix_recall_oracle())
 def knn_prefix_recall(spark, sf_dir):
     """X3 — recall@10 certificate for the prefix-refine path
@@ -2814,6 +2832,8 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_sq8_index(emb, str(path))
         elif kind == "ivfsq8":
             A.build_ivfsq8_index(emb, str(path), n_centroids=16)
+        elif kind == "prefix16":
+            A.build_prefix_index(emb, str(path), prefix_dim=16)
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))

@@ -213,6 +213,7 @@ def _record_version(
     rows: int,
     dim: int | None = None,
     fence_pos: int | None = None,
+    prefix_dim: int | None = None,
 ) -> None:
     """Append a version row to the index manifest. The manifest is a
     driver-side artifact (bounded: one line per maintenance op); on an
@@ -230,6 +231,8 @@ def _record_version(
         entry["dim"] = int(dim)
     if fence_pos is not None:
         entry["fence_pos"] = int(fence_pos)
+    if prefix_dim is not None:
+        entry["prefix_dim"] = int(prefix_dim)
     Path(path).mkdir(parents=True, exist_ok=True)
     with open(_manifest_path(path), "a") as fh:
         fh.write(json.dumps(entry) + "\n")
@@ -1230,6 +1233,141 @@ def sq8_probe(
 
     idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(id_col, "mn", "sc", "sq8_codes")
     return sq8_score_topk(idx, list(query_vec), k=k, id_col=id_col)
+
+
+def build_prefix_index(
+    df: DataFrame,
+    path: str,
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Dimension-split (matryoshka) layout for prefix-refine
+    retrieval: the vector column is persisted as TWO parquet columns,
+    ``prefix`` (dims 1..prefix_dim) and ``rest``, so the coarse stage
+    of ``prefix_refine_probe`` scans dim/prefix_dim fewer vector
+    bytes — the IO half of the MRL adaptive-retrieval win that
+    similarity.knn_prefix_refine (arithmetic-only over a fused
+    column) cannot get. Files are sorted by ``id_col`` so the refine
+    stage's shortlist IN-list prunes row groups via footer min/max.
+    No model state: the split is a pure projection, so appends need
+    only the manifest-recorded (dim, prefix_dim)."""
+    dim = _peek_dim(df, vec_col)
+    if not 0 < prefix_dim < dim:
+        raise ValueError(f"prefix_dim must be in (0, {dim}): {prefix_dim}")
+    (
+        df.select(
+            id_col,
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("prefix"),
+            F.slice(F.col(vec_col), prefix_dim + 1, dim - prefix_dim).alias("rest"),
+        )
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .parquet(_table_path(path))
+    )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(
+        path,
+        "build",
+        df.sparkSession.read.parquet(_table_path(path)).count(),
+        dim=dim,
+        prefix_dim=prefix_dim,
+    )
+
+
+def manifest_prefix_dim(path: str) -> int | None:
+    """prefix_dim recorded by build_prefix_index, or None."""
+    for entry in read_manifest(path):
+        if "prefix_dim" in entry:
+            return int(entry["prefix_dim"])
+    return None
+
+
+def append_prefix_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental dimension-split ingest: project the delta through
+    the manifest-recorded split — a pure per-row projection, nothing
+    frozen to drift. Records the fence position (snapshot-probe
+    ordering, see _index_rows)."""
+    if df_new.isEmpty():
+        return
+    pd_ = manifest_prefix_dim(path)
+    dim = manifest_dim(path)
+    if pd_ is None or dim is None:
+        raise ValueError(f"index at {path!r} has no prefix-split manifest")
+    (
+        df_new.select(
+            id_col,
+            F.slice(F.col(vec_col), 1, pd_).alias("prefix"),
+            F.slice(F.col(vec_col), pd_ + 1, dim - pd_).alias("rest"),
+        )
+        .sortWithinPartitions(id_col)
+        .write.mode("append")
+        .parquet(_table_path(path))
+    )
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(df_new.sparkSession, path),
+    )
+
+
+def prefix_refine_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Two-stage probe over the dimension-split index. Stage 1 scans
+    ONLY (id, prefix) — the plan's ReadSchema carries no ``rest``
+    column, so at dim 64 / prefix 16 the coarse pass moves ~4x fewer
+    vector bytes than a fused-column scan (plan-guarded in
+    tests/test_plans.py) — and keeps a ``shortlist`` by rounded
+    prefix cosine. Stage 2 re-reads just the shortlist ids (driver
+    IN-list over the id-sorted files: row-group pruning) and re-ranks
+    by exact full-dim cosine over ``concat(prefix, rest)`` — element
+    values and fold order are identical to the fused column, so
+    results are bit-identical to similarity.knn_prefix_refine and
+    the persisted path inherits the scan path's oracle (index ≡
+    scan, the q02j/q02t pattern)."""
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    pd_ = manifest_prefix_dim(path)
+    if pd_ is None:
+        raise ValueError(f"index at {path!r} has no prefix-split manifest")
+    dim = len(query_vec)
+    q_pref = F.array(*[F.lit(float(x)) for x in query_vec[:pd_]])
+    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
+    coarse = (
+        idx.select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col("prefix"), q_pref, dim=pd_), 6
+            ).alias("pref_sim"),
+        )
+        .orderBy(F.col("pref_sim").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    ids = [r[0] for r in coarse.select(id_col).collect()]
+    full = F.concat(F.col("prefix"), F.col("rest"))
+    return (
+        idx.filter(F.col(id_col).isin(ids))
+        .select(
+            id_col,
+            F.round(cosine_similarity(full, q_full, dim=dim), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def hard_negatives_probe(
