@@ -212,10 +212,17 @@ def test_sq8_index_build_probe_append(spark, emb, tmp_path):
     path = str(tmp_path / "sq8")
     A.build_sq8_index(head, path)
     stored = spark.read.parquet(f"{path}/table")
-    assert sorted(stored.columns) == ["mn", "sc", "sq8_code", "sq8_codes", "vec_id"]
-    for r in stored.limit(20).collect():
-        assert list(r.sq8_code) == list(r.sq8_codes)
-        assert all(0 <= c <= 255 for c in r.sq8_codes)
+    # r12: binary-only on disk — no array<int> column doubling bytes
+    assert sorted(stored.columns) == ["mn", "sc", "sq8_code", "vec_id"]
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        sq8_unpack,
+    )
+
+    for r in (
+        stored.withColumn("codes", sq8_unpack("sq8_code", 64)).limit(20).collect()
+    ):
+        assert list(r.sq8_code) == list(r.codes), "in-plan unpack != raw bytes"
+        assert all(0 <= c <= 255 for c in r.codes)
 
     got_head = A.sq8_probe(spark, path, q, k=10).collect()
     want_head = S.sq8_adc_topk(head, q, k=10).collect()
@@ -254,7 +261,7 @@ def test_ivfsq8_index_build_probe(spark, emb, tmp_path):
     A.build_ivfsq8_index(corpus, path, n_centroids=8)
 
     idx = spark.read.parquet(f"{path}/table")
-    assert set(idx.columns) == {"vec_id", "mn", "sc", "sq8_codes", "sq8_code", "cell"}
+    assert set(idx.columns) == {"vec_id", "mn", "sc", "sq8_code", "cell"}
     assert idx.count() == corpus.count()
 
     probe = A.ivfsq8_probe(spark, path, q, k=10, n_probe=3)

@@ -2814,6 +2814,10 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
         # rebuild, or the filter predicate hits a missing column
         if fresh and kind == "ivf16":
             fresh = "label" in existing.columns
+        # r12: SQ8 tables are binary-only; a pre-r12 dual-column
+        # (array + binary) index must rebuild or it doubles scan bytes
+        if fresh and kind in ("sq8", "ivfsq8"):
+            fresh = "sq8_codes" not in existing.columns
     if not fresh:
         if kind == "lsh8":
             A.build_lsh_index(emb, str(path), n_bits=8, seed=42, dim=64)

@@ -996,9 +996,10 @@ def build_sq8_index(
 ) -> None:
     """SQ8 index build — the int8 storage-compression play (Lucene's
     scalar-quantized vector format) without a pruning structure: the
-    persisted table stores ``(id, mn, sc, sq8_codes, sq8_code)`` and
-    NO float vectors. At dim=64/float32 the scan-relevant bytes are
-    1/dim codes + two doubles per vector (~3.5x smaller); the probe
+    persisted table stores ``(id, mn, sc, sq8_code binary)`` and NO
+    float vectors — BINARY-ONLY since r12 (the former dual
+    array<int>+binary layout cost ~2x the bytes in parquet offsets;
+    probes unpack in-plan via similarity.sq8_unpack). The probe
     stays a shuffle-free map + TakeOrderedAndProject over the whole
     table — SQ8 shrinks HOW MUCH a scan reads, IVF bounds WHERE it
     reads, and the two compose (partition this table by cell exactly
@@ -1011,6 +1012,7 @@ def build_sq8_index(
     dim = _peek_dim(df, vec_col)
     (
         sq8_encode(df, vec_col=vec_col, id_col=id_col)
+        .drop("sq8_codes")  # binary-only on disk; probes unpack in-plan
         .write.mode("overwrite")
         .parquet(_table_path(path))
     )
@@ -1044,6 +1046,7 @@ def append_sq8_index(
         )
     (
         sq8_encode(df_new, vec_col=vec_col, id_col=id_col)
+        .drop("sq8_codes")
         .write.mode("append")
         .parquet(_table_path(path))
     )
@@ -1072,8 +1075,16 @@ def sq8_probe_batch(
     candidate set (the knn_batch convention)."""
     from pyspark.sql import Window
 
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        sq8_unpack,
+    )
+
+    dim = _sq8_dim(path, queries[0][1]) if queries else manifest_dim(path)
     idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(
-        id_col, "mn", "sc", "sq8_codes"
+        id_col,
+        "mn",
+        "sc",
+        sq8_unpack("sq8_code", dim).alias("sq8_codes"),
     )
     if exclude_ids:
         idx = idx.filter(~F.col(id_col).isin(list(exclude_ids)))
@@ -1103,6 +1114,14 @@ def sq8_probe_batch(
     )
 
 
+def _sq8_dim(path: str, query_vec: list[float]) -> int:
+    """Code width for unpacking a binary-only SQ8 table: the build
+    manifest records it; a pre-manifest index falls back to the
+    query's own dimensionality (probe and codes must agree anyway)."""
+    dim = manifest_dim(path)
+    return int(dim) if dim is not None else len(query_vec)
+
+
 def build_ivfsq8_index(
     df: DataFrame,
     path: str,
@@ -1112,9 +1131,11 @@ def build_ivfsq8_index(
 ) -> None:
     """IVF + SQ8 composed index — the two knobs a 100 TB vector scan
     has, composed: IVF cells bound WHERE a probe reads (partition
-    pruning), SQ8 codes bound HOW MUCH it reads per row (~3.5x fewer
-    bytes at dim=64). The persisted table stores ``(id, mn, sc,
-    codes, packed binary)`` partitioned by cell, no float vectors;
+    pruning), SQ8 codes bound HOW MUCH it reads per row. The
+    persisted table stores ``(id, mn, sc, sq8_code binary)``
+    partitioned by cell — BINARY-ONLY since r12 (~3x smaller on disk
+    than the former dual array+binary layout; probes unpack the
+    bytes in-plan via similarity.sq8_unpack), no float vectors;
     centroids persist like build_ivf_index's. Deterministic seed
     centroids (the n lowest-id vectors) keep the ENTIRE path —
     assignment, probe choice, quantization, reconstruction scoring —
@@ -1141,6 +1162,7 @@ def build_ivfsq8_index(
     assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
     (
         sq8_encode(assigned, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
+        .drop("sq8_codes")  # binary-only on disk; probes unpack in-plan
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(_table_path(path))
@@ -1174,6 +1196,7 @@ def append_ivfsq8_index(
     assigned = ivf_assign(df_new.select(id_col, vec_col), centroids, vec_col)
     (
         sq8_encode(assigned, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
+        .drop("sq8_codes")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(_table_path(path))
@@ -1200,6 +1223,7 @@ def ivfsq8_probe(
     choice as ivfpq_probe, same scoring as sq8_probe."""
     from unified_log_aggregation_and_analytics_spark.operators.similarity import (
         sq8_score_topk,
+        sq8_unpack,
     )
 
     centroids = load_centroids(spark, path)
@@ -1209,7 +1233,10 @@ def ivfsq8_probe(
     probe_cells = [int(c) for c in (norm @ qn).argsort()[::-1][:n_probe]]
     idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     cand = idx.filter(F.col("cell").isin(probe_cells)).select(
-        id_col, "mn", "sc", "sq8_codes"
+        id_col,
+        "mn",
+        "sc",
+        sq8_unpack("sq8_code", _sq8_dim(path, query_vec)).alias("sq8_codes"),
     )
     return sq8_score_topk(cand, list(query_vec), k=k, id_col=id_col)
 
@@ -1229,9 +1256,15 @@ def sq8_probe(
     path inherits the scan path's oracle."""
     from unified_log_aggregation_and_analytics_spark.operators.similarity import (
         sq8_score_topk,
+        sq8_unpack,
     )
 
-    idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(id_col, "mn", "sc", "sq8_codes")
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(
+        id_col,
+        "mn",
+        "sc",
+        sq8_unpack("sq8_code", _sq8_dim(path, query_vec)).alias("sq8_codes"),
+    )
     return sq8_score_topk(idx, list(query_vec), k=k, id_col=id_col)
 
 

@@ -579,6 +579,23 @@ def sq8_encode(
     return df.select(id_col, *passthrough, vec_col).mapInPandas(enc, out_schema)
 
 
+def sq8_unpack(bin_col: Column | str, dim: int) -> Column:
+    """Decode a byte-packed SQ8 code column back to ``array<int>``
+    IN-PLAN (JVM expressions, no Python): hex the binary once, then
+    read each byte as two hex chars via substr + conv. Lets the
+    persisted index store ONLY the 1-byte/dim binary (the parquet
+    byte-array encoding of array<int> costs ~2x the payload in
+    offsets/defs — measured ~3x on-disk win binary-only vs dual) while
+    probes keep scoring through the same array fold as the scan
+    path."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    h = F.hex(c)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.conv(F.substr(h, i * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    )
+
+
 def sq8_score_topk(
     codes_df: DataFrame,
     query_vec: list[float],
