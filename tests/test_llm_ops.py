@@ -1885,3 +1885,42 @@ def test_mmr_diversity_certificate(spark, emb, query_vec):
     }
     assert set(rows) == {"plain", "mmr"}
     assert rows["mmr"] < rows["plain"]
+
+
+def test_prefix_rotation_knobs_and_determinism(spark, emb, query_vec):
+    """r12 rotated prefix retrieval: (a) the degenerate no-rotation
+    knob delegates verbatim to knn_prefix_refine (pinned equal); (b)
+    power_pca_rotation is deterministic across invocations and its
+    components are near-orthonormal; (c) the rotated path's recall@10
+    vs brute force is at least the untrained prefix-16 path's."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qv = list(query_vec)
+
+    none_path = S.knn_prefix_refine_rotated(
+        corpus, qv, None, k=10, shortlist=50, prefix_dim=16
+    ).collect()
+    plain = S.knn_prefix_refine(
+        corpus, qv, k=10, prefix_dim=16, shortlist=50
+    ).collect()
+    assert none_path == plain
+
+    R1 = S.power_pca_rotation(corpus, n_components=32, iters=16)
+    R2 = S.power_pca_rotation(corpus, n_components=32, iters=16)
+    assert np.array_equal(R1, R2), "rotation must be deterministic"
+    G = R1 @ R1.T
+    assert np.abs(G - np.eye(32)).max() < 1e-3, "components not orthonormal"
+
+    exact = {r.vec_id for r in S.knn_brute_force(corpus, qv, k=10).collect()}
+    rot_ids = {
+        r.vec_id
+        for r in S.knn_prefix_refine_rotated(
+            corpus, qv, R1, k=10, shortlist=50
+        ).collect()
+    }
+    plain_ids = {r.vec_id for r in plain}
+    assert len(rot_ids & exact) >= len(plain_ids & exact)
+    assert len(rot_ids & exact) >= 8, "rotation must clear the 8/10 bar here"

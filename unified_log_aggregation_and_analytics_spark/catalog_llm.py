@@ -370,6 +370,183 @@ def knn_prefix_refine(spark, sf_dir):
     return S.knn_prefix_refine(emb, list(qv), k=10, prefix_dim=16, shortlist=50)
 
 
+def _rot_ctes(nc: int = 32, it: int = 16, d: int = 64) -> str:
+    """CTE block deriving the PCA rotation EXACTLY as
+    similarity.power_pca_rotation does: rounded mean -> rounded
+    covariance -> power iteration with classical Gram-Schmidt and
+    deflation, every step through midpoint-free 6-decimal rounding
+    (round(x + 2^-41, 6) — similarity.Q6_EPS: rounded values live on
+    the 1e-6 grid, their products on the 1e-12 grid which CONTAINS
+    the 5e-7 rounding midpoints where half-even and half-away
+    disagree; the binary-exact off-grid epsilon moves every exact
+    grid sum ~1e-13 off the midpoints, far above cross-engine
+    summation noise). The recursive CTE carries the list-valued
+    (deflated matrix, components, iterate) state one row per step —
+    the knn_mmr_rerank recursive-replay pattern applied to an
+    eigensolver. Ends with ``rot(comps)`` = the (nc x d) rotation."""
+
+    def r6(expr: str) -> str:
+        return f"round({expr} + 4.547473508864641e-13, 6)"
+
+    return f"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM corpus),
+    el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM corpus, (SELECT UNNEST(range(1, {d + 1})) AS i)),
+    mu0 AS (SELECT i, {r6(f"SUM(x) / (SELECT n FROM nn)")} AS m FROM el GROUP BY i),
+    ctr AS (SELECT e.vec_id, e.i, e.x - m.m AS xc FROM el e JOIN mu0 m USING (i)),
+    covp AS (SELECT a.i AS i, b.i AS j,
+                    {r6("SUM(a.xc * b.xc) / (SELECT n FROM nn)")} AS c
+             FROM ctr a JOIN ctr b USING (vec_id) GROUP BY a.i, b.i),
+    covr AS (SELECT i, list(c ORDER BY j) AS arow FROM covp GROUP BY i),
+    cov0 AS (SELECT list(arow ORDER BY i) AS A FROM covr),
+    seed AS (SELECT CAST(list_transform(range(1, {d + 1}),
+                    i -> {r6("0.1 + 0.0001 * i")}) AS DOUBLE[]) AS v),
+    pi(comp, t, A, comps, v) AS (
+      SELECT 0, 0, (SELECT A FROM cov0), CAST([] AS DOUBLE[][]), (SELECT v FROM seed)
+      UNION ALL
+      SELECT
+        CASE WHEN t + 1 < {it} THEN comp ELSE comp + 1 END,
+        CASE WHEN t + 1 < {it} THEN t + 1 ELSE 0 END,
+        CASE WHEN t + 1 < {it} THEN A ELSE
+          list_transform(range(1, {d + 1}), i -> list_transform(range(1, {d + 1}), j ->
+            {r6("A[i][j] - lam * vn[i] * vn[j]")})) END,
+        CASE WHEN t + 1 < {it} THEN comps ELSE list_append(comps, vn) END,
+        CASE WHEN t + 1 < {it} THEN vn ELSE (SELECT v FROM seed) END
+      FROM (
+        SELECT comp, t, A, comps, vn,
+          CASE WHEN t + 1 < {it} THEN CAST(0.0 AS DOUBLE) ELSE
+            {r6(f"list_sum(list_transform(range(1, {d + 1}), i -> vn[i] * list_sum(list_transform(range(1, {d + 1}), j -> A[i][j] * vn[j]))))")}
+          END AS lam
+        FROM (
+          SELECT comp, t, A, comps,
+            CASE WHEN nrm = 0 THEN v
+                 ELSE list_transform(wg, x -> {r6("x / nrm")}) END AS vn
+          FROM (
+            SELECT comp, t, A, comps, v, wg,
+                   {r6("sqrt(list_sum(list_transform(wg, x -> x * x)))")} AS nrm
+            FROM (
+              SELECT comp, t, A, comps, v,
+                CASE WHEN len(comps) = 0 THEN w
+                     ELSE list_transform(range(1, {d + 1}), i ->
+                       {r6(f"w[i] - list_sum(list_transform(range(1, len(comps) + 1), c -> dots[c] * comps[c][i]))")}) END AS wg
+              FROM (
+                SELECT comp, t, A, comps, v, w,
+                  list_transform(comps, p ->
+                    {r6(f"list_sum(list_transform(range(1, {d + 1}), j -> p[j] * w[j]))")}) AS dots
+                FROM (
+                  SELECT comp, t, A, comps, v,
+                    list_transform(range(1, {d + 1}), i ->
+                      {r6(f"list_sum(list_transform(range(1, {d + 1}), j -> A[i][j] * v[j]))")}) AS w
+                  FROM pi WHERE comp < {nc}
+                )
+              )
+            )
+          )
+        )
+      )
+    ),
+    rot AS (SELECT comps FROM pi WHERE comp = {nc} AND t = 0)"""
+
+
+def _rot_retrieval_ctes(
+    nc: int = 32, it: int = 16, d: int = 64, sl: int = 50
+) -> str:
+    """Rotation CTEs + the rotated two-stage retrieval: rounded
+    projections (plain round-6 — projection sums mix grid values with
+    raw corpus doubles, so they are off every decimal grid), prefix
+    cosine over the nc rotated coords, shortlist cut, exact full-dim
+    cosine over the ORIGINAL vectors (cosine is rotation-invariant)."""
+    proj = (
+        f"list_transform(range(1, {nc + 1}), c -> "
+        f"round(list_sum(list_transform(range(1, {d + 1}), j -> "
+        f"comps[c][j] * CAST({{v}}[j] AS DOUBLE))), 6))"
+    )
+    return f"""{_rot_ctes(nc, it, d)},
+    qrow AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    proj AS (SELECT e.vec_id, e.embedding, {proj.format(v='e.embedding')} AS r
+             FROM corpus e, rot),
+    qproj AS (SELECT {proj.format(v='q.qe')} AS qr FROM qrow q, rot),
+    pref AS (
+      SELECT p.vec_id, p.embedding,
+             round(list_sum(list_transform(range(1, {nc + 1}), c -> p.r[c] * qp.qr[c]))
+                   / (sqrt(list_sum(list_transform(range(1, {nc + 1}), c -> p.r[c] * p.r[c])))
+                      * sqrt(list_sum(list_transform(range(1, {nc + 1}), c -> qp.qr[c] * qp.qr[c])))),
+                   6) AS pref_sim
+      FROM proj p, qproj qp
+    ),
+    short AS (SELECT vec_id, embedding FROM pref
+              ORDER BY pref_sim DESC, vec_id LIMIT {sl}),
+    refined AS (
+      SELECT s.vec_id, round({_cos_raw('s.embedding', 'q.qe')}, 6) AS cos_sim
+      FROM short s, qrow q
+      ORDER BY cos_sim DESC, s.vec_id
+      LIMIT 10
+    )"""
+
+
+def _rot_refine_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_rot_retrieval_ctes()}
+    SELECT vec_id, cos_sim FROM refined ORDER BY cos_sim DESC, vec_id
+"""
+
+
+def _rot_recall_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_rot_retrieval_ctes()},
+    exact AS (
+      SELECT e.vec_id, round({_cos_raw('e.embedding', 'q.qe')}, 6) AS cos_sim
+      FROM corpus e, qrow q
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           round(COUNT(*) / 10.0, 6) AS recall_at_k
+    FROM refined JOIN exact USING (vec_id)
+"""
+
+
+@_register("knn_prefix_rotated", _rot_refine_oracle())
+def knn_prefix_rotated(spark, sf_dir):
+    """X3 — prefix-refine through a PCA rotation (r12): the top-32
+    covariance directions are derived by power iteration with
+    midpoint-free rounded steps (similarity.power_pca_rotation — two
+    Arrow covariance passes + bounded driver arithmetic, the whole
+    derivation replayed step for step by a DuckDB recursive CTE), the
+    corpus projects once onto them (Arrow GEMM, rounded 6), stage 1
+    ranks the 32 rotated coords, stage 2 re-ranks the 50-shortlist by
+    exact cosine over the ORIGINAL vectors. The trained-prefix half
+    of MRL adaptive retrieval, recovered from data: variance compacts
+    into the prefix, lifting recall@10 from the untrained 4/10 to
+    9/10 at the driver corpus (knn_prefix_rot_recall certifies)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    R = S.power_pca_rotation(emb, n_components=32, iters=16)
+    return S.knn_prefix_refine_rotated(emb, list(qv), R, k=10, shortlist=50)
+
+
+@_register("knn_prefix_rot_recall", _rot_recall_oracle())
+def knn_prefix_rot_recall(spark, sf_dir):
+    """X3 — recall@10 certificate for the ROTATED prefix path vs
+    exact brute force, both engines replaying covariance, power
+    iteration, projection, shortlist cut, and re-rank (r12). The
+    number the rotation exists to move: 4/10 untrained prefix-16 ->
+    9/10 rotated-32 on the driver corpus (10/10 at sf0.001; the
+    synthetic family's near-flat spectrum is the honest ceiling —
+    MRL-trained prefixes, not rotations, are the production answer,
+    and the operator docstring says so)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    R = S.power_pca_rotation(emb, n_components=32, iters=16)
+    refined = S.knn_prefix_refine_rotated(
+        emb, list(qv), R, k=10, shortlist=50
+    ).select("vec_id")
+    exact = S.knn_brute_force(emb, list(qv), k=10).select("vec_id")
+    return refined.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
+
+
 @_register("knn_prefix_refine_indexed", _prefix_refine_oracle())
 def knn_prefix_refine_indexed(spark, sf_dir):
     """X3 — prefix-refine over the persisted DIMENSION-SPLIT layout

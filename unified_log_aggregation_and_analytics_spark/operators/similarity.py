@@ -108,6 +108,221 @@ def knn_prefix_refine(
     )
 
 
+# Off-grid epsilon for the rotation path's rounded fixpoint
+# arithmetic: every rounded value is a 6-decimal-grid number, so
+# products of two of them land on the 1e-12 grid — which CONTAINS the
+# 5e-7 rounding midpoints, where half-even (numpy) and half-away
+# (DuckDB/Spark) disagree and summation-order noise picks the side
+# arbitrarily. Adding 2^-41 (~4.5e-13, binary-exact, not a multiple of
+# any 1e-k) before rounding moves every exact grid value ~1e-13 off
+# the midpoints — far above the ~1e-15 cross-engine noise — so both
+# engines always round the same way. The bias is <= 1e-12 per step,
+# numerically irrelevant to the rotation.
+Q6_EPS = 2.0 ** -41
+
+
+def _q6(x):
+    """Midpoint-free 6-decimal rounding (see Q6_EPS)."""
+    return np.round(x + Q6_EPS, 6)
+
+
+def power_iteration_pca(
+    cov: np.ndarray, n_components: int = 32, iters: int = 16
+) -> np.ndarray:
+    """Deterministic top-``n_components`` PCA basis by power iteration
+    with per-step midpoint-free 6-decimal rounding (_q6) — the
+    knn_ivf_refined rounded-means pattern applied to an eigensolver,
+    so the ENTIRE derivation replays step for step in DuckDB (a
+    recursive CTE over the list-valued (matrix, components, vector)
+    state; catalog_llm._rot_ctes). Classical Gram-Schmidt (all
+    projections off the ORIGINAL iterate, one shot) keeps each step a
+    single aggregate in SQL; deflation ``A - lam v v^T`` after each
+    component. Seed v0[i] = q6(0.1 + 1e-4 (i+1)) — varied, so the
+    first matvec is not the degenerate constant-vector row-sum whose
+    1.25e-7-grid sums sit exactly on rounding midpoints. Imperfect
+    convergence is FINE: both engines replay the same trajectory, and
+    the basis only needs to compact variance, not match LAPACK."""
+    d = cov.shape[0]
+    A = cov.copy()
+    comps: list[np.ndarray] = []
+    seed = _q6(0.1 + 0.0001 * np.arange(1, d + 1))
+    for _c in range(n_components):
+        v = seed.copy()
+        for _t in range(iters):
+            w = _q6(A @ v)
+            if comps:
+                P = np.array(comps)
+                dots = _q6(P @ w)
+                w = _q6(w - P.T @ dots)
+            nrm = _q6(np.sqrt(np.dot(w, w)))
+            if nrm == 0:
+                break
+            v = _q6(w / nrm)
+        comps.append(v)
+        lam = _q6(float(v @ (A @ v)))
+        A = _q6(A - lam * np.outer(v, v))
+    return np.array(comps)
+
+
+def power_pca_rotation(
+    df: DataFrame, n_components: int = 32, iters: int = 16, vec_col: str = "embedding"
+) -> np.ndarray:
+    """X3 — data-adaptive rotation for matryoshka prefix retrieval:
+    the top-``n_components`` PCA directions of the corpus, derived so
+    BOTH engines reproduce them exactly (power_iteration_pca). Two
+    Arrow passes over the corpus — per-batch sum, then per-batch
+    centered Gram matrix against the rounded mean — combine to a
+    d x d covariance on the driver (bounded model state, the
+    _query_vec convention); the iteration itself is driver
+    arithmetic. At 100 TB the passes are map-side partial GEMMs (one
+    row of partials per batch crosses the wire), the same shape
+    ivf_assign's assignment pass uses."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("cnt", LongType()), StructField("vals", ArrayType(DoubleType()))]
+    )
+
+    def collect_partials(reducer):
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {"cnt": [len(X)], "vals": [reducer(X).ravel().tolist()]}
+                )
+
+        rows = df.select(vec_col).mapInPandas(gen, schema).collect()
+        n = sum(r.cnt for r in rows)
+        total = np.sum(
+            [np.asarray(r.vals, dtype=np.float64) for r in rows], axis=0
+        )
+        return n, total
+
+    n, s = collect_partials(lambda X: X.sum(axis=0))
+    d = s.shape[0]
+    mu = _q6(s / n)
+    _, ss = collect_partials(lambda X: (X - mu).T @ (X - mu))
+    cov = _q6(ss.reshape(d, d) / n)
+    return power_iteration_pca(cov, n_components, iters)
+
+
+def rotate_project(
+    df: DataFrame,
+    rotation: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "rot",
+) -> DataFrame:
+    """Project every vector onto the rotation's components in ONE
+    Arrow GEMM pass: ``out_col[c] = round(x . rotation[c], 6)``. The
+    original vector column rides through so a refine stage can score
+    exactly without a join back. Plain round-6 (no epsilon): the
+    inputs mix grid values with raw corpus doubles, so sums are off
+    every decimal grid and both engines agree by the standard
+    rounded-knn argument."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    R = np.asarray(rotation, dtype=np.float64)
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(vec_col, df.schema[vec_col].dataType),
+            StructField(out_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = np.round(X @ R.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    out_col: [r.tolist() for r in P],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def knn_prefix_refine_rotated(
+    df: DataFrame,
+    query_vec: list[float],
+    rotation: np.ndarray | None,
+    k: int = 10,
+    shortlist: int = 50,
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X3 — prefix-refine through a PCA rotation (the trained-prefix
+    half of MRL that an untrained embedding family lacks): stage 1
+    scores rounded projections onto the top ``n_components``
+    covariance directions — variance compacts into the prefix, so
+    the same shortlist catches more of the true top-k than raw
+    leading dims (recall 4/10 -> 9/10 at the catalog knobs on the
+    driver corpus; certified by knn_prefix_rot_recall) — stage 2
+    re-ranks the shortlist by exact full-dimension cosine over the
+    ORIGINAL vectors (cosine is rotation-invariant, so no inverse
+    transform). ``rotation=None`` is the degenerate no-rotation knob
+    and delegates verbatim to knn_prefix_refine (pinned equal in
+    tests). Plan: one Arrow projection pass -> codegen-unrolled
+    prefix cosine -> TakeOrderedAndProject(shortlist) -> exact cosine
+    -> TakeOrderedAndProject(k)."""
+    if rotation is None:
+        return knn_prefix_refine(
+            df,
+            query_vec,
+            k=k,
+            prefix_dim=prefix_dim,
+            shortlist=shortlist,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    R = np.asarray(rotation, dtype=np.float64)
+    n_comp, dim = R.shape
+    if dim != len(query_vec):
+        raise ValueError(f"rotation dim {dim} != query dim {len(query_vec)}")
+    rq = np.round(np.asarray(query_vec, dtype=np.float64) @ R.T, 6)
+    q_rot = F.array(*[F.lit(float(x)) for x in rq])
+    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    projected = rotate_project(df, R, vec_col=vec_col, id_col=id_col)
+    short = (
+        projected.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(
+                cosine_similarity(F.col("rot"), q_rot, dim=n_comp), 6
+            ).alias("pref_sim"),
+        )
+        .orderBy(F.col("pref_sim").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), q_full, dim=dim), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _plane_dot(c: Column, plane: np.ndarray) -> Column:
     """Dot of a vector column against one hyperplane literal — the
     shared primitive for bucket signs and probe margins, so both are
