@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     # the coarse stage scans (id, prefix) only, so this row vs
     # knn_prefix_refine is the IO-vs-arithmetic delta of the split
     "knn_prefix_refine_indexed",
+    # r12: the rotated-prefix composition — PCA projection persisted
+    # as the coarse column (recall AND IO win in one layout); eager
+    # (rotation derivation + coarse collect at construction)
+    "knn_prefix_rot_indexed",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -237,9 +241,12 @@ SCALE_QUERIES = [
     # hash aggs carry |docs| x 64 partial sums, growth must be linear
     "text_hash_embed_knn",
     # r12: the dimension-split prefix index at 10x — coarse stage
-    # reads 500k (id, prefix-16) rows instead of full 64-dim vectors;
+    # reads (id, prefix-16) columns instead of full 64-dim vectors;
     # pairs with knn_prefix_refine's fused-column row above
     "knn_prefix_refine_indexed",
+    # r12: the rotated-prefix persisted layout at 10x (covariance
+    # passes + frozen-artifact probe — the full lifecycle clocked)
+    "knn_prefix_rot_indexed",
 ]
 
 # r12 (verdict item 6): the scale section splits into SCALE PATHS —
@@ -360,10 +367,11 @@ EAGER_QUERIES = {
     # r11: MMR collects the shortlist + pair sims at construction;
     # the greedy rerank itself is bounded driver arithmetic
     "knn_mmr_rerank",
-    # r12: the prefix probe's coarse stage collects the shortlist ids
+    # r12: the prefix probes' coarse stages collect the shortlist ids
     # at construction — rebuilding per run keeps the coarse scan (the
     # IO the split exists to cut) inside the clock
     "knn_prefix_refine_indexed",
+    "knn_prefix_rot_indexed",
 }
 
 

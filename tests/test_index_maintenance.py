@@ -511,3 +511,51 @@ def test_prefix_index_append_equals_rebuild(spark, emb, qvec, tmp_path):
     assert m[0]["dim"] == 64 and m[0]["prefix_dim"] == 16
     assert m[1]["fence_pos"] == -1
     assert A.manifest_prefix_dim(p1) == 16
+
+
+def test_rotated_prefix_index_append_equals_rebuild(spark, emb, qvec, tmp_path):
+    """Rotated-prefix index (r12): probes over base build + frozen-
+    rotation append equal a fresh full build USING THE SAME rotation
+    (the frozen-artifact contract — a fresh build over the grown
+    corpus would derive a DIFFERENT rotation, which is the documented
+    rebuild decision, not a bug); index probe equals the scan-time
+    rotated path bit-for-bit; coarse stage reads only (id, rot)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators import similarity as S
+
+    base = emb.filter(F.col("vec_id") <= 300)
+    delta = emb.filter(F.col("vec_id") > 300)
+    R = S.power_pca_rotation(base, n_components=32, iters=16)
+    p1 = str(tmp_path / "rot_incr")
+    p2 = str(tmp_path / "rot_full")
+    A.build_rotated_prefix_index(base, p1, R)
+    A.append_rotated_prefix_index(delta, p1)
+    A.build_rotated_prefix_index(emb, p2, R)
+    got = A.rotated_prefix_probe(spark, p1, qvec, k=10, shortlist=50).collect()
+    want = A.rotated_prefix_probe(spark, p2, qvec, k=10, shortlist=50).collect()
+    assert got == want
+    scan = S.knn_prefix_refine_rotated(emb, qvec, R, k=10, shortlist=50).collect()
+    assert got == scan, "index probe != rotated scan path"
+    assert np.array_equal(A.load_rotation(spark, p1), R)
+
+    idx = A._index_rows(spark, p1)
+    q_rot = F.array(*[F.lit(float(x)) for x in
+                      np.round(np.asarray(qvec) @ R.T, 6)])
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    coarse = idx.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("rot"), q_rot, dim=32), 6).alias("s"),
+    ).orderBy(F.col("s").desc(), "vec_id").limit(50)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        coarse.explain("formatted")
+    rs = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
+    assert "rot" in rs and "embedding" not in rs, rs

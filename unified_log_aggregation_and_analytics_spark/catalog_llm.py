@@ -565,6 +565,26 @@ def knn_prefix_refine_indexed(spark, sf_dir):
     return A.prefix_refine_probe(spark, path, list(qv), k=10, shortlist=50)
 
 
+@_register("knn_prefix_rot_indexed", _rot_refine_oracle())
+def knn_prefix_rot_indexed(spark, sf_dir):
+    """X3 — rotated prefix retrieval over the PERSISTED layout (r12,
+    the composition of the dimension-split index and the PCA
+    rotation): the table stores (id, rot, embedding) sorted by id
+    with the rotation as a frozen artifact next to it
+    (ann_index.build_rotated_prefix_index). The coarse stage's
+    ReadSchema carries only (id, rot) — half the vector bytes AND the
+    variance-compacted coordinates, the IO win and the recall win
+    composed — and the refine stage re-reads just the 50 shortlist
+    ids. Projection code is shared with the scan path, so this
+    inherits knn_prefix_rotated's full-derivation oracle (index ≡
+    scan)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "rotprefix")
+    return A.rotated_prefix_probe(spark, path, list(qv), k=10, shortlist=50)
+
+
 @_register("knn_prefix_recall", _prefix_recall_oracle())
 def knn_prefix_recall(spark, sf_dir):
     """X3 — recall@10 certificate for the prefix-refine path
@@ -3015,6 +3035,10 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_ivfsq8_index(emb, str(path), n_centroids=16)
         elif kind == "prefix16":
             A.build_prefix_index(emb, str(path), prefix_dim=16)
+        elif kind == "rotprefix":
+            A.build_rotated_prefix_index(
+                emb, str(path), S.power_pca_rotation(emb, n_components=32, iters=16)
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))

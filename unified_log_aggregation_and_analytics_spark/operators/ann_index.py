@@ -1403,6 +1403,149 @@ def prefix_refine_probe(
     )
 
 
+def _rotation_path(path: str) -> str:
+    return f"{path}/rotation"
+
+
+def load_rotation(spark: SparkSession, path: str) -> np.ndarray:
+    """Read the persisted rotation artifact (n_components rows)."""
+    rows = spark.read.parquet(_rotation_path(path)).orderBy("comp").collect()
+    return np.asarray([list(r["direction"]) for r in rows], dtype=np.float64)
+
+
+def build_rotated_prefix_index(
+    df: DataFrame,
+    path: str,
+    rotation: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persisted layout for ROTATED prefix retrieval — the r12
+    composition of the dimension-split index (build_prefix_index) and
+    the PCA rotation (similarity.power_pca_rotation): the table
+    stores ``(id, rot, embedding)`` sorted by id, where ``rot`` is
+    the rounded projection onto the FROZEN rotation artifact
+    (persisted next to the table like build_ivf_index's centroids —
+    recomputing it from a grown corpus would re-key every stored
+    projection). The coarse stage scans only (id, rot) — at dim 64 /
+    32 components that is half the vector bytes AND the
+    variance-compacted coordinates that lift recall (the two wins
+    compose); the refine stage re-reads just the shortlist ids'
+    original vectors (IN-list over id-sorted files). Appends project
+    the delta through the frozen artifact — one Arrow pass."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        rotate_project,
+    )
+
+    R = np.asarray(rotation, dtype=np.float64)
+    spark = df.sparkSession
+    rot_rows = [(c, [float(x) for x in R[c]]) for c in range(R.shape[0])]
+    (
+        spark.createDataFrame(rot_rows, schema="comp int, direction array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_rotation_path(path))
+    )
+    (
+        rotate_project(df, R, vec_col=vec_col, id_col=id_col)
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .parquet(_table_path(path))
+    )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(
+        path,
+        "build",
+        spark.read.parquet(_table_path(path)).count(),
+        dim=int(R.shape[1]),
+        prefix_dim=int(R.shape[0]),
+    )
+
+
+def append_rotated_prefix_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental rotated-prefix ingest against the FROZEN rotation
+    artifact. Rotation drift under heavy append is a rebuild decision
+    (the manifest's append/build ratio is the signal, the IVF
+    convention)."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        rotate_project,
+    )
+
+    if df_new.isEmpty():
+        return
+    spark = df_new.sparkSession
+    R = load_rotation(spark, path)
+    (
+        rotate_project(df_new, R, vec_col=vec_col, id_col=id_col)
+        .sortWithinPartitions(id_col)
+        .write.mode("append")
+        .parquet(_table_path(path))
+    )
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(spark, path),
+    )
+
+
+def rotated_prefix_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Two-stage probe over the rotated-prefix layout: the query
+    projects through the persisted rotation driver-side; stage 1's
+    ReadSchema carries only (id, rot); stage 2 re-reads the shortlist
+    ids' original vectors and scores exact full-dim cosine. Scores
+    are bit-identical to similarity.knn_prefix_refine_rotated over
+    the same rotation (the projection pass is shared code), so the
+    persisted path inherits the rotated scan oracle — index ≡
+    scan."""
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    R = load_rotation(spark, path)
+    n_comp, dim = R.shape
+    if dim != len(query_vec):
+        raise ValueError(f"rotation dim {dim} != query dim {len(query_vec)}")
+    rq = np.round(np.asarray(query_vec, dtype=np.float64) @ R.T, 6)
+    q_rot = F.array(*[F.lit(float(x)) for x in rq])
+    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
+    coarse = (
+        idx.select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col("rot"), q_rot, dim=n_comp), 6
+            ).alias("pref_sim"),
+        )
+        .orderBy(F.col("pref_sim").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    ids = [r[0] for r in coarse.select(id_col).collect()]
+    return (
+        idx.filter(F.col(id_col).isin(ids))
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), q_full, dim=dim), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hard_negatives_probe(
     spark: SparkSession,
     path: str,
