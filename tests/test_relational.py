@@ -145,3 +145,89 @@ def test_grouped_top_hits_matches_plain_window(spark):
                 ).collect()
             }
             assert got == expect, (k, n_salt)
+
+
+def test_phrase_prefix_semantics(spark):
+    """match_phrase_prefix (r12): leading tokens exact-consecutive,
+    last token prefix; interior-token prefixes do NOT match (the
+    gram's space pins them); exact full-token match still counts."""
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        phrase_prefix_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the fast table wins"),       # 'fast tab' prefix of 'table'
+            (1, "a fast tab stop"),           # exact token match
+            (2, "breakfast table set"),       # 'fast' embedded in 'breakfast'
+            (3, "fast car tab"),              # not consecutive
+            (4, "so fast tablecloth fast tabby"),  # two matches in one doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_prefix_search(docs, "fast tab").collect()
+    }
+    assert got == {(0, 1), (1, 1), (4, 2)}
+
+
+def test_adjacency_matrix_one_pass(spark):
+    """adjacency_matrix (r12): per-filter and pairwise-intersection
+    counts from ONE aggregate (hand-checked), empty buckets dropped,
+    keys sorted; plan carries a single Aggregate over the source."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        adjacency_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "a long, b long"
+    )
+    got = [
+        (r.key, r.doc_count)
+        for r in adjacency_matrix(
+            df,
+            {
+                "lo": F.col("a") <= 2,
+                "ev": F.col("a") % 2 == 0,
+                "never": F.col("a") > 99,
+            },
+        ).collect()
+    ]
+    # lo={1,2} ev={2,4} lo&ev={2}; 'never' and its pairs drop
+    assert got == [("ev", 2), ("ev&lo", 1), ("lo", 2)]
+
+
+def test_rank_eval_hand_computed(spark):
+    """rank_eval (r12): metrics pinned by hand on a corpus where the
+    BM25 top-k and tf>=2 judgments are enumerable. 'aa' occurs twice
+    in docs 0,1 (relevant) and once in doc 2; all three rank. With
+    k=3: p@3 = 2/3, MRR = 1 (a relevant doc ranks first — tf=2 beats
+    tf=1 under BM25 for the same length), NDCG = (1/log2(2) +
+    1/log2(3)) / ideal(2) = 1.0 when both relevant docs fill the top
+    two slots."""
+    import math
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        rank_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa xx yy"),
+            (1, "aa aa zz ww"),
+            (2, "aa bb cc dd"),
+            (3, "ee ff gg hh"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = rank_eval(docs, ["aa"], k=3, min_tf=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.query_term == "aa" and r.n_relevant == 2
+    assert r.precision_at_3 == round(2 / 3.0, 6)
+    assert r.mrr == 1.0
+    ideal = 1 / math.log2(2) + 1 / math.log2(3)
+    assert r.ndcg_at_3 == round((1 / math.log2(2) + 1 / math.log2(3)) / ideal, 6) == 1.0

@@ -2776,6 +2776,112 @@ def q02i_phrase_search(spark, sf_dir):
     )
 
 
+@_register(
+    "q02v_phrase_prefix",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang, source,
+             regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, source,
+             list_transform(range(1, greatest(len(t), 2)),
+                 i -> array_to_string(list_slice(t, i, i + 1), ' ')
+             ) AS grams
+      FROM tk
+    )
+    SELECT doc_id, lang, source,
+           CAST(len(list_filter(grams, x -> starts_with(x, 'fast tab'))) AS INT) AS n_matches
+    FROM g
+    WHERE len(list_filter(grams, x -> starts_with(x, 'fast tab'))) > 0
+    """,
+)
+def q02v_phrase_prefix(spark, sf_dir):
+    """Q2 — OpenSearch match_phrase_prefix ('fast tab' matches 'fast
+    table', 'fast tables', ...): search-as-you-type — leading tokens
+    consecutive-exact, last token a prefix of the next position. Same
+    zero-shuffle per-row n-gram filter as q02i; the gram string's
+    interior spaces pin tokens 1..n-1 exactly while startswith frees
+    token n's tail (operators/relational.py phrase_prefix_search)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.phrase_prefix_search(docs, "fast tab", text_col="text").select(
+        "doc_id", "lang", "source", "n_matches"
+    )
+
+
+def _rank_eval_term_ctes(term: str, k: int = 10, min_tf: int = 2) -> str:
+    """Per-term CTE block for the rank_eval oracle: BM25 ranked list
+    (the q02c single-term formula), tf>=min_tf judgments, ideal-DCG
+    scalar, and one metrics row. Suffix `_{term}` keeps the two
+    query blocks composable in one WITH."""
+    t = term
+    return f"""tf_{t} AS (
+      SELECT doc_id, COUNT(*) AS tf FROM toks WHERE token = '{t}' GROUP BY 1
+    ),
+    dfq_{t} AS (SELECT COUNT(*) AS df_t FROM tf_{t}),
+    scored_{t} AS (
+      SELECT tf_{t}.doc_id,
+             round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avg_dl))), 6) AS bm25
+      FROM tf_{t} CROSS JOIN dfq_{t} JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    ranked_{t} AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored_{t}
+      ) WHERE rank <= {k}
+    ),
+    rel_{t} AS (SELECT doc_id FROM tf_{t} WHERE tf >= {min_tf}),
+    nrel_{t} AS (SELECT COUNT(*) AS n_rel FROM rel_{t}),
+    idcg_{t} AS (
+      SELECT COALESCE(SUM(1.0 / log2(i + 1)), 0.0) AS idcg
+      FROM (SELECT UNNEST(range(1, least((SELECT n_rel FROM nrel_{t}), {k}) + 1)) AS i)
+    ),
+    j_{t} AS (
+      SELECT r.rank, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM ranked_{t} r LEFT JOIN rel_{t} rel USING (doc_id)
+    ),
+    m_{t} AS (
+      SELECT '{t}' AS query_term,
+             (SELECT n_rel FROM nrel_{t}) AS n_relevant,
+             round(SUM(rel) / {float(k)!r}, 6) AS precision_at_{k},
+             round(COALESCE(MAX(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0), 6) AS mrr,
+             round(SUM(rel / log2(rank + 1))
+                   / (SELECT CASE WHEN idcg > 0 THEN idcg ELSE 1.0 END FROM idcg_{t}), 6) AS ndcg_at_{k}
+      FROM j_{t}
+    )"""
+
+
+@_register(
+    "q02w_rank_eval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl FROM dl
+    ),
+    {_rank_eval_term_ctes('merge')},
+    {_rank_eval_term_ctes('spark')}
+    SELECT * FROM m_merge UNION ALL SELECT * FROM m_spark ORDER BY query_term
+    """,
+)
+def q02w_rank_eval(spark, sf_dir):
+    """Q2 — the OpenSearch _rank_eval API (search-quality grading):
+    precision@10, MRR, and binary-gain NDCG@10 for two rated
+    single-term queries. Judgments are DERIVED (relevant iff
+    tf >= 2 — deterministic and a different statistic than BM25's
+    saturated tf x idf x length norm, so the metrics grade the
+    ranking instead of echoing it); the ranked lists are the
+    engine's own bm25_search top-10, so both engines replay ranking
+    AND metric arithmetic end to end (operators/relational.py
+    rank_eval)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.rank_eval(docs, ["merge", "spark"], k=10, min_tf=2)
+
+
 def _positional_index_table(spark, sf_dir) -> str:
     """Session-scoped persisted positional index (token -> doc ->
     sorted positions), the _token_index_table lifecycle applied to the
@@ -3252,6 +3358,49 @@ def q06h_top_hits(spark, sf_dir):
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return hits.join(F.broadcast(counts), "event_type").select(
         "event_type", "n_events", "hit_rank", "event_id", "user_id"
+    )
+
+
+@_register(
+    "q06i_adjacency_matrix",
+    """
+    WITH c AS (
+      SELECT
+        COUNT(*) FILTER (WHERE value > 100) AS c0,
+        COUNT(*) FILTER (WHERE value > 100 AND event_type = 'error') AS c1,
+        COUNT(*) FILTER (WHERE value > 100 AND user_id < 50) AS c2,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS c3,
+        COUNT(*) FILTER (WHERE event_type = 'error' AND user_id < 50) AS c4,
+        COUNT(*) FILTER (WHERE user_id < 50) AS c5
+      FROM events
+    )
+    SELECT key, doc_count FROM (
+      SELECT 'big' AS key, c0 AS doc_count FROM c
+      UNION ALL SELECT 'big&err', c1 FROM c
+      UNION ALL SELECT 'big&hot', c2 FROM c
+      UNION ALL SELECT 'err', c3 FROM c
+      UNION ALL SELECT 'err&hot', c4 FROM c
+      UNION ALL SELECT 'hot', c5 FROM c
+    ) WHERE doc_count > 0
+    ORDER BY key
+    """,
+)
+def q06i_adjacency_matrix(spark, sf_dir):
+    """Q6 — OpenSearch adjacency_matrix aggregation (co-occurrence of
+    named filters: which segments overlap and how much): buckets for
+    each filter and each pairwise intersection over events — 'big'
+    (value > 100), 'err' (event_type = 'error'), 'hot' (user_id <
+    50). ONE aggregate pass computes all six buckets as indicator
+    sums then unpivots (operators/relational.py adjacency_matrix) —
+    at 100 TB that is one scan, not |filters|^2 scans."""
+    ev = _t(spark, sf_dir, "events")
+    return R.adjacency_matrix(
+        ev,
+        {
+            "big": F.col("value") > 100,
+            "err": F.col("event_type") == "error",
+            "hot": F.col("user_id") < 50,
+        },
     )
 
 

@@ -20,6 +20,7 @@ SURVEY.md §4).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -781,6 +782,121 @@ def phrase_search(
     target = " ".join(terms)
     n_matches = F.size(F.filter(grams, lambda g: g == F.lit(target)))
     return df.withColumn("n_matches", n_matches).filter(F.col("n_matches") > 0)
+
+
+def phrase_prefix_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 — OpenSearch match_phrase_prefix ('search-as-you-type'): the
+    query's leading tokens must match CONSECUTIVELY and its last token
+    as a PREFIX of the document token in the next position. Same
+    zero-shuffle shape as phrase_search — the n-gram stream is built
+    and prefix-filtered per row with array expressions fused into the
+    scan ('w1 w2pre' matches gram 'w1 w2prefix...' via startswith:
+    every interior token is followed by a space in the gram string,
+    so the prefix test pins tokens 1..n-1 exactly and token n's
+    prefix)."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        token_ngrams,
+    )
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = token_ngrams(toks, len(terms))
+    target = " ".join(terms)
+    n_matches = F.size(F.filter(grams, lambda g: g.startswith(target)))
+    return df.withColumn("n_matches", n_matches).filter(F.col("n_matches") > 0)
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """Q6 — the OpenSearch adjacency_matrix aggregation: named filters
+    become buckets for each filter AND each pairwise intersection (key
+    'a&b', the OpenSearch key convention), emitting only non-empty
+    buckets. ONE aggregate pass computes every bucket as a sum of
+    indicator products (no per-bucket scans, no shuffle beyond the
+    single partial+final agg — at 100 TB this is the difference
+    between one pass and |filters|^2 passes); the row unpivots via
+    ``stack``. Keys sort ascending for determinism."""
+    names = sorted(filters)
+    aggs, keys = [], []
+    for i, a in enumerate(names):
+        keys.append(a)
+        aggs.append(F.sum(filters[a].cast("long")).alias(f"k{len(keys) - 1}"))
+        for b in names[i + 1 :]:
+            keys.append(f"{a}&{b}")
+            aggs.append(
+                F.sum((filters[a] & filters[b]).cast("long")).alias(
+                    f"k{len(keys) - 1}"
+                )
+            )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{k}', k{i}" for i, k in enumerate(keys))
+    return (
+        row.selectExpr(f"stack({len(keys)}, {stack_args}) AS (key, doc_count)")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def rank_eval(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    min_tf: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Q2 — the OpenSearch _rank_eval API: search-quality metrics for
+    a set of rated single-term queries. Judgments are DERIVED, not
+    hand-labeled: a document is relevant to a term iff the term
+    occurs >= ``min_tf`` times — deterministic, computable by any
+    engine, and independent of the ranking function being graded
+    (tf>=2 is a different statistic than BM25's saturated tf x idf x
+    length-norm, so the metrics are a real comparison, not 1.0 by
+    construction). Per query: precision@k, MRR (first relevant hit),
+    and NDCG@k with binary gains against the ideal ranking of
+    min(R, k) relevant docs. Each query's ranked list is the engine's
+    own bm25_search top-k (rounded scores, id tie-break), so the
+    metrics replay exactly in SQL. Cost: one corpus pass per query
+    term (the bm25_search plan) + k-row metric arithmetic."""
+    out = None
+    for term in terms:
+        ranked = bm25_search(df, [term], k=k, text_col=text_col, id_col=id_col)
+        w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+        ranked = ranked.withColumn("rank", F.row_number().over(w))
+        toks = F.split(F.lower(F.col(text_col)), r"\s+")
+        tf = F.size(F.filter(toks, lambda t: t == F.lit(term)))
+        rel = (
+            df.select(id_col, tf.alias("tf"))
+            .filter(F.col("tf") >= min_tf)
+            .select(id_col, F.lit(1).alias("rel"))
+        )
+        n_rel = rel.count()  # bounded scalar: ideal-ranking size
+        idcg = sum(1.0 / math.log2(i + 1) for i in range(1, min(n_rel, k) + 1))
+        joined = ranked.join(rel, id_col, "left").na.fill({"rel": 0})
+        m = joined.agg(
+            F.lit(term).alias("query_term"),
+            F.lit(n_rel).cast("long").alias("n_relevant"),
+            F.round(F.sum("rel") / F.lit(float(k)), 6).alias(f"precision_at_{k}"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(F.col("rel") / F.log2(F.col("rank") + 1))
+                / F.lit(idcg if idcg > 0 else 1.0),
+                6,
+            ).alias(f"ndcg_at_{k}"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("query_term")
 
 
 def build_positional_index_table(
