@@ -617,3 +617,81 @@ def test_vector_pipeline_default_compact_cadence_e2e(spark, tmp_path):
     got = [r["vec_id"] for r in ivf_probe(spark, index, q, k=5).collect()]
     want = [r["vec_id"] for r in ivf_probe(spark, rebuilt, q, k=5).collect()]
     assert got == want and got
+
+
+def test_rotated_prefix_streaming_ingest_and_snapshot(spark, tmp_path):
+    """r12: the streaming ingest path over the ROTATED-prefix index —
+    frozen-rotation fenced appends through the same gate/dedup/
+    metrics contract; probes see committed batches only; as_of_batch
+    pins exclude later batches (fenced deltas carry lineage, so the
+    snapshot contract that REJECTS unfenced appends allows these);
+    the maintained index equals the scan path over the same rows and
+    rotation."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    dim = 8
+    all_vecs = _vecs(90, dim=dim)
+    base_rows = [(i, all_vecs[i]) for i in range(40)]
+    b0_rows = [(i, all_vecs[i]) for i in range(40, 60)]
+    b1_rows = [(i, all_vecs[i]) for i in range(60, 90)]
+    base = spark.createDataFrame(base_rows, VEC_SCHEMA)
+    path = str(tmp_path / "rotstream")
+    R = S.power_pca_rotation(base, n_components=4, iters=8)
+    A.build_rotated_prefix_index(base, path, R)
+    qvec = all_vecs[0]
+
+    vector_ingest_batch(
+        spark.createDataFrame(b0_rows, VEC_SCHEMA),
+        path,
+        str(tmp_path / "rej"),
+        batch_id=0,
+        index_kind="rotated_prefix",
+    )
+    pinned = {r.vec_id for r in A.rotated_prefix_probe(
+        spark, path, qvec, k=60, shortlist=60, as_of_batch=0
+    ).collect()}
+    assert pinned <= set(range(60)) and pinned & set(range(40, 60))
+
+    vector_ingest_batch(
+        spark.createDataFrame(b1_rows, VEC_SCHEMA),
+        path,
+        str(tmp_path / "rej"),
+        batch_id=1,
+        index_kind="rotated_prefix",
+    )
+    again = {r.vec_id for r in A.rotated_prefix_probe(
+        spark, path, qvec, k=60, shortlist=60, as_of_batch=0
+    ).collect()}
+    assert again == pinned, "pinned probe leaked post-snapshot rows"
+
+    got = A.rotated_prefix_probe(spark, path, qvec, k=10, shortlist=30).collect()
+    scan = S.knn_prefix_refine_rotated(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(90)], VEC_SCHEMA),
+        qvec, R, k=10, shortlist=30,
+    ).collect()
+    assert got == scan, "maintained index != scan over same rows+rotation"
+
+    # metrics accounting landed per batch
+    m = fence.fenced_read(
+        spark, f"{path}_metrics", fence.fence_root(path)
+    )
+    counts = {(r.batch_id, r.outcome): r.n for r in m.collect()}
+    assert counts[(0, "ingested")] == 20 and counts[(1, "ingested")] == 30
+
+    # meta_cols are an IVF feature — loud on the rotated kind
+    with pytest.raises(ValueError, match="IVF-index feature"):
+        vector_ingest_batch(
+            spark.createDataFrame(b1_rows, VEC_SCHEMA),
+            path,
+            str(tmp_path / "rej"),
+            batch_id=2,
+            index_kind="rotated_prefix",
+            meta_cols=("label",),
+        )

@@ -3362,6 +3362,73 @@ def q06h_top_hits(spark, sf_dir):
 
 
 @_register(
+    "q06j_percentile_ranks",
+    """
+    SELECT event_type,
+           round(100.0 * COUNT(*) FILTER (WHERE value <= 50) / COUNT(*), 6) AS rank_50,
+           round(100.0 * COUNT(*) FILTER (WHERE value <= 100) / COUNT(*), 6) AS rank_100,
+           round(100.0 * COUNT(*) FILTER (WHERE value <= 200) / COUNT(*), 6) AS rank_200
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q06j_percentile_ranks(spark, sf_dir):
+    """Q6 — OpenSearch percentile_ranks aggregation (the inverse of
+    percentiles: for given VALUES, what percent of docs fall at or
+    below each — 'how good is a 100 ms latency?'). One conditional
+    hash agg per type bucket: indicator sums over the same scan, no
+    sort, no t-digest — exact by construction where the forward
+    percentile needs quantile machinery."""
+    ev = _t(spark, sf_dir, "events")
+    pct = lambda v: F.round(
+        100.0 * F.sum((F.col("value") <= v).cast("long")) / F.count(F.lit(1)), 6
+    )
+    return ev.groupBy("event_type").agg(
+        pct(50).alias("rank_50"),
+        pct(100).alias("rank_100"),
+        pct(200).alias("rank_200"),
+    )
+
+
+@_register(
+    "q06k_extended_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(MIN(value), 6) AS min_v,
+           round(MAX(value), 6) AS max_v,
+           round(AVG(value), 6) AS avg_v,
+           round(SUM(value), 4) AS sum_v,
+           round(var_pop(value), 4) AS variance,
+           round(stddev_pop(value), 6) AS std_dev,
+           round(AVG(value) - 2 * stddev_pop(value), 6) AS std_lower,
+           round(AVG(value) + 2 * stddev_pop(value), 6) AS std_upper
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q06k_extended_stats(spark, sf_dir):
+    """Q6 — OpenSearch extended_stats aggregation: count/min/max/avg/
+    sum plus POPULATION variance, std dev, and the default sigma=2
+    std-deviation bounds, per type bucket. One partial+final hash agg
+    (variance merges via the count/mean/M2 decomposition Spark
+    already implements); sums rounded at 4 (they carry ~n doubles of
+    accumulated low-bit noise), point stats at 6."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.round(F.var_pop("value"), 4).alias("variance"),
+        F.round(F.stddev_pop("value"), 6).alias("std_dev"),
+        F.round(F.avg("value") - 2 * F.stddev_pop("value"), 6).alias("std_lower"),
+        F.round(F.avg("value") + 2 * F.stddev_pop("value"), 6).alias("std_upper"),
+    )
+
+
+@_register(
     "q06i_adjacency_matrix",
     """
     WITH c AS (

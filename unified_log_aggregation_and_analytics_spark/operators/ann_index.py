@@ -1492,6 +1492,35 @@ def append_rotated_prefix_index(
     )
 
 
+def append_rotated_prefix_index_fenced(
+    df_new: DataFrame,
+    path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Streaming twin of append_rotated_prefix_index: the delta
+    projects through the FROZEN rotation artifact and lands in the
+    index's fenced delta area under ``_commit_batch=<id>`` — probes
+    (rotated_prefix_probe via ``_index_rows``) see the batch only
+    after its commit marker, replays replace their own torn rows,
+    and ``as_of_batch`` pins work because fenced deltas carry
+    per-batch lineage (unlike the unfenced append path)."""
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        rotate_project,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    spark = df_new.sparkSession
+    R = load_rotation(spark, path)
+    fence.fenced_append(
+        rotate_project(df_new, R, vec_col=vec_col, id_col=id_col),
+        _delta_path(path),
+        batch_id,
+        (),
+    )
+
+
 def rotated_prefix_probe(
     spark: SparkSession,
     path: str,

@@ -66,16 +66,26 @@ def vector_ingest_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     meta_cols: tuple[str, ...] = (),
+    index_kind: str = "ivf",
 ) -> None:
-    """Ingest ONE micro-batch of embeddings into the persisted IVF
-    index (see module docstring for the gate -> dedup -> append ->
-    metrics contract). The index must already exist
-    (ann_index.build_ivf_index) — the quantizer is frozen at build
-    time, which is what makes streaming appends deterministic."""
+    """Ingest ONE micro-batch of embeddings into the persisted index
+    (see module docstring for the gate -> dedup -> append -> metrics
+    contract). The index must already exist (ann_index.build_ivf_index
+    / build_rotated_prefix_index) — the quantizer/rotation is frozen
+    at build time, which is what makes streaming appends
+    deterministic. ``index_kind`` picks the fenced append:
+    ``'ivf'`` (cell-partitioned delta) or ``'rotated_prefix'``
+    (projection delta; meta_cols unsupported there)."""
     from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
         append_ivf_index_fenced,
+        append_rotated_prefix_index_fenced,
         manifest_dim,
     )
+
+    if index_kind not in ("ivf", "rotated_prefix"):
+        raise ValueError(f"unknown index_kind {index_kind!r}")
+    if index_kind == "rotated_prefix" and meta_cols:
+        raise ValueError("meta_cols are an IVF-index feature")
 
     spark = batch_df.sparkSession
     dim = manifest_dim(index_path)
@@ -149,14 +159,19 @@ def vector_ingest_batch(
         n_kept = kept.count()
         n_bad = gated.filter(~F.col("_ok")).count()
         if n_kept:
-            append_ivf_index_fenced(
-                kept,
-                index_path,
-                bid,
-                vec_col=vec_col,
-                id_col=id_col,
-                meta_cols=meta_cols,
-            )
+            if index_kind == "ivf":
+                append_ivf_index_fenced(
+                    kept,
+                    index_path,
+                    bid,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    meta_cols=meta_cols,
+                )
+            else:
+                append_rotated_prefix_index_fenced(
+                    kept, index_path, bid, vec_col=vec_col, id_col=id_col
+                )
         # flat single-file sidecar append (id_bucket as data column;
         # the anti-join never pruned its directories — see corpus.py)
         fence.fenced_append(
