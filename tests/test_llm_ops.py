@@ -1924,3 +1924,34 @@ def test_prefix_rotation_knobs_and_determinism(spark, emb, query_vec):
     plain_ids = {r.vec_id for r in plain}
     assert len(rot_ids & exact) >= len(plain_ids & exact)
     assert len(rot_ids & exact) >= 8, "rotation must clear the 8/10 bar here"
+
+
+def test_curriculum_order_semantics(spark):
+    """Curriculum ordering (r12): phases are difficulty-monotone
+    (every phase-p doc is <= every phase-p+1 doc up to the tie rule),
+    phase sizes are the ntile split, curriculum_pos is the contiguous
+    1..n consumption order grouped by phase, and the in-phase order
+    follows the md5 shuffle key — not the score — so a phase is not
+    internally sorted by difficulty."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(22)], "doc_id long, s double"
+    )
+    rows = curriculum_order(df, "s", n_phases=4, id_col="doc_id").orderBy(
+        "curriculum_pos"
+    ).collect()
+    assert [r.curriculum_pos for r in rows] == list(range(1, 23))
+    assert [r.phase for r in rows] == sorted(r.phase for r in rows)
+    from collections import Counter
+
+    assert Counter(r.phase for r in rows) == {1: 6, 2: 6, 3: 5, 4: 5}
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.difficulty)
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1])
+    # the in-phase sequence is shuffled, not difficulty-sorted
+    assert any(v != sorted(v) for v in by_phase.values())

@@ -2156,6 +2156,47 @@ def text_langid_ngram(spark, sf_dir):
 
 
 @_register(
+    "docs_curriculum_order",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS ttr
+      FROM documents
+    ), ph AS (
+      SELECT doc_id, ttr,
+             CAST(ntile(4) OVER (ORDER BY ttr ASC, doc_id) AS BIGINT) AS phase,
+             md5(CAST(doc_id AS VARCHAR)) AS shuf
+      FROM q
+    )
+    SELECT doc_id, phase,
+           CAST(row_number() OVER (ORDER BY phase ASC, shuf, doc_id) AS BIGINT) AS curriculum_pos,
+           round(ttr, 6) AS difficulty
+    FROM ph
+    """,
+)
+def docs_curriculum_order(spark, sf_dir):
+    """X4 training-pipeline — curriculum scheduling (r12, Bengio et
+    al. ICML'09 applied to corpus ordering): documents cut into 4
+    difficulty phases by type-token ratio ascending (easy-first),
+    shuffled WITHIN each phase by the engine-stable md5 key, and
+    given the global consumption position — the row order a
+    sequential trainer reads. Phase cut (ntile), in-phase shuffle,
+    and position all replay in SQL; the 100 TB valve (approx
+    score-boundary cuts + range-partitioned in-phase sort) is
+    documented on operators/sampling.py curriculum_order."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        curriculum_order,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        quality_score,
+    )
+
+    docs = quality_score(_t(spark, sf_dir, "documents"))
+    return curriculum_order(docs, "ttr", n_phases=4)
+
+
+@_register(
     "docs_hash_split",
     """
     WITH b AS (

@@ -619,6 +619,50 @@ def epoch_repeat_sample(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: Column | str,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering for training data (Bengio et al. ICML'09
+    applied to corpus scheduling): documents are cut into
+    ``n_phases`` difficulty phases by ``score_col`` ascending (ntile —
+    easy first), then SHUFFLED within each phase by the module's
+    engine-stable md5 key, and given a global ``curriculum_pos`` —
+    the row order a sequential trainer would consume. Deterministic
+    end to end: the phase cut, the in-phase shuffle, and the global
+    position all replay in SQL (ntile + md5, no RNG).
+
+    Plan shape: the exact ntile needs a global sort — fine at catalog
+    scale and the oracle-replayable form. The 100 TB valve is the
+    standard one: cut phases on approx-percentile score boundaries
+    (one pass + a broadcast literal per cut) and sort only WITHIN
+    phases via repartitionByRange(phase, shuffle_key) — same
+    curriculum, no single-reducer global window; the exact form here
+    is the semantics being certified."""
+    from pyspark.sql import Window
+
+    if n_phases < 1:
+        raise ValueError("n_phases must be >= 1")
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    shuffle_key = F.md5(F.col(id_col).cast("string"))
+    ranked = df.select(
+        F.col(id_col),
+        s.alias("difficulty"),
+        shuffle_key.alias("_shuf"),
+    ).withColumn(
+        "phase",
+        F.ntile(n_phases)
+        .over(Window.orderBy(F.col("difficulty").asc(), F.col(id_col)))
+        .cast("long"),
+    )
+    pos = Window.orderBy(F.col("phase").asc(), F.col("_shuf"), F.col(id_col))
+    return ranked.withColumn(
+        "curriculum_pos", F.row_number().over(pos).cast("long")
+    ).select(id_col, "phase", "curriculum_pos", F.round("difficulty", 6).alias("difficulty"))
+
+
 def cluster_split(
     docs: DataFrame,
     clusters: DataFrame,
