@@ -213,6 +213,8 @@ SCALAR_BROADCAST_OK = {
     #   the B-row bucket marginals of the persisted feature frame
     "q06e_significant_terms",  # 1-row fg/bg doc-total scalar
     "q02k_more_like_this",  # 1-row (n_docs, avg_dl) corpus scalars
+    "q02w_rank_eval",  # same 1-row (n_docs, avg_dl) corpus scalars as
+    #   bm25_search — one broadcast, all query terms share it
     "q10c_trending",  # 1-row latest-hour scalar over hour-x-type cells
     "q02o_percolate",  # match-all branch: build side = stored queries
     #   with EMPTY terms (vacuous AND fires on every doc) — a
@@ -280,6 +282,12 @@ MULTI_SCAN_OK = {
     # odd ids) — 4 references to the one parquet file; the persisted
     # model (train_bigram_lm) is the scale form
     "text_lm_heldout",
+    # composes bm25_search's whitelisted shape once for ALL query
+    # terms (4 refs: tf feeds scoring + the per-term stats agg, dl
+    # feeds the length norm + the corpus scalars); at scale tf/dl/
+    # stats ARE the persisted token-index tables (bm25_search_indexed
+    # form) and the plan is zero corpus scans
+    "q02w_rank_eval",
 }
 
 

@@ -20,7 +20,6 @@ SURVEY.md §4).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -861,42 +860,109 @@ def rank_eval(
     construction). Per query: precision@k, MRR (first relevant hit),
     and NDCG@k with binary gains against the ideal ranking of
     min(R, k) relevant docs. Each query's ranked list is the engine's
-    own bm25_search top-k (rounded scores, id tie-break), so the
-    metrics replay exactly in SQL. Cost: one corpus pass per query
-    term (the bm25_search plan) + k-row metric arithmetic."""
-    out = None
-    for term in terms:
-        ranked = bm25_search(df, [term], k=k, text_col=text_col, id_col=id_col)
-        w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
-        ranked = ranked.withColumn("rank", F.row_number().over(w))
-        toks = F.split(F.lower(F.col(text_col)), r"\s+")
-        tf = F.size(F.filter(toks, lambda t: t == F.lit(term)))
-        rel = (
-            df.select(id_col, tf.alias("tf"))
-            .filter(F.col("tf") >= min_tf)
-            .select(id_col, F.lit(1).alias("rel"))
+    own BM25 top-k (rounded scores, id tie-break), so the metrics
+    replay exactly in SQL.
+
+    Plan shape — ALL terms in one plan, not a per-term loop: one
+    corpus pass builds per-(doc, term) tf (explode filtered to the
+    query terms BEFORE its shuffle, the bm25_search discipline), one
+    map-only pass builds doc lengths; scoring joins tf to the
+    broadcast per-term document frequencies and the 1-row corpus
+    scalars, per-term ranking is a token-partitioned window over the
+    scored postings, and every metric — including the ideal-DCG
+    normalizer, an in-plan fold over sequence(1, min(R, k)) — is
+    k-row arithmetic per term. Two corpus scans total, independent
+    of |terms|."""
+    terms_lc = [t.lower() for t in terms]
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    dl = df.select(F.col(id_col), F.size(toks_arr).alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
         )
-        n_rel = rel.count()  # bounded scalar: ideal-ranking size
-        idcg = sum(1.0 / math.log2(i + 1) for i in range(1, min(n_rel, k) + 1))
-        joined = ranked.join(rel, id_col, "left").na.fill({"rel": 0})
-        m = joined.agg(
-            F.lit(term).alias("query_term"),
-            F.lit(n_rel).cast("long").alias("n_relevant"),
+        .filter(F.col("token").isin(terms_lc))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rel_flag = (F.col("tf") >= min_tf).cast("int")
+    # ONE per-term aggregate carries both the ranking input (df_t) and
+    # the judgment total (n_relevant) — two stats, one pass over tf
+    term_stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_t"),
+        F.sum(rel_flag).cast("long").alias("n_relevant"),
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avg_dl")))
+    scored = (
+        tf.join(F.broadcast(term_stats.select("token", "df_t")), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.col(id_col),
+            F.col("tf"),
+            F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 6).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(F.col("bm25").desc(), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    idcg = F.when(
+        F.least(F.col("n_relevant"), F.lit(k)) >= 1,
+        F.aggregate(
+            F.sequence(
+                F.lit(1), F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+            ),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.withColumn("rel", rel_flag)
+        .groupBy("token")
+        .agg(
             F.round(F.sum("rel") / F.lit(float(k)), 6).alias(f"precision_at_{k}"),
             F.round(
                 F.coalesce(
-                    F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))), F.lit(0.0)
+                    F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("mrr"),
+            F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("_dcg"),
+        )
+        .join(
+            F.broadcast(
+                term_stats.select("token", "n_relevant").withColumn("_idcg", idcg)
+            ),
+            "token",
+        )
+        .select(
+            F.col("token").alias("query_term"),
+            "n_relevant",
+            f"precision_at_{k}",
+            "mrr",
             F.round(
-                F.sum(F.col("rel") / F.log2(F.col("rank") + 1))
-                / F.lit(idcg if idcg > 0 else 1.0),
+                F.col("_dcg")
+                / F.when(F.col("_idcg") > 0, F.col("_idcg")).otherwise(F.lit(1.0)),
                 6,
             ).alias(f"ndcg_at_{k}"),
         )
-        out = m if out is None else out.unionByName(m)
-    return out.orderBy("query_term")
+        .orderBy("query_term")
+    )
 
 
 def build_positional_index_table(
