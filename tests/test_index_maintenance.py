@@ -559,3 +559,13 @@ def test_rotated_prefix_index_append_equals_rebuild(spark, emb, qvec, tmp_path):
         coarse.explain("formatted")
     rs = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
     assert "rot" in rs and "embedding" not in rs, rs
+
+
+def test_prefix_refine_probe_rejects_wrong_query_dim(spark, emb, qvec, tmp_path):
+    """ADVICE r12: prefix_refine_probe validates the query length
+    against the manifest-recorded build dim (mirroring
+    rotated_prefix_probe) instead of emitting null/garbage cosines."""
+    path = str(tmp_path / "pfx_dim")
+    A.build_prefix_index(emb, path, prefix_dim=16)
+    with pytest.raises(ValueError, match="query dim"):
+        A.prefix_refine_probe(spark, path, qvec[:32], k=5)

@@ -342,3 +342,23 @@ def test_sq8_probe_batch_matches_single_probes(spark, emb, tmp_path):
                 for r in S.sq8_adc_topk(cand, vec, k=5).collect()]
         assert by_q[qid] == want
         assert not ({v for v, _ in by_q[qid]} & set(qids))
+
+
+def test_sq8_probe_batch_empty_queries_raises_clearly(spark, emb, tmp_path):
+    """ADVICE r12: an empty queries list on a pre-manifest index must
+    raise a clear ValueError, not a TypeError from dim=None
+    arithmetic inside sq8_unpack; on a manifest index it returns an
+    empty frame."""
+    import os
+    import shutil
+
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    path = str(tmp_path / "sq8e")
+    A.build_sq8_index(emb, path)
+    assert A.sq8_probe_batch(spark, path, [], k=5).count() == 0
+    # Simulate a pre-manifest index (older builds recorded no manifest)
+    os.unlink(os.path.join(path, "_manifest.jsonl"))
+    assert A.manifest_dim(path) is None
+    with pytest.raises(ValueError, match="pre-manifest"):
+        A.sq8_probe_batch(spark, path, [], k=5)

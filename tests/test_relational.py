@@ -231,3 +231,83 @@ def test_rank_eval_hand_computed(spark):
     assert r.mrr == 1.0
     ideal = 1 / math.log2(2) + 1 / math.log2(3)
     assert r.ndcg_at_3 == round((1 / math.log2(2) + 1 / math.log2(3)) / ideal, 6) == 1.0
+
+
+def test_adjacency_matrix_rejects_unsafe_names(spark):
+    """ADVICE r12: filter names reach the stack() expression and the
+    '&' pair-key convention — quotes and '&' must be rejected, not
+    silently corrupt the unpivot."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        adjacency_matrix,
+    )
+
+    df = spark.createDataFrame([(1,)], "a long")
+    for bad in ("a'b", "a&b"):
+        with pytest.raises(ValueError, match="adjacency_matrix filter name"):
+            adjacency_matrix(df, {bad: F.col("a") > 0})
+
+
+def test_rank_eval_absent_term_scores_zero(spark):
+    """ADVICE r12: a query term matching ZERO documents still yields a
+    metrics row (n_relevant=0, all metrics 0.0 — the OpenSearch
+    _rank_eval contract), instead of silently vanishing; present
+    terms are unaffected."""
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        rank_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa xx yy"), (1, "aa aa zz ww"), (2, "aa bb cc dd")],
+        "doc_id long, text string",
+    )
+    rows = rank_eval(docs, ["aa", "zzzz"], k=3, min_tf=2).collect()
+    assert [r.query_term for r in rows] == ["aa", "zzzz"]
+    z = rows[1]
+    assert (z.n_relevant, z.precision_at_3, z.mrr, z.ndcg_at_3) == (0, 0.0, 0.0, 0.0)
+    assert rows[0].n_relevant == 2 and rows[0].mrr == 1.0
+
+
+def test_percentile_ranks_pinned(spark, tmp_path):
+    """Verdict r12 item 8: hand-computed pin for the q06j
+    percentile_ranks aggregation (not just the replayed oracle).
+    Type 'a' values [10,50,100,150]: rank_50 = 2/4 = 50%,
+    rank_100 = 3/4 = 75%, rank_200 = 4/4 = 100%; type 'b' [300]:
+    all zero."""
+    import unified_log_aggregation_and_analytics_spark.catalog as C
+
+    ev = spark.createDataFrame(
+        [("a", 10.0), ("a", 50.0), ("a", 100.0), ("a", 150.0), ("b", 300.0)],
+        "event_type string, value double",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: (r.rank_50, r.rank_100, r.rank_200)
+        for r in C.QUERIES["q06j_percentile_ranks"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"a": (50.0, 75.0, 100.0), "b": (0.0, 0.0, 0.0)}
+
+
+def test_extended_stats_pinned(spark, tmp_path):
+    """Verdict r12 item 8: hand-computed pin for q06k extended_stats.
+    Values [1,2,3,6]: avg=3, var_pop=(4+1+0+9)/4=3.5,
+    std=sqrt(3.5)=1.870829, sigma-2 bounds 3 -/+ 2*std."""
+    import math
+
+    import unified_log_aggregation_and_analytics_spark.catalog as C
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 6.0)],
+        "event_type string, value double",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    r = C.QUERIES["q06k_extended_stats"].spark_fn(spark, str(tmp_path)).first()
+    std = round(math.sqrt(3.5), 6)
+    assert (r.n, r.min_v, r.max_v, r.avg_v, r.sum_v) == (4, 1.0, 6.0, 3.0, 12.0)
+    assert (r.variance, r.std_dev) == (3.5, std)
+    assert r.std_lower == round(3.0 - 2 * math.sqrt(3.5), 6)
+    assert r.std_upper == round(3.0 + 2 * math.sqrt(3.5), 6)

@@ -1080,6 +1080,12 @@ def sq8_probe_batch(
     )
 
     dim = _sq8_dim(path, queries[0][1]) if queries else manifest_dim(path)
+    if dim is None:
+        raise ValueError(
+            f"sq8_probe_batch: cannot resolve code dim for {path!r} — "
+            "empty queries list on a pre-manifest index (pass at least "
+            "one query or rebuild the index to record a manifest)"
+        )
     idx = _index_rows(spark, path, as_of_batch=as_of_batch).select(
         id_col,
         "mn",
@@ -1377,6 +1383,11 @@ def prefix_refine_probe(
     if pd_ is None:
         raise ValueError(f"index at {path!r} has no prefix-split manifest")
     dim = len(query_vec)
+    built_dim = manifest_dim(path)
+    if built_dim is not None and dim != built_dim:
+        raise ValueError(
+            f"query dim {dim} != index build dim {built_dim} at {path!r}"
+        )
     q_pref = F.array(*[F.lit(float(x)) for x in query_vec[:pd_]])
     q_full = F.array(*[F.lit(float(x)) for x in query_vec])
     idx = _index_rows(spark, path, as_of_batch=as_of_batch)

@@ -820,7 +820,16 @@ def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
     indicator products (no per-bucket scans, no shuffle beyond the
     single partial+final agg — at 100 TB this is the difference
     between one pass and |filters|^2 passes); the row unpivots via
-    ``stack``. Keys sort ascending for determinism."""
+    ``stack``. Keys sort ascending for determinism. Filter names feed
+    the stack() expression and the '&' pair-key convention, so names
+    carrying a quote (expression injection) or '&' (ambiguous with a
+    real intersection key) are rejected up front."""
+    for n in filters:
+        if "'" in n or "&" in n:
+            raise ValueError(
+                f"adjacency_matrix filter name {n!r} may not contain "
+                "a single quote or '&' (reserved for pair keys)"
+            )
     names = sorted(filters)
     aggs, keys = [], []
     for i, a in enumerate(names):
@@ -930,7 +939,7 @@ def rank_eval(
             lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
         ),
     ).otherwise(F.lit(0.0))
-    return (
+    metrics = (
         ranked.withColumn("rel", rel_flag)
         .groupBy("token")
         .agg(
@@ -950,15 +959,34 @@ def rank_eval(
             ),
             "token",
         )
+    )
+    # A term matching ZERO documents still gets a metrics row (the
+    # OpenSearch _rank_eval contract: absent queries score 0, they
+    # don't vanish) — left-join the metrics onto the literal term
+    # list and zero-fill. |terms| rows, driver-literal, broadcast.
+    terms_df = df.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(terms_lc))], schema="token string"
+    )
+    return (
+        terms_df.join(F.broadcast(metrics), "token", "left")
         .select(
             F.col("token").alias("query_term"),
-            "n_relevant",
-            f"precision_at_{k}",
-            "mrr",
-            F.round(
-                F.col("_dcg")
-                / F.when(F.col("_idcg") > 0, F.col("_idcg")).otherwise(F.lit(1.0)),
-                6,
+            F.coalesce(F.col("n_relevant"), F.lit(0).cast("long")).alias(
+                "n_relevant"
+            ),
+            F.coalesce(f"precision_at_{k}", F.lit(0.0)).alias(
+                f"precision_at_{k}"
+            ),
+            F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+            F.coalesce(
+                F.round(
+                    F.col("_dcg")
+                    / F.when(F.col("_idcg") > 0, F.col("_idcg")).otherwise(
+                        F.lit(1.0)
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias(f"ndcg_at_{k}"),
         )
         .orderBy("query_term")
