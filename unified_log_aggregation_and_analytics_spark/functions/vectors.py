@@ -68,15 +68,51 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
+def _elems_sql(v: object, dim: int) -> list[str] | None:
+    """Per-element SQL fragments for the one-parse expression builder:
+    a str is a column name / SQL array expression (indexed per
+    element), a list/tuple is a literal vector (each element inlines
+    as a double literal — ``repr`` round-trips IEEE doubles exactly
+    and the ``D`` suffix parses via Double.parseDouble, so the folded
+    constants are bit-identical to ``F.lit(float(x))``). Returns None
+    for Column objects (the per-element py4j path)."""
+    if isinstance(v, str):
+        return [f"CAST(({v})[{i}] AS DOUBLE)" for i in range(dim)]
+    if isinstance(v, (list, tuple)):
+        if len(v) < dim:
+            raise ValueError(f"literal vector has {len(v)} elems < dim {dim}")
+        return [f"{float(x)!r}D" for x in v[:dim]]
+    return None
+
+
 def cosine_similarity(
-    a: Column | str, b: Column | str, dim: int | None = None
+    a: Column | str | list, b: Column | str | list, dim: int | None = None
 ) -> Column:
     """Cosine similarity of two array<numeric> columns. Pass ``dim``
     whenever it is known (query vectors carry it for free) to get the
     whole-stage-codegen unrolled form instead of the interpreted HOF
-    fold — same values, ~10x cheaper per row."""
+    fold — same values, ~10x cheaper per row.
+
+    Construction cost: a str (column name or SQL array expression)
+    or list (literal query vector) operand builds the whole unrolled
+    expression through ONE ``F.expr`` parse; Column operands fall
+    back to per-element Column arithmetic (~1000 py4j round-trips at
+    dim 64 — ~2.5 s of driver latency per call, measured r13). Probe
+    paths that construct per query must pass str/list. The parsed
+    tree is the same left-assoc product-sum as the Column form, so
+    both produce bit-identical doubles."""
     if dim is not None:
+        ea, eb = _elems_sql(a, dim), _elems_sql(b, dim)
+        if ea is not None and eb is not None:
+            dot_s = " + ".join(f"{x} * {y}" for x, y in zip(ea, eb))
+            na = " + ".join(f"{x} * {x}" for x in ea)
+            nb = " + ".join(f"{y} * {y}" for y in eb)
+            return F.expr(f"({dot_s}) / (SQRT({na}) * SQRT({nb}))")
         return dot_unrolled(a, b, dim) / (
             l2_norm_unrolled(a, dim) * l2_norm_unrolled(b, dim)
         )
+    if isinstance(a, list):
+        a = F.array(*[F.lit(float(x)) for x in a])
+    if isinstance(b, list):
+        b = F.array(*[F.lit(float(x)) for x in b])
     return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1388,26 +1388,27 @@ def prefix_refine_probe(
         raise ValueError(
             f"query dim {dim} != index build dim {built_dim} at {path!r}"
         )
-    q_pref = F.array(*[F.lit(float(x)) for x in query_vec[:pd_]])
-    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_pref = [float(x) for x in query_vec[:pd_]]
+    q_full = [float(x) for x in query_vec]
     idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     coarse = (
         idx.select(
             id_col,
             F.round(
-                cosine_similarity(F.col("prefix"), q_pref, dim=pd_), 6
+                cosine_similarity("prefix", q_pref, dim=pd_), 6
             ).alias("pref_sim"),
         )
         .orderBy(F.col("pref_sim").desc(), F.col(id_col))
         .limit(shortlist)
     )
     ids = [r[0] for r in coarse.select(id_col).collect()]
-    full = F.concat(F.col("prefix"), F.col("rest"))
     return (
         idx.filter(F.col(id_col).isin(ids))
         .select(
             id_col,
-            F.round(cosine_similarity(full, q_full, dim=dim), 6).alias("cos_sim"),
+            F.round(
+                cosine_similarity("concat(prefix, rest)", q_full, dim=dim), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1559,14 +1560,14 @@ def rotated_prefix_probe(
     if dim != len(query_vec):
         raise ValueError(f"rotation dim {dim} != query dim {len(query_vec)}")
     rq = np.round(np.asarray(query_vec, dtype=np.float64) @ R.T, 6)
-    q_rot = F.array(*[F.lit(float(x)) for x in rq])
-    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_rot = [float(x) for x in rq]
+    q_full = [float(x) for x in query_vec]
     idx = _index_rows(spark, path, as_of_batch=as_of_batch)
     coarse = (
         idx.select(
             id_col,
             F.round(
-                cosine_similarity(F.col("rot"), q_rot, dim=n_comp), 6
+                cosine_similarity("rot", q_rot, dim=n_comp), 6
             ).alias("pref_sim"),
         )
         .orderBy(F.col("pref_sim").desc(), F.col(id_col))
@@ -1578,7 +1579,7 @@ def rotated_prefix_probe(
         .select(
             id_col,
             F.round(
-                cosine_similarity(F.col(vec_col), q_full, dim=dim), 6
+                cosine_similarity(vec_col, q_full, dim=dim), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))

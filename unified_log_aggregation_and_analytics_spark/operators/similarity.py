@@ -82,9 +82,9 @@ def knn_prefix_refine(
         raise ValueError(
             f"prefix_dim must be in (0, {len(query_vec)}]: {prefix_dim}"
         )
-    q_pref = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dim]])
-    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
-    pref = F.slice(F.col(vec_col), 1, prefix_dim)
+    q_pref = [float(x) for x in query_vec[:prefix_dim]]
+    q_full = [float(x) for x in query_vec]
+    pref = f"slice({vec_col}, 1, {prefix_dim})"
     short = (
         df.select(
             F.col(id_col),
@@ -100,7 +100,7 @@ def knn_prefix_refine(
         short.select(
             F.col(id_col),
             F.round(
-                cosine_similarity(F.col(vec_col), q_full, dim=len(query_vec)), 6
+                cosine_similarity(vec_col, q_full, dim=len(query_vec)), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -297,15 +297,15 @@ def knn_prefix_refine_rotated(
     if dim != len(query_vec):
         raise ValueError(f"rotation dim {dim} != query dim {len(query_vec)}")
     rq = np.round(np.asarray(query_vec, dtype=np.float64) @ R.T, 6)
-    q_rot = F.array(*[F.lit(float(x)) for x in rq])
-    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_rot = [float(x) for x in rq]
+    q_full = [float(x) for x in query_vec]
     projected = rotate_project(df, R, vec_col=vec_col, id_col=id_col)
     short = (
         projected.select(
             F.col(id_col),
             F.col(vec_col),
             F.round(
-                cosine_similarity(F.col("rot"), q_rot, dim=n_comp), 6
+                cosine_similarity("rot", q_rot, dim=n_comp), 6
             ).alias("pref_sim"),
         )
         .orderBy(F.col("pref_sim").desc(), F.col(id_col))
@@ -315,7 +315,7 @@ def knn_prefix_refine_rotated(
         short.select(
             F.col(id_col),
             F.round(
-                cosine_similarity(F.col(vec_col), q_full, dim=dim), 6
+                cosine_similarity(vec_col, q_full, dim=dim), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
