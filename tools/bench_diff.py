@@ -10,8 +10,15 @@ entry beyond ±100%. A flagged mover's protocol is tools/probe_media_ab
 (same-host min-of-N), not a bisect — and only if it moves TWICE.
 
 Usage: python tools/bench_diff.py OLD.json NEW.json [--band 0.35]
+   or: python tools/bench_diff.py --best OLD1.json [OLD2.json ...] NEW.json
 Prints one JSON line: common/added/removed counts, per-section totals,
 and the flagged movers with their ratios.
+
+--best (r13, verdict item 1): compare NEW against the per-entry
+MINIMUM across every OLD artifact — the best historical number — so a
+real regression can't hide behind one noisy prior round. With min-of-3
+artifacts on both sides, a flagged mover against the historical best
+either names the commit that moved it or is a new variance record.
 """
 
 from __future__ import annotations
@@ -50,12 +57,38 @@ def _diff(old: dict, new: dict, band: float) -> dict:
     }
 
 
+def _min_merge(arts: list[dict]) -> dict:
+    """Synthetic artifact holding the per-entry minimum across
+    artifacts (sections merged independently; an entry missing from
+    one artifact takes the min over those that carry it)."""
+
+    def merge_maps(maps: list[dict]) -> dict:
+        out: dict[str, float] = {}
+        for m in maps:
+            for k, v in m.items():
+                out[k] = min(out.get(k, v), v)
+        return out
+
+    merged: dict = {"queries": merge_maps([a.get("queries", {}) for a in arts])}
+    scales = [a["scale"] for a in arts if "scale" in a]
+    if scales:
+        merged["scale"] = {"queries": merge_maps([s["queries"] for s in scales])}
+        for sec in ("scale_paths", "retained_baselines"):
+            secs = [s[sec]["queries"] for s in scales if sec in s]
+            if secs:
+                merged["scale"][sec] = {"queries": merge_maps(secs)}
+    return merged
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     band = 0.35
     if "--band" in sys.argv:
         band = float(sys.argv[sys.argv.index("--band") + 1])
-    old, new = _load(args[0]), _load(args[1])
+    if "--best" in sys.argv:
+        old, new = _min_merge([_load(a) for a in args[:-1]]), _load(args[-1])
+    else:
+        old, new = _load(args[0]), _load(args[1])
     out = {"band": band, "headline": _diff(old["queries"], new["queries"], band)}
     if "scale" in old and "scale" in new:
         out["scale"] = _diff(
