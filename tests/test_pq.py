@@ -362,3 +362,72 @@ def test_sq8_probe_batch_empty_queries_raises_clearly(spark, emb, tmp_path):
     assert A.manifest_dim(path) is None
     with pytest.raises(ValueError, match="pre-manifest"):
         A.sq8_probe_batch(spark, path, [], k=5)
+
+
+def test_opq_beats_pq_on_anisotropic_corpus(spark):
+    """OPQ mechanism pin (r13, verdict item 4): on a corpus whose
+    variance concentrates in ONE PQ subspace (dims 0-3 carry all the
+    signal at 4 distinct scales, the rest is near-zero noise),
+    trained plain PQ must cover the whole 4-d signal with the 8 codes
+    of subspace 0 (its other three code tables quantize noise), while
+    the OPQ rotation + round-robin eigenvalue allocation deals the 4
+    signal directions one per subspace — 8 quantization levels PER
+    signal dimension, 8^4 effective cells vs 8. Trained-OPQ recall@10
+    must strictly beat trained-PQ recall@10. (On the driver tables'
+    near-flat spectrum the two tie by theory — knn_opq_adc_seeded's
+    docstring; THIS corpus is where the rotation's contribution is
+    measurable.)"""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, m = 400, 64, 4
+    X = np.zeros((n, dim))
+    X[:, :4] = rng.standard_normal((n, 4)) * np.asarray([1.0, 1.2, 1.4, 1.6])
+    X[:, 4:] = rng.standard_normal((n, 60)) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    qv = [float(x) for x in X[0]]
+    corpus = df.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in PQ.l2_topk(corpus, qv, k=10).collect()}
+
+    cb_pq = PQ.train_pq_codebooks(corpus, dim, m=m, codes=8, n_iter=2)
+    pq10 = {
+        r.vec_id
+        for r in PQ.pq_adc_topk(
+            PQ.pq_encode(corpus, cb_pq), cb_pq, qv, k=10
+        ).collect()
+    }
+
+    R = S.power_pca_rotation(corpus, n_components=dim, iters=16)
+    r_opq = R[PQ.opq_interleave_perm(dim, m)]
+    proj = S.rotate_project(corpus, r_opq).select(
+        "vec_id", F.col("rot").alias("embedding")
+    )
+    cb_opq = PQ.train_pq_codebooks(proj, dim, m=m, codes=8, n_iter=2)
+    rq = [float(x) for x in np.round(np.asarray(qv) @ r_opq.T, 6)]
+    opq10 = {
+        r.vec_id
+        for r in PQ.pq_adc_topk(
+            PQ.pq_encode(proj, cb_opq), cb_opq, rq, k=10
+        ).collect()
+    }
+
+    pq_recall = len(pq10 & exact) / 10.0
+    opq_recall = len(opq10 & exact) / 10.0
+    assert opq_recall > pq_recall, (pq_recall, opq_recall)
+
+
+def test_opq_interleave_perm_shape():
+    """The allocation permutation is a bijection that deals
+    variance-descending components round-robin: subspace mi holds
+    components mi, mi+m, mi+2m, ... (hand-checked for dim 8 / m 2)."""
+    assert PQ.opq_interleave_perm(8, 2) == [0, 2, 4, 6, 1, 3, 5, 7]
+    p = PQ.opq_interleave_perm(64, 4)
+    assert sorted(p) == list(range(64))
+    assert p[:3] == [0, 4, 8] and p[16:18] == [1, 5]
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.opq_interleave_perm(10, 4)

@@ -4205,6 +4205,182 @@ def knn_pq_adc_seeded(spark, sf_dir):
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
 
 
+def _opq_ctes(m: int = 4, codes: int = 8, nc: int = 64, it: int = 16) -> str:
+    """OPQ replay chain (Ge et al., CVPR'13 parametric variant): the
+    full-rank PCA rotation from _rot_ctes (nc = d = 64), the FIXED
+    round-robin eigenvalue-allocation permutation inlined as a
+    1-based literal (pq.opq_interleave_perm — data-independent, so
+    nothing new to derive), rounded projections of corpus and query
+    onto the permuted components (the _rot_retrieval_ctes projection
+    discipline: plain round-6, sums off every decimal grid), then the
+    seeded-PQ encode replayed over the PROJECTED coords — per-subspace
+    first-min assignment exactly as _pq_adc_ctes does over raw
+    embeddings. Ends with ``best``/``qproj``/``cbt`` ready for an ADC
+    select."""
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    d = nc
+    sd = d // m
+    cb = PQ.seeded_pq_codebooks(d, m=m, codes=codes, seed=42)
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in cw) + "]" for cw in sub
+            )
+            + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    perm_lit = (
+        "[" + ", ".join(str(p + 1) for p in PQ.opq_interleave_perm(d, m)) + "]"
+    )
+    proj = (
+        f"list_transform(range(1, {d + 1}), i -> "
+        f"round(list_sum(list_transform(range(1, {d + 1}), j -> "
+        f"comps[pm.p[i]][j] * CAST({{v}}[j] AS DOUBLE))), 6))"
+    )
+    return f"""{_rot_ctes(nc, it, d)},
+    pm AS (SELECT {perm_lit} AS p),
+    projo AS (SELECT e.vec_id, {proj.format(v='e.embedding')} AS r
+              FROM corpus e, rot, pm),
+    qrow AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qproj AS (SELECT {proj.format(v='q.qe')} AS qr FROM qrow q, rot, pm),
+    cbt AS (SELECT {cb_lit} AS cb),
+    sub AS (
+      SELECT e.vec_id, u.mi,
+             list_transform(range(1, {sd + 1}), j -> e.r[u.mi * {sd} + j]) AS sv
+      FROM projo e CROSS JOIN (SELECT unnest(range(0, {m})) AS mi) u
+    ),
+    dists AS (
+      SELECT s.vec_id, s.mi, c.ci,
+             list_sum(list_transform(range(1, {sd + 1}),
+               j -> (s.sv[j] - cbt.cb[s.mi + 1][c.ci + 1][j])
+                    * (s.sv[j] - cbt.cb[s.mi + 1][c.ci + 1][j]))) AS dist
+      FROM sub s
+      CROSS JOIN (SELECT unnest(range(0, {codes})) AS ci) c
+      CROSS JOIN cbt
+    ),
+    best AS (
+      SELECT vec_id, mi, ci FROM (
+        SELECT vec_id, mi, ci,
+               row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist, ci) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )"""
+
+
+def _opq_adc_select(m: int = 4, k: int = 10) -> str:
+    sd = 64 // m
+    return f"""
+    SELECT b.vec_id,
+           round(SUM(
+             list_sum(list_transform(range(1, {sd + 1}),
+               j -> (qp.qr[b.mi * {sd} + j] - cbt.cb[b.mi + 1][b.ci + 1][j])
+                    * (qp.qr[b.mi * {sd} + j] - cbt.cb[b.mi + 1][b.ci + 1][j])))
+           ), 6) AS adc_dist
+    FROM best b CROSS JOIN qproj qp CROSS JOIN cbt
+    GROUP BY b.vec_id
+    ORDER BY adc_dist, b.vec_id
+    LIMIT {k}"""
+
+
+def _opq_adc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_opq_ctes()}
+    {_opq_adc_select()}
+"""
+
+
+def _opq_recall_oracle(k: int = 10) -> str:
+    return f"""
+    WITH RECURSIVE {_opq_ctes()},
+    adc AS ({_opq_adc_select()}),
+    exact AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE))
+                    * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE)))), 6)
+               AS l2_dist
+      FROM corpus e CROSS JOIN qrow q
+      ORDER BY l2_dist, e.vec_id
+      LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(COUNT(*) / {float(k)!r}, 6) AS recall_at_k
+    FROM adc JOIN exact USING (vec_id)
+"""
+
+
+def _opq_pipeline(spark, sf_dir):
+    """Shared OPQ construction: full-rank PCA rotation, round-robin
+    eigenvalue-allocation row permutation, one Arrow projection pass,
+    seeded-PQ encode of the rotated coords, rotated query. Returns
+    (codes_df, codebooks, rotated_query)."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    cb = PQ.seeded_pq_codebooks(64, m=4, codes=8, seed=42)
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    R = S.power_pca_rotation(emb, n_components=64, iters=16)
+    r_opq = R[PQ.opq_interleave_perm(64, 4)]
+    proj = S.rotate_project(emb, r_opq)
+    codes_df = proj.select(
+        "vec_id", PQ.pq_code_expr("rot", cb).alias("pq_codes")
+    )
+    rq = [float(x) for x in np.round(np.asarray(qv, dtype=np.float64) @ r_opq.T, 6)]
+    return codes_df, cb, rq
+
+
+@_register("knn_opq_adc_seeded", _opq_adc_oracle())
+def knn_opq_adc_seeded(spark, sf_dir):
+    """X3 — OPQ ADC search, certification path (r13; Ge et al.
+    CVPR'13 parametric OPQ = rotate so variance balances across
+    subspaces, then product-quantize): the full-rank power-iteration
+    PCA rotation (similarity.power_pca_rotation — every step
+    DuckDB-replayed), the FIXED round-robin eigenvalue-allocation
+    permutation (pq.opq_interleave_perm), one Arrow projection pass,
+    seeded-PQ encode of the rotated coords, ADC lookups against the
+    rotated query. Rotation, allocation, projection rounding, encode
+    tie rule, and distance sums all replay in SQL. On the driver
+    corpus's near-flat spectrum the rotation is recall-neutral by
+    theory (OPQ's objective gradient vanishes under isotropic
+    covariance) — the anisotropic-corpus pin in tests/test_pq.py is
+    where the mechanism shows its gain; this entry certifies the
+    pipeline arithmetic."""
+    codes_df, cb, rq = _opq_pipeline(spark, sf_dir)
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    return PQ.pq_adc_topk(codes_df, cb, rq, k=10)
+
+
+@_register("opq_recall_report", _opq_recall_oracle())
+def opq_recall_report(spark, sf_dir):
+    """X3 — OPQ recall certificate, oracle-checked IN-PLAN (the
+    pq_recall_report pattern over the rotated pipeline): overlap of
+    the OPQ ADC top-10 with the exact squared-L2 top-10 over the
+    ORIGINAL vectors (rotation preserves L2, so raw-space ground
+    truth is the right yardstick). Read next to pq_recall_report:
+    the delta IS the rotation's contribution at identical code size
+    (zero on this flat-spectrum corpus, by theory; positive on
+    anisotropic corpora — pinned in tests/test_pq.py)."""
+    codes_df, cb, rq = _opq_pipeline(spark, sf_dir)
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    adc = PQ.pq_adc_topk(codes_df, cb, rq, k=10).select("vec_id")
+    exact = PQ.l2_topk(emb, list(qv), k=10).select("vec_id")
+    return adc.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
+
+
 def _sq8_codes_ctes(cand_join: str = "", where: str = "e.vec_id <> 0") -> str:
     """The quantization half of the SQ8 chain (p + codes CTEs) —
     factored so the single-query chain, the IVF composition, and the

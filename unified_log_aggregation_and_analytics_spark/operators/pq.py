@@ -307,3 +307,20 @@ def pq_reconstruction_error(
         F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
         F.round(F.max("sq_err"), 6).alias("max_sq_err"),
     )
+
+
+def opq_interleave_perm(dim: int, m: int) -> list[int]:
+    """OPQ eigenvalue allocation, balanced round-robin variant (the
+    parametric OPQ of Ge et al., CVPR'13: rotate so per-subspace
+    variance products balance, then product-quantize). Power-iteration
+    PCA emits components variance-DESCENDING, so dealing them
+    round-robin into the m subspaces gives every subspace one slice
+    of each variance tier — the balance OPQ's eigenvalue allocation
+    seeks, as a FIXED permutation (no data-dependent assignment to
+    replay): rotated coordinate ``i`` (subspace ``i // sub_dim``)
+    takes PCA component ``perm[i]``. Compose by row-permuting the
+    rotation matrix: ``R_opq = R[perm]``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    return [(i // sub_dim) + m * (i % sub_dim) for i in range(dim)]
