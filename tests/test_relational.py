@@ -311,3 +311,31 @@ def test_extended_stats_pinned(spark, tmp_path):
     assert (r.variance, r.std_dev) == (3.5, std)
     assert r.std_lower == round(3.0 - 2 * math.sqrt(3.5), 6)
     assert r.std_upper == round(3.0 + 2 * math.sqrt(3.5), 6)
+
+
+def test_range_lookup_binned_hand_computed(spark):
+    """range_lookup_binned (r13): point-in-range matches pinned by
+    hand — including a point on a bin boundary whose range lives in
+    the previous bin (the collision the exact BETWEEN must keep) and
+    an uncovered point (dropped, inner semantics); plan carries no
+    BroadcastNestedLoopJoin."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        range_lookup_binned,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 100), (3, 1024), (4, 5000)], "pid long, v long"
+    )
+    rng = spark.createDataFrame(
+        [("a", 0, 99), ("b", 100, 2047), ("z", 3000, 3999)],
+        "name string, lo long, hi long",
+    )
+    out = range_lookup_binned(pts, rng, "v", bin_size=1024)
+    got = sorted((r.pid, r.name) for r in out.select("pid", "name").collect())
+    # v=5 -> a; v=100 -> b; v=1024 -> b (range b spans the bin edge);
+    # v=5000 -> uncovered, dropped
+    assert got == [(1, "a"), (2, "b"), (3, "b")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -596,3 +596,98 @@ def logs_ewma_anomaly(spark, sf_dir):
         F.round(ratio, 6).alias("ratio"),
         ((ratio > 1.5) | (ratio < 0.5)).alias("is_anomaly"),
     )
+
+
+# --- Geo/CIDR enrichment (r13) ------------------------------------------
+
+_GEO_ORACLE = """
+    WITH ips AS (
+      SELECT event_id, user_id,
+             167772160 + (user_id % 256) * 256 + (event_id % 256) AS ip_num
+      FROM events
+    ),
+    w AS (
+      SELECT k, ([512, 1024, 2048, 4096])[CAST(k % 4 AS INT) + 1] AS width
+      FROM (SELECT unnest(range(0, 64)) AS k)
+    ),
+    geo AS (
+      SELECT printf('net-%02d', k) AS network,
+             (['us-east', 'us-west', 'eu-central', 'ap-south'])[CAST(k % 4 AS INT) + 1] AS region,
+             167772160 + COALESCE(SUM(width) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+             167772160 + COALESCE(SUM(width) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + width - 1 AS hi
+      FROM w
+    )
+    SELECT g.network, g.region,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT i.user_id) AS n_users
+    FROM ips i JOIN geo g ON i.ip_num BETWEEN g.lo AND g.hi
+    GROUP BY 1, 2
+    ORDER BY 1
+"""
+
+
+@_register("logs_geo_enrich", _GEO_ORACLE)
+def logs_geo_enrich(spark, sf_dir):
+    """Geo/CIDR enrichment (r13, verdict item 5) — the one analytics
+    sliver OpenSearch ships that the engine lacked: client IPs
+    (reference README.md:47; synthesized 10.0.x.y exactly as
+    logs_apache_parse does) looked up against a network-range table
+    (deterministic RFC-1918 ranges with variable /23–/20 widths — the
+    irregularity is what makes it a real range join, not a prefix
+    equi-join). The lookup is operators/relational.py
+    range_lookup_binned: ranges explode to their covered bins,
+    BROADCAST, points equi-join on their single bin, exact BETWEEN
+    filters collisions — never a BroadcastNestedLoopJoin (the
+    full-catalog plan sweep guards it). At 100 TB the points side is
+    map-only; per-network rollup is one partial+final agg."""
+    ev = _t(spark, sf_dir, "events")
+    ips = ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.lit(167772160)
+            + (F.col("user_id") % 256) * 256
+            + (F.col("event_id") % 256)
+        ).alias("ip_num"),
+    )
+    k = F.col("id")
+    width = F.element_at(
+        F.array(F.lit(512), F.lit(1024), F.lit(2048), F.lit(4096)),
+        (k % 4).cast("int") + 1,
+    )
+    off = F.coalesce(
+        F.sum("width").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    geo = (
+        spark.range(64)
+        .select(k.alias("k"), width.alias("width"))
+        .select(
+            F.format_string("net-%02d", F.col("k")).alias("network"),
+            F.element_at(
+                F.array(
+                    F.lit("us-east"),
+                    F.lit("us-west"),
+                    F.lit("eu-central"),
+                    F.lit("ap-south"),
+                ),
+                (F.col("k") % 4).cast("int") + 1,
+            ).alias("region"),
+            (F.lit(167772160) + off).alias("lo"),
+            (F.lit(167772160) + off + F.col("width") - 1).alias("hi"),
+        )
+    )
+    return (
+        R.range_lookup_binned(ips, geo, "ip_num", bin_size=1024)
+        .groupBy("network", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("network")
+    )

@@ -607,6 +607,46 @@ def range_join_binned(
     return l.alias("l").join(r.alias("r"), cond)
 
 
+def range_lookup_binned(
+    points: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_size: int = 1024,
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Point-in-range lookup (the CIDR / geo-IP enrichment shape,
+    reference README.md:47's client IPs + the geoip processor
+    OpenSearch ships): match each point row whose ``value_col`` falls
+    in a range's ``[lo, hi]``. A naive BETWEEN join plans as
+    BroadcastNestedLoopJoin — every point probing every range. Binning
+    makes it an equi-join: each RANGE replicates to the bins it
+    overlaps (explode of sequence(lo div B, hi div B) — bounded by
+    range width / B), each point keys to its single bin, the exact
+    BETWEEN filters bin collisions. At 100 TB the points side is
+    map-only when the range table broadcasts (the normal geo case:
+    ranges are KBs–MBs); set ``broadcast_ranges=False`` for a huge
+    range side and the join shuffles on the bin key instead."""
+    b = F.lit(int(bin_size))
+    exp = ranges.withColumn(
+        "_bin", F.explode(F.sequence(F.floor(F.col(lo_col) / b), F.floor(F.col(hi_col) / b)))
+    )
+    if broadcast_ranges:
+        exp = F.broadcast(exp)
+    pts = points.withColumn("_bin", F.floor(F.col(value_col) / b))
+    return (
+        pts.alias("p")
+        .join(
+            exp.alias("g"),
+            (F.col("p._bin") == F.col("g._bin"))
+            & (F.col(f"p.{value_col}") >= F.col(f"g.{lo_col}"))
+            & (F.col(f"p.{value_col}") <= F.col(f"g.{hi_col}")),
+        )
+        .drop("_bin")
+    )
+
+
 # --- Q14/ST5 precursor: sessionization ---------------------------------
 
 
