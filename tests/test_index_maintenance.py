@@ -569,3 +569,64 @@ def test_prefix_refine_probe_rejects_wrong_query_dim(spark, emb, qvec, tmp_path)
     A.build_prefix_index(emb, path, prefix_dim=16)
     with pytest.raises(ValueError, match="query dim"):
         A.prefix_refine_probe(spark, path, qvec[:32], k=5)
+
+
+def test_token_index_fenced_asof_lifecycle(spark, tmp_path):
+    """Fenced token-index maintenance (r13): (1) the pinned probe
+    equals a fresh full build over exactly the pinned doc set, (2) an
+    unpinned probe sees every committed batch, (3) a TORN delta batch
+    (data written, no marker) is invisible to both, (4) a replay of a
+    committed batch is a no-op (is_committed short-circuit)."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    terms = ["merge", "spark", "vector"]
+    base = docs.filter(F.col("doc_id") % 2 == 1)
+    d0 = docs.filter(F.col("doc_id") % 4 == 0)
+    d1 = docs.filter(F.col("doc_id") % 4 == 2)
+
+    name = "tok_asof_test"
+    for s in ("", "_doclen", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_pin{s}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_all{s}")
+    delta = str(tmp_path / "tok_delta")
+    R.build_token_index_table(base, name)
+    R.append_token_index_fenced(d0, name, delta, 0)
+    R.append_token_index_fenced(d1, name, delta, 1)
+
+    # (1) pin at batch 0 == fresh build over base + d0
+    R.build_token_index_table(base.unionByName(d0), f"{name}_pin")
+    want_pin = R.bm25_search_indexed(spark, f"{name}_pin", terms, k=10).collect()
+    got_pin = R.bm25_search_indexed_asof(
+        spark, name, delta, terms, k=10, as_of_batch=0
+    ).collect()
+    assert got_pin == want_pin
+
+    # (2) unpinned == fresh build over everything
+    R.build_token_index_table(base.unionByName(d0).unionByName(d1), f"{name}_all")
+    want_all = R.bm25_search_indexed(spark, f"{name}_all", terms, k=10).collect()
+    got_all = R.bm25_search_indexed_asof(spark, name, delta, terms, k=10).collect()
+    assert got_all == want_all
+    assert got_all != got_pin  # the later batch actually moves scores
+
+    # (3) torn batch: data lands, marker does not -> invisible
+    extra = docs.filter(F.col("doc_id") % 4 == 3).limit(50)
+    toks = extra.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    fence.fenced_append(
+        toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf")),
+        f"{delta}/postings",
+        2,
+    )
+    torn = R.bm25_search_indexed_asof(spark, name, delta, terms, k=10).collect()
+    assert torn == want_all
+
+    # (4) committed replay is a no-op (would double postings otherwise)
+    R.append_token_index_fenced(d0, name, delta, 0)
+    again = R.bm25_search_indexed_asof(
+        spark, name, delta, terms, k=10, as_of_batch=0
+    ).collect()
+    assert again == want_pin

@@ -1309,6 +1309,100 @@ def _token_index_table_appended(spark, sf_dir) -> str:
     return name
 
 
+def _token_index_asof(spark, sf_dir) -> tuple[str, str]:
+    """Session-scoped fenced-delta token index: base build over the
+    ODD doc ids, then TWO fenced delta batches (batch 0 = doc_id%4==0,
+    batch 1 = doc_id%4==2) appended with per-batch lineage
+    (relational.append_token_index_fenced). Returns (table, delta
+    path). Rebuilt when either half is missing or the delta markers
+    are incomplete."""
+    import shutil
+    from pathlib import Path
+
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    name = "tok_idxasof_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    repo = Path(__file__).resolve().parents[1]
+    delta = str(
+        repo / ".tok_delta" / Path(str(sf_dir).rstrip("/")).name
+    )
+    committed = (
+        fence.committed_batches(spark, fence.fence_root(delta))
+        if Path(delta).exists()
+        else []
+    )
+    if not (spark.catalog.tableExists(name) and set(committed) >= {0, 1}):
+        if spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE {name}")
+            spark.sql(f"DROP TABLE IF EXISTS {name}_doclen")
+            spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
+        _drop_stale_warehouse_dirs(spark, name, ("", "_doclen", "_stats"))
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(fence.fence_root(delta), ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents")
+        R.build_token_index_table(docs.filter(F.col("doc_id") % 2 == 1), name)
+        R.append_token_index_fenced(
+            docs.filter(F.col("doc_id") % 4 == 0), name, delta, 0
+        )
+        R.append_token_index_fenced(
+            docs.filter(F.col("doc_id") % 4 == 2), name, delta, 1
+        )
+    return name, delta
+
+
+@_register(
+    "q02y_indexed_bm25_asof",
+    """
+    WITH visible AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 2 = 1 OR doc_id % 4 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM visible
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks WHERE token <> '' GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('merge', 'spark', 'vector') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl / avg_dl)))
+             ), 6) AS bm25
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q02y_indexed_bm25_asof(spark, sf_dir):
+    """Q2 as-of (snapshot) probe over the FENCED-delta token index
+    (r13, verdict item 6 — the ANN family's as-of contract closed for
+    the BM25 index): base built from the odd doc ids, two fenced
+    delta batches appended (doc_id%4==0 as batch 0, %4==2 as batch 1),
+    probe PINNED to as_of_batch=0. The oracle scores BM25 over
+    exactly the odd + batch-0 docs — a hash match proves the pin
+    excludes the later committed batch, i.e. a training run's
+    recorded pin replays its exact index under live streaming
+    appends (operators/relational.py append_token_index_fenced /
+    bm25_search_indexed_asof)."""
+    name, delta = _token_index_asof(spark, sf_dir)
+    return R.bm25_search_indexed_asof(
+        spark, name, delta, ["merge", "spark", "vector"], k=10, as_of_batch=0
+    )
+
+
 @_register("q02f_indexed_bm25_appended", QUERIES["q02c_ranked_search"].oracle)
 def q02f_indexed_bm25_appended(spark, sf_dir):
     """Q2 incremental-maintenance certificate — BM25 over an index

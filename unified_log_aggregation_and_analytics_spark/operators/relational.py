@@ -236,9 +236,26 @@ def bm25_search_indexed(
     (same formula, same rounding) with zero corpus scans at query
     time — the OpenSearch-parity query path."""
     postings = token_postings(spark, table_name, terms)
-    dfreq = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     stats = spark.table(f"{table_name}_stats")
     doclen = spark.table(f"{table_name}_doclen")
+    return _bm25_score_frames(
+        postings, doclen, stats, k=k, id_col=id_col, k1=k1, b=b
+    )
+
+
+def _bm25_score_frames(
+    postings: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring over (postings, doclen, stats) frames —
+    the indexed path and the as-of (base + fenced delta) path differ
+    only in where those frames come from."""
+    dfreq = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     idf = F.log(
         (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
     )
@@ -252,6 +269,97 @@ def bm25_search_indexed(
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def append_token_index_fenced(
+    df_new: DataFrame,
+    table_name: str,
+    delta_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Q2 streaming maintenance WITH per-batch lineage (r13, the ANN
+    family's fenced-delta contract applied to the token index): the
+    batch's (token, id, tf) postings and (id, dl) doclen rows land
+    under ``_commit_batch=<id>`` partitions in a delta area NEXT TO
+    the bucketed base tables, and ONE marker commits both — a torn
+    batch is invisible, a checkpoint replay replaces its own torn
+    output (streaming/fence.py). Unlike append_token_index_table
+    (which folds rows into the base and so destroys lineage — a
+    pinned probe over it cannot exclude later appends), deltas keep
+    their batch identity, so bm25_search_indexed_asof can replay a
+    training run's exact index: record the max committed id at run
+    start, pass it as the pin forever after. The base tables and the
+    persisted ``_stats`` row are untouched; as-of probes derive
+    scalars from the visible doclen union (|docs| counter rows, never
+    a corpus rescan)."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    spark = df_new.sparkSession
+    root = fence.fence_root(delta_path)
+    bid = int(batch_id)
+    if fence.is_committed(spark, root, bid):
+        return
+    toks = df_new.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    fence.fenced_append(tf, f"{delta_path}/postings", bid)
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    fence.fenced_append(doclen, f"{delta_path}/doclen", bid)
+    fence.mark_committed(spark, root, bid)
+
+
+def bm25_search_indexed_asof(
+    spark,
+    table_name: str,
+    delta_path: str,
+    terms: list[str],
+    k: int = 10,
+    as_of_batch: int | None = None,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the base index PLUS committed fenced deltas — pinned
+    to ``as_of_batch`` when given (fence.fenced_read's time-travel
+    contract: only delta batches with id <= the pin are visible, so a
+    training corpus probe reproduces exactly regardless of later
+    streaming appends; a pin older than a compaction horizon raises
+    loudly). Base postings stay bucket-pruned; the delta side prunes
+    on the committed-batch partition filter plus the term predicate.
+    Corpus scalars come from the visible doclen union — one aggregate
+    over 2-column counter rows, the append_token_index_table cost
+    model."""
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    root = fence.fence_root(delta_path)
+    terms_lc = sorted({t.lower() for t in terms})
+    postings = token_postings(spark, table_name, terms_lc)
+    doclen = spark.table(f"{table_name}_doclen")
+    pd_ = fence.fenced_read(
+        spark, f"{delta_path}/postings", root, as_of_batch=as_of_batch
+    )
+    if pd_ is not None:
+        postings = postings.unionByName(
+            pd_.filter(F.col("token").isin(terms_lc)).select(
+                "token", id_col, "tf"
+            )
+        )
+        dd = fence.fenced_read(
+            spark, f"{delta_path}/doclen", root, as_of_batch=as_of_batch
+        )
+        if dd is not None:
+            doclen = doclen.unionByName(dd.select(id_col, "dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    return _bm25_score_frames(
+        postings, doclen, stats, k=k, id_col=id_col, k1=k1, b=b
     )
 
 
