@@ -247,6 +247,10 @@ SCALE_QUERIES = [
     # r12: the rotated-prefix persisted layout at 10x (covariance
     # passes + frozen-artifact probe — the full lifecycle clocked)
     "knn_prefix_rot_indexed",
+    # r13: the approx-boundary curriculum at 10x — the scale form's
+    # whole point is surviving row growth without a single-reducer
+    # global sort (plan-guarded in tests; this row tracks the wall)
+    "docs_curriculum_order_approx",
 ]
 
 # r12 (verdict item 6): the scale section splits into SCALE PATHS —
@@ -377,6 +381,10 @@ EAGER_QUERIES = {
     "knn_prefix_refine_index_build",
     "knn_prefix_rot_index_build",
     "text_lm_index_build",
+    # r13: approx curriculum localCheckpoints the range-sorted frame
+    # and collects per-partition counts at construction (two-pass
+    # position assignment) — rebuild per run keeps both passes timed
+    "docs_curriculum_order_approx",
 }
 
 

@@ -1955,3 +1955,45 @@ def test_curriculum_order_semantics(spark):
         assert max(by_phase[p]) <= min(by_phase[p + 1])
     # the in-phase sequence is shuffled, not difficulty-sorted
     assert any(v != sorted(v) for v in by_phase.values())
+
+
+def test_curriculum_order_approx_equivalence_and_plan(spark):
+    """curriculum_order_approx (r13): (1) fed the exact form's
+    per-phase max scores as boundaries, it reproduces curriculum_order
+    row for row (distinct scores) — the ONLY approximation is the
+    percentile estimate; (2) default computed boundaries yield a valid
+    1..n permutation with phase-monotone difficulty; (3) the plan
+    carries NO single-partition exchange (the global window the scale
+    form exists to kill), while the exact form's plan does."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        curriculum_order,
+        curriculum_order_approx,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101) + i * 1e-3) for i in range(120)],
+        "doc_id long, s double",
+    )
+    exact = curriculum_order(df, "s", n_phases=4, id_col="doc_id")
+    ex_rows = exact.orderBy("curriculum_pos").collect()
+    bounds = sorted(
+        max(r.difficulty for r in ex_rows if r.phase == p) for p in (1, 2, 3)
+    )
+    approx = curriculum_order_approx(
+        df, "s", n_phases=4, id_col="doc_id", boundaries=bounds
+    )
+    ap_rows = approx.orderBy("curriculum_pos").collect()
+    assert [tuple(r) for r in ap_rows] == [tuple(r) for r in ex_rows]
+
+    auto = curriculum_order_approx(df, "s", n_phases=4, id_col="doc_id")
+    au = auto.orderBy("curriculum_pos").collect()
+    assert [r.curriculum_pos for r in au] == list(range(1, 121))
+    assert [r.phase for r in au] == sorted(r.phase for r in au)
+
+    ap_plan = approx._jdf.queryExecution().executedPlan().toString()
+    ex_plan = exact._jdf.queryExecution().executedPlan().toString()
+    # the approx plan's position window partitions by _pid (the range
+    # shuffle itself sits behind the localCheckpoint's ExistingRDD
+    # scan, so assert its absence-of-global-sort footprint instead)
+    assert "SinglePartition" not in ap_plan
+    assert "SinglePartition" in ex_plan

@@ -2197,6 +2197,52 @@ def docs_curriculum_order(spark, sf_dir):
 
 
 @_register(
+    "docs_curriculum_order_approx",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS ttr
+      FROM documents
+    ), ph AS (
+      SELECT doc_id, ttr,
+             CAST(1 + (ttr > 0.36)::INT + (ttr > 0.46)::INT + (ttr > 0.60)::INT AS BIGINT) AS phase,
+             md5(CAST(doc_id AS VARCHAR)) AS shuf
+      FROM q
+    )
+    SELECT doc_id, phase,
+           CAST(row_number() OVER (ORDER BY phase ASC, shuf, doc_id) AS BIGINT) AS curriculum_pos,
+           round(ttr, 6) AS difficulty
+    FROM ph
+    """,
+)
+def docs_curriculum_order_approx(spark, sf_dir):
+    """X4 training-pipeline — the SCALE form of curriculum ordering
+    (r13; the valve docs_curriculum_order's docstring names, now
+    implemented — operators/sampling.py curriculum_order_approx):
+    phase cut by score BOUNDARIES (here fixed literals — the
+    production reuse-yesterday's-cuts mode, and what makes the entry
+    SQL-replayable; percentile_approx derives them when omitted),
+    order by repartitionByRange + local sorts (no single-reducer
+    global window — plan-pinned in tests), positions from broadcast
+    per-partition offsets. The oracle replays cut, shuffle, and
+    position; equality with the boundary-cut SQL proves the
+    distributed two-pass position assignment is exactly the global
+    row_number."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        curriculum_order_approx,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators.text import (
+        quality_score,
+    )
+
+    docs = quality_score(_t(spark, sf_dir, "documents"))
+    return curriculum_order_approx(
+        docs, "ttr", n_phases=4, boundaries=[0.36, 0.46, 0.60]
+    )
+
+
+@_register(
     "docs_hash_split",
     """
     WITH b AS (

@@ -663,6 +663,97 @@ def curriculum_order(
     ).select(id_col, "phase", "curriculum_pos", F.round("difficulty", 6).alias("difficulty"))
 
 
+def curriculum_order_approx(
+    df: DataFrame,
+    score_col: Column | str,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+    boundaries: list[float] | None = None,
+    accuracy: int = 10000,
+    out_partitions: int | None = None,
+) -> DataFrame:
+    """The 100 TB form of ``curriculum_order`` — the valve its
+    docstring names, now behind this knob (r13, verdict item 7). Same
+    output contract (id, phase, curriculum_pos, difficulty); three
+    changes kill the single-reducer global window:
+
+    - **Phase cut**: score boundaries instead of exact ntile —
+      ``boundaries`` (n_phases-1 ascending cut values; a row joins
+      phase ``1 + #(boundaries < score)``, so a row AT a boundary
+      stays in the earlier phase) or one ``percentile_approx`` pass
+      when omitted. Feeding the exact form's per-phase max scores
+      reproduces its assignment exactly on distinct scores (pinned in
+      tests); reusing yesterday's cuts is the production use.
+    - **Order**: ``repartitionByRange(phase, shuffle_key, id)`` +
+      ``sortWithinPartitions`` — ranges give the global (phase, shuf,
+      id) order across partition BOUNDARIES, each partition sorts
+      locally, no global sort anywhere in the plan (plan-guarded: no
+      SinglePartition exchange).
+    - **Position**: two passes — per-partition counts collect to the
+      driver (one row per partition, bounded state), cumulative
+      offsets broadcast back as a literal map, position = offset +
+      within-partition row_number (parallel per partition). The
+      sorted frame is localCheckpointed between the passes so both
+      see the same partitioning; a 100 TB run would instead WRITE the
+      range-sorted table (the pass it needs anyway) and derive
+      offsets from its partition stats — same two-pass shape.
+    """
+    from pyspark.sql import Window
+
+    if n_phases < 1:
+        raise ValueError("n_phases must be >= 1")
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    base = df.select(
+        F.col(id_col),
+        s.alias("difficulty"),
+        F.md5(F.col(id_col).cast("string")).alias("_shuf"),
+    )
+    if boundaries is None:
+        qs = [i / n_phases for i in range(1, n_phases)]
+        row = base.agg(
+            F.percentile_approx("difficulty", qs, accuracy).alias("b")
+        ).first()
+        boundaries = [float(x) for x in row["b"]]
+    if list(boundaries) != sorted(boundaries) or len(boundaries) != n_phases - 1:
+        raise ValueError(
+            f"need {n_phases - 1} ascending boundaries, got {boundaries}"
+        )
+    phase = F.lit(1).cast("long")
+    for b in boundaries:
+        phase = phase + (F.col("difficulty") > F.lit(float(b))).cast("long")
+    n_out = out_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranked = (
+        base.withColumn("phase", phase)
+        .repartitionByRange(n_out, "phase", "_shuf", F.col(id_col))
+        .sortWithinPartitions("phase", "_shuf", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += r["_n"]
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("phase").asc(), F.col("_shuf"), F.col(id_col)
+    )
+    return (
+        ranked.withColumn(
+            "curriculum_pos",
+            (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long"),
+        )
+        .select(
+            id_col,
+            "phase",
+            "curriculum_pos",
+            F.round("difficulty", 6).alias("difficulty"),
+        )
+    )
+
+
 def cluster_split(
     docs: DataFrame,
     clusters: DataFrame,
