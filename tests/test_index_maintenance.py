@@ -571,6 +571,17 @@ def test_prefix_refine_probe_rejects_wrong_query_dim(spark, emb, qvec, tmp_path)
         A.prefix_refine_probe(spark, path, qvec[:32], k=5)
 
 
+def _rm_warehouse_dir(spark, table: str) -> None:
+    """Remove a leftover managed-table directory from a previous
+    pytest session (in-memory catalog forgets the table; its files
+    survive and block saveAsTable)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(Path(wh) / table.lower(), ignore_errors=True)
+
+
 def test_token_index_fenced_asof_lifecycle(spark, tmp_path):
     """Fenced token-index maintenance (r13): (1) the pinned probe
     equals a fresh full build over exactly the pinned doc set, (2) an
@@ -587,9 +598,9 @@ def test_token_index_fenced_asof_lifecycle(spark, tmp_path):
 
     name = "tok_asof_test"
     for s in ("", "_doclen", "_stats"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}_pin{s}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}_all{s}")
+        for t in (name, f"{name}_pin", f"{name}_all"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+            _rm_warehouse_dir(spark, f"{t}{s}")
     delta = str(tmp_path / "tok_delta")
     R.build_token_index_table(base, name)
     R.append_token_index_fenced(d0, name, delta, 0)
@@ -630,3 +641,62 @@ def test_token_index_fenced_asof_lifecycle(spark, tmp_path):
         spark, name, delta, terms, k=10, as_of_batch=0
     ).collect()
     assert again == want_pin
+
+
+def test_token_index_merge_journal(spark, tmp_path):
+    """merge_token_index_delta (r13): folding committed deltas into a
+    versioned base is result-invisible (unpinned probe identical
+    before/after, with the folded delta files still on disk — the
+    journal excludes them, no double count), a pin AT the horizon
+    still answers, a pin BELOW the horizon raises (lineage destroyed),
+    and batches committed AFTER the merge union as usual."""
+    from unified_log_aggregation_and_analytics_spark.operators.relational import (
+        _resolve_token_base,
+        merge_token_index_delta,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    terms = ["merge", "spark", "vector"]
+    base = docs.filter(F.col("doc_id") % 2 == 1)
+    d0 = docs.filter(F.col("doc_id") % 4 == 0)
+    d1 = docs.filter(F.col("doc_id") % 4 == 2)
+
+    name = "tok_merge_test"
+    for s in ("", "_doclen", "_stats"):
+        for t in (name, f"{name}__m0", f"{name}__m1"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+            _rm_warehouse_dir(spark, f"{t}{s}")
+    delta = str(tmp_path / "tok_delta_m")
+    R.build_token_index_table(base, name)
+    R.append_token_index_fenced(d0, name, delta, 0)
+
+    before = R.bm25_search_indexed_asof(spark, name, delta, terms, k=10).collect()
+    assert merge_token_index_delta(spark, name, delta) == 1
+    phys, mt = _resolve_token_base(spark, name, delta)
+    assert phys == f"{name}__m0" and mt == 0
+    after = R.bm25_search_indexed_asof(spark, name, delta, terms, k=10).collect()
+    assert after == before  # delta files still on disk, excluded by journal
+    at_pin = R.bm25_search_indexed_asof(
+        spark, name, delta, terms, k=10, as_of_batch=0
+    ).collect()
+    assert at_pin == before
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="merge horizon"):
+        R.bm25_search_indexed_asof(
+            spark, name, delta, terms, k=10, as_of_batch=-1
+        ).collect()
+
+    # post-merge streaming continues: batch 1 appends, unions over the
+    # merged base; a second merge folds it and drops the old version
+    R.append_token_index_fenced(d1, name, delta, 1)
+    live = R.bm25_search_indexed_asof(spark, name, delta, terms, k=10).collect()
+    assert merge_token_index_delta(spark, name, delta) == 1
+    assert (
+        R.bm25_search_indexed_asof(spark, name, delta, terms, k=10).collect()
+        == live
+    )
+    phys2, mt2 = _resolve_token_base(spark, name, delta)
+    assert phys2 == f"{name}__m1" and mt2 == 1
+    assert not spark.catalog.tableExists(f"{name}__m0")
+    assert merge_token_index_delta(spark, name, delta) == 0  # idempotent

@@ -313,6 +313,113 @@ def append_token_index_fenced(
     fence.mark_committed(spark, root, bid)
 
 
+def _token_merge_journal(delta_path: str) -> str:
+    return f"{delta_path}/_merge_journal.json"
+
+
+def _resolve_token_base(spark, table_name: str, delta_path: str) -> tuple[str, int]:
+    """(physical base table, merged_through) for a fenced-delta token
+    index: the merge journal — written atomically by
+    merge_token_index_delta — names the current versioned base table
+    and the max delta batch folded into it; absent journal means the
+    original table with nothing merged (-1)."""
+    import json
+    import os
+
+    p = _token_merge_journal(delta_path)
+    if not os.path.exists(p):
+        return table_name, -1
+    with open(p) as f:
+        j = json.load(f)
+    return str(j["table"]), int(j["merged_through"])
+
+
+def merge_token_index_delta(
+    spark,
+    table_name: str,
+    delta_path: str,
+    n_buckets: int = TOKEN_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+) -> int:
+    """Fold COMMITTED fenced delta batches into the bucketed base —
+    the token-index analog of ann_index.merge_index_delta, adapted to
+    managed tables (no directory to atomically swap): the merged
+    postings/doclen/stats are written to a fresh VERSIONED table
+    (``<name>__m<k>``), and one atomic journal replace
+    (``_merge_journal.json`` under the delta path) flips both "this is
+    the base" and "batches <= k are folded" together. Kill before the
+    replace: the journal still names the old base, the half-built
+    version is orphaned and overwritten by the next run — no state
+    change observable. Kill after: folded delta files awaiting cleanup
+    are already excluded by the journal (probes read deltas with id >
+    merged_through only) — no double-count window. Delta commit
+    MARKERS are never deleted (they are the streaming writer's replay
+    short-circuit). Returns the number of batches folded. Offline
+    maintenance, not against a live writer — the merge_index_delta
+    contract. (Session-catalog caveat: versioned tables live in the
+    in-memory catalog like every index table here; production points
+    the session at a real metastore.)"""
+    import json
+    import os
+    import tempfile
+
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    phys, mt = _resolve_token_base(spark, table_name, delta_path)
+    committed = fence.committed_batches(spark, fence.fence_root(delta_path))
+    ids = [b for b in committed if b > mt]
+    if not ids:
+        return 0
+    new_mt = max(ids)
+    new = f"{table_name}__m{new_mt}"
+    root = fence.fence_root(delta_path)
+    post_delta = (
+        fence.fenced_read(
+            spark, f"{delta_path}/postings", root, keep_batch_col=True
+        )
+        .filter(F.col(fence.BATCH_COL).isin(ids))
+        .drop(fence.BATCH_COL)
+    )
+    dl_delta = (
+        fence.fenced_read(spark, f"{delta_path}/doclen", root, keep_batch_col=True)
+        .filter(F.col(fence.BATCH_COL).isin(ids))
+        .drop(fence.BATCH_COL)
+    )
+    merged_post = spark.table(phys).unionByName(
+        post_delta.select("token", id_col, "tf")
+    )
+    (
+        merged_post.write.bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .mode("overwrite")
+        .saveAsTable(new)
+    )
+    merged_dl = spark.table(f"{phys}_doclen").unionByName(
+        dl_delta.select(id_col, "dl")
+    )
+    merged_dl.write.mode("overwrite").saveAsTable(f"{new}_doclen")
+    (
+        spark.table(f"{new}_doclen")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(f"{new}_stats")
+    )
+    # THE commit: one atomic journal replace flips base + horizon
+    fd, tmp = tempfile.mkstemp(dir=delta_path, suffix=".journal")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"table": new, "merged_through": new_mt}, f)
+    os.replace(tmp, _token_merge_journal(delta_path))
+    # lazy cleanup: the superseded version (never the original
+    # table_name — a fresh session's rebuild probe may look for it)
+    if phys != table_name:
+        for s in ("", "_doclen", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {phys}{s}")
+    return len(ids)
+
+
 def bm25_search_indexed_asof(
     spark,
     table_name: str,
@@ -333,27 +440,49 @@ def bm25_search_indexed_asof(
     on the committed-batch partition filter plus the term predicate.
     Corpus scalars come from the visible doclen union — one aggregate
     over 2-column counter rows, the append_token_index_table cost
-    model."""
+    model. After a merge (merge_token_index_delta) the journal names
+    the current base and its horizon: folded batches are excluded
+    from the delta union even while their files await cleanup, and a
+    pin OLDER than the horizon raises (per-batch lineage is gone —
+    the fence-compaction rule)."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
+    phys, mt = _resolve_token_base(spark, table_name, delta_path)
+    if as_of_batch is not None and as_of_batch < mt:
+        raise ValueError(
+            f"as_of_batch={as_of_batch} predates the merge horizon "
+            f"{mt} of {table_name!r}: those batches were folded into "
+            "the base and their per-batch lineage is gone"
+        )
     root = fence.fence_root(delta_path)
     terms_lc = sorted({t.lower() for t in terms})
-    postings = token_postings(spark, table_name, terms_lc)
-    doclen = spark.table(f"{table_name}_doclen")
+    postings = token_postings(spark, phys, terms_lc)
+    doclen = spark.table(f"{phys}_doclen")
     pd_ = fence.fenced_read(
-        spark, f"{delta_path}/postings", root, as_of_batch=as_of_batch
+        spark,
+        f"{delta_path}/postings",
+        root,
+        keep_batch_col=True,
+        as_of_batch=as_of_batch,
     )
     if pd_ is not None:
+        pd_ = pd_.filter(F.col(fence.BATCH_COL) > mt)
         postings = postings.unionByName(
             pd_.filter(F.col("token").isin(terms_lc)).select(
                 "token", id_col, "tf"
             )
         )
         dd = fence.fenced_read(
-            spark, f"{delta_path}/doclen", root, as_of_batch=as_of_batch
+            spark,
+            f"{delta_path}/doclen",
+            root,
+            keep_batch_col=True,
+            as_of_batch=as_of_batch,
         )
         if dd is not None:
-            doclen = doclen.unionByName(dd.select(id_col, "dl"))
+            doclen = doclen.unionByName(
+                dd.filter(F.col(fence.BATCH_COL) > mt).select(id_col, "dl")
+            )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
