@@ -159,6 +159,11 @@ BENCH_QUERIES = [
     # as the coarse column (recall AND IO win in one layout); eager
     # (rotation derivation + coarse collect at construction)
     "knn_prefix_rot_indexed",
+    # r13: OPQ certification path — rotation derivation + projection
+    # + seeded encode + ADC, the whole pipeline inside the clock
+    # (eager: covariance passes at construction); read next to
+    # knn_pq_adc_seeded for the rotation's cost at identical codes
+    "knn_opq_adc_seeded",
 ]
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
@@ -385,6 +390,9 @@ EAGER_QUERIES = {
     # and collects per-partition counts at construction (two-pass
     # position assignment) — rebuild per run keeps both passes timed
     "docs_curriculum_order_approx",
+    # r13: OPQ derives the rotation (two Arrow covariance passes +
+    # driver eigensolver) at construction
+    "knn_opq_adc_seeded",
 }
 
 

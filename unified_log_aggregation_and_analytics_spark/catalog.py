@@ -3385,6 +3385,137 @@ def q08d_histogram_pipeline(spark, sf_dir):
 
 
 @_register(
+    "q08h_sibling_stats",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_buckets,
+           MAX(n) AS max_n,
+           (SELECT bucket_start FROM hourly
+            ORDER BY n DESC, bucket_start LIMIT 1) AS max_bucket,
+           MIN(n) AS min_n,
+           (SELECT bucket_start FROM hourly
+            ORDER BY n ASC, bucket_start LIMIT 1) AS min_bucket,
+           round(AVG(n), 6) AS avg_n,
+           CAST(SUM(n) AS BIGINT) AS sum_n,
+           round(stddev_pop(n), 6) AS std_n
+    FROM hourly
+    """,
+)
+def q08h_sibling_stats(spark, sf_dir):
+    """Q8 — OpenSearch SIBLING pipeline aggregations (max_bucket /
+    min_bucket / avg_bucket / sum_bucket / stats_bucket): statistics
+    computed OVER the date-histogram bucket series, including the
+    extremal buckets' KEYS (earliest-bucket tie rule, the OpenSearch
+    convention). Two stages: the bucket-grain hash agg, then a 1-row
+    reduction — the extremal keys ride a min/max_by, no second scan,
+    no window."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_n"),
+        F.expr("max_by(bucket_start, struct(n, to_unix_timestamp(bucket_start) * -1))").alias(
+            "max_bucket"
+        ),
+        F.min("n").alias("min_n"),
+        F.expr("min_by(bucket_start, struct(n, to_unix_timestamp(bucket_start)))").alias(
+            "min_bucket"
+        ),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+        F.sum("n").alias("sum_n"),
+        F.round(F.stddev_pop("n"), 6).alias("std_n"),
+    )
+
+
+@_register(
+    "q08i_serial_diff_moving",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT bucket_start, n,
+           n - lag(n, 24) OVER (ORDER BY bucket_start) AS diff24,
+           round(AVG(n) OVER (ORDER BY bucket_start
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS mov_avg24,
+           round(stddev_samp(n) OVER (ORDER BY bucket_start
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS mov_std24
+    FROM hourly
+    """,
+)
+def q08i_serial_diff_moving(spark, sf_dir):
+    """Q8 — OpenSearch serial_differencing (lag-24 seasonal diff of
+    the hourly histogram — the day-over-day change Dashboards plots)
+    and moving_fn (24-bucket trailing avg + sample stddev). One
+    bucket-grain hash agg, then one ordered window pass computes all
+    three series; the window frame is bucket rows (time-span-bounded),
+    never event rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket_start")
+    w24 = w.rowsBetween(-23, 0)
+    return hourly.select(
+        "bucket_start",
+        "n",
+        (F.col("n") - F.lag("n", 24).over(w)).alias("diff24"),
+        F.round(F.avg("n").over(w24), 6).alias("mov_avg24"),
+        F.round(F.stddev_samp("n").over(w24), 6).alias("mov_std24"),
+    )
+
+
+@_register(
+    "q06l_bucket_selector",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(AVG(value), 6) AS avg_v,
+           round(SUM(value), 4) AS sum_v
+    FROM events
+    GROUP BY event_type
+    HAVING AVG(value) > 50
+    ORDER BY sum_v DESC, event_type
+    LIMIT 3
+    """,
+)
+def q06l_bucket_selector(spark, sf_dir):
+    """Q6 — OpenSearch bucket_selector + bucket_sort pipeline
+    aggregations: terms buckets FILTERED by a per-bucket metric
+    predicate (avg(value) > 50 — SQL HAVING) then sorted and
+    truncated by another metric (sum desc, top 3). One partial+final
+    hash agg; the selector is a post-agg filter, the sort is over
+    |buckets| rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("_avg_raw"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        # selector on the UNROUNDED metric (HAVING semantics), the
+        # displayed avg rounds afterwards
+        .filter(F.col("_avg_raw") > 50)
+        .select(
+            "event_type",
+            "n",
+            F.round("_avg_raw", 6).alias("avg_v"),
+            "sum_v",
+        )
+        .orderBy(F.col("sum_v").desc(), "event_type")
+        .limit(3)
+    )
+
+
+@_register(
     "q06g_rare_terms",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
