@@ -916,3 +916,85 @@ def test_corpus_every_kill_point_replays_to_control_state(spark, docs, tmp_path,
         for r in fence.fenced_read(spark, table, root).select("doc_id", "text").collect()
     }
     assert tbl == control[0], "marker-boundary kill diverged"
+
+
+def test_streaming_fenced_token_index_asof(spark, docs, tmp_path):
+    """Fenced streaming maintenance of the token index (r13): with
+    ``token_index_delta`` set, post-first-batch survivors land as
+    fenced per-batch deltas, so (1) the unpinned as-of probe over the
+    live index equals a fresh build over the final corpus, and (2) a
+    probe PINNED at the first delta batch equals a fresh build over
+    exactly the corpus as of that batch — a training run's recorded
+    pin replays its index under continued ingest."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        relational as R,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("tok_fenced_idx", "tok_fenced_ref", "tok_fenced_pin"):
+        for suffix in ("", "_doclen", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+            leftover = Path(wh) / (name + suffix).lower()
+            if leftover.exists():
+                shutil.rmtree(leftover)
+
+    pdf = (
+        docs.filter(F.col("doc_id") < 90)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    _write_batches(pdf, src_dir, n_batches=3)
+    table = str(tmp_path / "corpus")
+    delta = str(tmp_path / "tok_delta")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    run_corpus_pipeline(
+        stream,
+        table,
+        str(tmp_path / "rejected"),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        token_index="tok_fenced_idx",
+        token_index_delta=delta,
+    ).await_done()
+
+    committed = fence.committed_batches(spark, fence.fence_root(delta))
+    assert len(committed) == 2, committed  # batch 0 built the base
+
+    terms = ["merge", "spark", "vector"]
+    corpus = fence.fenced_read(spark, table, fence.fence_root(table))
+    R.build_token_index_table(
+        corpus.select("doc_id", "text"), "tok_fenced_ref"
+    )
+    want_all = R.bm25_search_indexed(spark, "tok_fenced_ref", terms, k=10).collect()
+    got_all = R.bm25_search_indexed_asof(
+        spark, "tok_fenced_idx", delta, terms, k=10
+    ).collect()
+    assert got_all == want_all and len(got_all) > 0
+
+    # pin at the FIRST delta batch: equals a rebuild over the corpus
+    # as of that batch (table batches <= pin+1: base batch + delta 1)
+    pin = committed[0]
+    as_of_corpus = fence.fenced_read(
+        spark, table, fence.fence_root(table), keep_batch_col=True
+    ).filter(F.col(fence.BATCH_COL) <= pin).drop(fence.BATCH_COL)
+    R.build_token_index_table(
+        as_of_corpus.select("doc_id", "text"), "tok_fenced_pin"
+    )
+    want_pin = R.bm25_search_indexed(spark, "tok_fenced_pin", terms, k=10).collect()
+    got_pin = R.bm25_search_indexed_asof(
+        spark, "tok_fenced_idx", delta, terms, k=10, as_of_batch=pin
+    ).collect()
+    assert got_pin == want_pin
+    assert got_pin != got_all

@@ -215,6 +215,7 @@ def corpus_ingest_batch(
     jaccard_threshold: float = 0.6,
     batch_id: int | None = None,
     token_index: str | None = None,
+    token_index_delta: str | None = None,
     lm_model_path: str | None = None,
     max_avg_nll: float = 8.0,
 ) -> None:
@@ -254,6 +255,17 @@ def corpus_ingest_batch(
     precisely the "ids not in base" contract the index append
     requires, so the wiring is safe by construction; the first batch
     builds the index, later batches append.
+
+    With ``token_index_delta`` ALSO set (r13), later batches take the
+    FENCED path instead (relational.append_token_index_fenced):
+    per-batch postings/doclen lineage under the delta path, so pinned
+    probes (bm25_search_indexed_asof) replay a training run's exact
+    index under live ingest — the ANN family's as-of contract. The
+    first batch still builds the bucketed base (content ingested
+    before the first delta is the "before time" of every pin); fold
+    deltas with relational.merge_token_index_delta offline. Replay
+    idempotency is the fence's own is_committed short-circuit — the
+    doclen anti-join guard below is only the UNFENCED path's need.
 
     With ``batch_id`` set (run_corpus_pipeline passes it), per-batch
     outcome accounting appends to ``{table_path}_metrics`` —
@@ -472,12 +484,23 @@ def corpus_ingest_batch(
                 # survivors frame reads the fp sidecar, and appending
                 # to it would recache `kept` as empty (see WRITE ORDER)
                 from unified_log_aggregation_and_analytics_spark.operators.relational import (
+                    append_token_index_fenced,
                     append_token_index_table,
                     build_token_index_table,
                 )
 
                 docs_new = kept.select("doc_id", "text")
-                if spark.catalog.tableExists(token_index):
+                if (
+                    token_index_delta is not None
+                    and spark.catalog.tableExists(token_index)
+                ):
+                    # fenced path: per-batch lineage, is_committed
+                    # short-circuits a committed replay, fenced_append
+                    # replaces a torn one — no anti-join guard needed
+                    append_token_index_fenced(
+                        docs_new, token_index, token_index_delta, bid
+                    )
+                elif spark.catalog.tableExists(token_index):
                     if torn_retry:
                         # Doc-granular idempotency for the one
                         # non-fenced write: a torn predecessor may
@@ -552,6 +575,7 @@ def run_corpus_pipeline(
     near_dup: bool = False,
     jaccard_threshold: float = 0.6,
     token_index: str | None = None,
+    token_index_delta: str | None = None,
     lm_model_path: str | None = None,
     max_avg_nll: float = 8.0,
 ) -> CorpusPipelineResult:
@@ -577,7 +601,10 @@ def run_corpus_pipeline(
     survivors against the doclen table first, so re-appending
     postings for already-indexed docs is structurally impossible —
     the residual trust is the file-commit protocol's own rename
-    atomicity, the same every Spark append carries."""
+    atomicity, the same every Spark append carries. Pass
+    ``token_index_delta`` as well to switch post-first-batch appends
+    to the FENCED per-batch-lineage path (corpus_ingest_batch
+    docstring) — pinned BM25 probes over a live stream."""
     trigger = trigger or {"processingTime": "60 seconds"}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -590,6 +617,7 @@ def run_corpus_pipeline(
             jaccard_threshold=jaccard_threshold,
             batch_id=batch_id,
             token_index=token_index,
+            token_index_delta=token_index_delta,
             lm_model_path=lm_model_path,
             max_avg_nll=max_avg_nll,
         )
