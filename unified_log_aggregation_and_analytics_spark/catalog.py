@@ -3516,6 +3516,107 @@ def q06l_bucket_selector(spark, sf_dir):
 
 
 @_register(
+    "q06m_range_agg",
+    """
+    SELECT CASE WHEN value < 50 THEN '*-50.0'
+                WHEN value < 200 THEN '50.0-200.0'
+                ELSE '200.0-*' END AS key,
+           CASE WHEN value < 50 THEN 0
+                WHEN value < 200 THEN 1 ELSE 2 END AS bucket_ord,
+           COUNT(*) AS doc_count,
+           round(AVG(value), 6) AS avg_v
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_ord
+    """,
+)
+def q06m_range_agg(spark, sf_dir):
+    """Q6 — the OpenSearch range aggregation (explicit numeric
+    buckets with the from-to key convention, half-open [from, to)):
+    one CASE expression keys the partial+final hash agg — no sort, no
+    second scan; a sub-metric (avg) rides the same pass."""
+    ev = _t(spark, sf_dir, "events")
+    key = (
+        F.when(F.col("value") < 50, F.lit("*-50.0"))
+        .when(F.col("value") < 200, F.lit("50.0-200.0"))
+        .otherwise(F.lit("200.0-*"))
+    )
+    ordc = (
+        F.when(F.col("value") < 50, F.lit(0))
+        .when(F.col("value") < 200, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return (
+        ev.groupBy(key.alias("key"), ordc.alias("bucket_ord"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+        .orderBy("bucket_ord")
+    )
+
+
+@_register(
+    "q08j_auto_histogram",
+    """
+    WITH span AS (
+      SELECT epoch(MAX(ts)) - epoch(MIN(ts)) AS secs FROM events
+    ),
+    iv AS (
+      SELECT CASE WHEN secs / 60 <= 40 THEN 60
+                  WHEN secs / 3600 <= 40 THEN 3600
+                  WHEN secs / 86400 <= 40 THEN 86400
+                  ELSE 604800 END AS interval_s
+      FROM span
+    )
+    SELECT to_timestamp(
+             CAST(floor(epoch(e.ts) / iv.interval_s) AS BIGINT) * iv.interval_s
+           )::TIMESTAMP AS bucket_start,
+           iv.interval_s AS interval_s,
+           COUNT(*) AS n
+    FROM events e CROSS JOIN iv
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def q08j_auto_histogram(spark, sf_dir):
+    """Q8 — OpenSearch auto_date_histogram (Dashboards' default time
+    chart: pick the interval so the chart gets <= ~40 buckets): the
+    span comes from one 1-row min/max scalar, the interval from a
+    fixed minute/hour/day/week ladder (deterministic CASE — both
+    engines replay the choice), then the ordinary floor-bucket
+    histogram at the chosen grain. Two passes: a 1-row reduction and
+    one hash agg — interval selection never re-scans."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("secs")
+    )
+    iv = span.select(
+        F.when(F.col("secs") / 60 <= 40, F.lit(60))
+        .when(F.col("secs") / 3600 <= 40, F.lit(3600))
+        .when(F.col("secs") / 86400 <= 40, F.lit(86400))
+        .otherwise(F.lit(604800))
+        .alias("interval_s")
+    )
+    return (
+        ev.crossJoin(F.broadcast(iv))
+        .groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / F.col("interval_s")).cast(
+                    "long"
+                )
+                * F.col("interval_s")
+            ).alias("bucket_start"),
+            "interval_s",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket_start")
+    )
+
+
+@_register(
     "q06g_rare_terms",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n

@@ -2243,6 +2243,64 @@ def docs_curriculum_order_approx(spark, sf_dir):
 
 
 @_register(
+    "docs_token_budget",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             len(list_filter(str_split(text, ' '), t -> t <> '')) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, round(ttr, 6) AS quality,
+             SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 50000
+    ORDER BY cum_tokens
+    """,
+)
+def docs_token_budget(spark, sf_dir):
+    """X4 training-pipeline — token-budget selection (r13): fill a
+    fixed training budget (50k tokens) with the best documents —
+    quality-descending (type-token ratio, the curriculum score)
+    greedy prefix under a cumulative token cap. The standard 'we can
+    afford N tokens this run' curation step. One map-only token
+    count, one ordered cumulative window, a post-filter; the exact
+    global cumsum is the certified form — at 100 TB the cut runs the
+    curriculum_order_approx pattern (quality-boundary buckets +
+    per-bucket budgets) since only the BOUNDARY bucket needs exact
+    ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ttr_raw = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast(
+        "double"
+    ) / F.size(F.split(F.col("text"), " "))
+    q = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        ttr_raw.alias("_ttr_raw"),
+    )
+    w = Window.orderBy(F.col("_ttr_raw").desc(), F.col("doc_id"))
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 50000)
+        .select(
+            "doc_id",
+            F.round("_ttr_raw", 6).alias("quality"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("cum_tokens")
+    )
+
+
+@_register(
     "docs_hash_split",
     """
     WITH b AS (
