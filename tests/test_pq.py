@@ -431,3 +431,47 @@ def test_opq_interleave_perm_shape():
     assert p[:3] == [0, 4, 8] and p[16:18] == [1, 5]
     with pytest.raises(ValueError, match="not divisible"):
         PQ.opq_interleave_perm(10, 4)
+
+
+def test_opq_index_scan_parity_and_append(spark, emb, tmp_path):
+    """Persisted OPQ index (r13): (1) the probe equals the scan-time
+    seeded OPQ pipeline exactly (index ≡ scan — shared projection and
+    encode code); (2) base build + append probes identically to a
+    fresh full build (frozen rotation + codebooks); (3) wrong query
+    dim and non-full-rank rotations raise."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+
+    corpus = emb.filter(F.col("vec_id") > 1)
+    qrow = emb.select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    R = S.power_pca_rotation(corpus, n_components=64, iters=16)
+    r_opq = R[PQ.opq_interleave_perm(64, 4)]
+
+    # scan-time reference
+    cb = PQ.seeded_pq_codebooks(64, m=4, codes=8, seed=42)
+    proj = S.rotate_project(corpus, r_opq)
+    codes_df = proj.select("vec_id", PQ.pq_code_expr("rot", cb).alias("pq_codes"))
+    rq = [float(x) for x in np.round(np.asarray(qv) @ r_opq.T, 6)]
+    want = [tuple(r) for r in PQ.pq_adc_topk(codes_df, cb, rq, k=10).collect()]
+
+    p1 = str(tmp_path / "opq_full")
+    A.build_opq_index(corpus, p1, r_opq)
+    got = [tuple(r) for r in A.opq_probe(spark, p1, qv, k=10).collect()]
+    assert got == want
+
+    p2 = str(tmp_path / "opq_incr")
+    half = corpus.filter(F.col("vec_id") <= 300)
+    rest = corpus.filter(F.col("vec_id") > 300)
+    A.build_opq_index(half, p2, r_opq)
+    A.append_opq_index(rest, p2)
+    got2 = [tuple(r) for r in A.opq_probe(spark, p2, qv, k=10).collect()]
+    assert got2 == want
+    assert [e["op"] for e in A.read_manifest(p2)] == ["build", "append"]
+
+    with pytest.raises(ValueError, match="query dim"):
+        A.opq_probe(spark, p1, qv[:32], k=5)
+    with pytest.raises(ValueError, match="full-rank"):
+        A.build_opq_index(corpus, str(tmp_path / "opq_bad"), r_opq[:32])

@@ -3184,6 +3184,15 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_rotated_prefix_index(
                 emb, str(path), S.power_pca_rotation(emb, n_components=32, iters=16)
             )
+        elif kind == "opq":
+            from unified_log_aggregation_and_analytics_spark.operators import (
+                pq as PQ,
+            )
+
+            R = S.power_pca_rotation(emb, n_components=64, iters=16)
+            A.build_opq_index(
+                emb, str(path), R[PQ.opq_interleave_perm(64, 4)], train_iters=0
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
@@ -5003,6 +5012,22 @@ def knn_pq_adc(spark, sf_dir):
     codes_df = PQ.pq_encode(emb, cb)
     qv = _query_vec(spark, sf_dir)
     return PQ.pq_adc_topk(codes_df, cb, list(qv), k=10)
+
+
+@_register("knn_opq_adc_indexed", _opq_adc_oracle())
+def knn_opq_adc_indexed(spark, sf_dir):
+    """X3 — OPQ search over the PERSISTED codes-only index (r13,
+    ann_index.build_opq_index/opq_probe): the table stores m bytes of
+    rotated-space code per vector with the rotation and codebooks as
+    frozen artifacts; the probe projects the query driver-side and
+    scans codes only. Projection and encode are shared code with the
+    scan path, so this inherits knn_opq_adc_seeded's full-derivation
+    oracle — index ≡ scan, the q02d proof applied to OPQ."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "opq")
+    return A.opq_probe(spark, path, list(qv), k=10)
 
 
 @_register("knn_opq_adc", None)  # trained rotation+codebooks: rows-only

@@ -1652,3 +1652,149 @@ def hard_negatives_probe(
         .filter(F.col("rank") <= k)
         .select("anchor_id", id_col, label_col, "cos_sim", "rank")
     )
+
+
+def build_opq_index(
+    df: DataFrame,
+    path: str,
+    rotation: np.ndarray,
+    m: int = 4,
+    codes: int = 8,
+    train_iters: int = 0,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Flat OPQ codes index (r13; Ge et al. CVPR'13 parametric OPQ
+    persisted): the table stores ONLY ``(id, pq_codes, pq_code)`` of
+    the ROTATED coordinates — m bytes of code per vector, the '100 TB
+    of floats scans as ~3 TB of codes' memory story with the
+    rotation's quantization quality folded in. The rotation (already
+    row-permuted by the eigenvalue allocation — pass
+    ``R[pq.opq_interleave_perm(dim, m)]``) and the codebooks persist
+    as frozen artifacts next to the table (the build_ivfpq_index
+    contract: recomputing either on a grown corpus would re-key every
+    stored code). ``train_iters=0`` keeps the seeded data-independent
+    codebooks — the DuckDB-replayable certification form; >0 Lloyd-
+    trains them on the rotated coords (the quality form)."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import (
+        pq_encode,
+        seeded_pq_codebooks,
+        train_pq_codebooks,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        rotate_project,
+    )
+
+    R = np.asarray(rotation, dtype=np.float64)
+    n_comp, dim = R.shape
+    if n_comp != dim:
+        raise ValueError(
+            f"OPQ needs a full-rank rotation (got {n_comp} x {dim}): "
+            "ADC distances live in the rotated space, so dropping "
+            "components silently drops distance mass"
+        )
+    spark = df.sparkSession
+    rot_rows = [(c, [float(x) for x in R[c]]) for c in range(n_comp)]
+    (
+        spark.createDataFrame(rot_rows, schema="comp int, direction array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_rotation_path(path))
+    )
+    proj = rotate_project(df, R, vec_col=vec_col, id_col=id_col).select(
+        id_col, F.col("rot").alias(vec_col)
+    )
+    if train_iters > 0:
+        cb = train_pq_codebooks(
+            proj, dim, m=m, codes=codes, n_iter=train_iters, seed=seed
+        )
+    else:
+        cb = seeded_pq_codebooks(dim, m=m, codes=codes, seed=seed)
+    cb_rows = [
+        (mi, ci, [float(x) for x in cb[mi, ci]])
+        for mi in range(m)
+        for ci in range(codes)
+    ]
+    (
+        spark.createDataFrame(cb_rows, schema="mi int, ci int, codeword array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_codebooks_path(path))
+    )
+    (
+        pq_encode(proj, cb, vec_col=vec_col, id_col=id_col)
+        .write.mode("overwrite")
+        .parquet(_table_path(path))
+    )
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    _record_version(
+        path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
+    )
+
+
+def append_opq_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental OPQ ingest: the delta projects through the FROZEN
+    rotation and encodes against the FROZEN codebooks — one Arrow
+    pass, appended rows indistinguishable from build-time rows
+    (append ≡ rebuild pinned in tests). Quantizer/rotation drift
+    under heavy append is a rebuild decision; the manifest's
+    append/build ratio is the signal."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import pq_encode
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        rotate_project,
+    )
+
+    if df_new.isEmpty():
+        return
+    spark = df_new.sparkSession
+    R = load_rotation(spark, path)
+    cb = load_codebooks(spark, path)
+    proj = rotate_project(df_new, R, vec_col=vec_col, id_col=id_col).select(
+        id_col, F.col("rot").alias(vec_col)
+    )
+    (
+        pq_encode(proj, cb, vec_col=vec_col, id_col=id_col)
+        .write.mode("append")
+        .parquet(_table_path(path))
+    )
+    _record_version(
+        path, "append", df_new.count(),
+        fence_pos=_fence_pos(spark, path),
+    )
+
+
+def opq_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """OPQ ADC probe over the persisted codes: the query projects
+    through the frozen rotation driver-side (rounded 6, the
+    rotate_project discipline), the (m x codes) lookup table embeds
+    as literals, and the scan moves m bytes per row — map-only +
+    TakeOrderedAndProject, the pq_adc_topk plan over the codes-only
+    table. Scores are identical to the scan-time seeded OPQ pipeline
+    (index ≡ scan), so the persisted path inherits its oracle."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import pq_adc_topk
+
+    R = load_rotation(spark, path)
+    if R.shape[1] != len(query_vec):
+        raise ValueError(
+            f"query dim {len(query_vec)} != rotation dim {R.shape[1]} at {path!r}"
+        )
+    rq = [
+        float(x)
+        for x in np.round(np.asarray(query_vec, dtype=np.float64) @ R.T, 6)
+    ]
+    cb = load_codebooks(spark, path)
+    idx = _index_rows(spark, path, as_of_batch=as_of_batch)
+    return pq_adc_topk(idx, cb, rq, k=k, id_col=id_col)
