@@ -149,10 +149,17 @@ def test_bench_names_are_registered():
     assert not missing, f"bench references unregistered queries: {missing}"
     extras = set(bench._scale_extra_queries())
     assert extras.isdisjoint(names)
+    # r13: the explicit index-build rows are bench-supplied callables
+    # like the scale extras — disjoint from the catalog, present in
+    # BUILD_QUERIES, and eager by contract
+    builds = set(bench.BUILD_QUERIES)
+    assert builds == set(bench._build_extra_queries())
+    assert builds.isdisjoint(names)
+    assert builds <= bench.EAGER_QUERIES
     # An EAGER_QUERIES typo doesn't crash — it silently un-eagers the
     # entry, moving its construction cost OUT of the timed region (the
     # r6 docs_dsir_sample artifact). Every eager name must resolve.
-    stale = sorted(bench.EAGER_QUERIES - names - extras)
+    stale = sorted(bench.EAGER_QUERIES - names - extras - builds)
     assert not stale, f"EAGER_QUERIES names nothing runnable: {stale}"
 
 

@@ -230,6 +230,10 @@ SCALAR_BROADCAST_OK = {
     #   k-row (k = #sources) checkpointed step frame; the LM-proxy
     #   construction runs eagerly at build (text_quality_train's
     #   feature-frame discipline) in text_lm_score's whitelisted shape
+    "q02y_indexed_bm25_asof",  # the same 1-row (n_docs, avg_dl)
+    #   corpus scalars as q02e, derived from the visible doclen union
+    "q08j_auto_histogram",  # 1-row chosen-interval scalar (from the
+    #   1-row span reduction) broadcast onto the bucketing pass
 }
 
 # Entries allowed >2 scans of one parquet file: filtered or map-only
