@@ -256,6 +256,9 @@ SCALE_QUERIES = [
     # whole point is surviving row growth without a single-reducer
     # global sort (plan-guarded in tests; this row tracks the wall)
     "docs_curriculum_order_approx",
+    # r13: geo/CIDR enrichment at 10x events — the broadcast binned
+    # range join must stay map-only on the points side
+    "logs_geo_enrich",
 ]
 
 # r12 (verdict item 6): the scale section splits into SCALE PATHS —
