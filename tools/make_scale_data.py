@@ -136,6 +136,36 @@ def generate(
         con.sql(
             f"COPY (SELECT * FROM '{src}/{table}.parquet') TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )
+    # events (r13): replicate with event_id/user_id offsets — replicas
+    # carry new ids (fresh users, fresh events) so per-user windows and
+    # the geo-enrichment ip formula see honest 10x growth, while ts and
+    # value distributions stay the driver's.
+    n_ev = con.sql(
+        f"SELECT MAX(event_id) + 1 FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    n_usr = con.sql(
+        f"SELECT MAX(user_id) + 1 FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    cols = [
+        r[0]
+        for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}/events.parquet'"
+        ).fetchall()
+    ]
+    parts = []
+    for k in range(replicas):
+        sel = ", ".join(
+            f"event_id + {k * n_ev} AS event_id"
+            if c == "event_id"
+            else f"user_id + {k * n_usr} AS user_id"
+            if c == "user_id"
+            else c
+            for c in cols
+        )
+        parts.append(f"SELECT {sel} FROM '{src}/events.parquet'")
+    con.sql(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/events.parquet' (FORMAT PARQUET)"
+    )
     con.close()
 
 
