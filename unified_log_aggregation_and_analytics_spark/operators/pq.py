@@ -67,9 +67,33 @@ def pq_code_expr(vec_col: Column | str, codebooks: np.ndarray) -> Column:
     """JVM-expression PQ encoding: array of per-subspace nearest-code
     indices (first-min tie rule, matching DuckDB ``list_position``).
     The certification path — slow-ish per row but bit-reproducible
-    across engines."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    across engines.
+
+    Construction cost (r13): a str operand (column name or SQL array
+    expression) builds the whole tree through ONE ``F.expr`` parse;
+    the per-element Column path costs ~1.3 s of driver py4j latency
+    per call at m=4/codes=8 (the cosine_similarity finding). The
+    parsed tree is the identical array_sort-of-struct-of-HOF-folds
+    (same zip_with/aggregate lambdas, same double literals via exact
+    ``repr`` round-trip), so codes are bit-identical — the encode
+    parity test compares both against the Arrow path."""
     m, codes, sub_dim = codebooks.shape
+    if isinstance(vec_col, str):
+        subs = []
+        for mi in range(m):
+            sub = f"slice(({vec_col}), {mi * sub_dim + 1}, {sub_dim})"
+            structs = []
+            for ci in range(codes):
+                cw = ", ".join(f"{float(x)!r}D" for x in codebooks[mi, ci])
+                dist = (
+                    f"aggregate(zip_with({sub}, array({cw}), "
+                    "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                    "0.0D, (acc, x) -> acc + x)"
+                )
+                structs.append(f"named_struct('d', {dist}, 'c', {ci})")
+            subs.append(f"array_sort(array({', '.join(structs)}))[0].c")
+        return F.expr(f"array({', '.join(subs)})")
+    c = vec_col
     out = []
     for mi in range(m):
         sub = _sub_slice(c, mi, sub_dim)
