@@ -339,3 +339,30 @@ def test_range_lookup_binned_hand_computed(spark):
     assert got == [(1, "a"), (2, "b"), (3, "b")]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_matrix_stats_pinned(spark, tmp_path):
+    """Hand-computed pin for q06n_matrix_stats. value [1,2,3,6],
+    user_id [1,1,2,2]: var_pop(value)=3.5, m3=4.5 -> skew=4.5/
+    (sqrt(3.5)*3.5)=0.6872, m4=24.5 -> kurt=2.0; user_id m3=0 ->
+    skew 0, kurt 1.0 (two-point symmetric); cov_pop=0.75, corr=
+    0.75/(sqrt(3.5)*0.5)=0.801784."""
+    import unified_log_aggregation_and_analytics_spark.catalog as C
+
+    ev = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 2), (6.0, 2)],
+        "value double, user_id long",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    rows = {
+        r.field: r
+        for r in C.QUERIES["q06n_matrix_stats"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    v = rows["value"]
+    assert (v.n, v.mean, v.variance) == (4, 3.0, 3.5)
+    assert (v.skewness, v.kurtosis) == (0.6872, 2.0)
+    assert (v.covariance, v.correlation) == (0.75, 0.801784)
+    u = rows["user_id"]
+    assert (u.mean, u.variance, u.skewness, u.kurtosis) == (1.5, 0.25, 0.0, 1.0)

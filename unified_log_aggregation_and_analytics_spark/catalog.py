@@ -3617,6 +3617,122 @@ def q08j_auto_histogram(spark, sf_dir):
 
 
 @_register(
+    "q06n_matrix_stats",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             AVG(value) AS mx, AVG(value * value) AS mx2,
+             AVG(value * value * value) AS mx3,
+             AVG(value * value * value * value) AS mx4,
+             AVG(CAST(user_id AS DOUBLE)) AS my,
+             AVG(CAST(user_id AS DOUBLE) * user_id) AS my2,
+             AVG(CAST(user_id AS DOUBLE) * user_id * user_id) AS my3,
+             AVG(CAST(user_id AS DOUBLE) * user_id * user_id * user_id) AS my4,
+             AVG(value * user_id) AS mxy
+      FROM events
+    ),
+    s AS (
+      SELECT n, mx, my,
+             mx2 - mx * mx AS vx, my2 - my * my AS vy,
+             mx3 - 3 * mx * mx2 + 2 * mx * mx * mx AS m3x,
+             my3 - 3 * my * my2 + 2 * my * my * my AS m3y,
+             mx4 - 4 * mx * mx3 + 6 * mx * mx * mx2 - 3 * mx * mx * mx * mx AS m4x,
+             my4 - 4 * my * my3 + 6 * my * my * my2 - 3 * my * my * my * my AS m4y,
+             mxy - mx * my AS cxy
+      FROM m
+    )
+    SELECT field, n, round(mean, 4) AS mean, round(variance, 2) AS variance,
+           round(skewness, 4) AS skewness, round(kurtosis, 4) AS kurtosis,
+           round(covariance, 2) AS covariance, round(correlation, 6) AS correlation
+    FROM (
+      SELECT 'value' AS field, n, mx AS mean, vx AS variance,
+             m3x / (sqrt(vx) * vx) AS skewness, m4x / (vx * vx) AS kurtosis,
+             cxy AS covariance, cxy / (sqrt(vx) * sqrt(vy)) AS correlation
+      FROM s
+      UNION ALL
+      SELECT 'user_id', n, my, vy,
+             m3y / (sqrt(vy) * vy), m4y / (vy * vy),
+             cxy, cxy / (sqrt(vx) * sqrt(vy))
+      FROM s
+    ) ORDER BY field
+    """,
+)
+def q06n_matrix_stats(spark, sf_dir):
+    """Q6 — the OpenSearch matrix_stats aggregation (per-field count/
+    mean/variance/skewness/kurtosis plus the covariance/correlation
+    matrix across fields — here (value, user_id)): ONE pass of raw
+    moment averages, every derived statistic pure scalar arithmetic
+    on the 1-row result. Moments are spelled identically in both
+    engines (no engine skewness()/kurtosis() builtins — their bias
+    conventions differ across engines); population central moments,
+    sqrt(v)*v instead of pow(v, 1.5) (sqrt is correctly-rounded IEEE,
+    pow is not). Rounding absorbs the double-sum order noise the
+    extended_stats entry established (coarser on the large-magnitude
+    variance/covariance, 4-6 on normalized stats)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.col("user_id").cast("double")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("mx"),
+        F.avg(x * x).alias("mx2"),
+        F.avg(x * x * x).alias("mx3"),
+        F.avg(x * x * x * x).alias("mx4"),
+        F.avg(y).alias("my"),
+        F.avg(y * F.col("user_id")).alias("my2"),
+        F.avg(y * F.col("user_id") * F.col("user_id")).alias("my3"),
+        F.avg(y * F.col("user_id") * F.col("user_id") * F.col("user_id")).alias("my4"),
+        F.avg(x * F.col("user_id")).alias("mxy"),
+    )
+    mx, my = F.col("mx"), F.col("my")
+    s = m.select(
+        "n",
+        mx,
+        my,
+        (F.col("mx2") - mx * mx).alias("vx"),
+        (F.col("my2") - my * my).alias("vy"),
+        (F.col("mx3") - 3 * mx * F.col("mx2") + 2 * mx * mx * mx).alias("m3x"),
+        (F.col("my3") - 3 * my * F.col("my2") + 2 * my * my * my).alias("m3y"),
+        (
+            F.col("mx4")
+            - 4 * mx * F.col("mx3")
+            + 6 * mx * mx * F.col("mx2")
+            - 3 * mx * mx * mx * mx
+        ).alias("m4x"),
+        (
+            F.col("my4")
+            - 4 * my * F.col("my3")
+            + 6 * my * my * F.col("my2")
+            - 3 * my * my * my * my
+        ).alias("m4y"),
+        (F.col("mxy") - mx * my).alias("cxy"),
+    )
+    vx, vy, cxy = F.col("vx"), F.col("vy"), F.col("cxy")
+    corr = cxy / (F.sqrt(vx) * F.sqrt(vy))
+    row_x = s.select(
+        F.lit("value").alias("field"),
+        "n",
+        F.round(mx, 4).alias("mean"),
+        F.round(vx, 2).alias("variance"),
+        F.round(F.col("m3x") / (F.sqrt(vx) * vx), 4).alias("skewness"),
+        F.round(F.col("m4x") / (vx * vx), 4).alias("kurtosis"),
+        F.round(cxy, 2).alias("covariance"),
+        F.round(corr, 6).alias("correlation"),
+    )
+    row_y = s.select(
+        F.lit("user_id").alias("field"),
+        "n",
+        F.round(my, 4).alias("mean"),
+        F.round(vy, 2).alias("variance"),
+        F.round(F.col("m3y") / (F.sqrt(vy) * vy), 4).alias("skewness"),
+        F.round(F.col("m4y") / (vy * vy), 4).alias("kurtosis"),
+        F.round(cxy, 2).alias("covariance"),
+        F.round(corr, 6).alias("correlation"),
+    )
+    return row_x.unionByName(row_y).orderBy("field")
+
+
+@_register(
     "q06g_rare_terms",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
