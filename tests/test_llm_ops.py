@@ -1997,3 +1997,57 @@ def test_curriculum_order_approx_equivalence_and_plan(spark):
     # scan, so assert its absence-of-global-sort footprint instead)
     assert "SinglePartition" not in ap_plan
     assert "SinglePartition" in ex_plan
+
+
+def test_token_budget_approx_hand_pin(spark):
+    """Hand-computed pin (r14): 6 docs, budget 70. Global greedy
+    prefix by (quality desc, id): d1 cum10, d2 cum30 (tie with d3 at
+    q=0.8 — id breaks it), d3 cum35, d4 cum65, d5 would hit 115 and
+    falls out. The same rows must come back for ANY valid cut set —
+    including a boundary exactly ON the tied quality (ties can never
+    straddle a cut, the monotone-bucketing invariant the operator's
+    exactness rests on)."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        token_budget_approx,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, 0.8, 20), (3, 0.8, 5), (4, 0.5, 30),
+         (5, 0.3, 50), (6, 0.1, 100)],
+        "doc_id long, q double, t long",
+    )
+    expected = [(1, 10, 10), (2, 20, 30), (3, 5, 35), (4, 30, 65)]
+    for bounds in ([0.2, 0.6], [0.8], [0.1, 0.3, 0.5, 0.8], None):
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.cum_tokens)
+            for r in token_budget_approx(
+                df, "q", "t", 70, boundaries=bounds
+            ).collect()
+        )
+        assert got == expected, f"bounds={bounds}: {got}"
+    # degenerate budgets
+    assert token_budget_approx(df, "q", "t", 0).count() == 0
+    assert token_budget_approx(df, "q", "t", 9).count() == 0  # d1 alone > 9
+    full = token_budget_approx(df, "q", "t", 10_000).collect()
+    assert len(full) == 6 and max(r.cum_tokens for r in full) == 215
+
+
+def test_token_budget_approx_equivalence_and_plan(spark):
+    """docs_token_budget_approx (r14, verdict item 1): reproduces the
+    exact entry row for row at sf0.001, and its physical plan carries
+    NO SinglePartition exchange — the unpartitioned global cumulative
+    window the exact form pays is exactly what this operator kills."""
+    import unified_log_aggregation_and_analytics_spark.catalog_llm  # noqa: F401
+    from unified_log_aggregation_and_analytics_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact_df = QUERIES["docs_token_budget"].spark_fn(spark, sf)
+    approx_df = QUERIES["docs_token_budget_approx"].spark_fn(spark, sf)
+    exact = sorted(tuple(r) for r in exact_df.collect())
+    approx = sorted(tuple(r) for r in approx_df.collect())
+    assert approx == exact and len(exact) > 0
+
+    ap_plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    ex_plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in ap_plan
+    assert "SinglePartition" in ex_plan

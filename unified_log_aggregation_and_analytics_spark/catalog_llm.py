@@ -2301,6 +2301,66 @@ def docs_token_budget(spark, sf_dir):
 
 
 @_register(
+    "docs_token_budget_approx",
+    # The SAME oracle as docs_token_budget: bucket assignment is a
+    # monotone function of quality, so per-bucket windows + broadcast
+    # offsets reproduce the exact global cumsum row for row — the
+    # approximation lives only in WHERE the boundary cuts come from,
+    # never in the output.
+    """
+    WITH q AS (
+      SELECT doc_id,
+             len(list_filter(str_split(text, ' '), t -> t <> '')) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, round(ttr, 6) AS quality,
+             SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 50000
+    ORDER BY cum_tokens
+    """,
+)
+def docs_token_budget_approx(spark, sf_dir):
+    """X4 training-pipeline — token-budget selection, 100 TB form
+    (r14, verdict item 1): the docs_token_budget semantics through
+    sampling.token_budget_approx — quality-boundary buckets from one
+    percentile_approx pass, per-bucket token subtotals (n_buckets
+    driver rows), window cumsum PARTITIONED BY bucket + broadcast
+    offsets. Output is row-for-row the exact form's (bucketing is
+    monotone in quality, so the partitioned cumsum IS the global
+    cumsum); the plan carries no SinglePartition exchange
+    (plan-pinned), and buckets past the budget horizon are pruned
+    before the window — the tail of a 100 TB corpus is never sorted."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        token_budget_approx,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ttr_raw = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast(
+        "double"
+    ) / F.size(F.split(F.col("text"), " "))
+    q = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        ttr_raw.alias("_ttr_raw"),
+    )
+    sel = token_budget_approx(q, "_ttr_raw", "n_tokens", 50000)
+    return sel.select(
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+    ).orderBy("cum_tokens")
+
+
+@_register(
     "docs_hash_split",
     """
     WITH b AS (

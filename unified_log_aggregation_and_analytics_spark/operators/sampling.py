@@ -754,6 +754,110 @@ def curriculum_order_approx(
     )
 
 
+def token_budget_approx(
+    df: DataFrame,
+    quality_col: Column | str,
+    token_col: Column | str,
+    budget: int,
+    id_col: str = "doc_id",
+    boundaries: list[float] | None = None,
+    n_buckets: int = 8,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of the token-budget greedy prefix (r14, the
+    ``curriculum_order_approx`` pattern applied to
+    ``docs_token_budget``): fill a fixed token budget with the
+    highest-quality documents — quality-descending prefix under a
+    cumulative token cap — WITHOUT the exact form's unpartitioned
+    global cumulative window (a SinglePartition exchange, the
+    catalog's one scale-killer plan before this landed).
+
+    The trick that makes the output EXACT while the plan stays
+    parallel: bucket assignment is a monotone function of quality
+    alone (bucket k holds qualities in (b_{k-1}, b_k]; ties in
+    quality can never straddle a boundary), so the global
+    (quality desc, id) order is exactly "bucket descending, then
+    within-bucket (quality desc, id)". Three consequences:
+
+    - **cum_tokens** = broadcast per-bucket offset + a window
+      cumsum PARTITIONED BY bucket — bit-identical to the global
+      cumsum, no SinglePartition exchange anywhere (plan-pinned in
+      tests/test_llm_ops.py);
+    - **bucket pruning**: buckets whose running offset already
+      exceeds the budget are dropped BEFORE the window — at 100 TB
+      the tail of the corpus is never sorted, never windowed, never
+      shuffled past the (n_buckets)-row subtotal agg;
+    - **approximation lives only in the cuts**: ``boundaries``
+      (ascending quality cut values) or one ``percentile_approx``
+      pass when omitted. Any valid cuts give the same rows — finer
+      cuts only shrink the boundary bucket that still needs an
+      in-bucket ordered cumsum.
+
+    Driver state is bounded: n_buckets subtotal rows + the literal
+    offset map. Returns ``(id, quality, n_tokens, cum_tokens)``
+    filtered to ``cum_tokens <= budget`` — row-for-row the exact
+    form's output (equivalence pinned at sf0.001 in tests).
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    t = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.select(
+        F.col(id_col),
+        q.alias("quality"),
+        t.cast("long").alias("n_tokens"),
+    )
+    if boundaries is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = base.agg(
+            F.percentile_approx("quality", qs, accuracy).alias("b")
+        ).first()
+        # duplicate cut values (mass concentrated at one quality)
+        # collapse to fewer, still-correct buckets
+        boundaries = sorted({float(x) for x in row["b"]})
+    if list(boundaries) != sorted(boundaries):
+        raise ValueError(f"boundaries must ascend, got {boundaries}")
+    bucket = F.lit(1).cast("long")
+    for b in boundaries:
+        bucket = bucket + (F.col("quality") > F.lit(float(b))).cast("long")
+    base = base.withColumn("_bucket", bucket)
+    totals = {
+        int(r["_bucket"]): int(r["_t"])
+        for r in base.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .collect()
+    }
+    # walk buckets quality-descending (highest bucket id first):
+    # offset = tokens consumed by all strictly-better buckets
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in sorted(totals, reverse=True):
+        offsets[bk] = acc
+        acc += totals[bk]
+    keep = [bk for bk, off in offsets.items() if off < budget]
+    if not keep:
+        return base.filter(F.lit(False)).select(
+            id_col, "quality", "n_tokens", F.lit(0).cast("long").alias("cum_tokens")
+        )
+    off_map = F.create_map(
+        *[F.lit(x) for bk in sorted(keep) for x in (bk, offsets[bk])]
+    )
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return (
+        base.filter(F.col("_bucket").isin(keep))
+        .withColumn(
+            "cum_tokens",
+            (off_map[F.col("_bucket")] + F.sum("n_tokens").over(w)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "quality", "n_tokens", "cum_tokens")
+    )
+
+
 def cluster_split(
     docs: DataFrame,
     clusters: DataFrame,
