@@ -108,6 +108,44 @@ def _merged_through(path: str) -> int:
         return -1
 
 
+# Per-process base-table reads, keyed by (Spark app, index path,
+# manifest file size + mtime). Every op that changes the base table —
+# build, append, compact, merge — rewrites or appends the manifest,
+# so the key rolls over exactly when the cached plan would go stale
+# (size+mtime, not entry count: a REBUILD resets the manifest to one
+# row again and must not alias the previous build's key); fenced
+# streaming deltas never touch the base and are re-listed per probe
+# by fence.fenced_read. Bounded: one small plan object per live
+# index version per process.
+_BASE_READS: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def _manifest_stamp(path: str) -> tuple[int, int]:
+    try:
+        st = os.stat(_manifest_path(path))
+        return (st.st_size, st.st_mtime_ns)
+    except FileNotFoundError:
+        return (0, 0)
+
+
+def _base_table(spark: SparkSession, path: str) -> DataFrame:
+    """Open the index base table without re-paying driver metadata:
+    the schema recorded at build time (manifest ``schema``) skips
+    parquet schema inference, and the resulting DataFrame — whose
+    analyzed plan owns the file listing — is memoized until the next
+    manifest version. The remaining ≥0.5 s per-probe latencies in the
+    r13 bench audit were exactly this constant (JVM file listing +
+    footer reads per probe call, r14 verdict item 4)."""
+    key = (spark.sparkContext.applicationId, path, *_manifest_stamp(path))
+    df = _BASE_READS.get(key)
+    if df is None:
+        st = manifest_schema(path)
+        reader = spark.read if st is None else spark.read.schema(st)
+        df = reader.parquet(_table_path(path))
+        _BASE_READS[key] = df
+    return df
+
+
 def _index_rows(
     spark: SparkSession, path: str, as_of_batch: int | None = None
 ) -> DataFrame:
@@ -132,7 +170,7 @@ def _index_rows(
     raises loudly (the fence-compaction rule, applied to merges)."""
     from unified_log_aggregation_and_analytics_spark.streaming import fence
 
-    base = spark.read.parquet(_table_path(path))
+    base = _base_table(spark, path)
     if as_of_batch is not None:
         # UNFENCED appends (append_*_index) land directly in the base
         # table with no per-batch lineage, so a pinned probe always
@@ -214,6 +252,7 @@ def _record_version(
     dim: int | None = None,
     fence_pos: int | None = None,
     prefix_dim: int | None = None,
+    schema_json: str | None = None,
 ) -> None:
     """Append a version row to the index manifest. The manifest is a
     driver-side artifact (bounded: one line per maintenance op); on an
@@ -233,9 +272,51 @@ def _record_version(
         entry["fence_pos"] = int(fence_pos)
     if prefix_dim is not None:
         entry["prefix_dim"] = int(prefix_dim)
+    if schema_json is not None:
+        entry["schema"] = schema_json
     Path(path).mkdir(parents=True, exist_ok=True)
     with open(_manifest_path(path), "a") as fh:
         fh.write(json.dumps(entry) + "\n")
+
+
+def _finalize_build(
+    spark: SparkSession,
+    path: str,
+    dim: int | None = None,
+    prefix_dim: int | None = None,
+) -> None:
+    """Shared tail of every index build: reset the manifest (a build
+    supersedes all prior versions), read the just-written table back
+    once, and record its row count AND Spark schema JSON in the
+    version row. The recorded schema is what lets every later probe
+    open the table without a parquet footer/schema-inference pass
+    (``_index_rows``) — at 1000-executor scale a probe's driver-side
+    metadata constant must not grow with file count (r14, verdict
+    item 4)."""
+    Path(_manifest_path(path)).unlink(missing_ok=True)
+    df = spark.read.parquet(_table_path(path))
+    _record_version(
+        path,
+        "build",
+        df.count(),
+        dim=dim,
+        prefix_dim=prefix_dim,
+        schema_json=df.schema.json(),
+    )
+
+
+def manifest_schema(path: str):
+    """StructType recorded by the index build (newest build wins), or
+    None for a pre-schema manifest. Probes pass it to
+    ``spark.read.schema(...)`` so opening the index never runs
+    parquet schema inference."""
+    from pyspark.sql.types import StructType
+
+    st = None
+    for entry in read_manifest(path):
+        if "schema" in entry:
+            st = StructType.fromJson(json.loads(entry["schema"]))
+    return st
 
 
 def manifest_dim(path: str) -> int | None:
@@ -291,13 +372,7 @@ def build_lsh_index(
         .partitionBy("bucket")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path,
-        "build",
-        df.sparkSession.read.parquet(_table_path(path)).count(),
-        dim=dim,
-    )
+    _finalize_build(df.sparkSession, path, dim=dim)
 
 
 def append_lsh_index(
@@ -539,8 +614,7 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(path, "build", spark.read.parquet(_table_path(path)).count())
+    _finalize_build(spark, path)
 
 
 def append_ivf_index(
@@ -918,10 +992,7 @@ def build_ivfpq_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
-    )
+    _finalize_build(spark, path, dim=dim)
 
 
 def append_ivfpq_index(
@@ -1016,10 +1087,7 @@ def build_sq8_index(
         .write.mode("overwrite")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path, "build", df.sparkSession.read.parquet(_table_path(path)).count(), dim=dim
-    )
+    _finalize_build(df.sparkSession, path, dim=dim)
 
 
 def append_sq8_index(
@@ -1173,10 +1241,7 @@ def build_ivfsq8_index(
         .partitionBy("cell")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
-    )
+    _finalize_build(spark, path, dim=dim)
 
 
 def append_ivfsq8_index(
@@ -1304,14 +1369,7 @@ def build_prefix_index(
         .write.mode("overwrite")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path,
-        "build",
-        df.sparkSession.read.parquet(_table_path(path)).count(),
-        dim=dim,
-        prefix_dim=prefix_dim,
-    )
+    _finalize_build(df.sparkSession, path, dim=dim, prefix_dim=prefix_dim)
 
 
 def manifest_prefix_dim(path: str) -> int | None:
@@ -1464,14 +1522,7 @@ def build_rotated_prefix_index(
         .write.mode("overwrite")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path,
-        "build",
-        spark.read.parquet(_table_path(path)).count(),
-        dim=int(R.shape[1]),
-        prefix_dim=int(R.shape[0]),
-    )
+    _finalize_build(spark, path, dim=int(R.shape[1]), prefix_dim=int(R.shape[0]))
 
 
 def append_rotated_prefix_index(
@@ -1727,10 +1778,7 @@ def build_opq_index(
         .write.mode("overwrite")
         .parquet(_table_path(path))
     )
-    Path(_manifest_path(path)).unlink(missing_ok=True)
-    _record_version(
-        path, "build", spark.read.parquet(_table_path(path)).count(), dim=dim
-    )
+    _finalize_build(spark, path, dim=dim)
 
 
 def append_opq_index(
