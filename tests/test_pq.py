@@ -475,3 +475,171 @@ def test_opq_index_scan_parity_and_append(spark, emb, tmp_path):
         A.opq_probe(spark, p1, qv[:32], k=5)
     with pytest.raises(ValueError, match="full-rank"):
         A.build_opq_index(corpus, str(tmp_path / "opq_bad"), r_opq[:32])
+
+
+def test_ivfopq_allcells_equals_flat_opq_and_append(spark, emb, tmp_path):
+    """IVF-OPQ composition (r14): (1) probing ALL cells removes the
+    coarse level entirely, so the result must equal the flat OPQ index
+    over the same rotation/codebooks — the composition adds pruning,
+    never different arithmetic; (2) with n_probe=4 the result is the
+    all-cells result filtered to probed cells (subset, same scores);
+    (3) base build + append probes identically to a fresh full build
+    (frozen rotation, centroids, codebooks); (4) guards raise."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+
+    corpus = emb.filter(F.col("vec_id") > 1)
+    qv = [float(x) for x in emb.select("embedding").first()[0]]
+    R = S.power_pca_rotation(corpus, n_components=64, iters=16)
+    r_opq = R[PQ.opq_interleave_perm(64, 4)]
+
+    flat = str(tmp_path / "opq_flat")
+    A.build_opq_index(corpus, flat, r_opq)
+    want = [tuple(r) for r in A.opq_probe(spark, flat, qv, k=10).collect()]
+
+    p1 = str(tmp_path / "ivfopq")
+    A.build_ivfopq_index(corpus, p1, r_opq, n_centroids=8)
+    got_all = [
+        tuple(r) for r in A.ivfopq_probe(spark, p1, qv, k=10, n_probe=8).collect()
+    ]
+    assert got_all == want
+
+    pruned = A.ivfopq_probe(spark, p1, qv, k=10, n_probe=3).collect()
+    all_scores = dict(want)
+    assert 0 < len(pruned) <= 10
+    for r in pruned:
+        assert r.adc_dist == all_scores.get(r.vec_id, r.adc_dist)
+
+    p2 = str(tmp_path / "ivfopq_incr")
+    half = corpus.filter(F.col("vec_id") <= 300)
+    rest = corpus.filter(F.col("vec_id") > 300)
+    A.build_ivfopq_index(half, p2, r_opq, n_centroids=8)
+    A.append_ivfopq_index(rest, p2)
+    got2 = [
+        tuple(r) for r in A.ivfopq_probe(spark, p2, qv, k=10, n_probe=8).collect()
+    ]
+    assert got2 == want
+    assert [e["op"] for e in A.read_manifest(p2)] == ["build", "append"]
+
+    with pytest.raises(ValueError, match="query dim"):
+        A.ivfopq_probe(spark, p1, qv[:32], k=5)
+    with pytest.raises(ValueError, match="full-rank"):
+        A.build_ivfopq_index(corpus, str(tmp_path / "bad"), r_opq[:32])
+
+
+def test_ivfopq_hand_replay_tiny(spark, tmp_path):
+    """Hand pin (r14, the per-entry discipline): an 8-vector dim-4
+    corpus, a PERMUTATION rotation (orthonormal, trivially checkable),
+    m=2/codes=2/2 cells — every stage (projection, cell argmax, probe
+    ranking, per-subspace code argmin, ADC sums, tie order) replayed
+    in plain Python floats, independent of both Spark and DuckDB."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    # rotation = cyclic coordinate shift (x0,x1,x2,x3) -> (x1,x2,x3,x0)
+    R = np.zeros((4, 4))
+    for i in range(4):
+        R[i, (i + 1) % 4] = 1.0
+    vecs = {
+        1: [1.0, 0.0, 0.25, 0.0],
+        2: [0.0, 1.0, 0.0, 0.25],
+        3: [0.9, 0.1, 0.2, 0.0],
+        4: [0.1, 0.8, 0.0, 0.3],
+        5: [0.5, 0.5, 0.1, 0.1],
+        6: [0.2, 0.7, 0.1, 0.2],
+        7: [0.8, 0.0, 0.3, 0.1],
+        8: [0.3, 0.3, 0.2, 0.2],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "tiny")
+    A.build_ivfopq_index(df, path, R, n_centroids=2, m=2, codes=2)
+    qv = [0.85, 0.05, 0.25, 0.05]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in A.ivfopq_probe(spark, path, qv, k=8, n_probe=1).collect()
+    ]
+
+    # ---- plain-Python replay ----
+    cb = PQ.seeded_pq_codebooks(4, m=2, codes=2, seed=42)
+    rot = {i: [round(x, 6) for x in (np.asarray(v) @ R.T)] for i, v in vecs.items()}
+    rq = [round(x, 6) for x in (np.asarray(qv) @ R.T)]
+    cents = [rot[1], rot[2]]  # two lowest-id rotated vectors
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    # probe cell: argmax cosine(centroid, rq), ties -> higher ordinal
+    sims = [cos(c, rq) for c in cents]
+    probe_cell = max(range(2), key=lambda i: (sims[i], i))
+    exp = []
+    for i, rv in rot.items():
+        cell = max(range(2), key=lambda c: (cos(cents[c], rv), -c))
+        if cell != probe_cell:
+            continue
+        dist = 0.0
+        for mi in range(2):
+            sub = rv[mi * 2 : mi * 2 + 2]
+            best = min(
+                range(2),
+                key=lambda ci: (
+                    sum((s - w) ** 2 for s, w in zip(sub, cb[mi, ci])),
+                    ci,
+                ),
+            )
+            dist += sum((rq[mi * 2 + j] - cb[mi, best][j]) ** 2 for j in range(2))
+        exp.append((i, round(dist, 6)))
+    exp.sort(key=lambda t: (t[1], t[0]))
+    assert got == exp and len(exp) > 0
+
+
+def test_ivfopq_beats_or_ties_ivfpq_on_anisotropic_corpus(spark):
+    """Trained IVF-OPQ vs trained IVF-PQ at identical code size and
+    identical probe width on the anisotropic corpus of
+    test_opq_beats_pq_on_anisotropic_corpus: the rotation deals the
+    4-dim signal one direction per subspace, so recall@10 must be
+    strictly higher (the flat-OPQ gain surviving the coarse level)."""
+    from unified_log_aggregation_and_analytics_spark.operators import (
+        ann_index as A,
+        similarity as S,
+    )
+    import tempfile
+
+    rng = np.random.default_rng(7)
+    n, dim, m = 400, 64, 4
+    X = np.zeros((n, dim))
+    X[:, :4] = rng.standard_normal((n, 4)) * np.asarray([1.0, 1.2, 1.4, 1.6])
+    X[:, 4:] = rng.standard_normal((n, 60)) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    qv = [float(x) for x in X[0]]
+    corpus = df.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in PQ.l2_topk(corpus, qv, k=10).collect()}
+
+    with tempfile.TemporaryDirectory() as td:
+        A.build_ivfpq_index(corpus, f"{td}/ivfpq", n_centroids=16, m=m, codes=8,
+                            train_iters=2)
+        pq10 = {
+            r.vec_id
+            for r in A.ivfpq_probe(spark, f"{td}/ivfpq", qv, k=10, n_probe=4).collect()
+        }
+        R = S.power_pca_rotation(corpus, n_components=dim, iters=16)
+        A.build_ivfopq_index(
+            corpus, f"{td}/ivfopq", R[PQ.opq_interleave_perm(dim, m)],
+            n_centroids=16, m=m, codes=8, train_iters=2,
+        )
+        opq10 = {
+            r.vec_id
+            for r in A.ivfopq_probe(
+                spark, f"{td}/ivfopq", qv, k=10, n_probe=4
+            ).collect()
+        }
+    pq_recall = len(pq10 & exact) / 10.0
+    opq_recall = len(opq10 & exact) / 10.0
+    assert opq_recall > pq_recall, (pq_recall, opq_recall)

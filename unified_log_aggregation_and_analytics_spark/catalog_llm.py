@@ -3253,6 +3253,24 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_opq_index(
                 emb, str(path), R[PQ.opq_interleave_perm(64, 4)], train_iters=0
             )
+        elif kind == "ivfopq_seeded":
+            from unified_log_aggregation_and_analytics_spark.operators import (
+                pq as PQ,
+            )
+
+            # train_iters=0 keeps seeded codebooks: rotation, cell
+            # assignment, probe choice, codes, and ADC all replay in
+            # DuckDB (the ivfpq_seeded convention, rotated)
+            R = S.power_pca_rotation(emb, n_components=64, iters=16)
+            A.build_ivfopq_index(
+                emb,
+                str(path),
+                R[PQ.opq_interleave_perm(64, 4)],
+                n_centroids=16,
+                m=4,
+                codes=8,
+                train_iters=0,
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
     _ANN_FRESH.add(str(path))
@@ -4445,7 +4463,11 @@ def _opq_ctes(m: int = 4, codes: int = 8, nc: int = 64, it: int = 16) -> str:
     )"""
 
 
-def _opq_adc_select(m: int = 4, k: int = 10) -> str:
+def _opq_adc_select(m: int = 4, k: int = 10, cand_join: str = "") -> str:
+    """ADC select over the OPQ ``best`` codes. ``cand_join`` (e.g.
+    ``JOIN cellof USING (vec_id)``) restricts the scored rows — how
+    the IVF-OPQ composition bolts coarse cell pruning onto the same
+    rotated-space ADC arithmetic (the _sq8_chain cand_join pattern)."""
     sd = 64 // m
     return f"""
     SELECT b.vec_id,
@@ -4454,7 +4476,7 @@ def _opq_adc_select(m: int = 4, k: int = 10) -> str:
                j -> (qp.qr[b.mi * {sd} + j] - cbt.cb[b.mi + 1][b.ci + 1][j])
                     * (qp.qr[b.mi * {sd} + j] - cbt.cb[b.mi + 1][b.ci + 1][j])))
            ), 6) AS adc_dist
-    FROM best b CROSS JOIN qproj qp CROSS JOIN cbt
+    FROM best b {cand_join} CROSS JOIN qproj qp CROSS JOIN cbt
     GROUP BY b.vec_id
     ORDER BY adc_dist, b.vec_id
     LIMIT {k}"""
@@ -5116,6 +5138,112 @@ def knn_opq_adc(spark, sf_dir):
     codes_df = PQ.pq_encode(proj, cb)
     rq = [float(x) for x in np.round(np.asarray(qv, dtype=np.float64) @ r_opq.T, 6)]
     return PQ.pq_adc_topk(codes_df, cb, rq, k=10)
+
+
+def _ivfopq_cell_ctes(n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Coarse-level CTEs of the IVF-OPQ composition, ALL in the
+    rotated space ``projo``/``qproj`` that _opq_ctes derives:
+    centroids are the rotated coords of the 16 lowest-id vectors
+    (deterministic_centroids over the projected frame), assignment is
+    argmax cosine with the numpy first-min tie (row_number ORDER BY
+    cos DESC, cid), probe cells are the top-4 by rotated-query cosine
+    with argsort()[::-1] ties (cid DESC). The rotation is orthonormal,
+    so these cells agree with raw-space cells up to the shared
+    round-6 projection grid — but the replay derives them in the
+    rotated space exactly as build_ivfopq_index does."""
+    return f"""
+    co AS (SELECT vec_id AS cid, r AS ce FROM projo
+           WHERE vec_id BETWEEN 1 AND {n_centroids}),
+    probe AS (
+      SELECT cid FROM co, qproj
+      ORDER BY {_cos_raw('ce', 'qr')} DESC, cid DESC LIMIT {n_probe}
+    ),
+    cellof AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_raw('e.r', 'c.ce')} DESC, c.cid
+               ) AS rn
+        FROM projo e CROSS JOIN co c
+      ) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    )"""
+
+
+def _ivfopq_seeded_oracle(k: int = 10) -> str:
+    """DuckDB twin of the seeded IVF-OPQ index probe: the _opq_ctes
+    rotation/encode replay + rotated-space cell machinery + the ADC
+    select restricted to probed cells."""
+    return f"""
+    WITH RECURSIVE {_opq_ctes()},{_ivfopq_cell_ctes()}
+    {_opq_adc_select(k=k, cand_join="JOIN cellof USING (vec_id)")}
+"""
+
+
+def _ivfopq_recall_oracle(k: int = 10) -> str:
+    return f"""
+    WITH RECURSIVE {_opq_ctes()},{_ivfopq_cell_ctes()},
+    adc AS ({_opq_adc_select(k=k, cand_join="JOIN cellof USING (vec_id)")}),
+    exact AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE))
+                    * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qe[j] AS DOUBLE)))), 6)
+               AS l2_dist
+      FROM corpus e CROSS JOIN qrow q
+      ORDER BY l2_dist, e.vec_id
+      LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(COUNT(*) / {float(k)!r}, 6) AS recall_at_k
+    FROM adc JOIN exact USING (vec_id)
+"""
+
+
+@_register("knn_ivfopq_indexed_seeded", _ivfopq_seeded_oracle())
+def knn_ivfopq_indexed_seeded(spark, sf_dir):
+    """X3 — persisted IVF-OPQ probe, certification path (r14, verdict
+    item 5; the FAISS-standard OPQ-then-IVF-PQ composition,
+    ann_index.build_ivfopq_index): ONE orthonormal pretransform, then
+    the whole two-level structure in the rotated space — rotated
+    centroids bound WHERE the probe reads (PartitionFilters on the 4
+    probed cells), rotated-space PQ codes bound HOW MUCH (m bytes per
+    row), ADC scores in codegen. train_iters=0 keeps seeded
+    codebooks, so rotation, eigenvalue-allocation permutation,
+    projection rounding, cell assignment, probe choice, encode ties,
+    and distance sums ALL replay in DuckDB. knn_ivfopq_recall is the
+    in-plan certificate; the trained-quality twin rides the same
+    builder with train_iters>0 (recall ≥ IVF-PQ at identical code
+    size pinned on an anisotropic corpus in tests/test_pq.py)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfopq_seeded")
+    return A.ivfopq_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
+@_register("knn_ivfopq_recall", _ivfopq_recall_oracle())
+def knn_ivfopq_recall(spark, sf_dir):
+    """X3 — IVF-OPQ recall certificate, oracle-checked in-plan (the
+    knn_ivfpq_recall pattern over the rotated composition): overlap
+    of the seeded indexed IVF-OPQ top-10 with the exact squared-L2
+    top-10 over the ORIGINAL vectors (the rotation is orthonormal —
+    raw-space L2 is the right yardstick for the rotated index). One
+    row (k, recall_at_k): what coarse pruning + rotated PQ together
+    cost. Read next to knn_ivfpq_recall — the delta IS the rotation's
+    contribution at identical code size and identical probe width."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.operators import pq as PQ
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfopq_seeded")
+    adc = A.ivfopq_probe(spark, path, list(qv), k=10, n_probe=4).select("vec_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings")).filter(F.col("vec_id") != 0)
+    exact = PQ.l2_topk(emb, list(qv), k=10).select("vec_id")
+    return adc.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias("recall_at_k"),
+    )
 
 
 _HYBRID_RRF_ORACLE = """
