@@ -366,3 +366,51 @@ def test_matrix_stats_pinned(spark, tmp_path):
     assert (v.covariance, v.correlation) == (0.75, 0.801784)
     u = rows["user_id"]
     assert (u.mean, u.variance, u.skewness, u.kurtosis) == (1.5, 0.25, 0.0, 1.0)
+
+
+def test_geo_grid_morton_pinned(spark):
+    """Hand-computed pin for logs_geo_grid's kernel (r14). For
+    user_id=8, event_id=0: lat_md = 8*7919 = 63352, lon_md =
+    8*104729 mod 360000 = 117832; tile ordinates cx = 117832*16 div
+    360000 = 5, cy = 63352*16 div 180000 = 5; Morton interleave of
+    (5, 5) = 0b0101/0b0101 -> 0b110011 = 51. Every synthesized point
+    additionally cross-checks against an independent plain-Python
+    integer replay."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.sources.batch import morton_z
+
+    rows = [(e, u) for e in (0, 1, 7, 123, 4096) for u in (0, 3, 8, 77)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    pts = df.select(
+        "event_id",
+        "user_id",
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000).alias("lat_md"),
+        ((F.col("user_id") * 104729 + F.col("event_id") * 7919) % 360000).alias("lon_md"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("(lon_md * 16) div 360000").cast("long").alias("cx"),
+        F.expr("(lat_md * 16) div 180000").cast("long").alias("cy"),
+    )
+    got = {
+        (r.event_id, r.user_id): (r.cx, r.cy, r.z)
+        for r in pts.select(
+            "event_id", "user_id", "cx", "cy",
+            morton_z(F.col("cx"), F.col("cy"), 4).alias("z"),
+        ).collect()
+    }
+    assert got[(0, 8)] == (5, 5, 51)  # the literal hand case
+
+    def z_py(cx, cy):
+        z = 0
+        for b in range(4):
+            z |= ((cx >> b) & 1) << (2 * b)
+            z |= ((cy >> b) & 1) << (2 * b + 1)
+        return z
+
+    for e, u in rows:
+        lat_md = (u * 7919 + e * 104729) % 180000
+        lon_md = (u * 104729 + e * 7919) % 360000
+        cx, cy = (lon_md * 16) // 360000, (lat_md * 16) // 180000
+        assert got[(e, u)] == (cx, cy, z_py(cx, cy)), (e, u)

@@ -84,6 +84,23 @@ def write_range_sorted(
     writer.parquet(path)
 
 
+def morton_z(n0: "F.Column", n1: "F.Column", bits_per_col: int) -> "F.Column":
+    """Morton (Z-order) bit interleave of two non-negative integer
+    columns as a pure JVM codegen expression: bit b of ``n0`` lands at
+    position 2b, of ``n1`` at 2b+1, so nearby (n0, n1) pairs get
+    nearby z-values. Shared kernel of ``write_zordered`` (data
+    layout) and the geotile-grid aggregation (catalog_logs
+    ``logs_geo_grid``) — the same integer arithmetic a geohash
+    interleaves over lon/lat cell ordinates."""
+    z = F.lit(0).cast("long")
+    for b in range(bits_per_col):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(n0, b).bitwiseAND(F.lit(1)), 2 * b))
+            .bitwiseOR(F.shiftleft(F.shiftright(n1, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+        )
+    return z
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -136,13 +153,7 @@ def write_zordered(
             ((F.col(c).cast("double") - lo) / span) * F.lit(float(scale))
         ).cast("long")
 
-    z = F.lit(0).cast("long")
-    n0, n1 = norm(0, cols[0]), norm(1, cols[1])
-    for b in range(bits_per_col):
-        z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(n0, b).bitwiseAND(F.lit(1)), 2 * b))
-            .bitwiseOR(F.shiftleft(F.shiftright(n1, b).bitwiseAND(F.lit(1)), 2 * b + 1))
-        )
+    z = morton_z(norm(0, cols[0]), norm(1, cols[1]), bits_per_col)
     out = (
         with_stats.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
