@@ -164,7 +164,220 @@ BENCH_QUERIES = [
     # (eager: covariance passes at construction); read next to
     # knn_pq_adc_seeded for the rotation's cost at identical codes
     "knn_opq_adc_seeded",
+    # r14 (verdict item 2, "bench rows at birth" — the r13 entries
+    # that landed oracle-green without a perf row): the OpenSearch
+    # pipeline-agg family (all windows-over-buckets on bounded bucket
+    # counts) and the exact token-budget window
+    "q06l_bucket_selector",
+    "q06m_range_agg",
+    "q06n_matrix_stats",
+    "q08h_sibling_stats",
+    "q08i_serial_diff_moving",
+    "q08j_auto_histogram",
+    "docs_token_budget",
+    # r14: the boundary-bucket token-budget form next to its exact
+    # twin — the row pair shows the SinglePartition window's cost
+    # directly (eager: percentile + subtotal passes at construction)
+    "docs_token_budget_approx",
+    # r14: OPQ persisted-index probe (the scale path knn_opq_adc_seeded
+    # certifies; probe-only latency now that _index_rows is memoized)
+    "knn_opq_adc_indexed",
+    # r14: the IVF-OPQ composition probe — partition-pruned cells x
+    # rotated-space codes, tracked like the other index-probe rows
+    "knn_ivfopq_indexed_seeded",
+    # r14: Morton geotile-grid aggregation (map-only + bounded-key agg)
+    "logs_geo_grid",
 ]
+
+
+# Entries deliberately carrying NO bench row, each with a stated
+# reason — the standing rule since r14 (verdict item 2): a new
+# catalog entry must land with EITHER a bench row (headline, scale,
+# or build section) or an explicit exemption here, in the same
+# round. tests/test_catalog_registry.py enforces the union, so an
+# unlisted, unbenched entry fails CI rather than silently starting
+# its drift history late.
+_NB_0 = "in-plan certificate/report; the probed path's own bench row carries the latency"
+_NB_1 = "certification/oracle twin of a benched production-path entry"
+_NB_2 = "sub-second relational/search variant; family latency tracked by its benched representative"
+_NB_3 = "codec/modality variant; decode throughput tracked by the benched image/ingest/keyframe rows"
+_NB_4 = "map-only or vocabulary-bounded text op; family tracked by benched text rows"
+_NB_5 = "bounded-state sampling/census variant; family tracked by benched docs rows"
+_NB_6 = "probe variant sharing a benched index family's plan shape"
+_NB_7 = "eager training loop; cost is training-run-shaped, correctness rides the oracle gate (the text_quality_train precedent)"
+
+NOBENCH = {
+    # --- sub-second relational/search variant; family latency tracked
+    "logs_envelope_roundtrip": _NB_2,
+    "logs_error_parse": _NB_2,
+    "logs_error_rate": _NB_2,
+    "logs_geo_distance": _NB_2,
+    "logs_ewma_anomaly": _NB_2,
+    "logs_funnel": _NB_2,
+    "logs_json_props": _NB_2,
+    "logs_retention_cohorts": _NB_2,
+    "logs_tab_parse": _NB_2,
+    "logs_templates": _NB_2,
+    "q01_filter_predicates": _NB_2,
+    "q02_fulltext_search": _NB_2,
+    "q02b_token_index_search": _NB_2,
+    "q02d_indexed_search": _NB_2,
+    "q02h_fuzzy_search": _NB_2,
+    "q02i_phrase_search": _NB_2,
+    "q02j_phrase_search_indexed": _NB_2,
+    "q02l_search_highlights": _NB_2,
+    "q02m_phrase_indexed_appended": _NB_2,
+    "q02n_prefix_suggest": _NB_2,
+    "q02p_wildcard": _NB_2,
+    "q02q_wildcard_indexed": _NB_2,
+    "q02r_term_suggest": _NB_2,
+    "q02s_phrase_suggest": _NB_2,
+    "q02t_term_suggest_indexed": _NB_2,
+    "q02u_prefix_suggest_indexed": _NB_2,
+    "q02v_phrase_prefix": _NB_2,
+    "q03_time_range": _NB_2,
+    "q04_projection": _NB_2,
+    "q05_union_sources": _NB_2,
+    "q06b_percentiles": _NB_2,
+    "q06c_approx_percentiles": _NB_2,
+    "q06d_quantile_cube": _NB_2,
+    "q06e_significant_terms": _NB_2,
+    "q06f_composite_agg": _NB_2,
+    "q06g_rare_terms": _NB_2,
+    "q06h_top_hits": _NB_2,
+    "q06i_adjacency_matrix": _NB_2,
+    "q06j_percentile_ranks": _NB_2,
+    "q06k_extended_stats": _NB_2,
+    "q07_distinct_users": _NB_2,
+    "q07b_approx_distinct": _NB_2,
+    "q07c_skew_distinct": _NB_2,
+    "q07d_sketch_cube_distinct": _NB_2,
+    "q08b_sliding_window": _NB_2,
+    "q08c_anomaly_zscore": _NB_2,
+    "q08d_histogram_pipeline": _NB_2,
+    "q08e_histogram_dense": _NB_2,
+    "q08f_burn_rate": _NB_2,
+    "q08g_apdex": _NB_2,
+    "q09_sort_orders": _NB_2,
+    "q09b_search_after": _NB_2,
+    "q09c_collapse": _NB_2,
+    "q10_topk_users": _NB_2,
+    "q10b_topk_per_group": _NB_2,
+    "q10c_trending": _NB_2,
+    "q11b_join_left_orders": _NB_2,
+    "q11c_salted_join": _NB_2,
+    "q11d_bucketed_join": _NB_2,
+    "q12_semi_join": _NB_2,
+    "q12b_anti_join": _NB_2,
+    "q13b_range_join_binned": _NB_2,
+    "q14b_moving_avg": _NB_2,
+    "q15_intersect": _NB_2,
+    "q15b_except": _NB_2,
+    "q16_rollup": _NB_2,
+    "q16b_cube": _NB_2,
+    "q16c_grouping_sets": _NB_2,
+    "q18_pivot": _NB_2,
+    "tpch_q11": _NB_2,
+    "tpch_q12": _NB_2,
+    "tpch_q14": _NB_2,
+    "tpch_q15": _NB_2,
+    "tpch_q16": _NB_2,
+    "tpch_q19": _NB_2,
+    "tpch_q20": _NB_2,
+    "tpch_q4": _NB_2,
+    # --- certification/oracle twin of a benched production-path entry
+    "dedup_clusters": _NB_1,
+    "dedup_clusters_md5": _NB_1,
+    "dedup_minhash_lsh_md5": _NB_1,
+    "dedup_simhash": _NB_1,
+    "dedup_simhash_md5": _NB_1,
+    "dedup_simhash_pairs": _NB_1,
+    "knn_ann_lsh_oracle": _NB_1,
+    "knn_ivfpq_indexed_seeded": _NB_1,
+    "knn_opq_adc": _NB_1,
+    "multimodal_audio_near_dup": _NB_1,
+    "multimodal_audio_near_dup_dft": _NB_1,
+    "q02y_indexed_bm25_asof": _NB_1,
+    "text_bpe_encode_seeded": _NB_1,
+    "text_bpe_tokens": _NB_1,
+    "text_fingerprint_md5": _NB_1,
+    "text_fingerprint_rolling": _NB_1,
+    # --- in-plan certificate/report; the probed path's own bench row 
+    "ann_recall_report": _NB_0,
+    "docs_mixture_plan": _NB_0,
+    "knn_ivfopq_recall": _NB_0,
+    "knn_ivfpq_recall": _NB_0,
+    "knn_mmr_diversity": _NB_0,
+    "knn_prefix_recall": _NB_0,
+    "knn_prefix_rot_recall": _NB_0,
+    "knn_sq8_recall": _NB_0,
+    "langid_accuracy_report": _NB_0,
+    "opq_recall_report": _NB_0,
+    "pq_recall_report": _NB_0,
+    "q02w_rank_eval": _NB_0,
+    # --- bounded-state sampling/census variant; family tracked by ben
+    "dedup_prefix_cluster": _NB_5,
+    "docs_cluster_split": _NB_5,
+    "docs_curriculum_order": _NB_5,
+    "docs_filter_drift": _NB_5,
+    "docs_hash_split": _NB_5,
+    "docs_pack_contiguous": _NB_5,
+    "docs_profile": _NB_5,
+    "docs_quota_sample": _NB_5,
+    "docs_split_leakage": _NB_5,
+    "docs_weighted_sample": _NB_5,
+    # --- probe variant sharing a benched index family's plan shape
+    "ann_lsh_index_stats": _NB_6,
+    "emb_mean_pool": _NB_6,
+    "emb_norm_stats": _NB_6,
+    "knn_ann_lsh": _NB_6,
+    "knn_ann_lsh_appended": _NB_6,
+    "knn_batch_ivf_indexed": _NB_6,
+    "knn_graph_degrees": _NB_6,
+    "knn_graph_pagerank": _NB_6,
+    "knn_ivf_appended": _NB_6,
+    "knn_ivf_indexed": _NB_6,
+    "knn_join_graph_mp": _NB_6,
+    "knn_prefix_rotated": _NB_6,
+    "knn_sq8_indexed": _NB_6,
+    # --- map-only or vocabulary-bounded text op; family tracked by be
+    "text_cooccurrence": _NB_4,
+    "text_corpus_bigrams": _NB_4,
+    "text_entropy": _NB_4,
+    "text_fingerprint": _NB_4,
+    "text_hash_embed": _NB_4,
+    "text_lang_profile": _NB_4,
+    "text_langid_ngram": _NB_4,
+    "text_lm_heldout": _NB_4,
+    "text_pii_scrub": _NB_4,
+    "text_quality": _NB_4,
+    "text_quality_filter": _NB_4,
+    "text_token_stats": _NB_4,
+    # --- codec/modality variant; decode throughput tracked by the ben
+    "multimodal_audio_resample": _NB_3,
+    "multimodal_audio_segments": _NB_3,
+    "multimodal_audio_stats": _NB_3,
+    "multimodal_audio_stats_alaw": _NB_3,
+    "multimodal_audio_stats_mulaw": _NB_3,
+    "multimodal_dup_clusters": _NB_3,
+    "multimodal_feature_knn": _NB_3,
+    "multimodal_features": _NB_3,
+    "multimodal_image_near_dup": _NB_3,
+    "multimodal_image_stats": _NB_3,
+    "multimodal_join": _NB_3,
+    "multimodal_keyframes_mjpeg": _NB_3,
+    "multimodal_video_dup_clusters": _NB_3,
+    "multimodal_video_frames": _NB_3,
+    "multimodal_video_near_dup": _NB_3,
+    "multimodal_video_resample": _NB_3,
+    "multimodal_video_resize": _NB_3,
+    "multimodal_video_stats": _NB_3,
+    "multimodal_video_stats_mjpeg": _NB_3,
+    # --- eager training loop; cost is training-run-shaped, correctnes
+    "text_quality_clf": _NB_7,
+    "text_quality_train_heldout": _NB_7,
+}
+
 
 # Scale-stress section: the dedup/ANN/text/relational families re-run
 # at 10x rows (.scaledata/sf1, generated from the driver's sf0.1
@@ -259,6 +472,13 @@ SCALE_QUERIES = [
     # r13: geo/CIDR enrichment at 10x events — the broadcast binned
     # range join must stay map-only on the points side
     "logs_geo_enrich",
+    # r14: the boundary-bucket token-budget selection at 10x — the
+    # scale form's reason to exist is surviving row growth without
+    # the exact twin's single-reducer cumulative window
+    "docs_token_budget_approx",
+    # r14: geotile-grid aggregation at 10x — bounded key domain, so
+    # growth must track the scan, never the shuffle
+    "logs_geo_grid",
 ]
 
 # r12 (verdict item 6): the scale section splits into SCALE PATHS —
@@ -396,6 +616,10 @@ EAGER_QUERIES = {
     # r13: OPQ derives the rotation (two Arrow covariance passes +
     # driver eigensolver) at construction
     "knn_opq_adc_seeded",
+    # r14: the boundary-bucket token budget runs the percentile pass
+    # + per-bucket subtotal collect at construction (bounded driver
+    # state) — rebuild per run keeps both passes inside the clock
+    "docs_token_budget_approx",
 }
 
 

@@ -414,3 +414,42 @@ def test_geo_grid_morton_pinned(spark):
         lon_md = (u * 104729 + e * 7919) % 360000
         cx, cy = (lon_md * 16) // 360000, (lat_md * 16) // 180000
         assert got[(e, u)] == (cx, cy, z_py(cx, cy)), (e, u)
+
+
+def test_geo_distance_rings_pinned(spark):
+    """Hand-computed pin for logs_geo_distance's key path (r14). For
+    user_id=8, event_id=0: lat_md=63352, lon_md=117832; d2 =
+    26648^2 + 62168^2 = 710115904 + 3864860224 = 4574976128, which
+    sits in [3.6e9, 8.1e9) -> ring_60_90. All synthesized points
+    cross-check against a plain-Python integer replay."""
+    from pyspark.sql import functions as F
+
+    rows = [(e, u) for e in (0, 1, 7, 123, 4096) for u in (0, 3, 8, 77)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    lat = (F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000
+    lon = (F.col("user_id") * 104729 + F.col("event_id") * 7919) % 360000
+    d2c = (lat - 90000) * (lat - 90000) + (lon - 180000) * (lon - 180000)
+    ring = (
+        F.when(d2c < 30000 * 30000, "ring_00_30")
+        .when(d2c < 60000 * 60000, "ring_30_60")
+        .when(d2c < 90000 * 90000, "ring_60_90")
+        .otherwise("ring_90_plus")
+    )
+    got = {
+        (r.event_id, r.user_id): (r.d2, r.ring)
+        for r in df.select(
+            "event_id", "user_id", d2c.alias("d2"), ring.alias("ring")
+        ).collect()
+    }
+    assert got[(0, 8)] == (4574976128, "ring_60_90")
+
+    for e, u in rows:
+        lat_md = (u * 7919 + e * 104729) % 180000
+        lon_md = (u * 104729 + e * 7919) % 360000
+        d2 = (lat_md - 90000) ** 2 + (lon_md - 180000) ** 2
+        exp = (
+            "ring_00_30" if d2 < 9e8 else
+            "ring_30_60" if d2 < 3.6e9 else
+            "ring_60_90" if d2 < 8.1e9 else "ring_90_plus"
+        )
+        assert got[(e, u)] == (d2, exp), (e, u)

@@ -695,3 +695,123 @@ def test_rotated_prefix_streaming_ingest_and_snapshot(spark, tmp_path):
             index_kind="rotated_prefix",
             meta_cols=("label",),
         )
+
+
+def test_ivfopq_streaming_ingest_and_snapshot(spark, tmp_path):
+    """r14: fenced streaming maintenance over the PQ-family indexes —
+    IVF-OPQ code deltas through the same gate/dedup/metrics contract.
+    Probes see committed batches only; as_of_batch pins exclude later
+    batches (fenced code deltas carry per-batch lineage, so the
+    snapshot contract that REJECTS the unfenced append_ivfopq_index
+    allows these); the maintained index probes identically to a fresh
+    full rebuild over the same rows, rotation, and codebooks."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    dim = 8
+    all_vecs = _vecs(90, dim=dim)
+    base = spark.createDataFrame([(i, all_vecs[i]) for i in range(40)], VEC_SCHEMA)
+    path = str(tmp_path / "ivfopqstream")
+    # full-rank permutation rotation (orthonormal, engine-trivial)
+    R = np.zeros((dim, dim))
+    for i in range(dim):
+        R[i, (i + 3) % dim] = 1.0
+    A.build_ivfopq_index(base, path, R, n_centroids=4, m=2, codes=4)
+    qvec = all_vecs[0]
+
+    vector_ingest_batch(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(40, 60)], VEC_SCHEMA),
+        path, str(tmp_path / "rej"), batch_id=0, index_kind="ivfopq",
+    )
+    pinned = {r.vec_id for r in A.ivfopq_probe(
+        spark, path, qvec, k=60, n_probe=4, as_of_batch=0
+    ).collect()}
+    assert pinned == set(range(60))
+
+    vector_ingest_batch(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(60, 90)], VEC_SCHEMA),
+        path, str(tmp_path / "rej"), batch_id=1, index_kind="ivfopq",
+    )
+    again = {r.vec_id for r in A.ivfopq_probe(
+        spark, path, qvec, k=60, n_probe=4, as_of_batch=0
+    ).collect()}
+    assert again == pinned, "pinned probe leaked post-snapshot rows"
+
+    rebuilt = str(tmp_path / "ivfopq_rebuilt")
+    A.build_ivfopq_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(90)], VEC_SCHEMA),
+        rebuilt, R, n_centroids=4, m=2, codes=4,
+    )
+    got = [tuple(r) for r in A.ivfopq_probe(spark, path, qvec, k=10).collect()]
+    want = [tuple(r) for r in A.ivfopq_probe(spark, rebuilt, qvec, k=10).collect()]
+    assert got == want and got
+
+    m = fence.fenced_read(spark, f"{path}_metrics", fence.fence_root(path))
+    counts = {(r.batch_id, r.outcome): r.n for r in m.collect()}
+    assert counts[(0, "ingested")] == 20 and counts[(1, "ingested")] == 30
+
+    with pytest.raises(ValueError, match="IVF-index feature"):
+        vector_ingest_batch(
+            spark.createDataFrame([(1, all_vecs[1])], VEC_SCHEMA),
+            path, str(tmp_path / "rej"), batch_id=2,
+            index_kind="ivfopq", meta_cols=("label",),
+        )
+
+
+def test_ivfpq_streaming_ingest_snapshot_sound(spark, tmp_path):
+    """r14: same contract over plain IVF-PQ — and the CONTRAST pin:
+    an UNFENCED append_ivfpq_index breaks a snapshot pin loudly
+    (no per-batch lineage), while the fenced path keeps it sound."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    dim = 8
+    all_vecs = _vecs(60, dim=dim)
+    base = spark.createDataFrame([(i, all_vecs[i]) for i in range(40)], VEC_SCHEMA)
+    path = str(tmp_path / "ivfpqstream")
+    A.build_ivfpq_index(base, path, n_centroids=4, m=2, codes=4, train_iters=0)
+    qvec = all_vecs[0]
+
+    vector_ingest_batch(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(40, 50)], VEC_SCHEMA),
+        path, str(tmp_path / "rej"), batch_id=0, index_kind="ivfpq",
+    )
+    pinned = {r.vec_id for r in A.ivfpq_probe(
+        spark, path, qvec, k=60, n_probe=4, as_of_batch=0
+    ).collect()}
+    assert pinned == set(range(50))
+
+    # fenced: the maintained index equals a fresh rebuild
+    rebuilt = str(tmp_path / "ivfpq_rebuilt")
+    A.build_ivfpq_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(50)], VEC_SCHEMA),
+        rebuilt, n_centroids=4, m=2, codes=4, train_iters=0,
+    )
+    got = [tuple(r) for r in A.ivfpq_probe(spark, path, qvec, k=10).collect()]
+    want = [tuple(r) for r in A.ivfpq_probe(spark, rebuilt, qvec, k=10).collect()]
+    assert got == want and got
+
+    # an unfenced append RECORDED AFTER a newer fenced commit breaks
+    # an older pin loudly (fence_pos=1 > pin=0 — no per-batch lineage
+    # for the appended rows); an append at-or-before the pin's fence
+    # position stays sound by the r13 ordering contract
+    vector_ingest_batch(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(50, 55)], VEC_SCHEMA),
+        path, str(tmp_path / "rej"), batch_id=1, index_kind="ivfpq",
+    )
+    A.append_ivfpq_index(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(55, 60)], VEC_SCHEMA),
+        path,
+    )
+    assert {r.vec_id for r in A.ivfpq_probe(
+        spark, path, qvec, k=60, n_probe=4, as_of_batch=1
+    ).collect()} == set(range(60))
+    with pytest.raises(ValueError, match="unsound"):
+        A.ivfpq_probe(spark, path, qvec, k=10, as_of_batch=0)

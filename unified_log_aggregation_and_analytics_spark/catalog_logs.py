@@ -768,3 +768,61 @@ def logs_geo_grid(spark, sf_dir):
         )
         .orderBy("geocell")
     )
+
+
+_GEO_DIST_ORACLE = """
+    WITH pts AS (
+      SELECT event_id, user_id,
+             (user_id * 7919 + event_id * 104729) % 180000 AS lat_md,
+             (user_id * 104729 + event_id * 7919) % 360000 AS lon_md
+      FROM events
+    ),
+    d AS (
+      SELECT user_id,
+             (lat_md - 90000) * (lat_md - 90000)
+               + (lon_md - 180000) * (lon_md - 180000) AS d2
+      FROM pts
+    )
+    SELECT CASE WHEN d2 < 900000000 THEN 'ring_00_30'
+                WHEN d2 < 3600000000 THEN 'ring_30_60'
+                WHEN d2 < 8100000000 THEN 'ring_60_90'
+                ELSE 'ring_90_plus' END AS ring,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM d
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@_register("logs_geo_distance", _GEO_DIST_ORACLE)
+def logs_geo_distance(spark, sf_dir):
+    """Geo distance-ring aggregation (r14) — OpenSearch's
+    geo_distance bucket (concentric rings around a point of
+    interest, the other half of the Dashboards map story next to
+    logs_geo_grid's tiles): points bucket by squared planar distance
+    from the grid center, compared against squared ring radii — no
+    sqrt, no float, the whole key path stays integer arithmetic both
+    engines replay bit-for-bit (coordinates synthesized in
+    milli-degrees exactly as logs_geo_grid). Plan: map-only CASE +
+    one partial+final agg on a 4-value key — at 100 TB the shuffle
+    carries 4 rows per partition."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000
+    lon = (F.col("user_id") * 104729 + F.col("event_id") * 7919) % 360000
+    d2 = (lat - 90000) * (lat - 90000) + (lon - 180000) * (lon - 180000)
+    ring = (
+        F.when(d2 < 30000 * 30000, "ring_00_30")
+        .when(d2 < 60000 * 60000, "ring_30_60")
+        .when(d2 < 90000 * 90000, "ring_60_90")
+        .otherwise("ring_90_plus")
+    )
+    return (
+        ev.select(ring.alias("ring"), "user_id")
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("ring")
+    )

@@ -676,6 +676,75 @@ def append_ivf_index_fenced(
     )
 
 
+def append_ivfpq_index_fenced(
+    df_new: DataFrame,
+    path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Streaming twin of append_ivfpq_index (r14): the encoded delta
+    lands in the fenced delta area under ``_commit_batch=<id>`` with
+    dynamic partition overwrite — replays replace their own torn
+    rows, probes see the batch only after the commit marker lands,
+    and snapshot-pinned probes (``as_of_batch``) stay SOUND because
+    fenced batches carry per-batch lineage (the unfenced append path
+    deliberately breaks pins, _index_rows raises). Assignment and
+    encode run against the FROZEN centroid/codebook artifacts — the
+    build_ivfpq_index contract."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import pq_encode
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    spark = df_new.sparkSession
+    centroids = load_centroids(spark, path, vec_col)
+    cb = load_codebooks(spark, path)
+    assigned = ivf_assign(df_new.select(id_col, vec_col), centroids, vec_col)
+    fence.fenced_append(
+        pq_encode(assigned, cb, vec_col=vec_col, id_col=id_col, passthrough=("cell",)),
+        _delta_path(path),
+        batch_id,
+        ("cell",),
+    )
+
+
+def append_ivfopq_index_fenced(
+    df_new: DataFrame,
+    path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Streaming twin of append_ivfopq_index (r14): project through
+    the FROZEN rotation, assign against the FROZEN rotated-space
+    centroids, encode against the FROZEN codebooks, land in the
+    fenced delta area — the append_ivfpq_index_fenced contract with
+    the rotation folded in front."""
+    from unified_log_aggregation_and_analytics_spark.operators.pq import pq_encode
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        ivf_assign,
+        rotate_project,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+
+    spark = df_new.sparkSession
+    R = load_rotation(spark, path)
+    centroids = load_centroids(spark, path, vec_col)
+    cb = load_codebooks(spark, path)
+    proj = rotate_project(df_new, R, vec_col=vec_col, id_col=id_col).select(
+        id_col, F.col("rot").alias(vec_col)
+    )
+    assigned = ivf_assign(proj, centroids, vec_col)
+    fence.fenced_append(
+        pq_encode(assigned, cb, vec_col=vec_col, id_col=id_col, passthrough=("cell",)),
+        _delta_path(path),
+        batch_id,
+        ("cell",),
+    )
+
+
 def compact_index_delta(
     spark: SparkSession,
     path: str,

@@ -74,17 +74,23 @@ def vector_ingest_batch(
     / build_rotated_prefix_index) — the quantizer/rotation is frozen
     at build time, which is what makes streaming appends
     deterministic. ``index_kind`` picks the fenced append:
-    ``'ivf'`` (cell-partitioned delta) or ``'rotated_prefix'``
-    (projection delta; meta_cols unsupported there)."""
+    ``'ivf'`` (cell-partitioned delta), ``'rotated_prefix'``
+    (projection delta), ``'ivfpq'`` or ``'ivfopq'`` (r14:
+    cell-partitioned CODE deltas — frozen centroids/codebooks, plus
+    the frozen rotation for ivfopq; fenced lineage is what keeps
+    training-run snapshot pins sound over a streaming-maintained PQ
+    index). meta_cols are an IVF-only feature."""
     from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
         append_ivf_index_fenced,
+        append_ivfopq_index_fenced,
+        append_ivfpq_index_fenced,
         append_rotated_prefix_index_fenced,
         manifest_dim,
     )
 
-    if index_kind not in ("ivf", "rotated_prefix"):
+    if index_kind not in ("ivf", "rotated_prefix", "ivfpq", "ivfopq"):
         raise ValueError(f"unknown index_kind {index_kind!r}")
-    if index_kind == "rotated_prefix" and meta_cols:
+    if index_kind != "ivf" and meta_cols:
         raise ValueError("meta_cols are an IVF-index feature")
 
     spark = batch_df.sparkSession
@@ -167,6 +173,14 @@ def vector_ingest_batch(
                     vec_col=vec_col,
                     id_col=id_col,
                     meta_cols=meta_cols,
+                )
+            elif index_kind == "ivfpq":
+                append_ivfpq_index_fenced(
+                    kept, index_path, bid, vec_col=vec_col, id_col=id_col
+                )
+            elif index_kind == "ivfopq":
+                append_ivfopq_index_fenced(
+                    kept, index_path, bid, vec_col=vec_col, id_col=id_col
                 )
             else:
                 append_rotated_prefix_index_fenced(
