@@ -294,6 +294,7 @@ NOBENCH = {
     "dedup_simhash_pairs": _NB_1,
     "knn_ann_lsh_oracle": _NB_1,
     "knn_ivfpq_indexed_seeded": _NB_1,
+    "knn_ivfopq_indexed": _NB_6,
     "knn_opq_adc": _NB_1,
     "multimodal_audio_near_dup": _NB_1,
     "multimodal_audio_near_dup_dft": _NB_1,
@@ -476,6 +477,12 @@ SCALE_QUERIES = [
     # scale form's reason to exist is surviving row growth without
     # the exact twin's single-reducer cumulative window
     "docs_token_budget_approx",
+    # ... benched against the exact twin at the same 10x (retained
+    # baseline): locally the single-reducer window still fits in one
+    # task, so the pair reads close — the approx row exists for the
+    # PLAN property (no SinglePartition), which is what survives
+    # 1000 executors; drift of either row is tracked from birth
+    "docs_token_budget",
     # r14: geotile-grid aggregation at 10x — bounded key domain, so
     # growth must track the scan, never the shuffle
     "logs_geo_grid",
@@ -493,6 +500,7 @@ SCALE_BASELINES = {
     "knn_hard_negatives",      # brute-force twin of knn_hard_negatives_indexed
     "knn_join_graph_nbits7_allbits",  # exhaustive all-bit multiprobe baseline
     "text_quality_train",      # eager GD training (24 full-batch steps)
+    "docs_token_budget",       # exact-window twin of docs_token_budget_approx
 }
 
 

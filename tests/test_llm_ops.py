@@ -2025,7 +2025,12 @@ def test_token_budget_approx_hand_pin(spark):
             ).collect()
         )
         assert got == expected, f"bounds={bounds}: {got}"
-    # degenerate budgets
+    # degenerate knobs: single bucket (exact-form plan), zero budget
+    one = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_approx(df, "q", "t", 70, n_buckets=1).collect()
+    )
+    assert one == expected
     assert token_budget_approx(df, "q", "t", 0).count() == 0
     assert token_budget_approx(df, "q", "t", 9).count() == 0  # d1 alone > 9
     full = token_budget_approx(df, "q", "t", 10_000).collect()

@@ -815,3 +815,45 @@ def test_ivfpq_streaming_ingest_snapshot_sound(spark, tmp_path):
     ).collect()} == set(range(60))
     with pytest.raises(ValueError, match="unsound"):
         A.ivfpq_probe(spark, path, qvec, k=10, as_of_batch=0)
+
+
+def test_ivfpq_delta_merge_probe_identical(spark, tmp_path):
+    """r14: merge_index_delta is column-generic — folding committed
+    IVF-PQ CODE deltas into the base table leaves probes
+    value-identical, advances the journal, and a post-merge fenced
+    batch remains probeable (the maintenance lifecycle the IVF index
+    already certifies, applied to the PQ tier)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+    from unified_log_aggregation_and_analytics_spark.operators.ann_index import (
+        _merged_through,
+    )
+    from unified_log_aggregation_and_analytics_spark.streaming import fence
+    from unified_log_aggregation_and_analytics_spark.streaming.vectors import (
+        vector_ingest_batch,
+    )
+
+    dim = 8
+    all_vecs = _vecs(70, dim=dim)
+    base = spark.createDataFrame([(i, all_vecs[i]) for i in range(40)], VEC_SCHEMA)
+    path = str(tmp_path / "ivfpqmerge")
+    A.build_ivfpq_index(base, path, n_centroids=4, m=2, codes=4, train_iters=0)
+    qvec = all_vecs[5]
+    for bid, (lo, hi) in enumerate(((40, 50), (50, 60))):
+        vector_ingest_batch(
+            spark.createDataFrame([(i, all_vecs[i]) for i in range(lo, hi)], VEC_SCHEMA),
+            path, str(tmp_path / "rej"), batch_id=bid, index_kind="ivfpq",
+        )
+    before = [tuple(r) for r in A.ivfpq_probe(spark, path, qvec, k=15).collect()]
+    A.merge_index_delta(spark, path, part_col="cell")
+    assert _merged_through(path) == 1
+    after = [tuple(r) for r in A.ivfpq_probe(spark, path, qvec, k=15).collect()]
+    assert after == before and before
+
+    # post-merge fenced appends keep working and stay probeable
+    vector_ingest_batch(
+        spark.createDataFrame([(i, all_vecs[i]) for i in range(60, 70)], VEC_SCHEMA),
+        path, str(tmp_path / "rej"), batch_id=2, index_kind="ivfpq",
+    )
+    assert {r.vec_id for r in A.ivfpq_probe(
+        spark, path, qvec, k=70, n_probe=4
+    ).collect()} == set(range(70))

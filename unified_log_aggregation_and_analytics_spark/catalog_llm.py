@@ -3253,14 +3253,16 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
             A.build_opq_index(
                 emb, str(path), R[PQ.opq_interleave_perm(64, 4)], train_iters=0
             )
-        elif kind == "ivfopq_seeded":
+        elif kind in ("ivfopq_seeded", "ivfopq"):
             from unified_log_aggregation_and_analytics_spark.operators import (
                 pq as PQ,
             )
 
-            # train_iters=0 keeps seeded codebooks: rotation, cell
-            # assignment, probe choice, codes, and ADC all replay in
-            # DuckDB (the ivfpq_seeded convention, rotated)
+            # seeded: train_iters=0 keeps seeded codebooks — rotation,
+            # cell assignment, probe choice, codes, and ADC all replay
+            # in DuckDB (the ivfpq_seeded convention, rotated).
+            # trained: Lloyd on the rotated coords, the quality path
+            # (rows-only, the knn_ivfpq_indexed convention)
             R = S.power_pca_rotation(emb, n_components=64, iters=16)
             A.build_ivfopq_index(
                 emb,
@@ -3269,7 +3271,7 @@ def _ann_index_path(spark, sf_dir: str, kind: str) -> str:
                 n_centroids=16,
                 m=4,
                 codes=8,
-                train_iters=0,
+                train_iters=0 if kind == "ivfopq_seeded" else 2,
             )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
@@ -5219,6 +5221,24 @@ def knn_ivfopq_indexed_seeded(spark, sf_dir):
 
     qv = _query_vec(spark, sf_dir)
     path = _ann_index_path(spark, sf_dir, "ivfopq_seeded")
+    return A.ivfopq_probe(spark, path, list(qv), k=10, n_probe=4)
+
+
+@_register("knn_ivfopq_indexed", None)  # Lloyd-trained on rotated coords: rows-only
+def knn_ivfopq_indexed(spark, sf_dir):
+    """X3 — persisted IVF-OPQ probe, quality path (r14): the exact
+    knn_ivfopq_indexed_seeded plan but with codebooks Lloyd-TRAINED
+    on the rotated coordinates (build_ivfopq_index train_iters=2) —
+    the knn_ivfpq_indexed convention applied to the rotated
+    composition. Rows-only with the seeded twin carrying the full
+    derivation oracle; the rotation's recall contribution at
+    identical code size is pinned on an anisotropic corpus in
+    tests/test_pq.py (trained IVF-OPQ strictly beats trained
+    IVF-PQ)."""
+    from unified_log_aggregation_and_analytics_spark.operators import ann_index as A
+
+    qv = _query_vec(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir, "ivfopq")
     return A.ivfopq_probe(spark, path, list(qv), k=10, n_probe=4)
 
 

@@ -809,14 +809,19 @@ def token_budget_approx(
         q.alias("quality"),
         t.cast("long").alias("n_tokens"),
     )
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     if boundaries is None:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        row = base.agg(
-            F.percentile_approx("quality", qs, accuracy).alias("b")
-        ).first()
-        # duplicate cut values (mass concentrated at one quality)
-        # collapse to fewer, still-correct buckets
-        boundaries = sorted({float(x) for x in row["b"]})
+        if n_buckets == 1:
+            boundaries = []  # degenerate: one bucket, exact-form plan
+        else:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            row = base.agg(
+                F.percentile_approx("quality", qs, accuracy).alias("b")
+            ).first()
+            # duplicate cut values (mass concentrated at one quality)
+            # collapse to fewer, still-correct buckets
+            boundaries = sorted({float(x) for x in row["b"]})
     if list(boundaries) != sorted(boundaries):
         raise ValueError(f"boundaries must ascend, got {boundaries}")
     bucket = F.lit(1).cast("long")
