@@ -212,6 +212,8 @@ NOBENCH = {
     "logs_error_parse": _NB_2,
     "logs_error_rate": _NB_2,
     "logs_geo_distance": _NB_2,
+    "logs_geo_bounds": _NB_2,
+    "logs_geo_hash": _NB_2,
     "logs_ewma_anomaly": _NB_2,
     "logs_funnel": _NB_2,
     "logs_json_props": _NB_2,

@@ -453,3 +453,51 @@ def test_geo_distance_rings_pinned(spark):
             "ring_60_90" if d2 < 8.1e9 else "ring_90_plus"
         )
         assert got[(e, u)] == (d2, exp), (e, u)
+
+
+def test_geo_hash_base32_pinned(spark):
+    """Hand-computed pin for logs_geo_hash (r14): (user 8, event 0)
+    -> lat_md=63352, lon_md=117832 -> 5-bit ordinates cx=10 (0b01010),
+    cy=11 (0b01011) -> geohash interleave (lon at odd bit positions)
+    z10 = 1+4+64 + 8+128 = 205 -> chars (205>>5, 205&31) = (6, 13)
+    -> '6e' in the standard alphabet. Plus a plain-Python replay of
+    every synthesized point."""
+    from pyspark.sql import functions as F
+
+    from unified_log_aggregation_and_analytics_spark.sources.batch import morton_z
+
+    ALPH = "0123456789bcdefghjkmnpqrstuvwxyz"
+    rows = [(e, u) for e in (0, 1, 7, 123, 4096) for u in (0, 3, 8, 77)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    cells = df.select(
+        "event_id",
+        "user_id",
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000).alias("lat_md"),
+        ((F.col("user_id") * 104729 + F.col("event_id") * 7919) % 360000).alias("lon_md"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("(lon_md * 32) div 360000").cast("long").alias("cx"),
+        F.expr("(lat_md * 32) div 180000").cast("long").alias("cy"),
+    ).withColumn("z10", morton_z(F.col("cy"), F.col("cx"), 5))
+    got = {
+        (r.event_id, r.user_id): (r.cx, r.cy, r.z10, r.gh)
+        for r in cells.select(
+            "event_id", "user_id", "cx", "cy", "z10",
+            F.concat(
+                F.expr(f"substr('{ALPH}', CAST(z10 div 32 AS INT) + 1, 1)"),
+                F.expr(f"substr('{ALPH}', CAST(z10 % 32 AS INT) + 1, 1)"),
+            ).alias("gh"),
+        ).collect()
+    }
+    assert got[(0, 8)] == (10, 11, 205, "6e")
+
+    for e, u in rows:
+        lat_md = (u * 7919 + e * 104729) % 180000
+        lon_md = (u * 104729 + e * 7919) % 360000
+        cx, cy = (lon_md * 32) // 360000, (lat_md * 32) // 180000
+        z = 0
+        for b in range(5):
+            z |= ((cy >> b) & 1) << (2 * b)
+            z |= ((cx >> b) & 1) << (2 * b + 1)
+        assert got[(e, u)] == (cx, cy, z, ALPH[z >> 5] + ALPH[z & 31]), (e, u)

@@ -826,3 +826,118 @@ def logs_geo_distance(spark, sf_dir):
         )
         .orderBy("ring")
     )
+
+
+_GEO_BOUNDS_ORACLE = """
+    WITH pts AS (
+      SELECT event_type,
+             (user_id * 7919 + event_id * 104729) % 180000 AS lat_md,
+             (user_id * 104729 + event_id * 7919) % 360000 AS lon_md
+      FROM events
+    )
+    SELECT event_type,
+           MIN(lat_md) AS min_lat_md, MAX(lat_md) AS max_lat_md,
+           MIN(lon_md) AS min_lon_md, MAX(lon_md) AS max_lon_md,
+           round(AVG(lat_md), 6) AS centroid_lat_md,
+           round(AVG(lon_md), 6) AS centroid_lon_md,
+           COUNT(*) AS n_events
+    FROM pts
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@_register("logs_geo_bounds", _GEO_BOUNDS_ORACLE)
+def logs_geo_bounds(spark, sf_dir):
+    """Geo bounds + centroid aggregation (r14) — OpenSearch's
+    geo_bounds (tightest bounding box per bucket) and geo_centroid
+    (weighted mean point) metric aggs, the remaining two geo
+    aggregations behind the Dashboards map panel: per event type,
+    min/max of each ordinate plus the mean point. Coordinates stay
+    in integer milli-degrees (the logs_geo_grid synthesis); the
+    centroid is the one float in the family — an integer-sum /
+    count division both engines compute identically (int64 sum,
+    one double divide, round 6). Plan: one partial+final agg over a
+    bounded key domain — four extrema, two sums, a count per key."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000
+    lon = (F.col("user_id") * 104729 + F.col("event_id") * 7919) % 360000
+    return (
+        ev.select("event_type", lat.alias("lat_md"), lon.alias("lon_md"))
+        .groupBy("event_type")
+        .agg(
+            F.min("lat_md").alias("min_lat_md"),
+            F.max("lat_md").alias("max_lat_md"),
+            F.min("lon_md").alias("min_lon_md"),
+            F.max("lon_md").alias("max_lon_md"),
+            F.round(F.avg("lat_md"), 6).alias("centroid_lat_md"),
+            F.round(F.avg("lon_md"), 6).alias("centroid_lon_md"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GEO_HASH_ORACLE = """
+    WITH pts AS (
+      SELECT event_id, user_id,
+             (user_id * 7919 + event_id * 104729) % 180000 AS lat_md,
+             (user_id * 104729 + event_id * 7919) % 360000 AS lon_md
+      FROM events
+    ),
+    cells AS (
+      SELECT user_id,
+             (lon_md * 32) // 360000 AS cx,
+             (lat_md * 32) // 180000 AS cy
+      FROM pts
+    ),
+    z AS (SELECT user_id, (((cy >> 0) & 1) << 0) | (((cx >> 0) & 1) << 1) | (((cy >> 1) & 1) << 2) | (((cx >> 1) & 1) << 3) | (((cy >> 2) & 1) << 4) | (((cx >> 2) & 1) << 5) | (((cy >> 3) & 1) << 6) | (((cx >> 3) & 1) << 7) | (((cy >> 4) & 1) << 8) | (((cx >> 4) & 1) << 9) AS z10 FROM cells)
+    SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(z10 // 32 AS INT) + 1, 1)
+             || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(z10 % 32 AS INT) + 1, 1) AS geohash,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM z
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@_register("logs_geo_hash", _GEO_HASH_ORACLE)
+def logs_geo_hash(spark, sf_dir):
+    """Geohash-grid aggregation, base32 STRING form (r14) — the
+    letter-exact geohash_grid bucket key OpenSearch returns
+    (precision 2 = 10 bits): a geohash IS the Morton interleave of
+    the range-halving bits, longitude first from the MSB — which is
+    exactly ``morton_z(cy, cx, 5)`` over the 5-bit tile ordinates
+    (lat on even positions, lon on odd) — base32-coded through the
+    standard geohash alphabet (no a/i/l/o). Same integer
+    milli-degree synthesis as logs_geo_grid; the alphabet lookup is
+    one substr per 5-bit group, JVM-side. Hand pin: (user 8, event
+    0) -> cx=10, cy=11 -> z=205 -> '6e' (tests/test_relational.py)."""
+    from unified_log_aggregation_and_analytics_spark.sources.batch import morton_z
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 180000).alias("lat_md"),
+        ((F.col("user_id") * 104729 + F.col("event_id") * 7919) % 360000).alias("lon_md"),
+    )
+    cells = pts.select(
+        "user_id",
+        F.expr("(lon_md * 32) div 360000").cast("long").alias("cx"),
+        F.expr("(lat_md * 32) div 180000").cast("long").alias("cy"),
+    )
+    z10 = morton_z(F.col("cy"), F.col("cx"), 5)
+    # substr(alphabet, idx+1, 1) per 5-bit group — JVM expressions
+    c1 = F.expr(f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(z10 div 32 AS INT) + 1, 1)")
+    c2 = F.expr(f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(z10 % 32 AS INT) + 1, 1)")
+    return (
+        cells.withColumn("z10", z10)
+        .select(F.concat(c1, c2).alias("geohash"), "user_id")
+        .groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("geohash")
+    )
