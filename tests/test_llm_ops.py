@@ -2056,3 +2056,30 @@ def test_token_budget_approx_equivalence_and_plan(spark):
     ex_plan = exact_df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in ap_plan
     assert "SinglePartition" in ex_plan
+
+
+def test_token_budget_approx_null_quality_sorts_last(spark):
+    """NULL-quality rows sort LAST under (quality DESC, id) in both
+    engines — the approx form gives them bucket 0 so they are
+    selected only after every scored row, exactly like the exact
+    global window would order them."""
+    from unified_log_aggregation_and_analytics_spark.operators.sampling import (
+        token_budget_approx,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, 5), (3, 0.2, 20), (4, None, 7)],
+        "doc_id long, q double, t long",
+    )
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_approx(df, "q", "t", 100, boundaries=[0.5]).collect()
+    )
+    # order: d1 (10), d3 (30), then nulls by id: d2 (35), d4 (42)
+    assert got == [(1, 10), (2, 35), (3, 30), (4, 42)]
+    # tight budget never reaches the null bucket
+    got2 = sorted(
+        r.doc_id
+        for r in token_budget_approx(df, "q", "t", 30, boundaries=[0.5]).collect()
+    )
+    assert got2 == [1, 3]

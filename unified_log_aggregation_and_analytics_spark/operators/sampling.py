@@ -827,6 +827,13 @@ def token_budget_approx(
     bucket = F.lit(1).cast("long")
     for b in boundaries:
         bucket = bucket + (F.col("quality") > F.lit(float(b))).cast("long")
+    # NULL quality sorts LAST under (quality DESC, id) in both engines
+    # (NULLS LAST default) — give those rows their own bucket 0 so the
+    # descending bucket walk visits them after every real bucket and
+    # the totals collect never sees a NULL key
+    bucket = F.when(F.col("quality").isNull(), F.lit(0).cast("long")).otherwise(
+        bucket
+    )
     base = base.withColumn("_bucket", bucket)
     totals = {
         int(r["_bucket"]): int(r["_t"])
