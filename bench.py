@@ -324,6 +324,7 @@ NOBENCH = {
     "docs_curriculum_order": _NB_5,
     "docs_filter_drift": _NB_5,
     "docs_hash_split": _NB_5,
+    "docs_token_budget_by_lang": _NB_5,
     "docs_pack_contiguous": _NB_5,
     "docs_profile": _NB_5,
     "docs_quota_sample": _NB_5,

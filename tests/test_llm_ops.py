@@ -2083,3 +2083,27 @@ def test_token_budget_approx_null_quality_sorts_last(spark):
         for r in token_budget_approx(df, "q", "t", 30, boundaries=[0.5]).collect()
     )
     assert got2 == [1, 3]
+
+
+def test_token_budget_by_lang_semantics_and_plan(spark):
+    """docs_token_budget_by_lang (r14): per-language budgets respect
+    the 20k cap, within-language order is quality-descending, and the
+    plan partitions the window by lang — no SinglePartition exchange
+    (the per-domain form IS the scale plan)."""
+    import unified_log_aggregation_and_analytics_spark.catalog_llm  # noqa: F401
+    from unified_log_aggregation_and_analytics_spark.catalog import QUERIES
+
+    df = QUERIES["docs_token_budget_by_lang"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert max(r.cum_tokens for r in rs) <= 20000
+        qs = [r.quality for r in sorted(rs, key=lambda r: r.cum_tokens)]
+        assert qs == sorted(qs, reverse=True), lang
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -2361,6 +2361,69 @@ def docs_token_budget_approx(spark, sf_dir):
 
 
 @_register(
+    "docs_token_budget_by_lang",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(list_filter(str_split(text, ' '), t -> t <> '')) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens, round(ttr, 6) AS quality,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ttr DESC, doc_id
+             ) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    ORDER BY lang, cum_tokens
+    """,
+)
+def docs_token_budget_by_lang(spark, sf_dir):
+    """X4 training-pipeline — PER-DOMAIN token budgets (r14): fill a
+    fixed budget (20k tokens) PER LANGUAGE with each language's best
+    documents — the per-domain quota curation step (balance a
+    multilingual mix while taking only the top of each language's
+    quality distribution; the docs_token_budget semantics with the
+    budget keyed by domain). Spark-first this is simply the window
+    PARTITIONED BY the domain — naturally parallel, one shuffle on
+    lang, no SinglePartition exchange anywhere, no approx form
+    needed: the per-domain window IS the 100 TB plan (a skewed
+    domain falls back to the boundary-bucket valve of
+    docs_token_budget_approx applied within that domain)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ttr_raw = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast(
+        "double"
+    ) / F.size(F.split(F.col("text"), " "))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        ttr_raw.alias("_ttr_raw"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("_ttr_raw").desc(), F.col("doc_id"))
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("_ttr_raw", 6).alias("quality"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("lang", "cum_tokens")
+    )
+
+
+@_register(
     "docs_hash_split",
     """
     WITH b AS (
