@@ -620,6 +620,7 @@ EAGER_QUERIES = {
     "knn_prefix_refine_index_build",
     "knn_prefix_rot_index_build",
     "text_lm_index_build",
+    "knn_ivfopq_index_build",
     # r13: approx curriculum localCheckpoints the range-sorted frame
     # and collects per-partition counts at construction (two-pass
     # position assignment) — rebuild per run keeps both passes timed
@@ -723,10 +724,31 @@ def _build_extra_queries():
         )
         return spark.read.parquet(f"{path}/meta")
 
+    def ivfopq_build(spark, sf_dir):
+        from unified_log_aggregation_and_analytics_spark.operators import (
+            ann_index as A,
+            pq as PQ,
+            similarity as S,
+        )
+
+        path = _fresh("ivfopq")
+        emb = _emb(spark, sf_dir)
+        R = S.power_pca_rotation(emb, n_components=64, iters=16)
+        A.build_ivfopq_index(
+            emb, path, R[PQ.opq_interleave_perm(64, 4)],
+            n_centroids=16, m=4, codes=8, train_iters=0,
+        )
+        return spark.read.parquet(f"{path}/table").select("vec_id").limit(1)
+
     return {
         "knn_prefix_refine_index_build": prefix_build,
         "knn_prefix_rot_index_build": rotprefix_build,
         "text_lm_index_build": lm_build,
+        # r14: the full cold IVF-OPQ build — full-rank covariance
+        # passes + 64-step eigensolver + projection + assign + encode
+        # in one clock; the probe row knn_ivfopq_indexed_seeded stays
+        # a pure probe
+        "knn_ivfopq_index_build": ivfopq_build,
     }
 
 
@@ -734,6 +756,7 @@ BUILD_QUERIES = (
     "knn_prefix_refine_index_build",
     "knn_prefix_rot_index_build",
     "text_lm_index_build",
+    "knn_ivfopq_index_build",
 )
 
 

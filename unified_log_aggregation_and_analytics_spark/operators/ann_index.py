@@ -279,6 +279,27 @@ def _record_version(
         fh.write(json.dumps(entry) + "\n")
 
 
+def _write_artifact(spark: SparkSession, rows, schema: str, path: str) -> None:
+    """Tiny frozen-artifact write (centroids / codebooks / rotation —
+    16-64 rows): routed through the ARROW createDataFrame path. The
+    plain list-of-tuples path builds a 32-partition Python RDD and
+    coalesce(1) funnels it through one spawned Python worker — ~5-7 s
+    of pure overhead PER artifact on this host, which was the bulk of
+    every index build's mystery constant (r14 profiling: a 64-row
+    rotation write was 6.8 s python-RDD vs 0.7 s Arrow)."""
+    import pandas as pd
+
+    cols = [f.strip().split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=cols)
+    (
+        spark.createDataFrame(pdf, schema=schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+
 def _finalize_build(
     spark: SparkSession,
     path: str,
@@ -602,12 +623,7 @@ def build_ivf_index(
         centroids = kmeans_refine(df, centroids, n_iter=refine_iters, vec_col=vec_col)
     spark = df.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    (
-        spark.createDataFrame(cent_rows, schema=f"cell int, {vec_col} array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_centroids_path(path))
-    )
+    _write_artifact(spark, cent_rows, f"cell int, {vec_col} array<double>", _centroids_path(path))
     (
         ivf_assign(df.select(id_col, vec_col, *meta_cols), centroids, vec_col)
         .write.mode("overwrite")
@@ -1037,23 +1053,13 @@ def build_ivfpq_index(
     )
     spark = df.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    (
-        spark.createDataFrame(cent_rows, schema=f"cell int, {vec_col} array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_centroids_path(path))
-    )
+    _write_artifact(spark, cent_rows, f"cell int, {vec_col} array<double>", _centroids_path(path))
     cb_rows = [
         (mi, ci, [float(x) for x in codebooks[mi, ci]])
         for mi in range(m)
         for ci in range(codes)
     ]
-    (
-        spark.createDataFrame(cb_rows, schema="mi int, ci int, codeword array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_codebooks_path(path))
-    )
+    _write_artifact(spark, cb_rows, "mi int, ci int, codeword array<double>", _codebooks_path(path))
     assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
     (
         pq_encode(assigned, codebooks, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
@@ -1296,12 +1302,7 @@ def build_ivfsq8_index(
     dim = centroids.shape[1]
     spark = df.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    (
-        spark.createDataFrame(cent_rows, schema=f"cell int, {vec_col} array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_centroids_path(path))
-    )
+    _write_artifact(spark, cent_rows, f"cell int, {vec_col} array<double>", _centroids_path(path))
     assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
     (
         sq8_encode(assigned, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
@@ -1579,12 +1580,7 @@ def build_rotated_prefix_index(
     R = np.asarray(rotation, dtype=np.float64)
     spark = df.sparkSession
     rot_rows = [(c, [float(x) for x in R[c]]) for c in range(R.shape[0])]
-    (
-        spark.createDataFrame(rot_rows, schema="comp int, direction array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_rotation_path(path))
-    )
+    _write_artifact(spark, rot_rows, "comp int, direction array<double>", _rotation_path(path))
     (
         rotate_project(df, R, vec_col=vec_col, id_col=id_col)
         .sortWithinPartitions(id_col)
@@ -1816,12 +1812,7 @@ def build_opq_index(
         )
     spark = df.sparkSession
     rot_rows = [(c, [float(x) for x in R[c]]) for c in range(n_comp)]
-    (
-        spark.createDataFrame(rot_rows, schema="comp int, direction array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_rotation_path(path))
-    )
+    _write_artifact(spark, rot_rows, "comp int, direction array<double>", _rotation_path(path))
     proj = rotate_project(df, R, vec_col=vec_col, id_col=id_col).select(
         id_col, F.col("rot").alias(vec_col)
     )
@@ -1836,12 +1827,7 @@ def build_opq_index(
         for mi in range(m)
         for ci in range(codes)
     ]
-    (
-        spark.createDataFrame(cb_rows, schema="mi int, ci int, codeword array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_codebooks_path(path))
-    )
+    _write_artifact(spark, cb_rows, "mi int, ci int, codeword array<double>", _codebooks_path(path))
     (
         pq_encode(proj, cb, vec_col=vec_col, id_col=id_col)
         .write.mode("overwrite")
@@ -1969,12 +1955,7 @@ def build_ivfopq_index(
         )
     spark = df.sparkSession
     rot_rows = [(c, [float(x) for x in R[c]]) for c in range(n_comp)]
-    (
-        spark.createDataFrame(rot_rows, schema="comp int, direction array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_rotation_path(path))
-    )
+    _write_artifact(spark, rot_rows, "comp int, direction array<double>", _rotation_path(path))
     proj = rotate_project(df, R, vec_col=vec_col, id_col=id_col).select(
         id_col, F.col("rot").alias(vec_col)
     )
@@ -1986,23 +1967,13 @@ def build_ivfopq_index(
     else:
         cb = seeded_pq_codebooks(dim, m=m, codes=codes, seed=seed)
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    (
-        spark.createDataFrame(cent_rows, schema=f"cell int, {vec_col} array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_centroids_path(path))
-    )
+    _write_artifact(spark, cent_rows, f"cell int, {vec_col} array<double>", _centroids_path(path))
     cb_rows = [
         (mi, ci, [float(x) for x in cb[mi, ci]])
         for mi in range(m)
         for ci in range(codes)
     ]
-    (
-        spark.createDataFrame(cb_rows, schema="mi int, ci int, codeword array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_codebooks_path(path))
-    )
+    _write_artifact(spark, cb_rows, "mi int, ci int, codeword array<double>", _codebooks_path(path))
     assigned = ivf_assign(proj, centroids, vec_col)
     (
         pq_encode(assigned, cb, vec_col=vec_col, id_col=id_col, passthrough=("cell",))
