@@ -600,9 +600,11 @@ def append_bigram_lm(
     import shutil
 
     tmp = f"{path}/meta__tmp"
-    spark.createDataFrame([(n_new,)], "n_docs bigint").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame({"n_docs": [n_new]}), schema="n_docs bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(f"{path}/meta")
     os.rename(tmp, f"{path}/meta")
 

@@ -533,8 +533,8 @@ def corpus_ingest_batch(
             )
             if metric_rows is not None:
                 fence.fenced_append(
-                    spark.createDataFrame(
-                        metric_rows, "batch_id long, outcome string, n long"
+                    fence.local_rows_df(
+                        spark, metric_rows, "batch_id long, outcome string, n long"
                     ),
                     f"{table_path}_metrics",
                     bid,

@@ -119,6 +119,19 @@ def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> None:
         fs.delete(p, recursive)
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny driver-side frame (per-trigger metrics, bounded meta rows)
+    through the ARROW createDataFrame path: the plain list-of-tuples
+    path builds a defaultParallelism-wide Python RDD whose write later
+    spawns Python workers — seconds of overhead PER TRIGGER for a
+    3-row metrics frame (the r14 artifact-write profiling, applied to
+    the streaming hot path)."""
+    import pandas as pd
+
+    cols = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema=schema)
+
+
 def fenced_append(
     df: DataFrame,
     path: str,

@@ -204,7 +204,7 @@ def vector_ingest_batch(
             (bid, "rejected:bad_dimension", n_bad),
         ]
         fence.fenced_append(
-            spark.createDataFrame(rows, "batch_id long, outcome string, n long"),
+            fence.local_rows_df(spark, rows, "batch_id long, outcome string, n long"),
             f"{index_path}_metrics",
             bid,
         )
