@@ -1053,8 +1053,17 @@ def ccnet_perplexity_buckets(
     # docs too short to carry a bigram have no perplexity: emit them
     # explicitly as 'unscored' instead of silently dropping them (the
     # length rules own their verdict — same contract as the streaming
-    # LM gate), so every input doc_id appears in the output
-    unscored = ids.join(scores.select(id_col), id_col, "left_anti").select(
+    # LM gate), so every input doc_id appears in the output. The
+    # unscored set is exactly {docs with < 2 tokens}: _lm_bigram_rows
+    # keeps only size(tokens) >= 2 rows, and every such doc survives
+    # scoring in both branches (self-scored: all its bigrams are in
+    # the model by construction; external-lm: the joins are left), so
+    # a cheap tokenize-and-filter scan replaces the anti-join that
+    # would otherwise re-execute the whole LM-scoring subtree a
+    # second time (guide §2.4: the union's second branch duplicated
+    # every count aggregation and corpus scan).
+    ts = _lm_tok_arr(text_col)
+    unscored = df.filter(F.coalesce(F.size(ts), F.lit(0)) < 2).select(
         F.col(id_col),
         F.col(lang_col),
         F.lit(None).cast("double").alias("avg_nll"),
