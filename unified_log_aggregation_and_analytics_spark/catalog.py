@@ -303,6 +303,11 @@ def _spread(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     mapInPandas partition spawns an interpreter (~1s each, session
     cold), so a small stage should use the fewest workers that cover
     the data — width should track data volume, not cluster size.
+    r14 calibration: "data volume" means per-row WORK, not just row
+    count — the 16x16 Huffman-decode entries (jpeg stats, media
+    ingest report) measured 2x FASTER uncapped at 10x rows, while the
+    4x4-fixture entries (resize, keyframes, png) measured 2x slower
+    uncapped; caps are now set per entry from those measurements.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     if max_partitions is not None:

@@ -608,9 +608,13 @@ def knn_prefix_recall(spark, sf_dir):
 def knn_cosine(spark, sf_dir):
     """X3 — exact brute-force top-10 cosine neighbors of vec_id 0.
     Scan -> fused zip_with dot product -> TakeOrderedAndProject; no
-    shuffle, no Python."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    Python. _spread on the scored side (r14, guide §2.5 input skew):
+    the testdata parquet arrives as ONE split, so the whole dot-
+    product scan ran on one core of 32 (measured 0.47 -> 0.27 s at
+    10x rows); the query-vector lookup stays on the narrow scan."""
+    raw = _t(spark, sf_dir, "embeddings")
+    emb = _spread(raw)
+    qv = raw.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -1058,8 +1062,10 @@ def text_ccnet_buckets(spark, sf_dir):
 @_register("text_langid", _LANGID_ORACLE)
 def text_langid(spark, sf_dir):
     """X4 — stopword-profile language ID with deterministic tie order
-    en > de > fr > es."""
-    docs = _t(spark, sf_dir, "documents")
+    en > de > fr > es. _spread (r14): per-row stopword counting over a
+    one-split scan ran on one core (measured 0.81 -> 0.28 s at 10x
+    rows); map-only, output unchanged."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     out = X.lang_id(docs)
     return out.select(
         "doc_id", "lang", "hits_en", "hits_de", "hits_fr", "hits_es", "pred_lang"
@@ -1399,8 +1405,14 @@ def multimodal_image_stats_jpeg(spark, sf_dir):
     EXACT ((g-128)/2 integer DC) and the oracle predicts the decoded
     means analytically — any marker/Huffman/zigzag/IDCT bug breaks
     the hash. Lossy-path error bounds on arbitrary content are pinned
-    in tests/test_multimodal.py."""
-    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    in tests/test_multimodal.py. r14: the max_partitions=8 cap is
+    dropped HERE (not family-wide): the per-payload Huffman+IDCT
+    decode is heavy enough that full width wins in the steady state
+    (measured 3.98 -> 1.85 s at 10x rows; the 4x4-fixture siblings
+    keep the cap because their per-row work is too light to amortize
+    32 Python-worker batches — measured 2x LOSS on resize/keyframes/
+    png)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     media = MM.media_with_jpeg(docs)
     return MM.image_stats(media)
 
@@ -2783,7 +2795,11 @@ def docs_weighted_sample(spark, sf_dir):
 def text_tfidf_top(spark, sf_dir):
     """X4 — most TF-IDF-salient term per document (explode → two hash
     aggs → vocabulary-keyed join → per-doc window top-1; corpus size
-    enters as a 1-row broadcast, no driver collect)."""
+    enters as a 1-row broadcast, no driver collect). r14 note:
+    _spread was tried and measured a net LOSS at sf0.1 (0.76 ->
+    1.03 s; the extra text-column shuffle outweighs the explode
+    parallelism, and the partial aggs already spread downstream work)
+    — deliberately left narrow."""
     return X.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=1)
 
 
@@ -3075,8 +3091,12 @@ def text_corpus_bigrams(spark, sf_dir):
 def knn_batch(spark, sf_dir):
     """X3 — batch retrieval: exact top-5 cosine neighbors for query
     vectors 0-3 in one corpus pass (broadcast queries, map-side Q×N
-    scoring, grouped top-k)."""
-    return S.knn_batch(_t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=5)
+    scoring, grouped top-k). _spread (r14): the one-split testdata
+    scan serialized the Q×N scoring pass on one core — measured
+    1.23 -> 0.35 s at 10x rows, identical output."""
+    return S.knn_batch(
+        _spread(_t(spark, sf_dir, "embeddings")), query_ids=[0, 1, 2, 3], k=5
+    )
 
 
 @_register(
@@ -3115,9 +3135,12 @@ def knn_hard_negatives(spark, sf_dir):
     (vec_ids 0-19), the 5 most-similar vectors with a DIFFERENT label,
     capped at cos_sim 0.99 (the false-negative guard). One broadcast
     corpus pass; label filter + ceiling prune before the rank window
-    (see operators/similarity.py hard_negatives)."""
+    (see operators/similarity.py hard_negatives). _spread (r14): the
+    one-split testdata scan serialized the 20×N scoring pass on one
+    core of 32 — measured 8.6 -> 0.70 s at 10x rows, identical
+    output."""
     return S.hard_negatives(
-        _t(spark, sf_dir, "embeddings"), anchor_ids=list(range(20)), k=5
+        _spread(_t(spark, sf_dir, "embeddings")), anchor_ids=list(range(20)), k=5
     )
 
 
@@ -5616,8 +5639,11 @@ def text_gopher_rules(spark, sf_dir):
     attribution — the pre-model cleaning stage of a training
     pipeline. Reference anchor: the filtering role OpenSearch ingest
     pipelines play in the reference (README.md:33-41) — here it is a
-    scan-speed map stage."""
-    docs = _t(spark, sf_dir, "documents")
+    scan-speed map stage. _spread (r14): the HOF rule expressions are
+    the per-row-expensive case _spread exists for, and the one-split
+    testdata scan ran them on one core (measured 2.39 -> 0.37 s at
+    10x rows); map-only, output unchanged."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return X.gopher_rules(docs).select(
         "doc_id",
         "n_words",
@@ -5649,8 +5675,11 @@ def text_chunks_rag(spark, sf_dir):
     """Overlapping-window RAG chunker (operators/text.py chunk_text):
     64-token windows, stride 48 (16-token overlap), sub-8-token tails
     dropped unless sole chunk. sequence+transform+explode — per-row
-    JVM expressions, zero shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    JVM expressions. _spread (r14): the chunker fan-out is per-row
+    heavy and the one-split testdata scan ran it on one core
+    (measured 2.22 -> 0.39 s at 10x rows); map-only, output
+    unchanged."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return X.chunk_text(docs, chunk_tokens=64, stride=48, min_tail=8)
 
 
@@ -6223,8 +6252,10 @@ def multimodal_ingest_report(spark, sf_dir):
     DuckDB oracle predicts every row WITHOUT a decoder. Any decode,
     fingerprint, banding, or precedence bug breaks the hash match.
     Reference parity: the index-vs-DLQ routing trio the reference
-    wires in utils.ts:66-68, generalized to media payloads."""
-    docs = _spread(_t(spark, sf_dir, "documents"), max_partitions=8)
+    wires in utils.ts:66-68, generalized to media payloads. r14: cap
+    dropped like the jpeg entry — 16x16 decode + fingerprint per row
+    is heavy enough for full width (4.57 -> 4.30 s at 10x rows)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     media = MM.media_routing_fixture(docs, width=16, height=16)
     return MM.media_ingest_report(media)
 

@@ -1752,6 +1752,12 @@ def percolate(
     ).select(  # fold stored terms like the docs (explode can't nest)
         "query_id", F.lower(F.col("_t")).alias("token"), "_nq"
     )
+    # r14 note: pre-intersecting each doc's token array with a 1-row
+    # broadcast of the stored-term set (to shrink the Generate) was
+    # measured SLOWER than this explode + broadcast-join probe at both
+    # sf0.1 (0.70 -> 0.77 s) and 10x rows (1.12 -> 1.30 s): the
+    # per-row array_intersect hash build costs more than the join
+    # probes it saves. Kept as-is deliberately.
     toks = docs.select(
         F.col(id_col),
         F.explode(
