@@ -2248,7 +2248,12 @@ def docs_curriculum_order_approx(spark, sf_dir):
         quality_score,
     )
 
-    docs = quality_score(_t(spark, sf_dir, "documents"))
+    # _spread (r14): the ttr scoring runs in repartitionByRange's map
+    # side (plus its range-sampling pass), and the one-split testdata
+    # scan ran both on one core — measured 1.45 -> 1.05 s at 10x
+    # rows, identical output (positions are partition-independent by
+    # the broadcast-offset construction).
+    docs = quality_score(_spread(_t(spark, sf_dir, "documents")))
     return curriculum_order_approx(
         docs, "ttr", n_phases=4, boundaries=[0.36, 0.46, 0.60]
     )
@@ -2353,7 +2358,11 @@ def docs_token_budget_approx(spark, sf_dir):
         token_budget_approx,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread (r14): the ttr/token-count projection feeds both the
+    # percentile pass and the bucketed window from the one-split
+    # testdata scan — measured 1.10 -> 0.92 s at 10x rows, identical
+    # output (the broadcast-offset cumsum is partition-independent).
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     ttr_raw = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast(
         "double"
