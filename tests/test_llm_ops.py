@@ -742,6 +742,87 @@ def test_knn_join_recall_vs_exact_graph(spark, emb):
     assert hits / total >= 0.35, f"kNN-join recall {hits/total:.2f} below floor"
 
 
+def test_knn_join_gemm_kernel_matches_expression_reference(spark, emb):
+    """The r14 per-bucket GEMM kernel inside knn_join reproduces the
+    retired pair-expression form EXACTLY — same pairs, same rounded
+    scores, same (cos_sim DESC, nbr ASC) tie order, self-pairs
+    excluded. The reference below IS the retired implementation
+    (bucket equi-join + HOF-fold cosine + one global window), run on
+    the same fixture, plus an engineered-tie fixture (duplicated
+    vectors force exact cos_sim ties so the nbr tiebreak is what is
+    being compared)."""
+    from pyspark.sql import Window
+
+    from unified_log_aggregation_and_analytics_spark.functions.vectors import (
+        dot as _dot,
+        l2_norm as _l2,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        lsh_planes,
+        sign_sketch,
+    )
+
+    def reference(df, k, n_bits, dim):
+        planes = lsh_planes(dim, n_bits, 42)
+        base = df.select(
+            F.col("vec_id"),
+            F.col("embedding"),
+            sign_sketch("embedding", planes).alias("bucket"),
+            _l2("embedding").alias("_nrm"),
+        )
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
+        ]
+        left = base.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("_v1"),
+            F.col("_nrm").alias("_n1"),
+            F.explode(F.array(*probes)).alias("bucket"),
+        )
+        right = base.select(
+            F.col("vec_id").alias("nbr"),
+            F.col("embedding").alias("_v2"),
+            F.col("_nrm").alias("_n2"),
+            "bucket",
+        )
+        scored = (
+            left.join(right, "bucket")
+            .filter(F.col("src") != F.col("nbr"))
+            .select(
+                "src",
+                "nbr",
+                F.round(
+                    _dot(F.col("_v1"), F.col("_v2"))
+                    / (F.col("_n1") * F.col("_n2")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("src", "cos_sim", "nbr").collect()]
+
+    got = rows(S.knn_join(emb, k=5, n_bits=4, dim=64, multiprobe_bits=1))
+    want = rows(reference(emb, k=5, n_bits=4, dim=64))
+    assert got == want and len(got) > 0
+
+    # duplicated vectors -> exact cos_sim ties; odd row count -> one
+    # src whose bucket holds fewer than k+1 candidates
+    tie_rows = [
+        (i, [float((i % 3) + 1), float((i // 3) % 2), 1.0, -1.0]) for i in range(9)
+    ]
+    tie = spark.createDataFrame(tie_rows, "vec_id long, embedding array<double>")
+    got = rows(S.knn_join(tie, k=3, n_bits=2, dim=4, multiprobe_bits=1))
+    want = rows(reference(tie, k=3, n_bits=2, dim=4))
+    assert got == want and len(got) > 0
+
+
 def test_knn_join_default_margin_recall_floor(spark, emb):
     """The DEFAULT code path (margin-2 multiprobe since r8) holds its
     own recall floor vs the exact graph: constant 3x replication
