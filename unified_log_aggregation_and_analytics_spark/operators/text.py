@@ -1164,21 +1164,29 @@ def train_quality_classifier(
             F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6
         )
 
+    # The per-step update is built as ONE SQL string per output weight
+    # and parsed JVM-side (the r13 one-parse pattern that cut the
+    # prefix-rot probes): constructing the same tree through ~60
+    # fine-grained py4j Column calls measured 0.17 s/step of pure
+    # driver round-trip latency — half the warm step cost at the 10x
+    # corpus (24 steps: 11.9 -> 9.0 s, order-controlled interleaved
+    # A/B; weight trajectory bit-identical). The `D` suffix keeps
+    # every literal DoubleType — a bare `0.5` parses as DECIMAL and
+    # would change the arithmetic; repr() round-trips doubles
+    # exactly.
     for _ in range(n_steps):
-        e = p_expr() - F.col("y")
+        z_sql = "(" + " + ".join(
+            f"({w[j]!r}D * {xs[j]})" for j in range(len(xs))
+        ) + ")"
+        p_sql = f"round(0.5D + {z_sql}/(2.0D*(1.0D + abs({z_sql}))), 6)"
+        e_sql = f"({p_sql} - y)"
         row = train_feats.agg(
             *[
-                F.round(
-                    F.lit(w[j])
-                    - F.lit(lr)
-                    * (
-                        F.sum(
-                            F.round(e * F.col(xs[j]), 9).cast("decimal(20,9)")
-                        ).cast("double")
-                        / F.count(F.lit(1))
-                    ),
-                    6,
-                ).alias(f"w{j}")
+                F.expr(
+                    f"round({w[j]!r}D - {lr!r}D*("
+                    f"CAST(sum(CAST(round({e_sql} * {xs[j]}, 9) "
+                    f"AS DECIMAL(20,9))) AS DOUBLE)/count(1)), 6) AS w{j}"
+                )
                 for j in range(len(xs))
             ]
         ).first()
