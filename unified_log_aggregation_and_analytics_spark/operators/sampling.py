@@ -527,15 +527,31 @@ def _dsir_rank(
     id_col: str,
     carry_cols: tuple[str, ...],
 ) -> DataFrame:
-    raw = feats.groupBy("_bk").agg(F.sum("_c").alias("_rc"))
-    tgt = feats.filter(F.col("_is_tgt")).groupBy("_bk").agg(F.sum("_c").alias("_tc"))
-    totals = raw.agg(F.sum("_rc").alias("_rn")).crossJoin(
-        F.broadcast(tgt.agg(F.sum("_tc").alias("_tn")))
+    # Raw and target bucket marginals in ONE conditional aggregation
+    # over the cached feature frame (r14, guide §2.4): the former
+    # raw/tgt split read the frame twice for the lambda join and twice
+    # more for the totals — four passes plus a B-row join where one
+    # pass suffices. `sum(when(_is_tgt, _c))` is NULL exactly when the
+    # old target-side aggregate had no row for the bucket, so the
+    # downstream coalesce sees identical inputs and every int64 lambda
+    # is bit-identical. The B-row result is localCheckpoint-
+    # materialized (the module's tiny-reused-frame discipline, see
+    # doremi's `stepped`) so the totals aggregate and the lambda
+    # projection share one computation instead of re-reading feats.
+    marg = (
+        feats.groupBy("_bk")
+        .agg(
+            F.sum("_c").alias("_rc"),
+            F.sum(F.when(F.col("_is_tgt"), F.col("_c"))).alias("_tc"),
+        )
+        .localCheckpoint()
+    )
+    totals = marg.agg(
+        F.sum("_rc").alias("_rn"), F.sum("_tc").alias("_tn")
     )
     aB = float(alpha) * n_buckets
     lam = (
-        raw.join(tgt, "_bk", "left")
-        .crossJoin(F.broadcast(totals))
+        marg.crossJoin(F.broadcast(totals))
         .select(
             "_bk",
             F.round(
