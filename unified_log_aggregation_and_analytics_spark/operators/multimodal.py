@@ -2815,7 +2815,7 @@ def media_with_y4m(
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
-def media_gate_hash(df: DataFrame) -> DataFrame:
+def media_gate_hash(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """X5 — modality-aware decode gate + perceptual hash in ONE Arrow
     pass: images decode (PPM/PNG stdlib, Pillow-gated rest) to a
     dHash; audio decodes (PCM WAV) to the spectral fingerprint; video
@@ -2823,7 +2823,16 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
     (video_fingerprint64 — frame-level fingerprints landed in r11,
     closing the documented extension); any other modality or
     undecodable payload fails the gate. Output: ``(media_id,
-    decode_ok, dhash nullable)``.
+    decode_ok, dhash nullable, *carry)``.
+
+    ``carry`` names input columns to pass through the Arrow boundary
+    untouched (r14): a caller that needs gate output NEXT TO cheap
+    JVM-computed columns (e.g. a payload fingerprint) can compute
+    them in the projection feeding this pass instead of deriving the
+    payload source a second time and joining the two row-aligned
+    frames back together on media_id — the pass emits exactly one
+    output row per input row, in order, so the carried values stay
+    row-aligned by construction.
 
     This is the decode gate the streaming media pipeline routes on.
     An earlier version gated EVERY row through the image decoder, so
@@ -2864,13 +2873,14 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
                 ids.append(mid)
                 oks.append(ok)
                 hashes.append(ph)
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "decode_ok": oks,
-                    "dhash": pd.Series(hashes, dtype="Int64"),
-                }
-            )
+            out = {
+                "media_id": ids,
+                "decode_ok": oks,
+                "dhash": pd.Series(hashes, dtype="Int64"),
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     schema = T.StructType(
         [
@@ -2878,8 +2888,12 @@ def media_gate_hash(df: DataFrame) -> DataFrame:
             T.StructField("decode_ok", T.BooleanType()),
             T.StructField("dhash", T.LongType()),
         ]
+        + [df.schema[c] for c in carry]
     )
-    return df.select("media_id", "modality", "payload").mapInPandas(batches, schema)
+    in_cols = ["media_id", "modality", "payload"] + [
+        c for c in carry if c not in ("media_id", "modality", "payload")
+    ]
+    return df.select(*in_cols).mapInPandas(batches, schema)
 
 
 def _splitmix64(x: "np.ndarray") -> "np.ndarray":
@@ -3000,13 +3014,20 @@ def media_ingest_report(
     decode run exactly once; everything downstream (dedup window,
     banded Hamming self-join, routing projection) runs on the narrow
     frame. At 100 TB of media the checkpoint is ~40 GB cluster-wide
-    — the honest cost of decoding each payload once."""
+    — the honest cost of decoding each payload once. The exact-dup
+    fingerprint is computed JVM-side IN the projection feeding the
+    decode pass and carried through the Arrow boundary (r14,
+    media_gate_hash's ``carry``): the earlier form derived the
+    payload source once per join side — two payload scans and a
+    media_id join for what one row-aligned pass produces."""
     from pyspark.sql import Window
 
-    gate = media_gate_hash(media)
     meta = (
-        media.select("media_id", "modality", F.xxhash64("payload").alias("fp"))
-        .join(gate, "media_id", "left")
+        media_gate_hash(
+            media.withColumn("fp", F.xxhash64("payload")),
+            carry=("modality", "fp"),
+        )
+        .select("media_id", "modality", "fp", "decode_ok", "dhash")
         .localCheckpoint()
     )
     w = Window.partitionBy("fp").orderBy("media_id")
