@@ -720,8 +720,31 @@ def bigram_lm_score(
     # context counts roll up from the bigram counts — same values as
     # counting the corpus again, one fewer corpus pass
     uc = bc.groupBy("w1").agg(F.sum("bc").alias("uc"))
-    vocab = lm.select(F.explode(tok_arr()).alias("t")).agg(
-        F.count_distinct("t").alias("v")
+    # Vocabulary size from the COUNT TABLE, not a corpus token
+    # explode+distinct: every token of a >=2-token document appears as
+    # w1 or w2 of some bigram in bc (all but the last token lead a
+    # bigram; the last trails one), so V = distinct(bc.w1 ∪ bc.w2 ∪
+    # {tokens of exactly-1-token docs}). The third leg is a tokenize+
+    # filter scan with no explode and only its surviving single tokens
+    # shuffled; the distinct then runs over vocabulary-bounded rows
+    # instead of the corpus token stream. Null/empty texts contribute
+    # nothing in either form (split→filter yields a null/empty array).
+    # Identical V; interleaved A/B at 10x reads ~5% (the removed
+    # explode pass times 1.36 s isolated vs 0.68 s for the added
+    # tokenize-only scan, but AQE stage reuse already amortizes the
+    # shared bc exchange) — the real case is the 100 TB one: the
+    # corpus-token explode+distinct becomes a vocabulary-bounded
+    # aggregate over the count table.
+    singles = (
+        lm.select(tok_arr().alias("_ts"))
+        .filter(F.size("_ts") == 1)
+        .select(F.element_at("_ts", 1).alias("t"))
+    )
+    vocab = (
+        bc.select(F.col("w1").alias("t"))
+        .union(bc.select(F.col("w2").alias("t")))
+        .union(singles)
+        .agg(F.count_distinct("t").alias("v"))
     )
     nll = -F.log(
         (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(k))
