@@ -260,14 +260,10 @@ MULTI_SCAN_OK = {
     # whitelisted shape; at scale both halves read the persisted
     # token index (tf/df/doclen/stats ARE the index tables)
     "q02k_more_like_this",
-    # 3 scans: the positioned-gram subtree feeds both the gram-
-    # multiplicity agg and the join-back, plus the per-doc length
-    # frame; at scale the gram frame persists once (the docstring's
-    # certificate-vs-production note)
-    "dedup_substring",
-    # same gram subtree x2 plus the token-array rebuild pass; the
-    # census (interval-merge) is the fast path, this is the edit
-    "dedup_substring_clean",
+    # (r14: dedup_substring / dedup_substring_clean left this list —
+    # the gh-window multiplicity rewrite reads the positioned-gram
+    # stream once, so both are at <= 2 scans and the default cap
+    # guards them)
     # 3 scans: corpus gram stream + the bench slice's gram set (a
     # filter of the same file standing in for the eval corpus — in
     # production a separate, MB-sized table) + the per-doc length
