@@ -823,6 +823,60 @@ def test_knn_join_gemm_kernel_matches_expression_reference(spark, emb):
     assert got == want and len(got) > 0
 
 
+def test_gemm_kernels_row_blocked_match_single_gemm():
+    """r15 memory bound (guide §5): the cogroup GEMM kernels row-block
+    the scored matrix so a degenerate hot bucket/cell/block cannot OOM
+    a Python worker. The blocked path must be EXACTLY the single-GEMM
+    path's output — same values, same order — on an engineered hot
+    bucket (duplicate-heavy integer vectors: every dot product and
+    norm is exact, so equality is bitwise, not approximate; plus one
+    zero vector to exercise the NaN -> -inf ordering key). block_cells
+    is forced far below the bucket's cell count so the blocked run
+    takes many row-blocks while the control takes one."""
+    import numpy as np
+
+    from unified_log_aggregation_and_analytics_spark.operators.dedup import (
+        _gemm_block_pairs,
+        _gemm_cell_drop_mask,
+    )
+    from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+        _gemm_bucket_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 257, 8  # odd count: the last row-block is ragged
+    m = rng.randint(-4, 5, size=(n, dim)).astype(np.float64)
+    m[::5] = m[0]  # duplicate-heavy: exact ties everywhere
+    m[13] = 0.0  # zero vector -> NaN cosine row/column
+    ids = rng.permutation(n).astype("int64")
+
+    big = 10**12  # single-GEMM control
+    small = 4 * n  # ~4 rows per block -> ~65 blocks
+
+    # knn_join kernel: probe side = the same hot population (self-join
+    # shape), k small so ties force the stable argsort's nbr order
+    a = _gemm_bucket_topk(ids, m, ids.copy(), m.copy(), 5, big)
+    b = _gemm_bucket_topk(ids, m, ids.copy(), m.copy(), 5, small)
+    assert a[0].tolist() == b[0].tolist()  # src sequence
+    assert a[1].tolist() == b[1].tolist()  # nbr sequence
+    # cos_sim: exact equality, NaN == NaN (the zero vector's pairs)
+    assert a[2].shape == b[2].shape
+    assert np.allclose(a[2], b[2], rtol=0, atol=0, equal_nan=True)
+    assert len(a[0]) > 0 and np.isnan(a[2]).any()
+
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    pa = _gemm_block_pairs(ids, mn, 0.35, big)
+    pb = _gemm_block_pairs(ids, mn, 0.35, small)
+    for x, y in zip(pa, pb):
+        assert x.tolist() == y.tolist()
+    assert len(pa[0]) > 0
+
+    da = _gemm_cell_drop_mask(ids, mn, 0.6, big)
+    db = _gemm_cell_drop_mask(ids, mn, 0.6, small)
+    assert da.tolist() == db.tolist()
+    assert 0 < int(da.sum()) < n  # some dropped, some kept
+
+
 def test_knn_join_default_margin_recall_floor(spark, emb):
     """The DEFAULT code path (margin-2 multiprobe since r8) holds its
     own recall floor vs the exact graph: constant 3x replication

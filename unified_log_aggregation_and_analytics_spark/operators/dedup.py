@@ -392,6 +392,58 @@ def simhash64(
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def _gemm_block_pairs(ids, m, threshold, block_cells):
+    """embedding_near_dup's per-block pair maths as plain numpy
+    (module-level so the row-blocking is unit-testable without a Spark
+    worker): normalized-GEMM similarities, emit i<j pairs at or above
+    ``threshold``. Row-blocked so the scored matrix never exceeds
+    ``block_cells`` float64 cells (guide §5: bounded worker memory on
+    a degenerate hot block — O(rows x block), never O(block^2)); a
+    block under one row-block takes the identical single-GEMM path.
+    Returns (id_lo, id_hi, cos_sim) arrays."""
+    import numpy as np
+
+    n = len(ids)
+    step = max(1, int(block_cells) // max(1, n))
+    los, his, sims_out = [], [], []
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        sims = np.round(m[s:e] @ m.T, 6)
+        # triu over the [s:, ] column slice = exactly the i<j pairs
+        # with i in [s, e), in the full block's index space
+        ia, ib = np.triu_indices_from(sims[:, s:], k=1)
+        ib = ib + s
+        keep = sims[ia, ib] >= threshold
+        ida, idb = ids[s + ia[keep]], ids[ib[keep]]
+        los.append(np.minimum(ida, idb))
+        his.append(np.maximum(ida, idb))
+        sims_out.append(sims[ia, ib][keep])
+    if len(los) == 1:
+        return los[0], his[0], sims_out[0]
+    return np.concatenate(los), np.concatenate(his), np.concatenate(sims_out)
+
+
+def _gemm_cell_drop_mask(ids, mn, threshold, block_cells):
+    """semantic_dedup's per-cell drop decision as plain numpy (module-
+    level so the row-blocking is unit-testable without a Spark
+    worker): drop[i] = some j with id_j < id_i has cos_sim >=
+    ``threshold``. Row-blocked like _gemm_block_pairs — each row's
+    decision needs only its own similarity row, so blocking is exactly
+    lossless; cells under one block take the identical single-GEMM
+    path."""
+    import numpy as np
+
+    n = len(ids)
+    step = max(1, int(block_cells) // max(1, n))
+    drop = np.zeros(n, dtype=bool)
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        sims = np.round(mn[s:e] @ mn.T, 6)
+        smaller = ids[None, :] < ids[s:e, None]  # [i, j]: id_j < id_i
+        drop[s:e] = ((sims >= threshold) & smaller).any(axis=1)
+    return drop
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -435,15 +487,15 @@ def embedding_near_dup(
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+            _GEMM_BLOCK_CELLS,
+        )
+
         ids = pdf["_id"].to_numpy()
         m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = np.round(m @ m.T, 6)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        ida, idb = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib][keep]})
+        lo, hi, cos = _gemm_block_pairs(ids, m, threshold, _GEMM_BLOCK_CELLS)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos})
 
     return side.groupBy("_block").applyInPandas(block_pairs, schema=out_schema)
 
@@ -637,15 +689,16 @@ def semantic_dedup(
     )
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        from unified_log_aggregation_and_analytics_spark.operators.similarity import (
+            _GEMM_BLOCK_CELLS,
+        )
+
         cell = int(pdf["cell"].iloc[0])
         ids = pdf["_id"].to_numpy()
         m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         mn = m / norms
-        sims = np.round(mn @ mn.T, 6)
-        smaller = ids[None, :] < ids[:, None]  # [i, j]: id_j < id_i
-        drop = ((sims >= threshold) & smaller).any(axis=1)
-        keep = ~drop
+        keep = ~_gemm_cell_drop_mask(ids, mn, threshold, _GEMM_BLOCK_CELLS)
         csim = np.round(mn[keep] @ norm_c[cell], 6)
         return pd.DataFrame(
             {

@@ -26,6 +26,56 @@ from pyspark.sql import functions as F
 
 from unified_log_aggregation_and_analytics_spark.functions.vectors import cosine_similarity
 
+# Memory envelope for the per-bucket/cell/block GEMM kernels (knn_join
+# here; embedding_near_dup / semantic_dedup in dedup.py): the scored
+# similarity matrix is row-blocked so one Python worker never holds
+# more than this many float64 cells (32M = 256 MB) regardless of how
+# degenerate a bucket is. Well-distributed groups sit far below one
+# block and take the identical single-GEMM path (guide §5: bound
+# per-task state; the n_bits ~ log2(corpus) population argument keeps
+# the COMMON case constant, this caps the pathological one).
+_GEMM_BLOCK_CELLS = 32_000_000
+
+
+def _gemm_bucket_topk(src_all, v1_all, nbr, v2, k, block_cells):
+    """knn_join's per-bucket scoring maths as plain numpy (module-level
+    so the row-blocking is unit-testable without a Spark worker):
+    normalized GEMM over the bucket, per-src bucket-local top-k with
+    the window's exact (cos_sim DESC, nbr ASC) tie order, NaN keyed to
+    -inf (Spark's NaN-greatest). The probe side is row-blocked so the
+    scored matrix never exceeds ``block_cells`` float64 cells — each
+    src row's top-k is row-local, so blocking is exactly lossless, and
+    a bucket under one block takes the identical single-GEMM path.
+    Returns (src_repeated, nbr_selected, cos_sim) arrays."""
+    # nbr-ascending columns make the stable argsort's tie order the
+    # window's (cos_sim DESC, nbr ASC) — do not reorder.
+    order = np.argsort(nbr, kind="stable")
+    nbr, v2 = nbr[order], v2[order]
+    n2 = np.linalg.norm(v2, axis=1)
+    block = max(1, int(block_cells) // max(1, len(nbr)))
+    srcs, nbrs, sims_out = [], [], []
+    for s in range(0, len(src_all), block):
+        src = src_all[s : s + block]
+        v1 = v1_all[s : s + block]
+        n1 = np.linalg.norm(v1, axis=1)
+        sims = np.round((v1 @ v2.T) / np.outer(n1, n2), 6)
+        key = np.where(np.isnan(sims), -np.inf, -sims)
+        # k+1 covers the single possible self-pair (src is a member
+        # of at most one of its probe buckets: its home bucket).
+        take = min(k + 1, sims.shape[1])
+        idx = np.argsort(key, axis=1, kind="stable")[:, :take]
+        nbr_sel = nbr[idx]
+        valid = nbr_sel != src[:, None]
+        rank = np.cumsum(valid, axis=1)
+        keep = valid & (rank <= k)
+        n_keep = keep.sum(axis=1)
+        srcs.append(np.repeat(src, n_keep))
+        nbrs.append(nbr_sel[keep])
+        sims_out.append(np.take_along_axis(sims, idx, axis=1)[keep])
+    if len(srcs) == 1:
+        return srcs[0], nbrs[0], sims_out[0]
+    return np.concatenate(srcs), np.concatenate(nbrs), np.concatenate(sims_out)
+
 
 def knn_brute_force(
     df: DataFrame,
@@ -1067,34 +1117,14 @@ def knn_join(
     def _bucket_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({"src": [], "nbr": [], "cos_sim": []})
-        src = lpdf["src"].to_numpy()
-        v1 = np.stack(lpdf["_v1"].to_numpy()).astype(np.float64)
+        src_all = lpdf["src"].to_numpy()
+        v1_all = np.stack(lpdf["_v1"].to_numpy()).astype(np.float64)
         nbr = rpdf["nbr"].to_numpy()
         v2 = np.stack(rpdf["_v2"].to_numpy()).astype(np.float64)
-        # nbr-ascending columns make the stable argsort's tie order
-        # the window's (cos_sim DESC, nbr ASC) — do not reorder.
-        order = np.argsort(nbr, kind="stable")
-        nbr, v2 = nbr[order], v2[order]
-        n1 = np.linalg.norm(v1, axis=1)
-        n2 = np.linalg.norm(v2, axis=1)
-        sims = np.round((v1 @ v2.T) / np.outer(n1, n2), 6)
-        key = np.where(np.isnan(sims), -np.inf, -sims)
-        # k+1 covers the single possible self-pair (src is a member
-        # of at most one of its probe buckets: its home bucket).
-        take = min(k + 1, sims.shape[1])
-        idx = np.argsort(key, axis=1, kind="stable")[:, :take]
-        nbr_sel = nbr[idx]
-        valid = nbr_sel != src[:, None]
-        rank = np.cumsum(valid, axis=1)
-        keep = valid & (rank <= k)
-        n_keep = keep.sum(axis=1)
-        return pd.DataFrame(
-            {
-                "src": np.repeat(src, n_keep),
-                "nbr": nbr_sel[keep],
-                "cos_sim": np.take_along_axis(sims, idx, axis=1)[keep],
-            }
+        src_rep, nbr_sel, cos = _gemm_bucket_topk(
+            src_all, v1_all, nbr, v2, k, _GEMM_BLOCK_CELLS
         )
+        return pd.DataFrame({"src": src_rep, "nbr": nbr_sel, "cos_sim": cos})
 
     reduced = (
         left.groupBy("bucket")
