@@ -1159,9 +1159,19 @@ def train_quality_classifier(
     # aggregate evaluation itself. Eager-by-contract (bench times
     # construction, see bench.py EAGER_QUERIES). A handful of
     # partitions keeps the per-step jobs from paying 32-task
-    # scheduling overhead each.
+    # scheduling overhead each: r14's width sweep at the 10x corpus
+    # read 9.9/8.3/6.6/7.0 s per 24 steps for coalesce 1/2/4/8, so
+    # r15 adopts the measured optimum (4) as the floor, scaled with
+    # cluster width (defaultParallelism/8 — a 256-core cluster gets
+    # 32 feature partitions, the bench's local[32] and the driver's
+    # 8-CPU re-run both get the measured-fastest 4). The DECIMAL(20,9)
+    # gradient sums are order-free, so the trajectory is partition-
+    # count-independent (oracle-pinned, re-verified at two SFs).
+    _gd_width = max(
+        4, feats.sparkSession.sparkContext.defaultParallelism // 8
+    )
     train_feats = (feats if train_df is None else featurize(train_df)).coalesce(
-        8
+        _gd_width
     ).localCheckpoint()
     if train_df is None:
         feats = train_feats
