@@ -1653,17 +1653,21 @@ def hash_band_rows(
     hash_col: str,
     id_col: str = "media_id",
     bands: int = 4,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Band rows ``(id, hash, band_idx, band_val)`` for a 64-bit
-    fingerprint column — the shared key space for the batch Hamming
-    join below and the streaming media pipeline's band sidecar
+    """Band rows ``(id, hash, band_idx, band_val, *carry)`` for a
+    64-bit fingerprint column — the shared key space for the batch
+    Hamming join below and the streaming media pipeline's band sidecar
     (streaming/media.py), exactly as dedup.band_rows is for MinHash
-    signatures. Map-only."""
+    signatures. Map-only. ``carry`` names input columns passed through
+    unchanged (r15: media_ingest_report keys its banded join on
+    modality so one join serves every modality)."""
     width = 64 // bands
     mask = (1 << width) - 1
     return hash_df.select(
         id_col,
         hash_col,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -1677,7 +1681,7 @@ def hash_band_rows(
                 ]
             )
         ).alias("bd"),
-    ).select(id_col, hash_col, "bd.band_idx", "bd.band_val")
+    ).select(id_col, hash_col, *carry, "bd.band_idx", "bd.band_val")
 
 
 def hamming_near_dup(
@@ -1686,6 +1690,7 @@ def hamming_near_dup(
     id_col: str = "media_id",
     max_hamming: int = 3,
     bands: int = 4,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Banded Hamming near-dup join over any 64-bit fingerprint
     column (dHash images, spectral audio prints, SimHash text): split
@@ -1701,22 +1706,28 @@ def hamming_near_dup(
     At 100 TB the shuffle is keyed on the band value (uniform for
     real media corpora); a pathological constant-content corpus
     concentrates a band bucket — the standard valves (more bands,
-    AQE skew split) apply, as with the text LSH."""
-    banded = hash_band_rows(hash_df, hash_col, id_col, bands)
+    AQE skew split) apply, as with the text LSH.
+
+    ``key_cols`` extends the equi-join key (r15): pairs must then
+    also agree on those columns — e.g. keying on modality lets ONE
+    banded join serve a mixed-modality frame, where separate
+    per-modality joins would each re-scan and re-shuffle the input
+    (identical pair set by construction: ids are globally unique and
+    a cross-modality pair can never share the extended key)."""
+    keys = ["band_idx", "band_val", *key_cols]
+    banded = hash_band_rows(hash_df, hash_col, id_col, bands, carry=key_cols)
     a = banded.select(
         F.col(id_col).alias("id_a"),
         F.col(hash_col).alias("_ha"),
-        "band_idx",
-        "band_val",
+        *keys,
     )
     b = banded.select(
         F.col(id_col).alias("id_b"),
         F.col(hash_col).alias("_hb"),
-        "band_idx",
-        "band_val",
+        *keys,
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -2963,20 +2974,31 @@ def media_routing_fixture(
         i = np.arange(npx, dtype=np.uint64)
         for pdf in it:
             ids = pdf["doc_id"].to_numpy()
+            # Whole-batch pixel generation (r15, guide §4.2): one 2D
+            # splitmix64 over (rows x npx) seeds replaces the per-row
+            # Python loop — identical bytes (splitmix is elementwise;
+            # the m==2 cell means are exact integer sums in float64,
+            # so the flip decisions are order-free).
+            g_arr = (ids.astype(np.int64) // 4).astype(np.uint64)
+            m_arr = ids.astype(np.int64) % 4
+            seeds = (g_arr * np.uint64(npx))[:, None] + i[None, :]
+            px2d = (
+                (_splitmix64(seeds) >> np.uint64(32)) & np.uint64(0xFF)
+            ).astype(np.uint8)
+            near_rows = np.flatnonzero(m_arr == 2)
+            if len(near_rows):
+                # flip base bit 27 (cell(3,3) vs cell(3,4)) by
+                # clamping the cell to the opposing extreme
+                bit = (
+                    px2d[near_rows][:, idx_cell].mean(axis=1)
+                    > px2d[near_rows][:, idx_left].mean(axis=1)
+                )
+                px2d[near_rows[:, None], idx_cell[None, :]] = np.where(
+                    bit, 0, 255
+                ).astype(np.uint8)[:, None]
             payloads = []
-            for d in ids:
-                g, m = int(d) // 4, int(d) % 4
-                px = (
-                    (_splitmix64(np.uint64(g * npx) + i) >> np.uint64(32))
-                    & np.uint64(0xFF)
-                ).astype(np.uint8)
-                if m == 2:
-                    px = px.copy()
-                    # flip base bit 27 (cell(3,3) vs cell(3,4)) by
-                    # clamping the cell to the opposing extreme
-                    bit = px[idx_cell].mean() > px[idx_left].mean()
-                    px[idx_cell] = 0 if bit else 255
-                body = px.tobytes()
+            for r, m in enumerate(m_arr):
+                body = px2d[r].tobytes()
                 if m == 3:
                     body = body[: npx // 2]  # mid-raster truncation
                 payloads.append(header + body)
@@ -3036,21 +3058,28 @@ def media_ingest_report(
         F.when(F.col("decode_ok"), F.row_number().over(w)).otherwise(F.lit(None)),
     )
     survivors = ranked.filter(F.col("decode_ok") & (F.col("_rk") == 1))
-    near_frames = [
+    # ONE banded Hamming join for every modality (r15): modality rides
+    # in the equi-join key (hamming_near_dup key_cols), so the pair
+    # set is identical to the former per-modality joins — a pair can
+    # only match inside its modality — while the survivors frame is
+    # banded, shuffled, and self-joined once instead of once per
+    # modality (the audio branch previously paid a full window + join
+    # chain even when no audio rows exist).
+    near = (
         hamming_near_dup(
             survivors.filter(
-                (F.col("modality") == mod) & F.col("dhash").isNotNull()
-            ).select("media_id", "dhash"),
+                F.col("modality").isin("image", "audio")
+                & F.col("dhash").isNotNull()
+            ).select("media_id", "modality", "dhash"),
             "dhash",
             max_hamming=max_hamming,
             bands=bands,
-        ).select(F.col("id_b").alias("media_id"))
-        for mod in ("image", "audio")
-    ]
-    near = near_frames[0]
-    for f_ in near_frames[1:]:
-        near = near.union(f_)
-    near = near.distinct().withColumn("_near", F.lit(True))
+            key_cols=("modality",),
+        )
+        .select(F.col("id_b").alias("media_id"))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
     return (
         ranked.join(near, "media_id", "left")
         .select(
