@@ -779,7 +779,18 @@ def duplicated_spans(
     The one-shot plan now scans the corpus twice (gram stream + the
     per-doc length frame); the hottest gram's multiplicity bounds the
     window's per-group state exactly as it bounded the old join's
-    per-key reducer load.
+    per-key reducer load IN ITS SORT-MERGE REGIME — the regime the
+    old shape actually planned was a broadcast probe (map-side, no
+    hot reducer), so the window form does concentrate a
+    pathologically hot gram (billions of occurrences of one
+    boilerplate k-gram) into one straggler window partition, and AQE
+    skew mitigation covers joins/aggregations, not Window (r14
+    ADVICE). The valve, if hot-gram stragglers appear at scale:
+    pre-collapse with a salted (gh, salt) partial count summed per
+    gh before the filter — counts are additive, so the result is
+    unchanged; not wired here because the bench's gram keys are md5
+    hashes of natural text (no hot key at any test scale) and the
+    salt pass costs a second aggregation on every healthy corpus.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
