@@ -107,21 +107,21 @@ def degree_profile(
     """Per-node out-degree / in-degree over a directed edge list —
     the cheap structural health check for a built kNN graph (a node
     with in-degree 0 is semantically isolated; unusually high
-    in-degree marks a hub/near-duplicate attractor). One aggregation
-    per direction, one full-outer join on the uniform id key."""
-    out_d = (
-        edges.groupBy(F.col(src_col).alias("id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
-    )
-    in_d = (
-        edges.groupBy(F.col(dst_col).alias("id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("in_deg"))
-    )
-    return (
-        out_d.join(in_d, "id", "full_outer")
-        .select(
-            "id",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-        )
+    in-degree marks a hub/near-duplicate attractor).
+
+    ONE direction-tagged union + ONE hash aggregation (r15): the
+    previous shape ran an aggregation per direction plus a full-outer
+    join on the id key — three exchanges where one suffices. Map-side
+    partial aggregation collapses the tagged stream to node-bounded
+    partials before the single shuffle, so scale bytes match the old
+    per-direction aggs without the join; a node missing from a
+    direction sums to 0 exactly as the old coalesce did
+    (row-identical, asserted against the join form on the 10x graph).
+    """
+    both = edges.select(
+        F.col(src_col).alias("id"), F.lit(1).alias("_o")
+    ).unionByName(edges.select(F.col(dst_col).alias("id"), F.lit(0).alias("_o")))
+    return both.groupBy("id").agg(
+        F.sum("_o").cast("long").alias("out_deg"),
+        (F.count(F.lit(1)) - F.sum("_o")).cast("long").alias("in_deg"),
     )
